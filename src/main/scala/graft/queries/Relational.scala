@@ -1,0 +1,441 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Core relational operator surface (SURVEY §2.2–§2.7 plus the "gap to fill"
+  * built-ins): scans, filters/projections, the full join family, grouped and
+  * multi-dimensional aggregation, windows, sorts/top-k, set ops.
+  *
+  * Determinism contract: every query ends in a total ORDER BY so output is
+  * hash-stable across engines (SURVEY §7.4.2 — Spark does not preserve order
+  * across shuffles). Monetary aggregates go through DECIMAL so Spark and the
+  * DuckDB oracle agree bit-for-bit, then surface as DOUBLE so the schemas
+  * match; float-summation order is never relied upon.
+  *
+  * Scale notes are attached per query: which side broadcasts, which filters
+  * push into the parquet scan, where the single shuffle lands.
+  */
+object Relational {
+
+  /** Exact money arithmetic: double → decimal(18,6) (enough scale for the
+    * 2-decimal fixture values and any product of two of them). */
+  private def dec(c: Column): Column = c.cast("decimal(18,6)")
+  private def moneySum(c: Column): Column = sum(dec(c)).cast("decimal(38,6)")
+
+  val qs: Map[String, Q] = Map(
+
+    // ------------------------------------------------------------------
+    // Aggregations (A1-A7 + gap: grouped, distinct, rollup/cube)
+    // ------------------------------------------------------------------
+
+    // TPC-H Q1 shape: single shuffle on a 6-value grouping key; partial
+    // aggregation is map-side so 100 TB reduces to KBs before exchange.
+    "q01_pricing_summary" -> Q(
+      run = (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount"))))
+            .cast("decimal(38,6)").as("sum_disc_price"),
+          moneySum(col("l_discount")).as("sum_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS sum_disc_price,
+               CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      doc = "grouped agg w/ map-side partials; TPC-H Q1 shape"),
+
+    // Filter + projection: both push into the parquet scan (PushedFilters +
+    // 4-column ReadSchema) — at 100 TB this reads a fraction of the data.
+    "q02_filter_project" -> Q(
+      run = (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp"))
+          && col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+          AND l_quantity >= 45
+        ORDER BY l_orderkey, l_linenumber"""),
+      doc = "predicate+projection pushdown to parquet scan"),
+
+    // ------------------------------------------------------------------
+    // Joins (J1-J4 + gap: the full join family)
+    // ------------------------------------------------------------------
+
+    // Shuffle hash/sort-merge join on o_orderkey; grouped agg reuses the
+    // join's hash partitioning so only one exchange per side.
+    "q03_join_agg" -> Q(
+      run = (s, d) => Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("line_count"),
+          moneySum(col("l_extendedprice")).as("revenue"))
+        .orderBy("o_orderpriority"),
+      oracle = Some("""
+        SELECT o_orderpriority, count(*) AS line_count,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      doc = "fact-fact equi join + agg"),
+
+    // Dimension tables broadcast: no shuffle of the fact side at all.
+    "q04_broadcast_join" -> Q(
+      run = (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("customers"),
+          moneySum(col("c_acctbal")).as("total_acctbal"))
+        .orderBy("r_name", "n_name"),
+      oracle = Some("""
+        SELECT r_name, n_name, count(*) AS customers,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name"""),
+      doc = "snowflake dims via broadcast hash join"),
+
+    // TPC-H Q5 shape: 5-way join; dims broadcast, facts co-partition.
+    "q05_multi_join" -> Q(
+      run = (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount"))))
+          .cast("decimal(38,6)").as("revenue"))
+        .orderBy("n_name"),
+      oracle = Some("""
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS revenue
+        FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name ORDER BY n_name"""),
+      doc = "5-way join, TPC-H Q5 shape"),
+
+    // Left semi join — J1's processed-ID skip generalized (SURVEY §2.3).
+    "q06_semi_join" -> Q(
+      run = (s, d) => Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).filter(col("l_quantity") >= 49),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .orderBy("o_orderkey"),
+      oracle = Some("""
+        SELECT o_orderkey, o_orderpriority FROM orders
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+        ORDER BY o_orderkey"""),
+      doc = "left semi join (EXISTS pushownwards)"),
+
+    // Left anti join — the reference's resume/skip pattern
+    // (sequential_scraper.py:372-375) as a relational operator.
+    "q07_anti_join" -> Q(
+      run = (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey"),
+      oracle = Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' AND o_custkey IS NOT NULL)
+        ORDER BY c_custkey"""),
+      doc = "left anti join (resume-state skip, J1)"),
+
+    // Left outer join with null-aware aggregation.
+    "q08_outer_join" -> Q(
+      run = (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(col("o_orderkey")).as("order_count"),
+          count(lit(1)).as("row_count"),
+          sum(when(col("o_orderkey").isNull, 1).otherwise(0)).cast("long").as("customers_without_orders"))
+        .orderBy("c_mktsegment"),
+      oracle = Some("""
+        SELECT c_mktsegment, count(o_orderkey) AS order_count, count(*) AS row_count,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS customers_without_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      doc = "left outer join + null-aware agg"),
+
+    // Full outer join — the upsert/merge building block (J2, SURVEY §7.4.6).
+    "q09_full_outer_join" -> Q(
+      run = (s, d) => {
+        val bySupp = Tables.lineitem(s, d).groupBy(col("l_suppkey").as("suppkey"))
+          .agg(count(lit(1)).as("lines"))
+        val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+        supp.join(bySupp, col("s_suppkey") === col("suppkey"), "full_outer")
+          .select(
+            coalesce(col("s_suppkey"), col("suppkey")).as("suppkey_merged"),
+            coalesce(col("s_name"), lit("UNKNOWN")).as("name_merged"),
+            coalesce(col("lines"), lit(0L)).as("lines"))
+          .orderBy("suppkey_merged")
+      },
+      oracle = Some("""
+        WITH by_supp AS (SELECT l_suppkey AS suppkey, count(*) AS lines FROM lineitem GROUP BY l_suppkey)
+        SELECT COALESCE(s_suppkey, suppkey) AS suppkey_merged,
+               COALESCE(s_name, 'UNKNOWN') AS name_merged,
+               COALESCE(lines, 0) AS lines
+        FROM supplier FULL OUTER JOIN by_supp ON s_suppkey = suppkey
+        ORDER BY suppkey_merged"""),
+      doc = "full outer join + coalesce merge (upsert primitive)"),
+
+    // Cross join — J3's rubros × localidades combination expansion.
+    "q10_cross_join" -> Q(
+      run = (s, d) => Tables.region(s, d)
+        .crossJoin(Tables.nation(s, d))
+        .select(col("r_name"), col("n_name"))
+        .orderBy("r_name", "n_name"),
+      oracle = Some("""
+        SELECT r_name, n_name FROM region CROSS JOIN nation
+        ORDER BY r_name, n_name"""),
+      doc = "cross join (filter-combination expansion, J3)"),
+
+    // ------------------------------------------------------------------
+    // Windows (§2.5 gap)
+    // ------------------------------------------------------------------
+
+    // Top-3 orders per customer: single shuffle on o_custkey, ranking within
+    // partitions — the order-preserving-dedup primitive of A2/J4.
+    "q11_window_rank" -> Q(
+      run = (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+          .orderBy("o_custkey", "rn")
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+          FROM orders) t
+        WHERE rn <= 3 ORDER BY o_custkey, rn"""),
+      doc = "row_number ranking window, top-k per group"),
+
+    // lag/lead analytics over event time per user.
+    "q12_window_lag_lead" -> Q(
+      run = (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .withColumn("gap_us",
+            unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("prev_type"), col("next_type"),
+            col("gap_us"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT event_id, user_id, prev_type, next_type, gap_us FROM (
+          SELECT event_id, user_id, event_type,
+                 lag(event_type) OVER w AS prev_type,
+                 lead(event_type) OVER w AS next_type,
+                 epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+        WHERE event_type = 'purchase' ORDER BY event_id"""),
+      doc = "lag/lead analytic windows over event time"),
+
+    // Running frame aggregation (rowsBetween unbounded preceding).
+    "q13_window_running_sum" -> Q(
+      run = (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("running_value", sum(dec(col("value"))).over(w).cast("decimal(38,6)"))
+          .withColumn("seq", row_number().over(
+            Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+          .filter(col("seq") <= 20)
+          .select(col("user_id"), col("seq"), col("event_id"), col("running_value"))
+          .orderBy("user_id", "seq")
+      },
+      oracle = Some("""
+        SELECT user_id, seq, event_id, running_value FROM (
+          SELECT user_id, event_id,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS running_value,
+                 CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS seq
+          FROM events) t
+        WHERE seq <= 20 ORDER BY user_id, seq"""),
+      doc = "running-sum window frame"),
+
+    // ------------------------------------------------------------------
+    // Multi-dimensional aggregation (rollup / cube / grouping sets)
+    // ------------------------------------------------------------------
+
+    "q14_rollup" -> Q(
+      run = (s, d) => Tables.orders(s, d)
+        .withColumn("order_year", year(col("o_orderdate")))
+        .rollup(col("order_year"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("orders"), moneySum(col("o_totalprice")).as("total"))
+        .orderBy(col("order_year").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      oracle = Some("""
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderpriority,
+               count(*) AS orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+        FROM orders
+        GROUP BY ROLLUP (order_year, o_orderpriority)
+        ORDER BY order_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""),
+      doc = "rollup hierarchy totals"),
+
+    "q15_cube" -> Q(
+      run = (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .cube(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("customers"))
+        .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first),
+      oracle = Some("""
+        SELECT n_name, c_mktsegment, count(*) AS customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY CUBE (n_name, c_mktsegment)
+        ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST"""),
+      doc = "cube over two dims"),
+
+    // ------------------------------------------------------------------
+    // Distinct / dedup aggregations (A2-A4)
+    // ------------------------------------------------------------------
+
+    "q16_distinct_count" -> Q(
+      run = (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("distinct_suppliers"),
+          countDistinct(col("l_partkey")).as("distinct_parts"))
+        .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag,
+               count(DISTINCT l_suppkey) AS distinct_suppliers,
+               count(DISTINCT l_partkey) AS distinct_parts
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "exact distinct aggregation (expand + two-phase)"),
+
+    // First-wins keyed dedup (A2/J4): deterministic via row_number, not
+    // dropDuplicates (which keeps an arbitrary row — SURVEY §7.4.2).
+    "q17_dedup_first_wins" -> Q(
+      run = (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"),
+            col("o_orderdate").as("first_orderdate"))
+          .orderBy("o_custkey")
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate FROM (
+          SELECT o_custkey, o_orderkey, o_orderdate,
+                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders) t
+        WHERE rn = 1 ORDER BY o_custkey"""),
+      doc = "order-preserving first-wins dedup (A2)"),
+
+    // ------------------------------------------------------------------
+    // Sorts / limits / top-k (O1-O2)
+    // ------------------------------------------------------------------
+
+    // Global top-k: Spark plans TakeOrderedAndProject — per-partition heaps,
+    // no total sort even at 100 TB.
+    "q18_top_k" -> Q(
+      run = (s, d) => Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 25"""),
+      doc = "global top-k via TakeOrderedAndProject"),
+
+    // ------------------------------------------------------------------
+    // Set operations (U1-U4 + gap: intersect/except)
+    // ------------------------------------------------------------------
+
+    "q19_set_ops" -> Q(
+      run = (s, d) => {
+        val hiBal = Tables.customer(s, d).filter(col("c_acctbal") > 7000)
+          .select(col("c_custkey"))
+        val building = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val u = hiBal.union(building).distinct().withColumn("set_op", lit("union"))
+        val i = hiBal.intersect(building).withColumn("set_op", lit("intersect"))
+        val e = hiBal.except(building).withColumn("set_op", lit("except"))
+        u.union(i).union(e)
+          .groupBy(col("set_op")).agg(count(lit(1)).as("n"))
+          .orderBy("set_op")
+      },
+      oracle = Some("""
+        WITH hi AS (SELECT c_custkey FROM customer WHERE c_acctbal > 7000),
+             bld AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+             ops AS (
+               SELECT c_custkey, 'union' AS set_op FROM (SELECT DISTINCT c_custkey FROM (SELECT * FROM hi UNION ALL SELECT * FROM bld))
+               UNION ALL SELECT c_custkey, 'intersect' AS set_op FROM (SELECT c_custkey FROM hi INTERSECT SELECT c_custkey FROM bld)
+               UNION ALL SELECT c_custkey, 'except' AS set_op FROM (SELECT c_custkey FROM hi EXCEPT SELECT c_custkey FROM bld))
+        SELECT set_op, count(*) AS n FROM ops GROUP BY set_op ORDER BY set_op"""),
+      doc = "union/intersect/except"),
+
+    // ------------------------------------------------------------------
+    // Subqueries (correlated exists / scalar)
+    // ------------------------------------------------------------------
+
+    "q20_scalar_subquery" -> Q(
+      run = (s, d) => {
+        val avgPrice = Tables.orders(s, d)
+          .agg((sum(dec(col("o_totalprice"))).cast("double") / count(lit(1))).as("a"))
+        Tables.orders(s, d).join(broadcast(avgPrice))
+          .filter(col("o_totalprice") > col("a") * 1.8)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) FROM orders) * 1.8
+        ORDER BY o_orderkey"""),
+      doc = "scalar subquery (broadcast single-row join)"),
+
+    // Pivot — conditional aggregation shape shared by both engines.
+    "q21_pivot" -> Q(
+      run = (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1).otherwise(0)).cast("long").as("clicks"),
+          sum(when(col("event_type") === "view", 1).otherwise(0)).cast("long").as("views"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).cast("long").as("purchases"),
+          sum(when(col("event_type") === "signup", 1).otherwise(0)).cast("long").as("signups"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).cast("long").as("errors"))
+        .orderBy("user_id"),
+      oracle = Some("""
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
+        FROM events GROUP BY user_id ORDER BY user_id"""),
+      doc = "pivot via conditional aggregation")
+  )
+}
