@@ -11,9 +11,9 @@ object SparkEntry {
 
   /** Full inventory: name → query (Spark plan + optional DuckDB oracle). */
   def registry: Map[String, Q] =
-    queries_relational
-
-  private def queries_relational: Map[String, Q] = graft.queries.Relational.qs
+    graft.queries.Relational.qs ++
+      graft.queries.Functions.qs ++
+      graft.queries.Events.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Event-time analytics over the `events` fixture (SURVEY §2.10 batch
+  * shapes): tumbling windows, as-of joins, bounded range joins, and
+  * sessionization. The streaming twins (watermarked, stateful) live in
+  * graft.streaming; these batch forms share the oracle gate.
+  */
+object Events {
+
+  val qs: Map[String, Q] = Map(
+
+    // Tumbling 10-minute event-time window — the batch shape of the
+    // streaming windowed agg (ST window gap). Spark's window().start is
+    // epoch-aligned flooring, identical to DuckDB's time_bucket.
+    "q27_tumbling_window" -> Q(
+      run = (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("value_sum"))
+        .select(
+          col("window.start").as("bucket_start"),
+          col("event_type"), col("n"), col("value_sum"))
+        .orderBy("bucket_start", "event_type"),
+      oracle = Some("""
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
+               event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS value_sum
+        FROM events
+        GROUP BY 1, 2 ORDER BY bucket_start, event_type"""),
+      doc = "tumbling event-time window agg (batch twin of streaming ST1)"),
+
+    // As-of join: for every purchase, the user's most recent prior click.
+    // Expressed as a running max over event time — single shuffle on
+    // user_id, no self-join. At 100 TB this beats a range self-join by
+    // orders of magnitude (one exchange + sort vs an exploding join).
+    "q28_asof_join" -> Q(
+      run = (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .withColumn("last_click_ts",
+            max(when(col("event_type") === "click", col("ts"))).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("last_click_ts"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT event_id, user_id, ts, last_click_ts FROM (
+          SELECT event_id, user_id, ts, event_type,
+                 max(CASE WHEN event_type = 'click' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+          FROM events) t
+        WHERE event_type = 'purchase' ORDER BY event_id"""),
+      doc = "as-of join via running max (no self-join)"),
+
+    // Bounded range join: error events within 1h after a purchase by the
+    // same user. Equi key (user_id) carries the shuffle; the range predicate
+    // stays a post-join filter — the equi component keeps it off a cartesian.
+    "q29_range_join" -> Q(
+      run = (s, d) => {
+        val e = Tables.events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+            unix_micros(col("ts")).as("p_us"))
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("user_id").as("e_user"), col("event_id").as("e_id"),
+            unix_micros(col("ts")).as("e_us"))
+        purchases.join(errors,
+          col("p_user") === col("e_user")
+            && col("e_us") > col("p_us")
+            && col("e_us") <= col("p_us") + lit(3600000000L))
+          .groupBy(col("p_user").as("user_id"))
+          .agg(count(lit(1)).as("error_follows_purchase"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        SELECT p.user_id AS user_id, count(*) AS error_follows_purchase
+        FROM (SELECT user_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT user_id, epoch_us(ts) AS e_us FROM events WHERE event_type = 'error') e
+          ON p.user_id = e.user_id AND e.e_us > p.p_us AND e.e_us <= p.p_us + 3600000000
+        GROUP BY p.user_id ORDER BY user_id"""),
+      doc = "bounded range join on equi key + time band"),
+
+    // Sessionization: a >30-minute gap starts a new session. Classic
+    // lag → gap flag → running sum (session id) — one shuffle on user_id.
+    // Streaming twin: session_window() / flatMapGroupsWithState.
+    "q30_sessionize" -> Q(
+      run = (s, d) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val sessionized = Tables.events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_us").isNull
+              || unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        sessionized
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("events_in_session"),
+            (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("session_span_us"))
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("sessions"),
+            max(col("events_in_session")).as("max_session_events"),
+            max(col("session_span_us")).as("max_session_span_us"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, ts,
+                 CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM flagged),
+        per_session AS (
+          SELECT user_id, session_id, count(*) AS events_in_session,
+                 max(epoch_us(ts)) - min(epoch_us(ts)) AS session_span_us
+          FROM sess GROUP BY user_id, session_id)
+        SELECT user_id, count(*) AS sessions,
+               CAST(max(events_in_session) AS BIGINT) AS max_session_events,
+               CAST(max(session_span_us) AS BIGINT) AS max_session_span_us
+        FROM per_session GROUP BY user_id ORDER BY user_id"""),
+      doc = "gap-based sessionization (lag + running sum)")
+  )
+}

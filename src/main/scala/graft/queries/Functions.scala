@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Scalar-function surface (SURVEY §2.8 gap rows): string, date/time, JSON
+  * and conditional expressions, each exercised as a full query with a DuckDB
+  * oracle. Everything here is a built-in Catalyst expression — fully
+  * codegen'd, so at scale these fuse into the scan projection.
+  */
+object Functions {
+
+  val qs: Map[String, Q] = Map(
+
+    // String functions over part: regexp extraction, casing, padding, concat.
+    "q22_string_funcs" -> Q(
+      run = (s, d) => Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          length(col("p_name")).as("name_len"),
+          regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).cast("long").as("brand_num"),
+          substring(col("p_type"), 1, 5).as("type_prefix"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          lpad(col("p_partkey").cast("string"), 10, "0").as("key_padded"),
+          translate(col("p_name"), " ", "_").as("name_snake"),
+          when(col("p_name").contains("green"), lit("green"))
+            .otherwise(lit("other")).as("color_flag"))
+        .orderBy("p_partkey"),
+      oracle = Some("""
+        SELECT p_partkey,
+               upper(p_name) AS name_upper,
+               CAST(length(p_name) AS INT) AS name_len,
+               CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS BIGINT) AS brand_num,
+               substring(p_type, 1, 5) AS type_prefix,
+               concat_ws('|', p_brand, p_type) AS brand_type,
+               lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+               translate(p_name, ' ', '_') AS name_snake,
+               CASE WHEN contains(p_name, 'green') THEN 'green' ELSE 'other' END AS color_flag
+        FROM part ORDER BY p_partkey"""),
+      doc = "string function inventory (regexp/substr/pad/translate/concat)"),
+
+    // Date functions over orders: truncation, field extraction, arithmetic.
+    "q23_date_funcs" -> Q(
+      run = (s, d) => Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).as("order_month"),
+          year(col("o_orderdate")).as("order_year"),
+          month(col("o_orderdate")).as("order_mon"),
+          dayofmonth(col("o_orderdate")).as("order_day"),
+          quarter(col("o_orderdate")).as("order_quarter"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("days_since_epoch_start"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date_str"))
+        .filter(col("o_orderkey") % 10 === 0)
+        .orderBy("o_orderkey"),
+      oracle = Some("""
+        SELECT o_orderkey,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(month(o_orderdate) AS INT) AS order_mon,
+               CAST(day(o_orderdate) AS INT) AS order_day,
+               CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+               CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since_epoch_start,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date_str
+        FROM orders WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey"""),
+      doc = "date/time function inventory"),
+
+    // JSON extraction from the events.props column (SURVEY §2.8 gap: the
+    // reference (de)serializes JSON whole; the engine provides path access).
+    "q24_json_extract" -> Q(
+      run = (s, d) => Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_value"))
+        .groupBy((col("k_value") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k_value")).as("k_sum"))
+        .orderBy("k_mod"),
+      oracle = Some("""
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+               count(*) AS n,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+        FROM events
+        GROUP BY 1 ORDER BY k_mod"""),
+      doc = "JSON path extraction + agg over events.props"),
+
+    // Conditional bucketing (CASE) + integer histogram.
+    "q25_case_buckets" -> Q(
+      run = (s, d) => Tables.orders(s, d)
+        .select(
+          when(col("o_totalprice") < 100000, "small")
+            .when(col("o_totalprice") < 300000, "medium")
+            .otherwise("large").as("price_band"))
+        .groupBy("price_band")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("price_band"),
+      oracle = Some("""
+        SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                    WHEN o_totalprice < 300000 THEN 'medium'
+                    ELSE 'large' END AS price_band,
+               count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY price_band"""),
+      doc = "CASE bucketing histogram"),
+
+    // Array functions: build, dedup, sort, join — the reference's
+    // multi-value fields (telefonos/rubros) as first-class arrays (§1.3).
+    "q26_array_funcs" -> Q(
+      run = (s, d) => Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          split(col("text"), " ").as("tokens"))
+        .select(
+          col("doc_id"),
+          size(col("tokens")).as("n_tokens"),
+          size(array_distinct(col("tokens"))).as("n_unique"),
+          array_join(slice(array_sort(array_distinct(col("tokens"))), 1, 5), ",").as("first5_sorted"),
+          element_at(col("tokens"), 1).as("first_token"),
+          element_at(col("tokens"), -1).as("last_token"))
+        .orderBy("doc_id"),
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+        SELECT doc_id,
+               CAST(length(tokens) AS INT) AS n_tokens,
+               CAST(length(list_distinct(tokens)) AS INT) AS n_unique,
+               array_to_string(list_sort(list_distinct(tokens))[1:5], ',') AS first5_sorted,
+               tokens[1] AS first_token,
+               tokens[-1] AS last_token
+        FROM t ORDER BY doc_id"""),
+      doc = "array build/dedup/sort/slice/join (multi-value fields, §1.3)")
+  )
+}

@@ -69,6 +69,7 @@ def main():
         path = os.path.join(out_dir, name)
         if not os.path.isdir(path):
             continue
+        name = name[:-8] if name.endswith(".parquet") else name
         spark_tbl = load_result(path)
         if spark_tbl is None:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
