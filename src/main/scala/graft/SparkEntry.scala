@@ -13,7 +13,9 @@ object SparkEntry {
   def registry: Map[String, Q] =
     graft.queries.Relational.qs ++
       graft.queries.Functions.qs ++
-      graft.queries.Events.qs
+      graft.queries.Events.qs ++
+      graft.queries.TextOps.qs ++
+      graft.queries.Vectors.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

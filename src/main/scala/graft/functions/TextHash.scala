@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-deterministic hashing primitives for the dedup / fingerprint
+  * operator family (SURVEY §7.2 extended ops).
+  *
+  * Everything here is integer arithmetic mod a 31-bit prime, built from
+  * sequential left-folds over characters/tokens — so Spark and any ANSI SQL
+  * engine (the DuckDB oracle included) produce bit-identical values, and the
+  * driver's hash-compare gate is stable. No engine-native hash (xxhash64,
+  * murmur) is used precisely because those differ across engines.
+  *
+  * All expressions are Catalyst higher-order functions — codegen'd, no UDFs —
+  * so at 100 TB they fuse into the scan projection.
+  */
+object TextHash {
+
+  /** 31-bit prime modulus: intermediate products stay far below 2^63, so the
+    * same expressions run on engines with checked 64-bit overflow (DuckDB). */
+  val P = 1000000007L
+
+  /** Polynomial rolling hash over the characters of a string:
+    * fold(acc = 0; acc*31 + codepoint) mod P.
+    * split limit 0 drops the trailing empty string Spark's limit=-1 default
+    * would keep on an empty-regex split (ANSI string_split(s,'') has none). */
+  def charHash(c: Column): Column =
+    aggregate(split(c, "", 0), lit(0L),
+      (acc, ch) => (acc * 31L + ascii(ch).cast("long")) % P)
+
+  /** Order-sensitive hash of a token array: fold(acc*131 + charHash(tok)) mod P. */
+  def tokenSeqHash(tokens: Column): Column =
+    aggregate(tokens, lit(0L), (acc, t) => (acc * 131L + charHash(t)) % P)
+
+  /** Order-insensitive content fingerprint: tokenSeqHash over the sorted
+    * distinct token set — equal iff two documents have the same vocabulary. */
+  def contentHash(tokens: Column): Column =
+    tokenSeqHash(array_sort(array_distinct(tokens)))
+
+  /** Whitespace tokenization matching ANSI string_split(text, ' ') exactly
+    * (single-space separator, empties preserved) so oracles tokenize alike. */
+  def tokens(text: Column): Column = split(text, " ", -1)
+
+  /** Canonical text normalization for exact dedup: lowercase, collapse
+    * whitespace runs, trim (the reference's clean_text, F1, applied globally). */
+  def normalizeText(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  /** Word n-gram shingles (distinct), the MinHash/Jaccard unit.
+    * Spark's sequence(1, k) descends when k < 1, so short docs need the
+    * explicit empty-array guard (ANSI range(1, k+1) is just empty there). */
+  def shingles(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(tokens) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(tokens, i + k)): _*))))
+      .otherwise(array().cast("array<string>"))
+}

@@ -1,0 +1,368 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.TextHash._
+
+/** Training-data text pipeline over `documents`: token/quality statistics,
+  * language ID, fingerprinting, and the dedup family (exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash).
+  *
+  * Determinism across engines (the hard requirement of the oracle gate):
+  * every similarity/threshold decision is integer arithmetic mod 1e9+7 —
+  * Jaccard thresholds are cross-multiplied (inter*10 >= union*7), MinHash is
+  * affine-mod hashing, SimHash is 32-bit with explicit shifts — so Spark and
+  * DuckDB agree bit-for-bit. No doubles anywhere near a comparison.
+  *
+  * Scale design: all pairwise steps go through candidate generation (shared
+  * shingle / LSH band / SimHash block) + equi-join — never a cross join. At
+  * 100 TB the explode→join shuffles on the shingle/band key; hot shingles are
+  * the classic skew source, handled by AQE skew-join (enabled by default) and
+  * by the distinct-per-doc projection which caps per-doc fanout.
+  */
+object TextOps {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on",
+    "for", "with")
+
+  /** docs with whitespace tokens attached. */
+  private def docTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).withColumn("toks", tokens(col("text")))
+
+  // ---- shared Jaccard-pair plumbing (q35 exact, q36 LSH-verified) ----------
+
+  /** (doc_id, shingle-hash) pairs, distinct per doc — the candidate unit. */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    docTokens(s, d)
+      .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("sh"))
+      .select(col("doc_id"), charHash(col("sh")).as("shh"))
+      .distinct()
+
+  /** Exact Jaccard pairs (a<b) from a shared-shingle equi-join:
+    * inter = |shared shingles|, union = nA + nB − inter, keep J ≥ 0.7. */
+  private def jaccardPairs(sh: DataFrame): DataFrame = {
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shh"))
+    a.join(b, Seq("shh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * 10 >= col("uni") * 7)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+  }
+
+  private val jaccardOracleSql = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(sh, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS shh
+      FROM (SELECT doc_id,
+              unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+            FROM t)),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shh = b.shh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, inter, ca.n + cb.n - inter AS uni
+    FROM pairs JOIN counts ca ON ca.doc_id = doc_a
+               JOIN counts cb ON cb.doc_id = doc_b
+    WHERE inter * 10 >= (ca.n + cb.n - inter) * 7"""
+
+  // ---- MinHash constants (8 affine hashes over shingle hashes) -------------
+
+  private val mhA = Seq(761863L, 967811L, 583421L, 124907L, 341273L, 879143L, 450899L, 220151L)
+  private val mhB = Seq(98867L, 401717L, 752609L, 563467L, 130531L, 917681L, 37199L, 660217L)
+
+  val qs: Map[String, Q] = Map(
+
+    // Token counting + quality scoring: length/stopword/alpha ratios as
+    // integer percents (engine-stable), plus a regex "BPE-ish" token count.
+    "q31_text_stats" -> Q(
+      run = (s, d) => docTokens(s, d)
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_unique"),
+          size(filter(col("toks"), t => t.isin(stopwords: _*))).as("n_stop"),
+          size(filter(col("toks"), t => t.rlike("^[a-z]+$"))).as("n_alpha"),
+          size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
+            .as("n_re_tokens"),
+          expr("CAST(100 * size(filter(toks, t -> t IN ('the','a','of','and','to','in','is','on','for','with'))) AS BIGINT) div size(toks)")
+            .as("pct_stop"),
+          expr("CAST(100 * aggregate(toks, 0L, (acc, t) -> acc + length(t)) AS BIGINT) div size(toks)")
+            .as("avg_len_x100"),
+          col("n_chars"))
+        .orderBy("doc_id"),
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, text, n_chars, string_split(text,' ') AS toks FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS INT) AS n_unique,
+               CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','on','for','with'))) AS INT) AS n_stop,
+               CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$'))) AS INT) AS n_alpha,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_re_tokens,
+               CAST(100 * len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','on','for','with'))) AS BIGINT) // len(toks) AS pct_stop,
+               CAST(100 * list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> CAST(length(t) AS BIGINT))), (acc, x) -> acc + x) AS BIGINT) // len(toks) AS avg_len_x100,
+               n_chars
+        FROM t ORDER BY doc_id"""),
+      doc = "token counting + quality ratios (integer percents)"),
+
+    // Language ID: stopword-profile scoring, argmax with deterministic
+    // alphabetic tie-break. The n-gram-profile shape of fasttext-style LID,
+    // reduced to an engine-stable integer vote.
+    "q32_lang_id" -> Q(
+      run = (s, d) => {
+        def score(words: Seq[String]) =
+          size(filter(col("toks"), t => t.isin(words: _*)))
+        docTokens(s, d)
+          .withColumn("score_en", score(Seq("the", "a", "and", "of", "is", "on", "with")))
+          .withColumn("score_es", score(Seq("el", "la", "de", "y", "es", "con", "para")))
+          .withColumn("score_de", score(Seq("der", "die", "das", "und", "ist", "mit")))
+          .select(
+            col("doc_id"), col("lang").as("labeled_lang"),
+            col("score_en"), col("score_es"), col("score_de"),
+            when(col("score_en") >= col("score_es") && col("score_en") >= col("score_de"), "en")
+              .when(col("score_es") >= col("score_de"), "es")
+              .otherwise("de").as("guessed_lang"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents),
+        s AS (
+          SELECT doc_id, lang,
+                 CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','is','on','with'))) AS INT) AS score_en,
+                 CAST(len(list_filter(toks, t -> t IN ('el','la','de','y','es','con','para'))) AS INT) AS score_es,
+                 CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','mit'))) AS INT) AS score_de
+          FROM t)
+        SELECT doc_id, lang AS labeled_lang, score_en, score_es, score_de,
+               CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+                    WHEN score_es >= score_de THEN 'es'
+                    ELSE 'de' END AS guessed_lang
+        FROM s ORDER BY doc_id"""),
+      doc = "stopword-profile language ID with deterministic argmax"),
+
+    // Document fingerprinting: rolling char hash, order-sensitive token-seq
+    // hash, and order-insensitive content hash — all mod-1e9+7 folds.
+    "q33_fingerprint" -> Q(
+      run = (s, d) => docTokens(s, d)
+        .select(
+          col("doc_id"),
+          charHash(col("text")).as("char_fp"),
+          tokenSeqHash(col("toks")).as("seq_fp"),
+          contentHash(col("toks")).as("content_fp"))
+        .orderBy("doc_id"),
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents),
+        h AS (
+          SELECT doc_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(text,''), c -> CAST(ascii(c) AS BIGINT))),
+              (acc, c) -> (acc * 31 + c) % 1000000007) AS char_fp,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(toks, tok ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))),
+                  (acc, c) -> (acc * 31 + c) % 1000000007))),
+              (acc, th) -> (acc * 131 + th) % 1000000007) AS seq_fp,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(list_sort(list_distinct(toks)), tok ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))),
+                  (acc, c) -> (acc * 31 + c) % 1000000007))),
+              (acc, th) -> (acc * 131 + th) % 1000000007) AS content_fp
+          FROM t)
+        SELECT doc_id, char_fp, seq_fp, content_fp FROM h ORDER BY doc_id"""),
+      doc = "rolling-hash document fingerprints (char / seq / content)"),
+
+    // Exact dedup: normalize → hash → min-id canonical per group. One shuffle
+    // on the 8-byte hash, never on the full text — at 100 TB the hash groupBy
+    // moves ~1% of the bytes a text groupBy would.
+    "q34_dedup_exact" -> Q(
+      run = (s, d) => {
+        val hashed = Tables.documents(s, d)
+          .select(col("doc_id"), charHash(normalizeText(col("text"))).as("h"))
+        val groups = hashed.groupBy(col("h"))
+          .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("group_size"))
+        hashed.join(groups, Seq("h"))
+          .select(col("doc_id"), col("canonical_id"), col("group_size"),
+            (col("doc_id") =!= col("canonical_id")).as("is_duplicate"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH hashed AS (
+          SELECT doc_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),''),
+                c -> CAST(ascii(c) AS BIGINT))),
+              (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+          FROM documents),
+        groups AS (
+          SELECT h, min(doc_id) AS canonical_id, count(*) AS group_size
+          FROM hashed GROUP BY h)
+        SELECT doc_id, canonical_id, group_size, doc_id <> canonical_id AS is_duplicate
+        FROM hashed JOIN groups USING (h) ORDER BY doc_id"""),
+      doc = "exact dedup via normalized-text hash groupBy"),
+
+    // n-gram Jaccard near-dup: shared-shingle equi-join candidate generation,
+    // integer cross-multiplied threshold (J >= 0.7). No cross join at any SF.
+    "q35_jaccard_pairs" -> Q(
+      run = (s, d) => jaccardPairs(docShingles(s, d))
+        .orderBy("doc_a", "doc_b"),
+      oracle = Some(jaccardOracleSql + "\n    ORDER BY doc_a, doc_b"),
+      doc = "3-gram Jaccard near-dup pairs via shingle join"),
+
+    // MinHash + LSH banding (8 hashes, 4 bands of 2): candidates share a band
+    // signature; confirmed by exact Jaccard. The 100 TB path: signatures are
+    // 8 longs/doc, the band join shuffles doc_id+band only, and verification
+    // touches just the candidate set.
+    "q36_minhash_lsh" -> Q(
+      run = (s, d) => {
+        val sh = docShingles(s, d)
+        val aArr = array(mhA.map(lit): _*)
+        val bArr = array(mhB.map(lit): _*)
+        val sigs = sh
+          .select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("i"), col("shh"))
+          .select(col("doc_id"), col("i"),
+            ((element_at(aArr, col("i") + 1) * col("shh") + element_at(bArr, col("i") + 1)) % lit(P)).as("hv"))
+          .groupBy(col("doc_id"), col("i"))
+          .agg(min(col("hv")).as("mh"))
+        val bands = sigs
+          .withColumn("band", expr("CAST(i AS BIGINT) div 2"))
+          .groupBy(col("doc_id"), col("band"))
+          .agg(sum(when(col("i") % 2 === 0, col("mh") * lit(P)).otherwise(col("mh"))).as("sig"))
+        val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+          .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
+            Seq("band", "sig"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        jaccardPairs(sh)
+          .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(s"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(sh, ''), c -> CAST(ascii(c) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007) AS shh
+          FROM (SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                FROM t)),
+        counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        params AS (
+          SELECT i, a, b FROM (VALUES
+            (0, ${mhA(0)}, ${mhB(0)}), (1, ${mhA(1)}, ${mhB(1)}),
+            (2, ${mhA(2)}, ${mhB(2)}), (3, ${mhA(3)}, ${mhB(3)}),
+            (4, ${mhA(4)}, ${mhB(4)}), (5, ${mhA(5)}, ${mhB(5)}),
+            (6, ${mhA(6)}, ${mhB(6)}), (7, ${mhA(7)}, ${mhB(7)})) AS v(i, a, b)),
+        sigs AS (
+          SELECT doc_id, i, min((a * shh + b) % 1000000007) AS mh
+          FROM sh CROSS JOIN params GROUP BY doc_id, i),
+        bands AS (
+          SELECT doc_id, i // 2 AS band,
+                 sum(CASE WHEN i % 2 = 0 THEN mh * 1000000007 ELSE mh END) AS sig
+          FROM sigs GROUP BY doc_id, i // 2),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shh = b.shh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        jac AS (
+          SELECT doc_a, doc_b, inter, ca.n + cb.n - inter AS uni
+          FROM pairs JOIN counts ca ON ca.doc_id = doc_a
+                     JOIN counts cb ON cb.doc_id = doc_b
+          WHERE inter * 10 >= (ca.n + cb.n - inter) * 7)
+        SELECT jac.* FROM jac SEMI JOIN cand ON jac.doc_a = cand.doc_a AND jac.doc_b = cand.doc_b
+        ORDER BY doc_a, doc_b"""),
+      doc = "MinHash signatures + LSH banding + exact-Jaccard verification"),
+
+    // SimHash near-dup: 48-bit signature from weighted token-hash bit votes
+    // (two 30/18-bit affine-independent hashes per token — 32 bits is too
+    // coarse on a shared-vocabulary corpus); pigeonhole blocking on 4 12-bit
+    // blocks guarantees full recall for hamming <= 3.
+    "q37_simhash" -> Q(
+      run = (s, d) => {
+        val votes = docTokens(s, d)
+          .select(col("doc_id"), explode(col("toks")).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+          .select(col("doc_id"), charHash(col("tok")).as("th0"), col("cnt"))
+          .withColumn("th1", (col("th0") * 1103515245L + 12345L) % lit(P))
+          .select(col("doc_id"), explode(sequence(lit(0), lit(47))).as("j"),
+            col("th0"), col("th1"), col("cnt"))
+          .groupBy(col("doc_id"), col("j"))
+          .agg(sum(when(
+            expr("CASE WHEN j < 30 THEN shiftright(th0, CAST(j AS INT)) & 1 ELSE shiftright(th1, CAST(j - 30 AS INT)) & 1 END") === 1,
+            col("cnt")).otherwise(-col("cnt"))).as("vote"))
+        val sigs = votes.groupBy(col("doc_id"))
+          .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+            .otherwise(0L)).as("simhash"))
+        val blocks = sigs.select(col("doc_id"), col("simhash"),
+            explode(sequence(lit(0), lit(3))).as("b"))
+          .select(col("doc_id"), col("simhash"), col("b"),
+            expr("shiftright(simhash, CAST(b AS INT) * 12) & 4095").as("blk"))
+        val cand = blocks.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+            col("b"), col("blk"))
+          .join(blocks.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+            col("b"), col("blk")), Seq("b", "blk"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b")).distinct()
+        cand
+          .withColumn("hamming", expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)"))
+          .filter(col("hamming") <= 3)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        tok_counts AS (
+          SELECT doc_id, tok, count(*) AS cnt
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+          GROUP BY doc_id, tok),
+        th AS (
+          SELECT doc_id,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007) AS th0, cnt
+          FROM tok_counts),
+        th2 AS (
+          SELECT doc_id, th0, (th0 * 1103515245 + 12345) % 1000000007 AS th1, cnt FROM th),
+        votes AS (
+          SELECT doc_id, j,
+                 sum(CASE WHEN (CASE WHEN j < 30 THEN (th0 >> j) & 1
+                                     ELSE (th1 >> (j - 30)) & 1 END) = 1
+                          THEN cnt ELSE -cnt END) AS vote
+          FROM th2 CROSS JOIN (SELECT unnest(range(0, 48)) AS j)
+          GROUP BY doc_id, j),
+        sigs AS (
+          SELECT doc_id,
+                 sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS simhash
+          FROM votes GROUP BY doc_id),
+        blocks AS (
+          SELECT doc_id, simhash, b, (simhash >> (b * 12)) & 4095 AS blk
+          FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          a.simhash AS sig_a, b.simhash AS sig_b
+          FROM blocks a JOIN blocks b ON a.b = b.b AND a.blk = b.blk AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+        ORDER BY doc_a, doc_b"""),
+      doc = "32-bit SimHash + byte-block pigeonhole candidate join")
+  )
+}

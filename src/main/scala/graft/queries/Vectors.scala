@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Similarity search over `embeddings` (64-dim float vectors): brute-force
+  * cosine near-dup and top-k as the exact baselines, and an IVF-bucketed
+  * variant as the 100 TB scale path.
+  *
+  * Float determinism across engines: every dot product / norm is a
+  * sequential left-fold in DOUBLE over ascending dimension index, written
+  * identically in the Spark plan (zip_with + aggregate) and the oracle SQL
+  * (list_transform + list_reduce). Same IEEE ops in the same order →
+  * bit-identical doubles → identical threshold/ranking decisions. Outputs
+  * stick to integer/string columns so the driver's hash compare never sees a
+  * float.
+  *
+  * Scale notes: brute-force near-dup is a broadcast nested-loop join — right
+  * for a ≤ 100k-row side, wrong at 100 TB, which is what q40's IVF pruning
+  * (cluster assignment → within-cluster pairs, candidate set cut ~k×) is for.
+  * For real ANN at cluster scale the same plan shape holds: centroids
+  * broadcast, assignment is a narrow map, and the pair join shuffles on
+  * cluster id.
+  */
+object Vectors {
+
+  /** Sequential-fold squared norm in double (matches oracle bit-for-bit). */
+  private def norm2(v: Column): Column =
+    aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Sequential-fold dot product in double. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(dotC: Column, n2a: Column, n2b: Column): Column =
+    dotC / (sqrt(n2a) * sqrt(n2b))
+
+  /** embeddings + precomputed squared norm. */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm2(col("embedding")).as("n2"))
+
+  /** Oracle fragment: squared norm of `e` as a list_reduce fold. */
+  private def sqlNorm2(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       list_transform($e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       (acc, x) -> acc + x)"""
+
+  /** Oracle fragment: dot of two 64-dim lists as an index-ordered fold. */
+  private def sqlDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       (acc, x) -> acc + x)"""
+
+  val qs: Map[String, Q] = Map(
+
+    // Embedding-cosine near-dup: all pairs with cosine >= 0.45, ids only.
+    "q38_cosine_neardup" -> Q(
+      run = (s, d) => {
+        val v = vecs(s, d)
+        val a = v.select(col("vec_id").as("vec_a"), col("label").as("label_a"),
+          col("embedding").as("emb_a"), col("n2").as("n2a"))
+        val b = v.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+          col("embedding").as("emb_b"), col("n2").as("n2b"))
+        a.join(b, col("vec_a") < col("vec_b"))
+          .filter(cosine(dot(col("emb_a"), col("emb_b")), col("n2a"), col("n2b")) >= 0.45)
+          .select(col("vec_a"), col("vec_b"), col("label_a"), col("label_b"))
+          .orderBy("vec_a", "vec_b")
+      },
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT vec_id, label, embedding, ${sqlNorm2("embedding")} AS n2
+          FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               a.label AS label_a, b.label AS label_b
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE ${sqlDot("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) >= 0.45
+        ORDER BY vec_a, vec_b"""),
+      doc = "embedding cosine near-dup pairs (exact, fold-deterministic)"),
+
+    // Brute-force cosine top-k: first 10 vec_ids as queries, top-5 neighbors
+    // each by (cosine desc, id asc). TakeOrdered per query via window rank.
+    "q39_ann_topk" -> Q(
+      run = (s, d) => {
+        val v = vecs(s, d)
+        val q = v.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+            col("n2").as("q_n2"))
+        val scored = broadcast(q).join(v, col("query_id") =!= col("vec_id"))
+          .withColumn("cos", cosine(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2")))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+            col("label").as("neighbor_label"))
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT vec_id, label, embedding, ${sqlNorm2("embedding")} AS n2
+          FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.label AS neighbor_label,
+                 ${sqlDot("q.embedding", "n.embedding")} / (sqrt(q.n2) * sqrt(n.n2)) AS cos
+          FROM v q JOIN v n ON q.vec_id < 10 AND n.vec_id <> q.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, neighbor_label,
+                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, rank, neighbor_id, neighbor_label
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""),
+      doc = "brute-force cosine top-k (broadcast queries + window rank)"),
+
+    // IVF-bucketed near-dup — the scale path: assign every vector to its
+    // nearest of 16 deterministic centroids (vec_id < 16), generate pairs
+    // only within a cluster. Candidate set shrinks ~16x; recall = pairs
+    // co-clustered (an explicit, deterministic approximation).
+    "q40_ivf_neardup" -> Q(
+      run = (s, d) => {
+        val v = vecs(s, d)
+        val cents = v.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+            col("n2").as("c_n2"))
+        val assigned = v.join(broadcast(cents))
+          .withColumn("cos_c", cosine(dot(col("embedding"), col("c_emb")), col("n2"), col("c_n2")))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos_c").desc, col("cent_id"))
+        val clustered = assigned
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("cent_id").as("cluster"), col("embedding"), col("n2"))
+        val a = clustered.select(col("cluster"), col("vec_id").as("vec_a"),
+          col("embedding").as("emb_a"), col("n2").as("n2a"))
+        val b = clustered.select(col("cluster"), col("vec_id").as("vec_b"),
+          col("embedding").as("emb_b"), col("n2").as("n2b"))
+        a.join(b, Seq("cluster"))
+          .filter(col("vec_a") < col("vec_b"))
+          .filter(cosine(dot(col("emb_a"), col("emb_b")), col("n2a"), col("n2b")) >= 0.4)
+          .select(col("cluster"), col("vec_a"), col("vec_b"))
+          .orderBy("cluster", "vec_a", "vec_b")
+      },
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT vec_id, label, embedding, ${sqlNorm2("embedding")} AS n2
+          FROM embeddings),
+        cents AS (
+          SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2
+          FROM v WHERE vec_id < 16),
+        assigned AS (
+          SELECT v.vec_id, v.embedding, v.n2, c.cent_id,
+                 ${sqlDot("v.embedding", "c.c_emb")} / (sqrt(v.n2) * sqrt(c.c_n2)) AS cos_c
+          FROM v CROSS JOIN cents c),
+        clustered AS (
+          SELECT vec_id, cent_id AS cluster, embedding, n2 FROM (
+            SELECT vec_id, cent_id, embedding, n2,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+            FROM assigned) t
+          WHERE rn = 1)
+        SELECT a.cluster AS cluster, a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM clustered a JOIN clustered b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE ${sqlDot("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4
+        ORDER BY cluster, vec_a, vec_b"""),
+      doc = "IVF cluster assignment + within-cluster near-dup (scale path)"),
+
+    // Embedding aggregation: per-label centroid summary in scaled-integer
+    // space (floor(x*1e6) sums are order-independent, so engine-stable where
+    // a double mean would not be).
+    "q41_label_centroids" -> Q(
+      run = (s, d) => {
+        val dims = (0 until 4).map { i =>
+          expr(s"CAST(sum(CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) div count(1)")
+            .as(s"dim${i}_avg_x1e6")
+        }
+        val aggs = count(lit(1)).as("n") +: dims
+        Tables.embeddings(s, d)
+          .groupBy(col("label"))
+          .agg(aggs.head, aggs.tail: _*)
+          .orderBy("label")
+      },
+      oracle = Some("""
+        SELECT label, count(*) AS n,
+               CAST(sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) // count(*) AS dim0_avg_x1e6,
+               CAST(sum(CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) // count(*) AS dim1_avg_x1e6,
+               CAST(sum(CAST(floor(CAST(embedding[3] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) // count(*) AS dim2_avg_x1e6,
+               CAST(sum(CAST(floor(CAST(embedding[4] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) // count(*) AS dim3_avg_x1e6
+        FROM embeddings GROUP BY label ORDER BY label"""),
+      doc = "per-label centroid summary in order-independent integer space")
+  )
+}
