@@ -15,7 +15,8 @@ object SparkEntry {
       graft.queries.Functions.qs ++
       graft.queries.Events.qs ++
       graft.queries.TextOps.qs ++
-      graft.queries.Vectors.qs
+      graft.queries.Vectors.qs ++
+      graft.streaming.StreamOps.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.Q
+
+/** Structured Streaming surface (SURVEY §2.10, ST1–ST5): the reference's
+  * incremental "Ver Más" feed re-expressed as micro-batch streams over the
+  * `events` fixture.
+  *
+  * q42/q43 run a REAL streaming query — parquet micro-batch source →
+  * watermarked stateful operators → memory sink — drained with
+  * Trigger.AvailableNow (the reference's quiescence stop, ST2), then hand the
+  * materialized result to the same DuckDB oracle gate as every batch query.
+  * Streaming correctness is therefore oracle-checked, not just smoke-tested.
+  *
+  * Scale notes: the parquet source splits by file/rowgroup (maxFilesPerTrigger
+  * caps batch size at 100 TB); watermarks bound the dedup/window state store;
+  * complete-mode output here is only for the finite fixture drain — a
+  * production sink would run append mode with the same plan.
+  */
+object StreamOps {
+
+  /** events.parquet schema under nanosAsLong (ts arrives as LONG nanos). */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private val runSeq = new AtomicInteger(0)
+
+  /** Streaming read of the events fixture: micro-batch parquet source with
+    * the same nanos→micros normalization as the batch path (Tables.events). */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Drain a streaming DataFrame into a memory sink with AvailableNow and
+    * return the materialized result (ST2 quiescence semantics). */
+  private def drain(s: SparkSession, streamed: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${runSeq.incrementAndGet()}"
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val qs: Map[String, Q] = Map(
+
+    // Watermarked tumbling-window aggregation as a real streaming query.
+    // Same result as the batch twin (q27) — one plan, two execution modes.
+    "q42_stream_tumbling" -> Q(
+      run = (s, d) => {
+        val agg = eventsStream(s, d)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("value_sum"))
+          .select(col("window.start").as("bucket_start"),
+            col("event_type"), col("n"), col("value_sum"))
+        drain(s, agg, "complete").orderBy("bucket_start", "event_type")
+      },
+      oracle = Some("""
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
+               event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS value_sum
+        FROM events
+        GROUP BY 1, 2 ORDER BY bucket_start, event_type"""),
+      doc = "streaming watermark + tumbling window, AvailableNow drain (ST1/ST2)"),
+
+    // Stateful streaming dedup (ST3): dropDuplicatesWithinWatermark on the
+    // event key, then count per type. Fixture ids are unique, so the oracle
+    // is the plain count — the dup-collapsing path is proven in StreamingSpec
+    // with a MemoryStream that injects real duplicates.
+    "q43_stream_dedup" -> Q(
+      run = (s, d) => {
+        val deduped = eventsStream(s, d)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        drain(s, deduped, "complete").orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, count(DISTINCT event_id) AS n
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      doc = "streaming stateful dedup within watermark (ST3)"),
+
+    // Session windows (gap 30 min) in batch mode — the engine shape of the
+    // reference's quiescence-bounded visit sessions; streaming twin covered
+    // in StreamingSpec. Spark merges an event into a session iff its ts is
+    // strictly inside [start, last+gap) — the oracle mirrors that boundary.
+    "q44_session_window" -> Q(
+      run = (s, d) => graft.Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start"),
+      oracle = Some("""
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sess AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged)
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL '30 minutes' AS session_end,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"""),
+      doc = "gap-based session windows (session_window, ST quiescence shape)")
+  )
+}

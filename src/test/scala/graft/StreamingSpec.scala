@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Stateful-streaming semantics the fixture can't exercise (its event ids are
+  * unique and nothing arrives late): duplicate collapse, watermark state
+  * bounding, and checkpointed exactly-once resume (SURVEY ST3/ST4). */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // base is 10-minute-aligned so tumbling windows start exactly at ts(0)
+  private def ts(minutes: Int): Timestamp =
+    new Timestamp(1700000400000L + minutes * 60000L)
+
+  test("streaming dropDuplicatesWithinWatermark collapses duplicate keys (ST3)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val deduped = in.toDF().toDF("id", "ts", "payload")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+      .groupBy($"payload").agg(count(lit(1)).as("n"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("complete").start()
+    // batch 1: two distinct + one dup of id=1; batch 2: another dup + new id
+    in.addData((1L, ts(0), "a"), (2L, ts(1), "a"), (1L, ts(2), "a"))
+    q.processAllAvailable()
+    in.addData((2L, ts(3), "a"), (3L, ts(4), "b"))
+    q.processAllAvailable()
+    val got = spark.table("dedup_test").as[(String, Long)].collect().toMap
+    q.stop()
+    assert(got == Map("a" -> 2L, "b" -> 1L)) // ids 1,2 once each + id 3
+  }
+
+  test("watermark drops late data beyond the delay (ST1 window agg)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double)]
+    val agg = in.toDF().toDF("ts", "v")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window($"ts", "10 minutes")).agg(sum($"v").as("total"))
+      .select($"window.start".as("start"), $"total")
+    val q = agg.writeStream.format("memory").queryName("late_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    in.addData((ts(5), 1.0), (ts(7), 2.0))   // window [0,10)
+    q.processAllAvailable()
+    in.addData((ts(30), 4.0))                // advances watermark to 25 → closes [0,10)
+    q.processAllAvailable()
+    in.addData((ts(2), 100.0))               // late beyond watermark → dropped
+    q.processAllAvailable()
+    in.addData((ts(50), 8.0))                // closes [30,40)
+    q.processAllAvailable()
+    val rows = spark.table("late_test").as[(Timestamp, Double)].collect().toMap
+    q.stop()
+    assert(rows(ts(0)) == 3.0) // late 100.0 was NOT added
+  }
+
+  test("checkpointed file stream resumes without reprocessing (ST4)") {
+    val src = Files.createTempDirectory("graft_src").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft_ckpt").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("graft_out").toFile.getAbsolutePath
+
+    Seq(1L, 2L, 3L).toDF("v").coalesce(1).write.mode("append").parquet(src)
+    def run(): Unit = {
+      val q = spark.readStream.schema("v LONG").parquet(src)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    assert(spark.read.parquet(out).count() == 3)
+
+    // second batch of files; resume from the checkpoint must process ONLY
+    // the delta — exactly-once means no duplicated 1,2,3 in the sink
+    Seq(4L, 5L).toDF("v").coalesce(1).write.mode("append").parquet(src)
+    run()
+    val all = spark.read.parquet(out).as[Long].collect().sorted
+    assert(all.sameElements(Array(1L, 2L, 3L, 4L, 5L)))
+  }
+
+  test("session_window streaming matches batch semantics (q44 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val sess = in.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"n")
+    val q = sess.writeStream.format("memory").queryName("sess_test")
+      .outputMode("complete").start()
+    // user 1: events at 0,10,20 (one session) then 60 (new session)
+    in.addData((1L, ts(0)), (1L, ts(10)), (1L, ts(20)), (1L, ts(60)))
+    q.processAllAvailable()
+    val got = spark.table("sess_test").as[(Long, Long)].collect().sorted
+    q.stop()
+    assert(got.sameElements(Array((1L, 1L), (1L, 3L))))
+  }
+}
