@@ -16,6 +16,7 @@ object SparkEntry {
       graft.queries.Events.qs ++
       graft.queries.TextOps.qs ++
       graft.queries.Vectors.qs ++
+      graft.queries.EtlOps.qs ++
       graft.streaming.StreamOps.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,146 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.{CleanFunctions => CF, HtmlFunctions => HF}
+
+/** The reference's four-stage lead pipeline (SURVEY §3) as composable
+  * `DataFrame => DataFrame` transforms plus the write-path sinks
+  * (K1/K4/K6/K7). Batch flow: collect → extract → clean → dedup → load;
+  * each stage chains with `.transform(...)`.
+  *
+  * Scale design: the whole pipeline is one narrow lazy plan (no shuffle until
+  * dedup), so Catalyst fuses collect+extract+clean into a single codegen
+  * stage; dedup shuffles on the 8-byte id only; sinks are per-partition
+  * writers.
+  */
+object LeadPipeline {
+
+  /** Canonical Lead schema (SURVEY §1.4, bulk_scraper.py:86-104). */
+  val leadSchema: StructType = StructType(Seq(
+    StructField("id_negocio", LongType),
+    StructField("url", StringType),
+    StructField("fecha_extraccion", TimestampType),
+    StructField("nombre", StringType),
+    StructField("direccion", StringType),
+    StructField("localidad", StringType),
+    StructField("telefonos", ArrayType(StringType)),
+    StructField("whatsapp", StringType),
+    StructField("sitio_web", StringType),
+    StructField("email", StringType),
+    StructField("facebook", StringType),
+    StructField("instagram", StringType),
+    StructField("horarios", StringType),
+    StructField("rubros", ArrayType(StringType)),
+    StructField("descripcion", StringType),
+    StructField("servicios", StringType),
+    StructField("latitud", DoubleType),
+    StructField("longitud", DoubleType)))
+
+  /** S1 Collect: id range → detail-page URL worklist (bulk_collector.py:27-44). */
+  def collect(spark: SparkSession, startId: Long, endId: Long,
+      baseUrl: String = "https://www.guiacores.com.ar/index.php?r=search%2Fdetail&id="): DataFrame =
+    spark.range(startId, endId + 1).toDF("id_negocio")
+      .select(col("id_negocio"), concat(lit(baseUrl), col("id_negocio")).as("url"))
+
+  /** H11 Extract: html column → typed lead fields (manual_scraper.py:80-180). */
+  def extract(pages: DataFrame): DataFrame =
+    pages.select(
+      col("id_negocio"), col("url"),
+      current_timestamp().as("fecha_extraccion"),
+      HF.htmlClassText(col("html"), "business-name").as("nombre"),
+      CF.addressParts(HF.htmlClassText(col("html"), "address")).as("addr"),
+      HF.htmlPhones(col("html")).as("telefonos"),
+      HF.htmlWhatsapp(col("html")).as("whatsapp"),
+      HF.htmlWebsite(col("html")).as("sitio_web"),
+      HF.htmlEmail(col("html")).as("email"),
+      HF.htmlSocial(col("html"), "facebook.com").as("facebook"),
+      HF.htmlSocial(col("html"), "instagram.com").as("instagram"),
+      HF.htmlHours(col("html")).as("horarios"),
+      HF.htmlCategories(col("html")).as("rubros"),
+      HF.htmlClassText(col("html"), "description").as("descripcion"),
+      lit(null).cast("string").as("servicios"),
+      HF.htmlLat(col("html")).as("latitud"),
+      HF.htmlLng(col("html")).as("longitud"))
+      .withColumn("direccion", col("addr.direccion"))
+      .withColumn("localidad", col("addr.localidad"))
+      .drop("addr")
+
+  /** Clean stage: F1-F10 over the extracted fields (BusinessTransformer). */
+  def clean(leads: DataFrame): DataFrame =
+    leads
+      .withColumn("nombre", CF.cleanText(CF.naToNull(col("nombre"))))
+      .withColumn("telefonos",
+        array_distinct(filter(transform(col("telefonos"), p => CF.normalizePhone(p)), _.isNotNull)))
+      .withColumn("email", CF.validEmail(CF.naToNull(col("email"))))
+      .withColumn("sitio_web", CF.normalizeUrl(CF.naToNull(col("sitio_web"))))
+      .withColumn("facebook", CF.cleanSocial(col("facebook")))
+      .withColumn("instagram", CF.cleanSocial(col("instagram")))
+      .withColumn("horarios", CF.cleanHorarios(CF.naToNull(col("horarios"))))
+
+  /** A2 Dedup: first-wins per id over an explicit arrival order (§7.4.2). */
+  def dedup(leads: DataFrame, orderCol: String = "fecha_extraccion"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id_negocio")).orderBy(col(orderCol), col("url"))
+    leads.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** K1 CSV sink: header + egress sentinel restore + deterministic order. */
+  def loadCsv(leads: DataFrame, path: String): Unit = {
+    val stringified = leads.schema.fields.foldLeft(leads) { (df, f) =>
+      f.dataType match {
+        case ArrayType(_, _) =>
+          df.withColumn(f.name,
+            when(col(f.name).isNull || size(col(f.name)) === 0, lit(CF.NA))
+              .otherwise(array_join(col(f.name), ", ")))
+        case StringType => df.withColumn(f.name, CF.nullToNa(col(f.name)))
+        case _ => df
+      }
+    }
+    stringified.orderBy("id_negocio")
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+  }
+
+  /** K7 versioned snapshot: monthly partitions, dynamic overwrite — re-running
+    * a month replaces exactly that month (versioning.py:54-67). */
+  def writeSnapshot(leads: DataFrame, path: String, monthCol: String = "fecha_extraccion"): Unit =
+    leads
+      .withColumn("snapshot_month", date_format(col(monthCol), "yyyy-MM"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("snapshot_month")
+      .parquet(path)
+
+  /** K4 upsert: MERGE semantics against a parquet target without a lakehouse
+    * dep — full-outer merge, incoming wins (manual_scraper.py:241-295). */
+  def upsert(spark: SparkSession, incoming: DataFrame, targetPath: String, key: String): Unit = {
+    val exists = try {
+      spark.read.parquet(targetPath).count() >= 0
+    } catch { case _: Exception => false }
+    val merged =
+      if (!exists) incoming
+      else {
+        val existing = spark.read.parquet(targetPath)
+        val cols = incoming.columns
+        existing.alias("e")
+          .join(incoming.alias("i"), col(s"e.$key") === col(s"i.$key"), "full_outer")
+          .select(cols.map(c =>
+            coalesce(col(s"i.$c"), col(s"e.$c")).as(c)): _*)
+      }
+    // two-phase write: merge result must be materialized before overwriting
+    // the input path (Spark cannot read+overwrite the same location lazily)
+    val tmp = targetPath + "__staging"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(targetPath)
+  }
+
+  /** K6 TTL cache read: newest non-expired snapshot row-set, else empty. */
+  def readCache(spark: SparkSession, path: String, ttlSeconds: Long, nowEpochSec: Long): DataFrame = {
+    val all = spark.read.parquet(path)
+    val fresh = all.filter(col("cache_ts") > lit(nowEpochSec - ttlSeconds))
+    val latest = fresh.agg(max(col("cache_ts")).as("cache_ts"))
+    all.join(broadcast(latest), Seq("cache_ts"))
+  }
+}

@@ -1,0 +1,307 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.{CleanFunctions => CF, HtmlFunctions => HF}
+
+/** The reference's lead-ETL surface as oracle-gated queries: synthesize dirty
+  * lead fields / detail-page HTML deterministically from `customer`, then run
+  * the real cleaning and extraction operators over them.
+  *
+  * The dirty-data constructors are ANSI SQL fragments passed to Spark via
+  * expr() AND pasted verbatim into the DuckDB oracle — input parity is by
+  * construction, so the oracle genuinely tests the cleaning/extraction
+  * semantics (F1-F10, H1-H10, J1/J2, K7 read side, S1).
+  */
+object EtlOps {
+
+  /** 10 deterministic digits per customer (phone raw material). */
+  private val digits10 = "lpad(CAST(c_custkey AS STRING), 10, '3')"
+
+  /** Dirty constructors — ANSI fragments valid in Spark SQL and DuckDB. */
+  private val rawName =
+    s"'  ' || replace(c_name, '#', ' # ') || '   '"
+  private val rawPhone = s"""CASE CAST(c_custkey % 4 AS INT)
+      WHEN 0 THEN '(' || substr($digits10, 1, 3) || ') ' || substr($digits10, 4, 3) || '-' || substr($digits10, 7)
+      WHEN 1 THEN '5' || $digits10
+      WHEN 2 THEN '12345'
+      ELSE $digits10 || ', 999' END"""
+  private val rawEmail = s"""CASE CAST(c_custkey % 3 AS INT)
+      WHEN 0 THEN lower(replace(replace(c_name, '#', ''), ' ', '')) || '@example.com'
+      WHEN 1 THEN 'not-an-email'
+      ELSE 'N/A' END"""
+  private val rawSocial = s"""CASE WHEN c_custkey % 5 = 0
+      THEN 'https://guiacores.com.ar/self'
+      ELSE 'https://instagram.com/biz' || CAST(c_custkey AS STRING) END"""
+  private val rawAddress = s"c_name || ' 123 - Zona ' || c_mktsegment"
+
+  /** DuckDB mirror of CF.normalizePhone on an already-trimmed token `p`. */
+  private def sqlNormPhone(p: String): String = s"""(
+    CASE WHEN length(regexp_replace($p, '[^0-9]', '', 'g')) < 10 THEN NULL
+         WHEN length(regexp_replace($p, '[^0-9]', '', 'g')) = 10 THEN
+           substr(regexp_replace($p, '[^0-9]', '', 'g'), 1, 3) || '-' ||
+           substr(regexp_replace($p, '[^0-9]', '', 'g'), 4, 4) || '-' ||
+           substr(regexp_replace($p, '[^0-9]', '', 'g'), 8, 3)
+         WHEN length(regexp_replace($p, '[^0-9]', '', 'g')) = 11 THEN
+           substr(regexp_replace($p, '[^0-9]', '', 'g'), 1, 2) || '-' ||
+           substr(regexp_replace($p, '[^0-9]', '', 'g'), 3, 3) || '-' ||
+           substr(regexp_replace($p, '[^0-9]', '', 'g'), 6, 3) || '-' ||
+           substr(regexp_replace($p, '[^0-9]', '', 'g'), 9, 3)
+         ELSE regexp_replace($p, '[^0-9]', '', 'g') END)"""
+
+  val qs: Map[String, Q] = Map(
+
+    // The reference's Clean stage (BusinessTransformer + DataCleaner +
+    // tools/clean_data) end-to-end: N/A algebra, text/phone/email/social/
+    // address cleaning, sentinel egress.
+    "q45_clean_leads" -> Q(
+      run = (s, d) => Tables.customer(s, d)
+        .withColumn("raw_name", expr(rawName))
+        .withColumn("raw_phone", expr(rawPhone))
+        .withColumn("raw_email", expr(rawEmail))
+        .withColumn("raw_social", expr(rawSocial))
+        .withColumn("raw_address", expr(rawAddress))
+        .withColumn("addr", CF.addressParts(col("raw_address")))
+        .select(
+          col("c_custkey").as("id_negocio"),
+          CF.nullToNa(CF.cleanText(col("raw_name"))).as("nombre"),
+          CF.phonesToString(CF.cleanPhones(col("raw_phone"))).as("telefonos"),
+          CF.nullToNa(CF.validEmail(CF.naToNull(col("raw_email")))).as("email"),
+          CF.nullToNa(CF.cleanSocial(col("raw_social"))).as("instagram"),
+          CF.nullToNa(col("addr.direccion")).as("direccion"),
+          CF.nullToNa(col("addr.localidad")).as("localidad"))
+        .orderBy("id_negocio"),
+      oracle = Some(s"""
+        WITH raw AS (
+          SELECT c_custkey,
+                 $rawName AS raw_name,
+                 $rawPhone AS raw_phone,
+                 $rawEmail AS raw_email,
+                 $rawSocial AS raw_social,
+                 $rawAddress AS raw_address
+          FROM customer),
+        cleaned AS (
+          SELECT c_custkey AS id_negocio,
+                 regexp_replace(trim(raw_name), '\\s+', ' ', 'g') AS nombre,
+                 list_filter(list_transform(string_split(raw_phone, ','),
+                   p -> ${sqlNormPhone("trim(p)")}), x -> x IS NOT NULL) AS phones,
+                 CASE WHEN raw_email IS NULL OR trim(raw_email) = '' OR raw_email = 'N/A' THEN NULL
+                      WHEN regexp_matches(raw_email, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$$')
+                      THEN raw_email ELSE NULL END AS email,
+                 CASE WHEN lower(raw_social) LIKE '%guiacores%' THEN NULL
+                      ELSE raw_social END AS instagram,
+                 CASE WHEN len(string_split(raw_address, ' - ')) <= 1 THEN raw_address
+                      ELSE array_to_string(string_split(raw_address, ' - ')[1:-2], ' - ')
+                 END AS direccion,
+                 CASE WHEN len(string_split(raw_address, ' - ')) <= 1 THEN NULL
+                      ELSE string_split(raw_address, ' - ')[-1] END AS localidad
+          FROM raw)
+        SELECT id_negocio, nombre,
+               CASE WHEN len(list_distinct(phones)) = 0 THEN 'N/A'
+                    ELSE array_to_string(list_distinct(phones), ', ') END AS telefonos,
+               COALESCE(email, 'N/A') AS email,
+               COALESCE(instagram, 'N/A') AS instagram,
+               COALESCE(direccion, 'N/A') AS direccion,
+               COALESCE(localidad, 'N/A') AS localidad
+        FROM cleaned ORDER BY id_negocio"""),
+      doc = "lead Clean stage: N/A algebra + F1/F2/F3/F6/F9/F10 end-to-end"),
+
+    // The Extract stage (H1-H9): canonical detail-page HTML → typed fields.
+    "q46_html_leads" -> Q(
+      run = (s, d) => {
+        val htmlSql = s"""
+          '<html><body><h1 class="business-name">' || c_name || '</h1>' ||
+          '<span class="address">' || $rawAddress || '</span>' ||
+          CASE WHEN c_custkey % 2 = 0
+               THEN '<a href="tel:' || $digits10 || '">call</a><a href="tel:+54 11 ' || $digits10 || '">alt</a>'
+               ELSE '' END ||
+          CASE WHEN c_custkey % 3 = 0
+               THEN '<a href="https://wa.me/549335577?phone=549' || $digits10 || '">wa</a>'
+               ELSE '' END ||
+          CASE WHEN c_custkey % 3 = 1
+               THEN '<a href="mailto:biz' || CAST(c_custkey AS STRING) || '@mail.com">m</a>'
+               ELSE '' END ||
+          '<a itemprop="url" href="https://biz' || CAST(c_custkey AS STRING) || '.example.com">w</a>' ||
+          '<a href="https://instagram.com/biz' || CAST(c_custkey AS STRING) || '">ig</a>' ||
+          '<span class="horarios">Abierto  Lun-Vie 9-18</span>' ||
+          '<div class="map" data-lat="-31.' || CAST(c_custkey % 1000 AS STRING) || '" data-lng="-60.5"></div>' ||
+          '<a class="search-result-link">Cat' || CAST(c_custkey % 7 AS STRING) || '</a>' ||
+          '<a class="search-result-link">General</a></body></html>'"""
+        Tables.customer(s, d)
+          .withColumn("html", expr(htmlSql))
+          .select(
+            col("c_custkey").as("id_negocio"),
+            HF.htmlClassText(col("html"), "business-name").as("nombre"),
+            concat_ws(", ", HF.htmlPhones(col("html"))).as("telefonos"),
+            CF.nullToNa(HF.htmlWhatsapp(col("html"))).as("whatsapp"),
+            CF.nullToNa(HF.htmlEmail(col("html"))).as("email"),
+            HF.htmlWebsite(col("html")).as("sitio_web"),
+            HF.htmlSocial(col("html"), "instagram.com").as("instagram"),
+            HF.htmlHours(col("html")).as("horarios"),
+            HF.htmlLat(col("html")).as("latitud"),
+            HF.htmlLng(col("html")).as("longitud"),
+            array_join(HF.htmlCategories(col("html")), ", ").as("rubros"))
+          .orderBy("id_negocio")
+      },
+      oracle = Some(s"""
+        WITH pages AS (
+          SELECT c_custkey,
+          '<html><body><h1 class="business-name">' || c_name || '</h1>' ||
+          '<span class="address">' || $rawAddress || '</span>' ||
+          CASE WHEN c_custkey % 2 = 0
+               THEN '<a href="tel:' || $digits10 || '">call</a><a href="tel:+54 11 ' || $digits10 || '">alt</a>'
+               ELSE '' END ||
+          CASE WHEN c_custkey % 3 = 0
+               THEN '<a href="https://wa.me/549335577?phone=549' || $digits10 || '">wa</a>'
+               ELSE '' END ||
+          CASE WHEN c_custkey % 3 = 1
+               THEN '<a href="mailto:biz' || CAST(c_custkey AS STRING) || '@mail.com">m</a>'
+               ELSE '' END ||
+          '<a itemprop="url" href="https://biz' || CAST(c_custkey AS STRING) || '.example.com">w</a>' ||
+          '<a href="https://instagram.com/biz' || CAST(c_custkey AS STRING) || '">ig</a>' ||
+          '<span class="horarios">Abierto  Lun-Vie 9-18</span>' ||
+          '<div class="map" data-lat="-31.' || CAST(c_custkey % 1000 AS STRING) || '" data-lng="-60.5"></div>' ||
+          '<a class="search-result-link">Cat' || CAST(c_custkey % 7 AS STRING) || '</a>' ||
+          '<a class="search-result-link">General</a></body></html>' AS html
+          FROM customer)
+        SELECT c_custkey AS id_negocio,
+               nullif(regexp_extract(html, 'class="business-name"[^>]*>([^<]*)<', 1), '') AS nombre,
+               COALESCE(array_to_string(regexp_extract_all(html, '<a href="tel:([^"]*)"', 1), ', '), '') AS telefonos,
+               COALESCE(nullif(regexp_extract(
+                 regexp_extract(html, '<a href="(https://wa\\.me/[^"]*)"', 1),
+                 '[?&]phone=([^&]*)', 1), ''), 'N/A') AS whatsapp,
+               COALESCE(nullif(regexp_extract(html, '<a href="mailto:([^"]*@[^"]*)"', 1), ''), 'N/A') AS email,
+               nullif(regexp_extract(html, '<a itemprop="url" href="([^"]*)"', 1), '') AS sitio_web,
+               nullif(regexp_extract(html, '<a href="(https?://(?:www\\.)?instagram\\.com[^"]*)"', 1), '') AS instagram,
+               nullif(regexp_replace(trim(regexp_replace(
+                 regexp_extract(html, '<span class="horarios">([^<]*)</span>', 1),
+                 '\\b(Abierto|Cerrado)\\b', '', 'g')), '\\s+', ' ', 'g'), '') AS horarios,
+               CAST(regexp_extract(html, 'data-lat="([^"]*)"', 1) AS DOUBLE) AS latitud,
+               CAST(regexp_extract(html, 'data-lng="([^"]*)"', 1) AS DOUBLE) AS longitud,
+               array_to_string(regexp_extract_all(html, '<a class="search-result-link">([^<]*)</a>', 1), ', ') AS rubros
+        FROM pages ORDER BY id_negocio"""),
+      doc = "lead Extract stage: H1-H9 regex extraction over canonical pages"),
+
+    // H10 UDTF shape: search-results page → exploded (id, url) rows, with
+    // J1 anti-join against already-processed ids (the reference's resume).
+    "q47_result_cards" -> Q(
+      run = (s, d) => {
+        val cardsSql = s"""
+          '<div class="results">' ||
+          '<div class="card-mobile gc-item" data-id="' || CAST(c_custkey * 20 AS STRING) || '" data-url="/d?id=' || CAST(c_custkey * 20 AS STRING) || '">' ||
+          '<div class="card-mobile gc-item" data-id="' || CAST(c_custkey * 20 + 1 AS STRING) || '" data-url="/d?id=' || CAST(c_custkey * 20 + 1 AS STRING) || '">' ||
+          '</div>'"""
+        val exploded = Tables.customer(s, d)
+          .withColumn("html", expr(cardsSql))
+          .select(explode(HF.htmlResultCards(col("html"))).as("card"))
+          .select(col("card.id_negocio"), col("card.url"))
+        val processed = Tables.orders(s, d).select(col("o_orderkey").as("id_negocio")).distinct()
+        exploded.join(processed, Seq("id_negocio"), "left_anti")
+          .orderBy("id_negocio")
+      },
+      oracle = Some("""
+        WITH cards AS (
+          SELECT unnest([c_custkey * 20, c_custkey * 20 + 1]) AS id_negocio
+          FROM customer)
+        SELECT id_negocio, '/d?id=' || CAST(id_negocio AS VARCHAR) AS url
+        FROM cards
+        WHERE id_negocio NOT IN (SELECT o_orderkey FROM orders)
+        ORDER BY id_negocio"""),
+      doc = "H10 results-page explode + J1 processed-id anti-join"),
+
+    // J2/K4 upsert: full-outer merge of an existing snapshot with an
+    // incoming batch — incoming wins per column, provenance tracked.
+    "q48_upsert_merge" -> Q(
+      run = (s, d) => {
+        val existing = Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("e_status"),
+            col("o_totalprice").cast("decimal(18,6)").as("e_price"))
+        val incoming = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-06-01").cast("timestamp"))
+          .select(col("o_orderkey").as("k"), lit("U").as("i_status"),
+            (col("o_totalprice").cast("decimal(18,6)") * 2).cast("decimal(18,6)").as("i_price"))
+        existing.join(incoming, Seq("k"), "full_outer")
+          .select(
+            col("k").as("o_orderkey"),
+            coalesce(col("i_status"), col("e_status")).as("status"),
+            coalesce(col("i_price"), col("e_price")).as("price"),
+            when(col("i_status").isNotNull && col("e_status").isNotNull, "updated")
+              .when(col("i_status").isNotNull, "inserted")
+              .otherwise("kept").as("merge_action"))
+          .orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        WITH existing AS (
+          SELECT o_orderkey AS k, o_orderstatus AS e_status,
+                 CAST(o_totalprice AS DECIMAL(18,6)) AS e_price
+          FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+        incoming AS (
+          SELECT o_orderkey AS k, 'U' AS i_status,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 2 AS DECIMAL(18,6)) AS i_price
+          FROM orders WHERE o_orderdate >= TIMESTAMP '1996-06-01')
+        SELECT COALESCE(e.k, i.k) AS o_orderkey,
+               COALESCE(i_status, e_status) AS status,
+               COALESCE(i_price, e_price) AS price,
+               CASE WHEN i_status IS NOT NULL AND e_status IS NOT NULL THEN 'updated'
+                    WHEN i_status IS NOT NULL THEN 'inserted'
+                    ELSE 'kept' END AS merge_action
+        FROM existing e FULL OUTER JOIN incoming i ON e.k = i.k
+        ORDER BY o_orderkey"""),
+      doc = "K4 upsert as full-outer merge with provenance (ON CONFLICT DO UPDATE)"),
+
+    // K7/A6/O2 snapshot retention: latest version per (customer, month),
+    // then keep only the last 3 months per customer.
+    "q49_snapshot_retention" -> Q(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val versions = Tables.orders(s, d)
+          .withColumn("month", date_trunc("month", col("o_orderdate")))
+        val latestInMonth = Window.partitionBy(col("o_custkey"), col("month"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        val monthRank = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("month").desc)
+        versions
+          .withColumn("rn", row_number().over(latestInMonth)).filter(col("rn") === 1)
+          .withColumn("month_rank", dense_rank().over(monthRank).cast("long"))
+          .filter(col("month_rank") <= 3)
+          .select(col("o_custkey"), col("month"), col("o_orderkey").as("version_key"),
+            col("month_rank"))
+          .orderBy("o_custkey", "month")
+      },
+      oracle = Some("""
+        WITH versions AS (
+          SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                 o_orderkey, o_orderdate,
+                 row_number() OVER (PARTITION BY o_custkey, date_trunc('month', o_orderdate)
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders),
+        latest AS (
+          SELECT o_custkey, month, o_orderkey,
+                 CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY month DESC) AS BIGINT) AS month_rank
+          FROM versions WHERE rn = 1)
+        SELECT o_custkey, month, o_orderkey AS version_key, month_rank
+        FROM latest WHERE month_rank <= 3
+        ORDER BY o_custkey, month"""),
+      doc = "K7 versioned snapshots: latest-per-month + keep-last-N retention"),
+
+    // S1 id-range worklist generation + J1 skip — the bulk collector.
+    "q50_id_range_worklist" -> Q(
+      run = (s, d) => {
+        val ids = s.range(1, 3001).toDF("id_negocio")
+        val processed = Tables.customer(s, d).select(col("c_custkey").as("id_negocio"))
+        ids.join(processed, Seq("id_negocio"), "left_anti")
+          .select(col("id_negocio"),
+            concat(lit("https://www.guiacores.com.ar/index.php?r=search%2Fdetail&id="),
+              col("id_negocio")).as("url"))
+          .orderBy("id_negocio")
+      },
+      oracle = Some("""
+        SELECT g.id AS id_negocio,
+               'https://www.guiacores.com.ar/index.php?r=search%2Fdetail&id=' || CAST(g.id AS VARCHAR) AS url
+        FROM (SELECT unnest(range(1, 3001)) AS id) g
+        WHERE g.id NOT IN (SELECT c_custkey FROM customer)
+        ORDER BY id_negocio"""),
+      doc = "S1 range→URL worklist + J1 processed skip (bulk collector)")
+  )
+}

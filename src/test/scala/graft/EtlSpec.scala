@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.etl.LeadPipeline
+
+/** Write-path + pipeline-composition semantics (SURVEY K1/K4/K6/K7, S7, E4)
+  * that the read-only oracle queries can't exercise. */
+class EtlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private val page = (id: Long) =>
+    s"""<html><body><h1 class="business-name">Biz $id</h1>
+       |<span class="address">Calle Falsa $id - Rosario</span>
+       |<a href="tel:3415550${id}00">call</a>
+       |<a href="mailto:biz$id@mail.com">m</a>
+       |<a itemprop="url" href="https://biz$id.com">w</a>
+       |<span class="horarios">Abierto Lun-Vie 9-18</span>
+       |<div class="map" data-lat="-32.95" data-lng="-60.65"></div>
+       |<a class="search-result-link">Ferreteria</a>
+       |</body></html>""".stripMargin('|')
+
+  test("collect → extract → clean → dedup → loadCsv end-to-end (§3.1 flow)") {
+    val worklist = LeadPipeline.collect(spark, 1, 3)
+    assert(worklist.count() == 3)
+    assert(worklist.filter($"url".endsWith("id=2")).count() == 1)
+
+    // the fetch stage is the only non-relational boundary — fake it by
+    // attaching synthetic pages to the worklist (S3 is I/O, not semantics)
+    val pages = worklist.withColumn("html", expr(
+      """'<html><body><h1 class="business-name">Biz ' || id_negocio || '</h1>' ||
+        '<span class="address">Calle Falsa ' || id_negocio || ' - Rosario</span>' ||
+        '<a href="tel:3415550' || id_negocio || '00">call</a>' ||
+        '<a href="mailto:biz' || id_negocio || '@mail.com">m</a>' ||
+        '<a itemprop="url" href="https://biz' || id_negocio || '.com">w</a>' ||
+        '<span class="horarios">Abierto Lun-Vie 9-18</span>' ||
+        '<div class="map" data-lat="-32.95" data-lng="-60.65"></div>' ||
+        '<a class="search-result-link">Ferreteria</a></body></html>'"""))
+    val extracted = LeadPipeline.extract(pages)
+    val cleaned = LeadPipeline.clean(extracted)
+    val row = cleaned.filter($"id_negocio" === 2).head()
+    assert(row.getAs[String]("nombre") == "Biz 2")
+    assert(row.getAs[String]("direccion") == "Calle Falsa 2")
+    assert(row.getAs[String]("localidad") == "Rosario")
+    assert(row.getAs[scala.collection.Seq[String]]("telefonos").toSeq == Seq("341-5550-200"))
+    assert(row.getAs[String]("email") == "biz2@mail.com")
+    assert(row.getAs[String]("horarios") == "Lun-Vie 9-18")
+    assert(row.getAs[Double]("latitud") == -32.95)
+
+    // dedup keeps first arrival per id
+    val dup = cleaned.union(cleaned.withColumn("nombre", lit("DUP")))
+    assert(LeadPipeline.dedup(dup, "url").count() == 3)
+
+    val out = tmp("graft_csv")
+    LeadPipeline.loadCsv(cleaned, out)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.count() == 3)
+    // egress restores the reference's 'N/A' sentinel for missing fields
+    assert(back.filter($"facebook" === "N/A").count() == 3)
+  }
+
+  test("versioned snapshot write: dynamic overwrite replaces one month (K7)") {
+    val out = tmp("graft_snap")
+    val jan = Seq((1L, "2024-01-15"), (2L, "2024-01-20")).toDF("id_negocio", "d")
+      .withColumn("fecha_extraccion", $"d".cast("timestamp")).drop("d")
+    val feb = Seq((3L, "2024-02-10")).toDF("id_negocio", "d")
+      .withColumn("fecha_extraccion", $"d".cast("timestamp")).drop("d")
+    LeadPipeline.writeSnapshot(jan.union(feb), out)
+    assert(spark.read.parquet(out).count() == 3)
+
+    // re-run January with ONE corrected row: only that partition is replaced
+    val janFixed = Seq((9L, "2024-01-25")).toDF("id_negocio", "d")
+      .withColumn("fecha_extraccion", $"d".cast("timestamp")).drop("d")
+    LeadPipeline.writeSnapshot(janFixed, out)
+    val after = spark.read.parquet(out)
+    assert(after.count() == 2) // 1 new January row + untouched February
+    assert(after.filter($"snapshot_month" === "2024-02").count() == 1)
+  }
+
+  test("upsert merges incoming over existing by key (K4 ON CONFLICT DO UPDATE)") {
+    val out = tmp("graft_upsert") + "/t"
+    val v1 = Seq((1L, "old", 10.0), (2L, "keep", 20.0)).toDF("id", "name", "score")
+    LeadPipeline.upsert(spark, v1, out, "id")
+    val v2 = Seq((1L, "new", 11.0), (3L, "ins", 30.0)).toDF("id", "name", "score")
+    LeadPipeline.upsert(spark, v2, out, "id")
+    val got = spark.read.parquet(out).as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(got.sameElements(Array((1L, "new", 11.0), (2L, "keep", 20.0), (3L, "ins", 30.0))))
+  }
+
+  test("TTL cache read returns latest non-expired snapshot (K6)") {
+    val out = tmp("graft_cache")
+    Seq((100L, "stale"), (100L, "stale2")).toDF("cache_ts", "v")
+      .union(Seq((200L, "fresh")).toDF("cache_ts", "v"))
+      .write.mode("overwrite").parquet(out)
+    val hit = LeadPipeline.readCache(spark, out, ttlSeconds = 150, nowEpochSec = 300)
+    assert(hit.select("v").as[String].collect().sameElements(Array("fresh")))
+    val miss = LeadPipeline.readCache(spark, out, ttlSeconds = 50, nowEpochSec = 1000)
+    assert(miss.count() == 0)
+  }
+
+  test("local HTML directory scan (S7 wholeTextFiles shape)") {
+    val dir = tmp("graft_html")
+    Files.writeString(java.nio.file.Paths.get(dir, "a.html"), page(7))
+    Files.writeString(java.nio.file.Paths.get(dir, "b.html"), page(8))
+    val docs = spark.read.format("binaryFile").load(s"$dir/*.html")
+      .select(col("path"), col("content").cast("string").as("html"))
+    assert(docs.count() == 2)
+    val names = docs.select(
+      graft.functions.HtmlFunctions.htmlClassText($"html", "business-name"))
+      .as[String].collect().sorted
+    assert(names.sameElements(Array("Biz 7", "Biz 8")))
+  }
+
+  test("run-status envelope via observed metrics (E4)") {
+    val df = Tables.lineitem(spark, sf)
+      .observe("run_stats", count(lit(1)).as("records"),
+        sum(when($"l_quantity" > 100, 1).otherwise(0)).as("suspicious"))
+    df.collect() // action on THIS QueryExecution populates the metrics
+    val stats = df.queryExecution.observedMetrics("run_stats")
+    assert(stats.getAs[Long]("records") > 0)
+    assert(stats.getAs[Long]("suspicious") == 0)
+  }
+}
