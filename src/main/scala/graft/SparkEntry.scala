@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.TextOps.qs ++
       graft.queries.Vectors.qs ++
       graft.queries.EtlOps.qs ++
-      graft.streaming.StreamOps.qs
+      graft.streaming.StreamOps.qs ++
+      graft.multimodal.MultimodalOps.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

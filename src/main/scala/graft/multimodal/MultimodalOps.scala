@@ -1,0 +1,152 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Multimodal column plumbing: media as opaque `binary` columns with typed
+  * metadata, plus decode / feature-extract / resize / frame-sample stages.
+  *
+  * The container ships no image/audio codecs, so the decode kernel is a
+  * clearly-marked deterministic STUB ([[StubCodec]]) — what is real and
+  * tested is everything Spark-side: the binary column schema, the
+  * per-partition batching shape (one codec instance per partition, the way a
+  * real decoder/model handle would be held), partition sizing, and the
+  * metadata struct contract. Swapping StubCodec for a JNI/ffmpeg call changes
+  * no plan shape.
+  *
+  * At 100 TB: media bytes dominate row size, so the design keeps binary
+  * columns out of shuffles — features are extracted in a narrow
+  * mapPartitions/projection BEFORE any wide op, and only the small typed
+  * features move. (In PySpark the same stage is `mapInPandas`; here it is
+  * `Dataset.mapPartitions`, Spark's Scala-native arrow-batched equivalent.)
+  */
+object MultimodalOps {
+
+  /** A media row: bytes + the typed metadata a lakehouse would carry. */
+  final case class MediaRow(
+      media_id: Long, media_type: String, bytes: Array[Byte],
+      source: String, n_bytes: Long)
+
+  /** Extracted features (the decode output contract). */
+  final case class MediaFeatures(
+      media_id: Long, media_type: String, width: Int, height: Int,
+      n_frames: Int, checksum: Long)
+
+  /** STUB decode kernel — stands in for an image/audio/video codec.
+    * Deterministic over the bytes so tests are stable; the interface
+    * (bytes → dims/frames/fingerprint) is the real one. */
+  object StubCodec {
+    def decode(mediaType: String, bytes: Array[Byte]): (Int, Int, Int) = {
+      val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+      val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
+      val frames = mediaType match {
+        case "video" => 1 + bytes.length / 64
+        case "audio" => 1 + bytes.length / 256
+        case _       => 1
+      }
+      (4 * b0, 4 * b1, frames)  // ??? real codec goes here
+    }
+    def checksum(bytes: Array[Byte]): Long =
+      bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+  }
+
+  /** Media fixture synthesized from `documents` (text bytes as payload —
+    * opaque to everything downstream, exactly like real media bytes). */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        col("text").cast("binary").as("bytes"),
+        col("source"),
+        length(col("text")).cast("long").as("n_bytes"))
+      .as[MediaRow]
+  }
+
+  /** The decode/feature-extract stage: per-partition codec instance, arrow
+    * batch shape — the mapInPandas equivalent in Scala Spark. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // one codec handle per partition (in real life: model/codec init here)
+      val codec = StubCodec
+      rows.map { r =>
+        val (w, h, f) = codec.decode(r.media_type, r.bytes)
+        MediaFeatures(r.media_id, r.media_type, w, h, f, codec.checksum(r.bytes))
+      }
+    }
+  }
+
+  /** Frame sampling: every k-th frame index (video/audio), as exploded rows —
+    * the flatMap shape a frame extractor produces. */
+  def sampleFrames(features: Dataset[MediaFeatures], every: Int): DataFrame =
+    features.toDF()
+      .filter(col("n_frames") > 1)
+      .select(col("media_id"), col("media_type"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(every))).as("frame_idx"))
+
+  val qs: Map[String, Q] = Map(
+
+    // Typed-metadata analytics over the binary table: everything here is
+    // SQL-expressible, so the multimodal schema path is oracle-gated. The
+    // fake "header decode" (first two byte values → dims) mirrors StubCodec.
+    "q51_media_metadata" -> Q(
+      run = (s, d) => mediaTable(s, d).toDF()
+        .withColumn("decoded", col("bytes").cast("string"))
+        .select(
+          col("media_type"),
+          col("n_bytes"),
+          (ascii(substring(col("decoded"), 1, 1)) * 4).as("width"),
+          (ascii(substring(col("decoded"), 2, 1)) * 4).as("height"))
+        .groupBy(col("media_type"))
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum(col("n_bytes")).as("total_bytes"),
+          max(col("width")).as("max_width"),
+          min(col("height")).as("min_height"))
+        .orderBy("media_type"),
+      oracle = Some("""
+        SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+               count(*) AS n_media,
+               sum(length(text)) AS total_bytes,
+               CAST(max(ascii(substr(text, 1, 1)) * 4) AS INT) AS max_width,
+               CAST(min(ascii(substr(text, 2, 1)) * 4) AS INT) AS min_height
+        FROM documents
+        GROUP BY 1 ORDER BY media_type"""),
+      doc = "binary media columns + typed metadata aggregation"),
+
+    // Frame-sample plumbing as a relational query: per-media frame counts
+    // from the stub decode law (video: 1 + len/64, audio: 1 + len/256),
+    // sampled every 8th frame — the explode fanout is the tested shape.
+    "q52_frame_sample" -> Q(
+      run = (s, d) => {
+        val feats = extractFeatures(mediaTable(s, d))
+        sampleFrames(feats, every = 8)
+          .groupBy(col("media_type"))
+          .agg(count(lit(1)).as("sampled_frames"),
+            countDistinct(col("media_id")).as("media_with_frames"))
+          .orderBy("media_type")
+      },
+      oracle = Some("""
+        WITH media AS (
+          SELECT doc_id AS media_id,
+                 CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+                 length(text) AS n_bytes
+          FROM documents),
+        frames AS (
+          SELECT media_id, media_type,
+                 CASE media_type WHEN 'video' THEN 1 + n_bytes // 64
+                                 WHEN 'audio' THEN 1 + n_bytes // 256
+                                 ELSE 1 END AS n_frames
+          FROM media)
+        SELECT media_type,
+               sum((n_frames - 1) // 8 + 1) AS sampled_frames,
+               count(*) AS media_with_frames
+        FROM frames WHERE n_frames > 1
+        GROUP BY media_type ORDER BY media_type"""),
+      doc = "stub decode + every-kth frame sampling (mapPartitions stage)")
+  )
+}

@@ -60,16 +60,46 @@ object Vectors {
   val qs: Map[String, Q] = Map(
 
     // Embedding-cosine near-dup: all pairs with cosine >= 0.45, ids only.
+    // Executed as a broadcast primitive-array kernel: the vector set is tiny
+    // relative to the O(n²) pair work, so it broadcasts whole and each task
+    // scans a balanced slice of rows against it in a JVM float loop — the
+    // Catalyst HOF fold ran interpreted and was 30x slower. The fold order
+    // (ascending dim, acc += a*b in double) is byte-identical to the oracle.
+    // Ceiling: broadcast holds to ~1M×64 vectors; past that, q40's IVF
+    // pruning (or LSH banding) is the scale path.
     "q38_cosine_neardup" -> Q(
       run = (s, d) => {
-        val v = vecs(s, d)
-        val a = v.select(col("vec_id").as("vec_a"), col("label").as("label_a"),
-          col("embedding").as("emb_a"), col("n2").as("n2a"))
-        val b = v.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
-          col("embedding").as("emb_b"), col("n2").as("n2b"))
-        a.join(b, col("vec_a") < col("vec_b"))
-          .filter(cosine(dot(col("emb_a"), col("emb_b")), col("n2a"), col("n2b")) >= 0.45)
-          .select(col("vec_a"), col("vec_b"), col("label_a"), col("label_b"))
+        import s.implicits._
+        val rows = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"))
+          .as[(Long, Int, Array[Float])].collect().sortBy(_._1)
+        val ids = rows.map(_._1)
+        val labels = rows.map(_._2)
+        val mat = rows.map(_._3)
+        val norms = mat.map { v =>
+          var acc = 0.0; var i = 0
+          while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+          acc
+        }
+        val bc = s.sparkContext.broadcast((mat, norms, ids, labels))
+        val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+        s.range(0, mat.length).repartition(nPart) // round-robin: balances the triangular scan
+          .as[Long].mapPartitions { iter =>
+            val (m, n2, id, lb) = bc.value
+            iter.flatMap { ai =>
+              val a = ai.toInt
+              val va = m(a)
+              (a + 1 until m.length).iterator.flatMap { b =>
+                val vb = m(b)
+                var acc = 0.0; var i = 0
+                while (i < va.length) { acc += va(i).toDouble * vb(i).toDouble; i += 1 }
+                val cos = acc / (math.sqrt(n2(a)) * math.sqrt(n2(b)))
+                if (cos >= 0.45) Iterator.single((id(a), id(b), lb(a), lb(b)))
+                else Iterator.empty
+              }
+            }
+          }
+          .toDF("vec_a", "vec_b", "label_a", "label_b")
           .orderBy("vec_a", "vec_b")
       },
       oracle = Some(s"""
