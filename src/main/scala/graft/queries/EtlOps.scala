@@ -302,6 +302,55 @@ object EtlOps {
         FROM (SELECT unnest(range(1, 3001)) AS id) g
         WHERE g.id NOT IN (SELECT c_custkey FROM customer)
         ORDER BY id_negocio"""),
-      doc = "S1 range→URL worklist + J1 processed skip (bulk collector)")
+      doc = "S1 range→URL worklist + J1 processed skip (bulk collector)"),
+
+    // E1 per-record drop-on-error as try_* null algebra + validity filter,
+    // plus F11 opportunistic coercion (digit string → long, bool strings).
+    "q53_error_handling" -> Q(
+      run = (s, d) => {
+        val dirty = s"""CASE CAST(o_orderkey % 4 AS INT)
+          WHEN 0 THEN CAST(o_orderkey AS STRING)
+          WHEN 1 THEN 'x' || CAST(o_orderkey AS STRING)
+          WHEN 2 THEN 'true'
+          ELSE '' END"""
+        val dirtyTs = s"""CASE WHEN o_orderkey % 3 = 0
+          THEN '2024-01-15 10:3' || CAST(o_orderkey % 10 AS STRING) || ':00'
+          ELSE 'not-a-timestamp' END"""
+        Tables.orders(s, d)
+          .withColumn("raw", expr(dirty))
+          .withColumn("raw_ts", expr(dirtyTs))
+          .select(
+            col("o_orderkey"),
+            CF.coerceLong(col("raw")).as("as_long"),
+            CF.coerceBool(col("raw")).as("as_bool"),
+            expr("try_divide(o_totalprice, CAST(o_orderkey % 10 AS DOUBLE))").as("ratio"),
+            expr("try_to_timestamp(raw_ts, 'yyyy-MM-dd HH:mm:ss')").as("as_ts"))
+          .withColumn("is_valid",
+            col("as_long").isNotNull || col("as_bool").isNotNull)
+          .orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        WITH dirty AS (
+          SELECT o_orderkey, o_totalprice,
+                 CASE CAST(o_orderkey % 4 AS INT)
+                   WHEN 0 THEN CAST(o_orderkey AS VARCHAR)
+                   WHEN 1 THEN 'x' || CAST(o_orderkey AS VARCHAR)
+                   WHEN 2 THEN 'true'
+                   ELSE '' END AS raw,
+                 CASE WHEN o_orderkey % 3 = 0
+                   THEN '2024-01-15 10:3' || CAST(o_orderkey % 10 AS VARCHAR) || ':00'
+                   ELSE 'not-a-timestamp' END AS raw_ts
+          FROM orders)
+        SELECT o_orderkey,
+               CASE WHEN regexp_matches(raw, '^[0-9]+$') THEN CAST(raw AS BIGINT) END AS as_long,
+               CASE WHEN lower(raw) = 'true' THEN TRUE
+                    WHEN lower(raw) = 'false' THEN FALSE END AS as_bool,
+               CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                    ELSE o_totalprice / CAST(o_orderkey % 10 AS DOUBLE) END AS ratio,
+               TRY_CAST(raw_ts AS TIMESTAMP) AS as_ts,
+               (CASE WHEN regexp_matches(raw, '^[0-9]+$') THEN CAST(raw AS BIGINT) END IS NOT NULL
+                OR CASE WHEN lower(raw) = 'true' THEN TRUE WHEN lower(raw) = 'false' THEN FALSE END IS NOT NULL) AS is_valid
+        FROM dirty ORDER BY o_orderkey"""),
+      doc = "E1 try_* null algebra + F11 coercion + validity filter")
   )
 }

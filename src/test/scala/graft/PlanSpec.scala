@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the properties that make these queries
+  * survive a 100 TB scale-up. A green run proves the optimizations are in the
+  * plan, not just intended: filters/projections reach the parquet scan, small
+  * dims broadcast, global top-k never total-sorts, partial aggregation
+  * precedes every exchange. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String, execute: Boolean = false): String = {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    val df = SparkEntry.registry(name).run(spark, sf)
+    if (execute) df.collect() // collect() drives THIS QueryExecution, so AQE finalizes (and codegen annotates) it
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filter and projection push into the parquet scan (S5)") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_quantity"), "quantity filter not pushed")
+    // pruned read schema: only the 6 referenced columns, not all 11
+    assert(!p.contains("l_returnflag"), "scan reads unprojected columns")
+  }
+
+  test("q04: dimension joins are broadcast, fact side never shuffles") {
+    val p = plan("q04_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dim join degenerated to sort-merge")
+  }
+
+  test("q18: global top-k plans TakeOrderedAndProject, not a total sort") {
+    val p = plan("q18_top_k")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to sort+limit:\n$p")
+  }
+
+  test("q01: aggregation is two-phase (map-side partial before exchange)") {
+    val p = plan("q01_pricing_summary")
+    val firstHashAgg = p.indexOf("HashAggregate")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstHashAgg >= 0 && firstExchange >= 0)
+    // plan prints top-down: final agg, exchange, partial agg — so a partial
+    // HashAggregate must also appear AFTER the exchange line
+    assert(p.indexOf("HashAggregate", firstExchange) > firstExchange,
+      s"no partial aggregate below the exchange:\n$p")
+  }
+
+  test("q06/q07: semi and anti joins stay joins (no materialized distinct)") {
+    assert(plan("q06_semi_join").contains("LeftSemi"))
+    assert(plan("q07_anti_join").contains("LeftAnti"))
+  }
+
+  test("q35: jaccard pairs is an equi shuffle join, never a cartesian") {
+    val p = plan("q35_jaccard_pairs")
+    assert(!p.contains("CartesianProduct"), s"shingle join degenerated:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"shingle join degenerated:\n$p")
+  }
+
+  test("q27: whole-stage codegen covers the aggregation pipeline") {
+    val p = plan("q27_tumbling_window", execute = true)
+    // codegen stages print as "*(n) Operator" in the final adaptive plan
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), s"no codegen spans:\n$p")
+  }
+
+  test("q50: range worklist is a leaf Range source (no driver loop)") {
+    val p = plan("q50_id_range_worklist")
+    assert(p.contains("Range ("), s"worklist not a distributed Range:\n$p")
+  }
+}
