@@ -41,8 +41,12 @@ object TextHash {
     toks.foldLeft(0L)((acc, t) => (acc * 131L + polyHash(t)) % P)
 
   /** Polynomial rolling hash over the characters of a string:
-    * fold(acc = 0; acc*31 + codepoint) mod P. */
-  def charHash(c: Column): Column = udf(polyHash _).apply(c)
+    * fold(acc = 0; acc*31 + codepoint) mod P.
+    * Backed by the native codegen expression ([[graft.plans.PolyHash]]) —
+    * no catalyst↔JVM conversion, stays inside whole-stage codegen. */
+  def charHash(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.PolyHash(org.apache.spark.sql.GraftColumnBridge.expression(c)))
 
   /** Order-sensitive hash of a token array: fold(acc*131 + charHash(tok)) mod P. */
   def tokenSeqHash(tokens: Column): Column =

@@ -225,22 +225,31 @@ object TextOps {
     // MinHash + LSH banding (8 hashes, 4 bands of 2): candidates share a band
     // signature; confirmed by exact Jaccard. The 100 TB path: signatures are
     // 8 longs/doc, the band join shuffles doc_id+band only, and verification
-    // touches just the candidate set.
+    // touches just the candidate set. Signatures are computed in ONE pass per
+    // doc (JVM kernel over the collected shingle set) instead of an 8x
+    // explode + second shuffle — min() is order-independent, so the values
+    // are identical to the oracle's unnest formulation.
     "q36_minhash_lsh" -> Q(
       run = (s, d) => {
         val sh = docShingles(s, d)
-        val aArr = array(mhA.map(lit): _*)
-        val bArr = array(mhB.map(lit): _*)
-        val sigs = sh
-          .select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("i"), col("shh"))
-          .select(col("doc_id"), col("i"),
-            ((element_at(aArr, col("i") + 1) * col("shh") + element_at(bArr, col("i") + 1)) % lit(P)).as("hv"))
-          .groupBy(col("doc_id"), col("i"))
-          .agg(min(col("hv")).as("mh"))
-        val bands = sigs
-          .withColumn("band", expr("CAST(i AS BIGINT) div 2"))
-          .groupBy(col("doc_id"), col("band"))
-          .agg(sum(when(col("i") % 2 === 0, col("mh") * lit(P)).otherwise(col("mh"))).as("sig"))
+        val a = mhA.toArray
+        val b = mhB.toArray
+        val bandSigs = udf { (shingles: Seq[Long]) =>
+          val mh = Array.fill(8)(Long.MaxValue)
+          shingles.foreach { x =>
+            var i = 0
+            while (i < 8) {
+              val hv = (a(i) * x + b(i)) % P
+              if (hv < mh(i)) mh(i) = hv
+              i += 1
+            }
+          }
+          (0 until 4).map(band => mh(2 * band) * P + mh(2 * band + 1))
+        }
+        val bands = sh.groupBy(col("doc_id"))
+          .agg(collect_list(col("shh")).as("shs"))
+          .select(col("doc_id"), posexplode(bandSigs(col("shs"))))
+          .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
         val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
           .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("sig")),
             Seq("band", "sig"))
@@ -298,20 +307,29 @@ object TextOps {
     // blocks guarantees full recall for hamming <= 3.
     "q37_simhash" -> Q(
       run = (s, d) => {
-        val votes = docTokens(s, d)
+        // one-pass signature kernel per doc (identical bit votes to the
+        // oracle's 48-row unnest — sums are order-independent)
+        val simhashOf = udf { (toks: Seq[String], cnts: Seq[Long]) =>
+          val votes = new Array[Long](48)
+          toks.indices.foreach { k =>
+            val th0 = graft.functions.TextHash.polyHash(toks(k))
+            val th1 = (th0 * 1103515245L + 12345L) % P
+            val cnt = cnts(k)
+            var j = 0
+            while (j < 48) {
+              val bit = if (j < 30) (th0 >> j) & 1L else (th1 >> (j - 30)) & 1L
+              votes(j) += (if (bit == 1L) cnt else -cnt)
+              j += 1
+            }
+          }
+          (0 until 48).map(j => if (votes(j) > 0) 1L << j else 0L).sum
+        }
+        val sigs = docTokens(s, d)
           .select(col("doc_id"), explode(col("toks")).as("tok"))
           .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-          .select(col("doc_id"), charHash(col("tok")).as("th0"), col("cnt"))
-          .withColumn("th1", (col("th0") * 1103515245L + 12345L) % lit(P))
-          .select(col("doc_id"), explode(sequence(lit(0), lit(47))).as("j"),
-            col("th0"), col("th1"), col("cnt"))
-          .groupBy(col("doc_id"), col("j"))
-          .agg(sum(when(
-            expr("CASE WHEN j < 30 THEN shiftright(th0, CAST(j AS INT)) & 1 ELSE shiftright(th1, CAST(j - 30 AS INT)) & 1 END") === 1,
-            col("cnt")).otherwise(-col("cnt"))).as("vote"))
-        val sigs = votes.groupBy(col("doc_id"))
-          .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
-            .otherwise(0L)).as("simhash"))
+          .groupBy(col("doc_id"))
+          .agg(collect_list(col("tok")).as("toks"), collect_list(col("cnt")).as("cnts"))
+          .select(col("doc_id"), simhashOf(col("toks"), col("cnts")).as("simhash"))
         val blocks = sigs.select(col("doc_id"), col("simhash"),
             explode(sequence(lit(0), lit(3))).as("b"))
           .select(col("doc_id"), col("simhash"), col("b"),
