@@ -25,9 +25,12 @@ object CleanFunctions {
   def nullToNa(c: Column): Column = coalesce(c, lit(NA))
 
   /** F1 clean_text — collapse internal whitespace, trim
-    * (reference src/transformers/business_transformer.py:25-29). */
+    * (reference src/transformers/business_transformer.py:25-29).
+    * Collapse BEFORE trim: Spark's trim strips only spaces, so a leading tab
+    * would survive trim-then-collapse and break idempotence (the reference's
+    * Python .strip() removes all whitespace classes). */
   def cleanText(c: Column): Column =
-    regexp_replace(trim(c), "\\s+", " ")
+    trim(regexp_replace(c, "\\s+", " "))
 
   /** F2 normalize_phone (business_transformer.py:31-49): strip non-digits;
     * <10 digits → null; 10 digits → XXX-XXXX-XXX ([0:3][3:7][7:]);

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable operator library — the engine's public surface for the patterns
+  * the queries exercise (as-of joins, bounded range joins, keyed dedup,
+  * grouped top-k). Each is built so its plan scales: single keyed shuffle,
+  * no self-joins or cartesians, window state bounded per key.
+  */
+object Operators {
+
+  /** Backward as-of join: for every left row, the latest right row with
+    * `right.ts <= left.ts` on the same key. Implemented as union + running
+    * last-value — ONE shuffle on the key, no range self-join, which is the
+    * shape that survives 100 TB (a join-then-filter explodes on hot keys).
+    *
+    * Right value columns are appended with `asof_` prefix.
+    */
+  def asOfJoinBackward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String): DataFrame = {
+    val valueCols = right.columns.filter(c => c != key && c != rightTs).toSeq
+    val lTagged = valueCols.foldLeft(
+      left.withColumn("__ts", col(leftTs)).withColumn("__src", lit(1)))(
+      (df, c) => df.withColumn(s"__v_$c", lit(null).cast(right.schema(c).dataType)))
+    val leftCols = left.columns.toSeq
+    val rTagged = leftCols.filterNot(c => c == key).foldLeft(
+      right.withColumn("__ts", col(rightTs)).withColumn("__src", lit(0)))(
+      (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .withColumnsRenamed(valueCols.map(c => c -> s"__v_$c").toMap)
+      .drop(rightTs)
+    val unioned = lTagged.unionByName(rTagged.select(lTagged.columns.map(col): _*))
+    // right rows sort before left rows at equal ts → inclusive (<=) semantics
+    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(unioned)((df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w)))
+    filled.filter(col("__src") === 1)
+      .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
+  }
+
+  /** Bounded range join: equi key carries the shuffle, the time band stays a
+    * post-join filter — never a cartesian (PlanSpec-style guarantee). */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: Column,
+      band: Column): DataFrame =
+    left.join(right, key && band)
+
+  /** First-wins keyed dedup over an explicit arrival order (deterministic,
+    * unlike dropDuplicates — SURVEY §7.4.2). */
+  def dedupFirstWins(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Grouped top-k: per-partition ranking, no global sort. */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[String],
+      orderCols: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .withColumnRenamed("__rank", "rank")
+  }
+
+  /** Salted aggregation for skewed keys: spread each hot key over `buckets`
+    * partial groups, then merge — two small shuffles instead of one stuck
+    * straggler task. `aggs` must be algebraic (sum/count/min/max). */
+  def saltedAgg(df: DataFrame, key: String, buckets: Int,
+      aggs: Map[String, String]): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id() +
+      monotonically_increasing_id(), lit(buckets)))
+    val partial = salted.groupBy(col(key), col("__salt"))
+      .agg(aggs.map { case (c, f) => expr(s"$f($c)").as(s"__p_$c") }.toSeq.head,
+        aggs.map { case (c, f) => expr(s"$f($c)").as(s"__p_$c") }.toSeq.tail: _*)
+    val remerge: Map[String, String] = aggs.map {
+      case (c, "count") => s"__p_$c" -> "sum"
+      case (c, f) => s"__p_$c" -> f
+    }
+    partial.groupBy(col(key))
+      .agg(remerge.map { case (c, f) => expr(s"$f($c)").as(c.stripPrefix("__p_")) }.toSeq.head,
+        remerge.map { case (c, f) => expr(s"$f($c)").as(c.stripPrefix("__p_")) }.toSeq.tail: _*)
+  }
+}

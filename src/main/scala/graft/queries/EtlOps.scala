@@ -82,7 +82,7 @@ object EtlOps {
           FROM customer),
         cleaned AS (
           SELECT c_custkey AS id_negocio,
-                 regexp_replace(trim(raw_name), '\\s+', ' ', 'g') AS nombre,
+                 trim(regexp_replace(raw_name, '\\s+', ' ', 'g')) AS nombre,
                  list_filter(list_transform(string_split(raw_phone, ','),
                    p -> ${sqlNormPhone("trim(p)")}), x -> x IS NOT NULL) AS phones,
                  CASE WHEN raw_email IS NULL OR trim(raw_email) = '' OR raw_email = 'N/A' THEN NULL
@@ -173,9 +173,9 @@ object EtlOps {
                COALESCE(nullif(regexp_extract(html, '<a href="mailto:([^"]*@[^"]*)"', 1), ''), 'N/A') AS email,
                nullif(regexp_extract(html, '<a itemprop="url" href="([^"]*)"', 1), '') AS sitio_web,
                nullif(regexp_extract(html, '<a href="(https?://(?:www\\.)?instagram\\.com[^"]*)"', 1), '') AS instagram,
-               nullif(regexp_replace(trim(regexp_replace(
+               nullif(trim(regexp_replace(regexp_replace(
                  regexp_extract(html, '<span class="horarios">([^<]*)</span>', 1),
-                 '\\b(Abierto|Cerrado)\\b', '', 'g')), '\\s+', ' ', 'g'), '') AS horarios,
+                 '\\b(Abierto|Cerrado)\\b', '', 'g'), '\\s+', ' ', 'g')), '') AS horarios,
                CAST(regexp_extract(html, 'data-lat="([^"]*)"', 1) AS DOUBLE) AS latitud,
                CAST(regexp_extract(html, 'data-lng="([^"]*)"', 1) AS DOUBLE) AS longitud,
                array_to_string(regexp_extract_all(html, '<a class="search-result-link">([^<]*)</a>', 1), ', ') AS rubros

