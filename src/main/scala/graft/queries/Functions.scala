@@ -126,6 +126,42 @@ object Functions {
                tokens[1] AS first_token,
                tokens[-1] AS last_token
         FROM t ORDER BY doc_id"""),
-      doc = "array build/dedup/sort/slice/join (multi-value fields, §1.3)")
+      doc = "array build/dedup/sort/slice/join (multi-value fields, §1.3)"),
+
+    // HLL sketch cardinality (§2.4 gap): approx_count_distinct has no
+    // cross-engine-stable value, so no SQL oracle — the driver records a
+    // rows-only check and ApproxSpec bounds the relative error vs exact.
+    "q54_approx_distinct" -> Q(
+      run = (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+        .orderBy("l_returnflag"),
+      oracle = None,
+      doc = "approx_count_distinct (HLL++) — sketch path, error-bounded in spec"),
+
+    // from_json with an explicit schema (S10/JSON modality): typed struct
+    // access after parse, not just string path extraction (q24).
+    "q55_json_struct" -> Q(
+      run = (s, d) => Tables.events(s, d)
+        .withColumn("parsed",
+          from_json(col("props"), "k LONG", Map.empty[String, String]))
+        .filter(col("parsed").isNotNull && col("parsed.k").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("parsed.k")).as("k_total"),
+          max(col("parsed.k")).as("k_max"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      oracle = Some("""
+        SELECT event_type,
+               sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_total,
+               max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
+               count(*) AS n
+        FROM events
+        WHERE json_extract(props, '$.k') IS NOT NULL
+        GROUP BY event_type ORDER BY event_type"""),
+      doc = "from_json schema parse + typed struct field aggregation")
   )
 }

@@ -83,6 +83,63 @@ class StreamingSpec extends SparkSpec {
     assert(all.sameElements(Array(1L, 2L, 3L, 4L, 5L)))
   }
 
+  test("flatMapGroupsWithState: custom quiescence state machine (ST2 shape)") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    // the reference's click-loop: per key, track consecutive batches adding
+    // no new items; emit the key once it has quiesced (3 empty rounds)
+    val in = MemoryStream[(String, Int)] // (crawl_key, new_items)
+    def update(key: String, rounds: Iterator[(String, Int)],
+        state: GroupState[(Int, Int)]): Iterator[(String, Int, Boolean)] = {
+      val (total0, empty0) = state.getOption.getOrElse((0, 0))
+      var total = total0; var emptyStreak = empty0
+      rounds.foreach { case (_, n) =>
+        total += n
+        emptyStreak = if (n == 0) emptyStreak + 1 else 0
+      }
+      state.update((total, emptyStreak))
+      Iterator.single((key, total, emptyStreak >= 3))
+    }
+    val out = in.toDS().groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
+      .toDF("key", "total", "quiesced")
+    val q = out.writeStream.format("memory").queryName("fmgs_test")
+      .outputMode("update").start()
+    in.addData(("a", 5), ("a", 3), ("b", 2))
+    q.processAllAvailable()
+    in.addData(("a", 0)); q.processAllAvailable()
+    in.addData(("a", 0)); q.processAllAvailable()
+    in.addData(("a", 0)); q.processAllAvailable()
+    val rows = spark.table("fmgs_test").filter($"key" === "a")
+      .as[(String, Int, Boolean)].collect()
+    q.stop()
+    assert(rows.contains(("a", 8, true)))  // state accumulated across batches, then quiesced
+    assert(rows.count(r => r._2 == 8 && !r._3) == 3) // arrival batch + 2 empty rounds: not yet
+  }
+
+  test("StreamingQueryListener reports progress rows (ST5/A8)") {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    implicit val sqlCtx = spark.sqlContext
+    @volatile var rowsSeen = 0L
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        rowsSeen += e.progress.numInputRows
+    }
+    spark.streams.addListener(listener)
+    try {
+      val in = MemoryStream[Long]
+      val q = in.toDS().writeStream.format("memory").queryName("listener_test")
+        .outputMode("append").start()
+      in.addData(1L, 2L, 3L); q.processAllAvailable()
+      in.addData(4L); q.processAllAvailable()
+      q.stop(); q.awaitTermination()
+      assert(rowsSeen == 4L, s"listener saw $rowsSeen rows")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("session_window streaming matches batch semantics (q44 twin)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp)]
