@@ -436,6 +436,54 @@ object Relational {
                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
         FROM events GROUP BY user_id ORDER BY user_id"""),
-      doc = "pivot via conditional aggregation")
+      doc = "pivot via conditional aggregation"),
+
+    // Explicit GROUPING SETS (beyond rollup/cube): two independent
+    // aggregation grains in one pass over the fact table.
+    "q56_grouping_sets" -> Q(
+      run = (s, d) => Tables.orders(s, d)
+        .withColumn("order_year", year(col("o_orderdate")))
+        .groupingSets(
+          Seq(Seq(col("order_year")), Seq(col("o_orderpriority"))),
+          col("order_year"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("orders"), moneySum(col("o_totalprice")).as("total"))
+        .orderBy(col("order_year").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      oracle = Some("""
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderpriority,
+               count(*) AS orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((order_year), (o_orderpriority))
+        ORDER BY order_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""),
+      doc = "explicit grouping sets (two grains, one pass)"),
+
+    // U2: pandas-style union of mismatched schemas — unionByName with
+    // allowMissingColumns null-fills the gaps.
+    "q57_union_by_name" -> Q(
+      run = (s, d) => {
+        val a = Tables.customer(s, d)
+          .select(col("c_custkey").as("id"), col("c_name").as("name"),
+            col("c_acctbal").cast("decimal(18,6)").as("balance"))
+        val b = Tables.supplier(s, d)
+          .select(col("s_suppkey").as("id"), col("s_name").as("name"))
+          .withColumn("kind", lit("supplier"))
+        a.withColumn("kind", lit("customer"))
+          .unionByName(b, allowMissingColumns = true)
+          .groupBy(col("kind"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("balance").isNull, 1).otherwise(0)).cast("long").as("missing_balance"))
+          .orderBy("kind")
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT c_custkey AS id, c_name AS name,
+                 CAST(c_acctbal AS DECIMAL(18,6)) AS balance, 'customer' AS kind
+          FROM customer
+          UNION ALL BY NAME
+          SELECT s_suppkey AS id, s_name AS name, 'supplier' AS kind FROM supplier)
+        SELECT kind, count(*) AS n,
+               CAST(sum(CASE WHEN balance IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_balance
+        FROM u GROUP BY kind ORDER BY kind"""),
+      doc = "unionByName with missing columns (U2 pandas-union semantics)")
   )
 }

@@ -68,4 +68,34 @@ class PlanSpec extends SparkSpec {
     val p = plan("q50_id_range_worklist")
     assert(p.contains("Range ("), s"worklist not a distributed Range:\n$p")
   }
+
+  test("bucketed tables co-locate the join: zero exchanges (scale technique)") {
+    // the 100 TB pattern for repeated fact-fact joins: bucket both sides on
+    // the join key at write time; the sort-merge join then needs no shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(spark, sf).write.mode("overwrite")
+        .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_orders_b")
+      Tables.lineitem(spark, sf).write.mode("overwrite")
+        .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_lineitem_b")
+      val joined = spark.table("graft_orders_b")
+        .join(spark.table("graft_lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority").count()
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      // the join keys must never appear under an Exchange: bucketed scans
+      // feed the sort-merge join directly (only the post-join agg shuffles)
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey"), s"orders side shuffles:\n$p")
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey"), s"lineitem side shuffles:\n$p")
+      assert(p.contains("SortMergeJoin"), s"expected sort-merge over buckets:\n$p")
+      assert(p.contains("Bucketed: true"), s"scan not bucketed:\n$p")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+    }
+  }
 }
