@@ -32,12 +32,18 @@ object TextOps {
 
   // ---- shared Jaccard-pair plumbing (q35 exact, q36 LSH-verified) ----------
 
-  /** (doc_id, shingle-hash) pairs, distinct per doc — the candidate unit. */
+  /** (doc_id, shingle-hash) pairs, distinct per doc — the candidate unit.
+    * Persisted: the pair-join consumes it three times (both join sides plus
+    * per-doc counts) and q36 reuses the identical subplan, so one
+    * scan+explode+distinct feeds them all (Spark's cache manager dedups by
+    * canonicalized plan). At 100 TB this is the same call — you materialize
+    * the shingle projection once, not once per consumer. */
   private def docShingles(s: SparkSession, d: String): DataFrame =
     docTokens(s, d)
       .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("sh"))
       .select(col("doc_id"), charHash(col("sh")).as("shh"))
       .distinct()
+      .persist()
 
   /** Exact Jaccard pairs (a<b) from a shared-shingle equi-join:
     * inter = |shared shingles|, union = nA + nB − inter, keep J ≥ 0.7. */
@@ -255,8 +261,21 @@ object TextOps {
             Seq("band", "sig"))
           .filter(col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b")).distinct()
-        jaccardPairs(sh)
-          .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+        // verify ONLY the candidate pairs (the LSH payoff): broadcast the
+        // small candidate set into the shingle join instead of computing
+        // exact Jaccard over every shared-shingle pair in the corpus
+        val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val interOnCand = sh.select(col("doc_id").as("doc_a"), col("shh"))
+          .join(broadcast(cand), Seq("doc_a"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("shh")), Seq("doc_b", "shh"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        interOnCand
+          .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+          .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+          .withColumn("uni", col("na") + col("nb") - col("inter"))
+          .filter(col("inter") * 10 >= col("uni") * 7)
+          .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
           .orderBy("doc_a", "doc_b")
       },
       oracle = Some(s"""

@@ -49,16 +49,27 @@ object StreamOps {
   }
 
   /** Drain a streaming DataFrame into a memory sink with AvailableNow and
-    * return the materialized result (ST2 quiescence semantics). */
+    * return the materialized result (ST2 quiescence semantics).
+    *
+    * State-store partition count is pinned at stream start (it is NOT
+    * re-sizable later, and AQE never applies to stateful plans), so it must
+    * be sized to the stream's key cardinality up front: 8 covers the fixture
+    * drain with minimal per-partition store/commit overhead; a production
+    * deployment sizes this to executor cores before the FIRST run and keeps
+    * it stable across restarts (changing it invalidates the checkpoint). */
   private def drain(s: SparkSession, streamed: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${runSeq.incrementAndGet()}"
-    val q = streamed.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = streamed.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
