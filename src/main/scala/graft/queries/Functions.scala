@@ -128,18 +128,31 @@ object Functions {
         FROM t ORDER BY doc_id"""),
       doc = "array build/dedup/sort/slice/join (multi-value fields, §1.3)"),
 
-    // HLL sketch cardinality (§2.4 gap): approx_count_distinct has no
-    // cross-engine-stable value, so no SQL oracle — the driver records a
-    // rows-only check and ApproxSpec bounds the relative error vs exact.
+    // HLL sketch cardinality (§2.4 gap): the sketch value itself has no
+    // cross-engine-stable form, so the oracle-checked output is the exact
+    // cardinality plus an in-plan assertion that the sketch landed within
+    // its configured 2% standard error (×3 for headroom) — DuckDB supplies
+    // the exact side and a literal TRUE.
     "q54_approx_distinct" -> Q(
       run = (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+          count_distinct(col("l_partkey")).as("exact_parts"),
+          count_distinct(col("l_suppkey")).as("exact_supps"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("as_"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+          (abs(col("ap") - col("exact_parts")) * 100 <= col("exact_parts") * 6 &&
+            abs(col("as_") - col("exact_supps")) * 100 <= col("exact_supps") * 6)
+            .as("sketch_within_6pct"))
         .orderBy("l_returnflag"),
-      oracle = None,
-      doc = "approx_count_distinct (HLL++) — sketch path, error-bounded in spec"),
+      oracle = Some("""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS exact_parts,
+               count(DISTINCT l_suppkey) AS exact_supps,
+               TRUE AS sketch_within_6pct
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "approx_count_distinct (HLL++) error-bounded against exact counts"),
 
     // from_json with an explicit schema (S10/JSON modality): typed struct
     // access after parse, not just string path extraction (q24).

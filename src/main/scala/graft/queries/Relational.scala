@@ -484,6 +484,55 @@ object Relational {
         SELECT kind, count(*) AS n,
                CAST(sum(CASE WHEN balance IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_balance
         FROM u GROUP BY kind ORDER BY kind"""),
-      doc = "unionByName with missing columns (U2 pandas-union semantics)")
+      doc = "unionByName with missing columns (U2 pandas-union semantics)"),
+
+    // Per-group top-k — "best N per key", the partitioned form of q18's
+    // global top-k. Window row_number + filter lets Spark run it as one
+    // shuffle on the group key with no global sort; ties broken by orderkey
+    // so both engines rank identically despite the double-typed price.
+    "q60_group_topk" -> Q(
+      run = (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("c_mktsegment"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("c_mktsegment"), col("rnk"), col("o_orderkey"))
+          .orderBy("c_mktsegment", "rnk")
+      },
+      oracle = Some("""
+        WITH ranked AS (
+          SELECT c_mktsegment, o_orderkey,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM orders JOIN customer ON o_custkey = c_custkey)
+        SELECT c_mktsegment, CAST(rnk AS INT) AS rnk, o_orderkey
+        FROM ranked WHERE rnk <= 3 ORDER BY c_mktsegment, rnk"""),
+      doc = "top-3 per group via ranking window (partitioned top-k)"),
+
+    // Decile binning — ntile over a total order, then per-bucket stats.
+    // The equal-height-histogram shape used for quality-score stratification
+    // of training corpora; deterministic because the order is total.
+    "q61_ntile_deciles" -> Q(
+      run = (s, d) => Tables.orders(s, d)
+        .withColumn("decile", ntile(10).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("o_totalprice"), col("o_orderkey"))))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("decile"),
+      oracle = Some("""
+        WITH d AS (
+          SELECT o_orderkey,
+                 ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+          FROM orders)
+        SELECT CAST(decile AS INT) AS decile, count(*) AS n,
+               min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        FROM d GROUP BY decile ORDER BY decile"""),
+      doc = "ntile decile binning + per-bucket stats (equal-height histogram)")
   )
 }

@@ -400,6 +400,75 @@ object TextOps {
         SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
         FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
         ORDER BY doc_a, doc_b"""),
-      doc = "32-bit SimHash + byte-block pigeonhole candidate join")
+      doc = "32-bit SimHash + byte-block pigeonhole candidate join"),
+
+    // TF-IDF top terms per document — the classic training-data relevance
+    // ranking, in overflow-safe integer arithmetic (milli-scaled idf ratio)
+    // so both engines agree bit-for-bit. Shape at 100 TB: tf is a map-side
+    // combine per (doc, term); df is a second agg over distinct (doc, term),
+    // broadcast back; the corpus-size scalar joins as a broadcast literal.
+    "q58_tfidf" -> Q(
+      run = (s, d) => {
+        val terms = docTokens(s, d)
+          .select(col("doc_id"), explode(col("toks")).as("term"))
+          .filter(col("term") =!= "")
+        val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val nDocs = Tables.documents(s, d)
+          .agg(count_distinct(col("doc_id")).as("n_docs"))
+        val scored = tf.join(df, Seq("term"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("tfidf_milli", expr("tf * 1000 * n_docs div df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("tfidf_milli").desc, col("term"))
+        scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+            col("tfidf_milli"))
+          .orderBy("doc_id", "rnk")
+      },
+      oracle = Some("""
+        WITH terms AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM terms
+          WHERE term <> '' GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, term, tf, df, tf * 1000 * n_docs // df AS tfidf_milli
+          FROM tf JOIN df USING (term) CROSS JOIN n),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY tfidf_milli DESC, term) AS rnk
+          FROM scored)
+        SELECT doc_id, rnk, term, tf, df, tfidf_milli
+        FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk"""),
+      doc = "TF-IDF top-3 terms per doc (integer-scaled idf, window top-k)"),
+
+    // Fuzzy matching on a bounded label domain — the reference's lead-name
+    // dedup problem (nombre variants) generalized: edit-distance pairs over
+    // the DISTINCT value set. The distinct-first shape is the 100 TB design:
+    // the quadratic step runs on the small label domain (broadcast cross of
+    // two distinct sets), never on the row count.
+    "q59_fuzzy_match" -> Q(
+      run = (s, d) => {
+        val types = Tables.part(s, d).select(col("p_type")).distinct()
+        types.select(col("p_type").as("type_a"))
+          .crossJoin(broadcast(types.select(col("p_type").as("type_b"))))
+          .filter(col("type_a") < col("type_b"))
+          .withColumn("edit_dist", levenshtein(col("type_a"), col("type_b")))
+          .filter(col("edit_dist") <= 6)
+          .orderBy("type_a", "type_b")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT DISTINCT p_type FROM part)
+        SELECT a.p_type AS type_a, b.p_type AS type_b,
+               CAST(levenshtein(a.p_type, b.p_type) AS INT) AS edit_dist
+        FROM t a JOIN t b ON a.p_type < b.p_type
+        WHERE levenshtein(a.p_type, b.p_type) <= 6
+        ORDER BY type_a, type_b"""),
+      doc = "edit-distance fuzzy pairs over a distinct label domain")
   )
 }
