@@ -351,6 +351,29 @@ object EtlOps {
                (CASE WHEN regexp_matches(raw, '^[0-9]+$') THEN CAST(raw AS BIGINT) END IS NOT NULL
                 OR CASE WHEN lower(raw) = 'true' THEN TRUE WHEN lower(raw) = 'false' THEN FALSE END IS NOT NULL) AS is_valid
         FROM dirty ORDER BY o_orderkey"""),
-      doc = "E1 try_* null algebra + F11 coercion + validity filter")
+      doc = "E1 try_* null algebra + F11 coercion + validity filter"),
+
+    // DSv2 crawl source (S4/S5): the directory as a TABLE whose scan serves
+    // the search-form filters itself — rubro/has_email equality never
+    // materializes a non-matching row, the id bound narrows the generated
+    // range, and only projected columns are synthesized. The residual
+    // (id % 7 = 0) stays with Spark, proving mixed evaluation. The oracle
+    // regenerates the same deterministic directory from range().
+    "q62_dsv2_pushdown" -> Q(
+      run = (s, d) => s.read.format("graft.sources.DirectorySource")
+        .option("start_id", 1).option("end_id", 5000)
+        .load()
+        .filter(col("rubro") === "Salud" && col("has_email") === true &&
+          col("id") <= 4000 && col("id") % 7 === 0)
+        .select(col("id"), col("nombre"), col("localidad"))
+        .orderBy("id"),
+      oracle = Some("""
+        SELECT id, 'Negocio ' || CAST(id AS VARCHAR) AS nombre,
+               (['Santa Fe','Rosario','Rafaela','Venado Tuerto','Reconquista','Esperanza'])[CAST((id*13) % 6 AS INT) + 1] AS localidad
+        FROM range(1, 5001) AS t(id)
+        WHERE (['Comercio','Salud','Gastronomia','Construccion','Educacion','Transporte','Agro','Servicios'])[CAST((id*7) % 8 AS INT) + 1] = 'Salud'
+          AND id % 3 = 0 AND id <= 4000 AND id % 7 = 0
+        ORDER BY id"""),
+      doc = "DataSource V2 scan with filter pushdown, range narrowing, column pruning")
   )
 }

@@ -98,4 +98,23 @@ class PlanSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
     }
   }
+
+  test("q62: DSv2 scan consumes form filters, narrows range, prunes columns") {
+    val p = plan("q62_dsv2_pushdown")
+    assert(p.contains("EqualTo(rubro,Salud)"), s"rubro filter not pushed:\n$p")
+    assert(p.contains("EqualTo(has_email,true)"), s"has_email filter not pushed:\n$p")
+    assert(p.contains("GuiaDirectory[1..4000]"), s"id bound did not narrow the range:\n$p")
+    assert(p.contains("ReadSchema: id,nombre,localidad"), s"columns not pruned:\n$p")
+
+    // the id bound also prunes chunk partitions: [1..4000] at 1000/chunk = 4
+    val narrowed = spark.read.format("graft.sources.DirectorySource")
+      .option("start_id", 1).option("end_id", 5000).load()
+      .filter(col("id") <= 4000)
+    assert(narrowed.rdd.getNumPartitions == 4,
+      s"expected 4 pruned chunks, got ${narrowed.rdd.getNumPartitions}")
+
+    // residual (id % 7) is NOT pushed — Spark evaluates it post-scan
+    assert(!p.contains("PushedFilters: [EqualTo(rubro,Salud), EqualTo(has_email,true), ("),
+      "modulo residual unexpectedly pushed")
+  }
 }
