@@ -220,6 +220,47 @@ object Vectors {
                CAST(sum(CAST(floor(CAST(embedding[3] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) // count(*) AS dim2_avg_x1e6,
                CAST(sum(CAST(floor(CAST(embedding[4] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) // count(*) AS dim3_avg_x1e6
         FROM embeddings GROUP BY label ORDER BY label"""),
-      doc = "per-label centroid summary in order-independent integer space")
+      doc = "per-label centroid summary in order-independent integer space"),
+
+    // Full 64-dim centroid through a typed Aggregator[IN, BUF, OUT] — the
+    // user-facing custom-aggregation API (SURVEY §2.9): one mutable Long[64]
+    // buffer per group, element-wise reduce/merge, so the partial-aggregation
+    // (map-side combine) path Spark gives every Aggregator applies to vector
+    // state too. Integer-scaled sums keep the result order-independent and
+    // engine-stable; the output explodes to (label, dim, sum) rows.
+    "q63_centroid_agg" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        val dims = 64
+        val centroid = new org.apache.spark.sql.expressions.Aggregator[
+            (Int, Array[Float]), Array[Long], Array[Long]] {
+          def zero: Array[Long] = new Array[Long](dims)
+          def reduce(b: Array[Long], row: (Int, Array[Float])): Array[Long] = {
+            val v = row._2; var i = 0
+            while (i < dims) { b(i) += math.floor(v(i).toDouble * 1000000.0).toLong; i += 1 }
+            b
+          }
+          def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+            var i = 0; while (i < dims) { a(i) += b(i); i += 1 }; a
+          }
+          def finish(b: Array[Long]): Array[Long] = b
+          def bufferEncoder = implicitly[org.apache.spark.sql.Encoder[Array[Long]]]
+          def outputEncoder = implicitly[org.apache.spark.sql.Encoder[Array[Long]]]
+        }
+        Tables.embeddings(s, d)
+          .select(col("label"), col("embedding"))
+          .as[(Int, Array[Float])]
+          .groupByKey(_._1)
+          .agg(centroid.toColumn.name("sums"))
+          .toDF("label", "sums")
+          .select(col("label"), posexplode(col("sums")).as(Seq("dim", "sum_x1e6")))
+          .orderBy("label", "dim")
+      },
+      oracle = Some("""
+        SELECT label, CAST(i - 1 AS INT) AS dim,
+               CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_x1e6
+        FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+        GROUP BY label, i ORDER BY label, dim"""),
+      doc = "typed Aggregator centroid over Array[Float] (map-side combinable)")
   )
 }

@@ -145,6 +145,39 @@ object StreamOps {
                max(ts) + INTERVAL '30 minutes' AS session_end,
                count(*) AS n_events
         FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"""),
-      doc = "gap-based session windows (session_window, ST quiescence shape)")
+      doc = "gap-based session windows (session_window, ST quiescence shape)"),
+
+    // Stream-stream interval join: view→purchase attribution per user within
+    // 30 minutes. Both sides watermarked so Spark bounds the join state (a
+    // view can be dropped once no purchase within its 30-minute horizon can
+    // still arrive) — the state-cleanup contract that makes stream-stream
+    // joins runnable indefinitely at scale. Append-mode drain; the oracle is
+    // the identical batch interval join.
+    "q64_stream_stream_join" -> Q(
+      run = (s, d) => {
+        val views = eventsStream(s, d)
+          .filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+          .withWatermark("view_ts", "1 hour")
+        val purchases = eventsStream(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts"))
+          .withWatermark("purchase_ts", "1 hour")
+        val joined = views.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_ts") >= col("view_ts") &&
+            col("purchase_ts") < col("view_ts") + expr("INTERVAL 30 MINUTES"))
+          .select(col("user_id"), col("view_id"), col("purchase_id"))
+        drain(s, joined, "append").orderBy("user_id", "view_id", "purchase_id")
+      },
+      oracle = Some("""
+        SELECT v.user_id AS user_id, v.event_id AS view_id, p.event_id AS purchase_id
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id
+         AND v.event_type = 'view' AND p.event_type = 'purchase'
+         AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL '30 minutes'
+        ORDER BY v.user_id, view_id, purchase_id"""),
+      doc = "watermarked stream-stream interval join (bounded state, append mode)")
   )
 }
