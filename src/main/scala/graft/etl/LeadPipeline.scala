@@ -87,6 +87,15 @@ object LeadPipeline {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Typed view of a cleaned lead DataFrame: compile-time field access for
+    * per-entity logic (`Dataset[Lead]`, SURVEY §1.1). Columns are aligned to
+    * the canonical schema order first, so any pipeline stage's output (which
+    * may reorder columns) encodes correctly. */
+  def typed(leads: DataFrame): org.apache.spark.sql.Dataset[Lead] =
+    leads
+      .select(leadSchema.fieldNames.map(col).toIndexedSeq: _*)
+      .as[Lead](org.apache.spark.sql.Encoders.product[Lead])
+
   /** K1 CSV sink: header + egress sentinel restore + deterministic order. */
   def loadCsv(leads: DataFrame, path: String): Unit = {
     val stringified = leads.schema.fields.foldLeft(leads) { (df, f) =>

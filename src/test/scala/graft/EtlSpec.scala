@@ -116,6 +116,18 @@ class EtlSpec extends SparkSpec {
     assert(names.sameElements(Array("Biz 7", "Biz 8")))
   }
 
+  test("typed Dataset[Lead] round-trips the cleaned pipeline (§1.1)") {
+    val pages = Seq(7L, 8L).map(id => (id, s"u$id", page(id))).toDF("id_negocio", "url", "html")
+    val ds = LeadPipeline.typed(LeadPipeline.clean(LeadPipeline.extract(pages)))
+    // compile-time field access: Option encodes nullability, Seq the arrays
+    val got = ds.filter(_.email.isDefined)
+      .map(l => (l.id_negocio, l.localidad.getOrElse("?"), l.telefonos.size))(
+        org.apache.spark.sql.Encoders.product[(Long, String, Int)])
+      .collect().sortBy(_._1)
+    assert(got.sameElements(Array((7L, "Rosario", 1), (8L, "Rosario", 1))))
+    assert(ds.head().latitud.contains(-32.95))
+  }
+
   test("app modes: bulk and sequential run end-to-end with status envelope") {
     val out1 = tmp("graft_app_bulk")
     val r1 = graft.app.Main.runBulk(spark, 1, 20, out1)
