@@ -131,6 +131,30 @@ object Events {
                CAST(max(events_in_session) AS BIGINT) AS max_session_events,
                CAST(max(session_span_us) AS BIGINT) AS max_session_span_us
         FROM per_session GROUP BY user_id ORDER BY user_id"""),
-      doc = "gap-based sessionization (lag + running sum)")
+      doc = "gap-based sessionization (lag + running sum)"),
+
+    // Sliding (hopping) window: 30-minute windows every 10 minutes — each
+    // event contributes to 3 overlapping buckets. Spark's window() plans
+    // this as a generator (3-row expansion) + one grouped agg; the oracle
+    // expands the same 3 bucket starts arithmetically.
+    "q65_sliding_window" -> Q(
+      run = (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "30 minutes", "10 minutes"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("value_sum"))
+        .select(
+          col("window.start").as("bucket_start"),
+          col("event_type"), col("n"), col("value_sum"))
+        .orderBy("bucket_start", "event_type"),
+      oracle = Some("""
+        WITH expanded AS (
+          SELECT time_bucket(INTERVAL '10 minutes', ts) - to_minutes(k * 10) AS bucket_start,
+                 event_type, value
+          FROM events CROSS JOIN (SELECT unnest(range(0, 3)) AS k))
+        SELECT bucket_start, event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS value_sum
+        FROM expanded GROUP BY 1, 2 ORDER BY bucket_start, event_type"""),
+      doc = "sliding event-time window (3x overlap, generator + one agg)")
   )
 }
