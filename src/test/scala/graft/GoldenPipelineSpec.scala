@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{CleanFunctions => CF, ReferenceHtml => RH}
+
+/** End-to-end golden tests over the FIXTURES.md §B fixtures — the recreated
+  * stand-ins for the reference's lost `data/html_samples` (SURVEY §5.4).
+  * Exercises the reference's REAL selector structures (ReferenceHtml) and the
+  * full raw→clean→golden-CSV lead path with every edge case FIXTURES.md §B1
+  * enumerates (phone-length branches, dash-variant dup phones, invalid
+  * email/URL, guiacores social noise, address split, whitespace collapse,
+  * first-wins dedup).
+  */
+class GoldenPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def resource(path: String): String =
+    getClass.getResource(path).getPath
+
+  private def readHtml(name: String): DataFrame =
+    spark.read.format("binaryFile").load(resource(s"/html/$name"))
+      .select(col("content").cast("string").as("html"))
+
+  private val base = "https://www.guiacores.com.ar/"
+
+  test("B3 detail page: primary selectors extract the full record (H1-H9)") {
+    val row = readHtml("detail_page.html")
+      .select(RH.leadRecord(col("html"), lit(42L), lit("u42")).as("r"))
+      .select("r.*").head()
+    assert(row.getAs[String]("nombre") == "Ferretería  El Tornillo")
+    assert(row.getAs[String]("direccion") == "Av. San Martín 1234 - (3000) Santa Fe")
+    assert(row.getAs[scala.collection.Seq[String]]("telefonos").toSeq ==
+      Seq("342 455-5000", "+54 9 342 612-3456"))
+    assert(row.getAs[String]("whatsapp") == "5493424555000") // phone param wins
+    assert(row.getAs[String]("sitio_web") == "https://www.eltornillo.com.ar")
+    assert(row.getAs[String]("email") == "ventas@eltornillo.com.ar")
+    assert(row.getAs[String]("facebook") == "https://www.facebook.com/eltornillosf")
+    assert(row.getAs[String]("instagram") == "https://instagram.com/eltornillosf")
+    assert(row.getAs[String]("horarios") == "Lun a Vie 8:00-12:30 y 16:00-20:00")
+    assert(row.getAs[scala.collection.Seq[String]]("rubros").toSeq ==
+      Seq("Ferreterías", "Pinturerías"))
+    assert(row.getAs[String]("descripcion") == "Venta de herramientas  y materiales.")
+    assert(row.getAs[Double]("latitud") == -31.6333)
+    assert(row.getAs[Double]("longitud") == -60.70)
+  }
+
+  test("B3 fallback page: fa-cloud/fa-envelope/text-param/category paths (H3-H8)") {
+    val row = readHtml("detail_page_fallbacks.html")
+      .select(RH.leadRecord(col("html"), lit(43L), lit("u43")).as("r"))
+      .select("r.*").head()
+    assert(row.getAs[String]("nombre") == "Panadería La Espiga")
+    // text= param: percent-decoded, first digit run
+    assert(row.getAs[String]("whatsapp") == "3427778888")
+    assert(row.getAs[String]("sitio_web") == "http://laespiga.example.com")
+    assert(row.getAs[String]("email") == "pedidos@laespiga.com")
+    assert(row.getAs[String]("horarios") == "Sab 8-13") // Cerrado stripped
+    assert(row.getAs[scala.collection.Seq[String]]("rubros").toSeq == Seq("Panaderías"))
+    assert(row.isNullAt(row.fieldIndex("latitud")))
+  }
+
+  test("B3 sparse page: every extractor degrades to null, none throws") {
+    val row = readHtml("detail_page_sparse.html")
+      .select(RH.leadRecord(col("html"), lit(44L), lit("u44")).as("r"))
+      .select("r.*").head()
+    for (f <- Seq("nombre", "direccion", "whatsapp", "sitio_web", "email",
+        "facebook", "instagram", "horarios", "descripcion"))
+      assert(row.isNullAt(row.fieldIndex(f)), s"$f not null")
+    assert(row.getAs[scala.collection.Seq[String]]("telefonos").isEmpty)
+    assert(row.getAs[scala.collection.Seq[String]]("rubros").isEmpty)
+  }
+
+  test("B3 search results: cards → (id,url), missing id dropped, first-wins, total matches (H10/F14/J4)") {
+    val page = readHtml("search_results.html")
+    assert(page.select(RH.totalMatches(col("html"))).head().getLong(0) == 735L)
+
+    val cards = page
+      .select(posexplode(RH.resultCards(col("html"), base)).as(Seq("seq", "c")))
+      .select(col("seq"), col("c.id_negocio"), col("c.url"))
+    // 5 cards parsed; the id-less one yields null id and is filtered like the
+    // reference's silent skip
+    assert(cards.count() == 5)
+    val harvested = graft.operators.Operators.dedupFirstWins(
+      cards.filter(col("id_negocio").isNotNull), Seq("id_negocio"), Seq(col("seq")))
+    val byId = harvested.orderBy("id_negocio").collect()
+    assert(byId.map(_.getAs[Long]("id_negocio")).sameElements(Array(11L, 12L, 13L)))
+    // relative href absolutized; already-absolute kept verbatim
+    assert(byId(0).getAs[String]("url") == base + "index.php?r=search/detail&id=11")
+    assert(byId(1).getAs[String]("url") == "https://www.guiacores.com.ar/index.php?r=search/detail&id=12")
+  }
+
+  test("B3 incremental pages: per-batch new-key counts reach quiescence (ST2/ST3)") {
+    val pages = Seq("search_results.html", "search_results_page2.html",
+      "search_results_page3.html")
+    var seen = Set.empty[Long]
+    val newPerPage = pages.map { p =>
+      val ids = readHtml(p)
+        .select(explode(RH.resultCards(col("html"), base)).as("c"))
+        .select(col("c.id_negocio")).filter(col("id_negocio").isNotNull)
+        .as[Long].collect().toSet
+      val fresh = (ids -- seen).size
+      seen ++= ids
+      fresh
+    }
+    // page1: {11,12,13}; page2 adds 14; page3 adds nothing → quiescent
+    assert(newPerPage == Seq(3, 1, 0))
+
+    // B4 resume: anti-join against the processed-ids sink state (J1)
+    val processed = spark.read.option("header", "true")
+      .schema("id_negocio LONG").csv(resource("/leads/processed_ids.csv"))
+    val remaining = seen.toSeq.toDF("id_negocio")
+      .join(processed, Seq("id_negocio"), "left_anti")
+      .orderBy("id_negocio").as[Long].collect()
+    assert(remaining.sameElements(Array(12L, 13L, 14L)))
+  }
+
+  test("B1→B2 golden: raw leads CSV through the clean path matches golden CSV") {
+    val raw = spark.read.option("header", "true")
+      .csv(resource("/leads/leads_raw.csv"))
+
+    val cleaned = raw
+      .withColumn("nombre", CF.cleanText(CF.naToNull(col("nombre"))))
+      .withColumn("email", CF.validEmail(CF.naToNull(col("email"))))
+      .withColumn("telefonos", CF.phonesToString(CF.cleanPhones(CF.naToNull(col("telefonos")))))
+      .withColumn("rubros",
+        array_join(transform(split(CF.naToNull(col("rubros")), ","), t => trim(t)), ", "))
+      .withColumn("addr", CF.addressParts(CF.naToNull(col("direccion"))))
+      .withColumn("direccion", col("addr.direccion"))
+      .withColumn("localidad", col("addr.localidad"))
+      .withColumn("sitio_web", CF.normalizeUrl(CF.naToNull(col("sitio_web"))))
+      .withColumn("facebook", CF.cleanSocial(CF.naToNull(col("facebook"))))
+      .withColumn("instagram", CF.cleanSocial(CF.naToNull(col("instagram"))))
+    val deduped = graft.operators.Operators.dedupFirstWins(
+      cleaned, Seq("id_negocio"), Seq(col("fecha_extraccion"), col("url")))
+
+    val goldenCols = Seq("id_negocio", "nombre", "email", "telefonos", "rubros",
+      "direccion", "localidad", "sitio_web", "facebook", "instagram")
+    val got = deduped
+      .select(goldenCols.map(c => CF.nullToNa(col(c)).as(c)): _*)
+      .orderBy(col("id_negocio").cast("long"))
+      .collect().map(_.toSeq)
+
+    val golden = spark.read.option("header", "true")
+      .csv(resource("/leads/leads_clean_golden.csv"))
+      .select(goldenCols.map(col): _*)
+      .orderBy(col("id_negocio").cast("long"))
+      .collect().map(_.toSeq)
+
+    assert(got.length == golden.length)
+    got.zip(golden).foreach { case (g, e) =>
+      assert(g == e, s"\n got: $g\nwant: $e")
+    }
+  }
+}
