@@ -45,13 +45,18 @@ object Main {
   def runBulk(spark: SparkSession, startId: Long, endId: Long, out: String): RunResult =
     runPipeline(spark, syntheticPages(LeadPipeline.collect(spark, startId, endId)), out)
 
-  /** Sequential mode: discovery (result cards → worklist, anti-join resume)
-    * → pages → pipeline. `processed` models the sink-derived resume state. */
+  /** Sequential mode: discovery (reference-structure result cards →
+    * worklist, first-wins dedup, anti-join resume) → pages → pipeline.
+    * `processed` models the sink-derived resume state (S9/J1). */
   def runSequential(spark: SparkSession, cardsHtml: DataFrame,
       processed: DataFrame, out: String): RunResult = {
-    val worklist = cardsHtml
-      .select(explode(graft.functions.HtmlFunctions.htmlResultCards(col("html"))).as("c"))
-      .select(col("c.id_negocio"), col("c.url"))
+    val cards = cardsHtml
+      .select(posexplode(graft.functions.ReferenceHtml.resultCards(
+        col("html"), "https://www.guiacores.com.ar/")).as(Seq("seq", "c")))
+      .select(col("seq"), col("c.id_negocio"), col("c.url"))
+      .filter(col("id_negocio").isNotNull) // id-less cards silently skipped
+    val worklist = graft.operators.Operators
+      .dedupFirstWins(cards, Seq("id_negocio"), Seq(col("seq")))
       .join(processed, Seq("id_negocio"), "left_anti")
     runPipeline(spark, syntheticPages(worklist.select("id_negocio", "url")), out)
   }
@@ -76,9 +81,15 @@ object Main {
     val result = args.toList match {
       case "bulk" :: s :: e :: out :: Nil => runBulk(spark, s.toLong, e.toLong, out)
       case "manual" :: glob :: out :: Nil => runManual(spark, glob, out)
+      case "sequential" :: searchGlob :: processedCsv :: out :: Nil =>
+        val cards = spark.read.format("binaryFile").load(searchGlob)
+          .select(col("content").cast("string").as("html"))
+        val processed = spark.read.option("header", "true")
+          .schema("id_negocio LONG").csv(processedCsv)
+        runSequential(spark, cards, processed, out)
       case other =>
         RunResult("error", s"modo no reconocido: ${other.mkString(" ")} " +
-          "(uso: bulk <start> <end> <out> | manual <glob> <out>)", 0L)
+          "(uso: bulk <start> <end> <out> | sequential <search-glob> <processed-csv> <out> | manual <glob> <out>)", 0L)
     }
     println(s"""{"status":"${result.status}","message":"${result.message}","records_processed":${result.recordsProcessed}}""")
     spark.stop()

@@ -105,7 +105,11 @@ object LeadPipeline {
             when(col(f.name).isNull || size(col(f.name)) === 0, lit(CF.NA))
               .otherwise(array_join(col(f.name), ", ")))
         case StringType => df.withColumn(f.name, CF.nullToNa(col(f.name)))
-        case _ => df
+        case TimestampType => // reference egress format (F12, bulk_scraper.py:89)
+          df.withColumn(f.name,
+            CF.nullToNa(date_format(col(f.name), "yyyy-MM-dd HH:mm:ss")))
+        case _ => // numeric columns: stringify so 'N/A' restores for missing
+          df.withColumn(f.name, CF.nullToNa(col(f.name).cast(StringType)))
       }
     }
     stringified.orderBy("id_negocio")

@@ -136,13 +136,12 @@ class EtlSpec extends SparkSpec {
     assert(back.count() == 20)
     assert(back.filter($"localidad" === "Santa Fe").count() == 20)
 
-    // sequential: discovery page yields 4 cards, 2 already processed
-    val cards = Seq(
-      """<div class="card-mobile gc-item" data-id="11" data-url="/d?id=11">x
-        |<div class="card-mobile gc-item" data-id="12" data-url="/d?id=12">x
-        |<div class="card-mobile gc-item" data-id="13" data-url="/d?id=13">x
-        |<div class="card-mobile gc-item" data-id="14" data-url="/d?id=14">x""".stripMargin('|'))
-      .toDF("html")
+    // sequential: discovery page yields 4 cards (reference card structure),
+    // 2 already processed
+    val cards = Seq((11 to 14).map(i =>
+      s"""<div class="card-mobile gc-item"><span class="nombre-comercio">
+         |<a href="index.php?r=search/detail&id=$i">Negocio $i</a></span></div>""".stripMargin('|'))
+      .mkString("\n")).toDF("html")
     val processed = Seq(11L, 13L).toDF("id_negocio")
     val out2 = tmp("graft_app_seq")
     val r2 = graft.app.Main.runSequential(spark, cards, processed, out2)
