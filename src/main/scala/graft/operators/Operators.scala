@@ -81,4 +81,21 @@ object Operators {
       .agg(remerge.map { case (c, f) => expr(s"$f($c)").as(c.stripPrefix("__p_")) }.toSeq.head,
         remerge.map { case (c, f) => expr(s"$f($c)").as(c.stripPrefix("__p_")) }.toSeq.tail: _*)
   }
+
+  /** Salted equi-join for a skewed LEFT side: each left row gets a
+    * deterministic salt in [0, buckets) and the right side is replicated
+    * `buckets`× with every salt value, so the hot key's rows spread over
+    * `buckets` tasks instead of one straggler. Trade-off is explicit:
+    * right-side shuffle volume ×buckets — use when the right side is small
+    * relative to the hot key's row count but too big (or growing) to
+    * broadcast. AQE's skew-join split handles moderate skew on its own;
+    * this is the explicit form for pathological keys at 100 TB. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      buckets: Int): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(buckets.toLong)))
+    val replicatedRight = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
+  }
 }

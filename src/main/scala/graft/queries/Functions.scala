@@ -154,6 +154,32 @@ object Functions {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
       doc = "approx_count_distinct (HLL++) error-bounded against exact counts"),
 
+    // Unpivot/melt — the inverse reshape of q21's pivot: wide measure
+    // columns → (metric, value) rows, then a grouped roll-up. Spark plans
+    // unpivot as an Expand (row generator), no shuffle until the agg.
+    "q66_unpivot" -> Q(
+      run = (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          col("l_quantity").cast("decimal(18,6)").as("quantity"),
+          col("l_discount").cast("decimal(18,6)").as("discount"),
+          col("l_tax").cast("decimal(18,6)").as("tax"))
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("quantity"), col("discount"), col("tax")), "metric", "val")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("val")).cast("decimal(38,6)").as("total"))
+        .orderBy("metric"),
+      oracle = Some("""
+        WITH melted AS (
+          SELECT l_orderkey, 'quantity' AS metric, CAST(l_quantity AS DECIMAL(18,6)) AS val FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, 'discount', CAST(l_discount AS DECIMAL(18,6)) FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, 'tax', CAST(l_tax AS DECIMAL(18,6)) FROM lineitem)
+        SELECT metric, count(*) AS n, CAST(sum(val) AS DECIMAL(38,6)) AS total
+        FROM melted GROUP BY metric ORDER BY metric"""),
+      doc = "unpivot/melt wide measures to rows (Expand, inverse of q21 pivot)"),
+
     // from_json with an explicit schema (S10/JSON modality): typed struct
     // access after parse, not just string path extraction (q24).
     "q55_json_struct" -> Q(

@@ -66,4 +66,20 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("l_returnflag")
     assert(salted.collect().sameElements(plain.collect()))
   }
+
+  test("saltedJoin equals plain join (hot-key spread, no row loss/dup)") {
+    val left = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity")
+    val right = Tables.orders(spark, sf)
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+    val salted = Operators.saltedJoin(left, right, "l_orderkey", 8)
+    val plain = left.join(right, Seq("l_orderkey"))
+    assert(salted.count() == plain.count())
+    // value-level equality via a grouped checksum, not just cardinality
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("o_orderpriority")
+        .agg(sum($"l_quantity".cast("decimal(20,2)")).as("q"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority").collect()
+    assert(sig(salted).sameElements(sig(plain)))
+  }
 }
