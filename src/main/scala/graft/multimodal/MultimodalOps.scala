@@ -80,6 +80,21 @@ object MultimodalOps {
     }
   }
 
+  /** Resize stage: aspect-preserving fit into a target box, integer milli-
+    * scale math (deterministic, engine-replicable). A real resampler plugs in
+    * behind the same dims contract; the narrow typed map is the plan shape. */
+  def resizeTo(features: Dataset[MediaFeatures], target: Int): Dataset[MediaFeatures] = {
+    import features.sparkSession.implicits._
+    features.map { f =>
+      if (f.width <= 0 || f.height <= 0) f.copy(width = 0, height = 0)
+      else {
+        val s = math.min(target * 1000L / f.width, target * 1000L / f.height)
+        f.copy(width = (f.width * s / 1000L).toInt,
+          height = (f.height * s / 1000L).toInt)
+      }
+    }
+  }
+
   /** Frame sampling: every k-th frame index (video/audio), as exploded rows —
     * the flatMap shape a frame extractor produces. */
   def sampleFrames(features: Dataset[MediaFeatures], every: Int): DataFrame =
@@ -147,6 +162,35 @@ object MultimodalOps {
                count(*) AS media_with_frames
         FROM frames WHERE n_frames > 1
         GROUP BY media_type ORDER BY media_type"""),
-      doc = "stub decode + every-kth frame sampling (mapPartitions stage)")
+      doc = "stub decode + every-kth frame sampling (mapPartitions stage)"),
+
+    // Resize plumbing as a query: decode dims → aspect-preserving fit into
+    // 224×224 in integer milli-scale math, per-type size stats. The oracle
+    // replays the same integer law, so the typed-map stage is hash-gated.
+    "q67_media_resize" -> Q(
+      run = (s, d) => resizeTo(extractFeatures(mediaTable(s, d)), 224).toDF()
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("width")).as("max_w"), min(col("width")).as("min_w"),
+          max(col("height")).as("max_h"), min(col("height")).as("min_h"))
+        .orderBy("media_type"),
+      oracle = Some("""
+        WITH dims AS (
+          SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+                 ascii(substr(text, 1, 1)) * 4 AS w,
+                 ascii(substr(text, 2, 1)) * 4 AS h
+          FROM documents),
+        resized AS (
+          SELECT media_type,
+                 CASE WHEN w <= 0 OR h <= 0 THEN 0
+                      ELSE CAST(w * least(224000 // w, 224000 // h) // 1000 AS INT) END AS width,
+                 CASE WHEN w <= 0 OR h <= 0 THEN 0
+                      ELSE CAST(h * least(224000 // w, 224000 // h) // 1000 AS INT) END AS height
+          FROM dims)
+        SELECT media_type, count(*) AS n,
+               max(width) AS max_w, min(width) AS min_w,
+               max(height) AS max_h, min(height) AS min_h
+        FROM resized GROUP BY media_type ORDER BY media_type"""),
+      doc = "aspect-preserving resize stage (integer milli-scale, typed map)")
   )
 }

@@ -51,6 +51,20 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.filter($"media_id" === 2).count() == 0) // single frame → skipped
   }
 
+  test("resizeTo fits dims into the target box, preserving aspect ratio") {
+    val feats = Seq(
+      MultimodalOps.MediaFeatures(1L, "image", 448, 224, 1, 0L), // 2:1 landscape
+      MultimodalOps.MediaFeatures(2L, "image", 100, 400, 1, 0L), // 1:4 portrait
+      MultimodalOps.MediaFeatures(3L, "image", 0, 120, 1, 0L)    // degenerate
+    ).toDS()
+    val out = MultimodalOps.resizeTo(feats, 224).collect().sortBy(_.media_id)
+    assert((out(0).width, out(0).height) == (224, 112))
+    assert((out(1).width, out(1).height) == (56, 224))
+    assert((out(2).width, out(2).height) == (0, 0))
+    // never exceeds the box
+    assert(out.forall(f => f.width <= 224 && f.height <= 224))
+  }
+
   test("features stay small: binary column dropped before any wide op") {
     val media = MultimodalOps.mediaTable(spark, sf)
     val feats = MultimodalOps.extractFeatures(media)
