@@ -402,6 +402,64 @@ object TextOps {
         ORDER BY doc_a, doc_b"""),
       doc = "32-bit SimHash + byte-block pigeonhole candidate join"),
 
+    // Character-n-gram language ID — the fasttext-style profile technique
+    // itself (q32 is the stopword-vote variant): doc trigrams equi-join a
+    // small per-language profile table, vote count per language, argmax with
+    // deterministic tie-break. The profile join broadcasts; the trigram
+    // explode is the only fanout, bounded by doc length.
+    "q68_langid_ngram" -> Q(
+      run = (s, d) => {
+        val profiles = Seq(
+          ("en", Seq("the", "he ", " th", "ing", "nd ", "ed ")),
+          ("es", Seq("de ", " de", "la ", "os ", "ar ", "ion")),
+          ("de", Seq("der", "ein", "sch", "und", "ich", "en "))
+        ).flatMap { case (l, gs) => gs.map((l, _)) }
+        import s.implicits._
+        val prof = profiles.toDF("cand_lang", "gram")
+        val tri = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(1), greatest(length(col("text")) - 2, lit(1)))).as("i"))
+          .select(col("doc_id"), expr("substring(text, i, 3)").as("gram"))
+        val votes = tri.join(broadcast(prof), Seq("gram"))
+          .groupBy(col("doc_id"), col("cand_lang"))
+          .agg(count(lit(1)).as("votes"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("votes").desc, col("cand_lang"))
+        votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .join(Tables.documents(s, d).select(col("doc_id"), col("lang").as("labeled_lang")),
+            Seq("doc_id"), "right")
+          .select(col("doc_id"), col("labeled_lang"),
+            coalesce(col("cand_lang"), lit("unknown")).as("guessed_lang"),
+            coalesce(col("votes"), lit(0L)).as("votes"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH prof AS (
+          SELECT * FROM (VALUES
+            ('en','the'),('en','he '),('en',' th'),('en','ing'),('en','nd '),('en','ed '),
+            ('es','de '),('es',' de'),('es','la '),('es','os '),('es','ar '),('es','ion'),
+            ('de','der'),('de','ein'),('de','sch'),('de','und'),('de','ich'),('de','en ')
+          ) AS v(cand_lang, gram)),
+        tri AS (
+          SELECT doc_id, substr(text, CAST(i AS INT), 3) AS gram
+          FROM documents
+          CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(len(text) - 1, 2))) AS i)),
+        votes AS (
+          SELECT doc_id, cand_lang, count(*) AS votes
+          FROM tri JOIN prof USING (gram)
+          GROUP BY doc_id, cand_lang),
+        best AS (
+          SELECT doc_id, cand_lang, votes,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY votes DESC, cand_lang) AS rn
+          FROM votes)
+        SELECT d.doc_id, d.lang AS labeled_lang,
+               COALESCE(b.cand_lang, 'unknown') AS guessed_lang,
+               COALESCE(b.votes, 0) AS votes
+        FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+        ORDER BY d.doc_id"""),
+      doc = "char-trigram profile language ID (broadcast profile join, argmax)"),
+
     // TF-IDF top terms per document — the classic training-data relevance
     // ranking, in overflow-safe integer arithmetic (milli-scaled idf ratio)
     // so both engines agree bit-for-bit. Shape at 100 TB: tf is a map-side
