@@ -416,13 +416,17 @@ object TextOps {
         ).flatMap { case (l, gs) => gs.map((l, _)) }
         import s.implicits._
         val prof = profiles.toDF("cand_lang", "gram")
-        val tri = Tables.documents(s, d)
-          .select(col("doc_id"), col("text"),
-            explode(sequence(lit(1), greatest(length(col("text")) - 2, lit(1)))).as("i"))
-          .select(col("doc_id"), expr("substring(text, i, 3)").as("gram"))
-        val votes = tri.join(broadcast(prof), Seq("gram"))
+        // occurrence counting via replace-shrinkage: 18 string ops per doc
+        // instead of a length(text)-row trigram explode — same integer law
+        // on both engines (non-overlapping, left-to-right, like replace())
+        val votes = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .crossJoin(broadcast(prof))
+          .withColumn("hits",
+            (length(col("text")) - length(expr("replace(text, gram, '')"))) / 3)
           .groupBy(col("doc_id"), col("cand_lang"))
-          .agg(count(lit(1)).as("votes"))
+          .agg(sum(col("hits")).cast("long").as("votes"))
+          .filter(col("votes") > 0)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id"))
           .orderBy(col("votes").desc, col("cand_lang"))
@@ -441,14 +445,12 @@ object TextOps {
             ('es','de '),('es',' de'),('es','la '),('es','os '),('es','ar '),('es','ion'),
             ('de','der'),('de','ein'),('de','sch'),('de','und'),('de','ich'),('de','en ')
           ) AS v(cand_lang, gram)),
-        tri AS (
-          SELECT doc_id, substr(text, CAST(i AS INT), 3) AS gram
-          FROM documents
-          CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(len(text) - 1, 2))) AS i)),
         votes AS (
-          SELECT doc_id, cand_lang, count(*) AS votes
-          FROM tri JOIN prof USING (gram)
-          GROUP BY doc_id, cand_lang),
+          SELECT doc_id, cand_lang,
+                 sum((len(text) - len(replace(text, gram, ''))) // 3) AS votes
+          FROM documents CROSS JOIN prof
+          GROUP BY doc_id, cand_lang
+          HAVING sum((len(text) - len(replace(text, gram, ''))) // 3) > 0),
         best AS (
           SELECT doc_id, cand_lang, votes,
                  row_number() OVER (PARTITION BY doc_id ORDER BY votes DESC, cand_lang) AS rn
