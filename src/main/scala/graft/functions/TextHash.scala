@@ -71,6 +71,52 @@ object TextHash {
     * (single-space separator, empties preserved) so oracles tokenize alike. */
   def tokens(text: Column): Column = split(text, " ", -1)
 
+  /** 3-gram shingle hashes per doc, composed from per-token hashes via the
+    * polynomial identity h(A||B) = h(A)·31^len(B) + h(B) mod P — each shingle
+    * is O(1) arithmetic instead of re-hashing its characters, no shingle
+    * string is ever materialized, and the result is per-doc distinct (so the
+    * consumer needs no distinct() shuffle). Values are EXACTLY
+    * charHash(tok_i ++ " " ++ tok_{i+1} ++ " " ++ tok_{i+2}) — the equality
+    * is property-tested in TextHashSpec and every oracle replays the
+    * character-fold form. */
+  def shingleHashes(toks: Column): Column = shingleHashesUdf(toks)
+
+  private[graft] def shingleHashKernel(toks: Seq[String]): Array[Long] =
+    if (toks == null || toks.length < 3) Array.empty[Long]
+    else {
+      val n = toks.length
+      val th = new Array[Long](n) // polyHash(tok)
+      val pw = new Array[Long](n) // 31^codepointLen(tok) mod P
+      var i = 0
+      while (i < n) {
+        val t = toks(i)
+        var acc = 0L; var p = 1L; var j = 0
+        while (j < t.length) {
+          val cp = t.codePointAt(j)
+          acc = (acc * 31L + cp) % P
+          p = (p * 31L) % P
+          j += Character.charCount(cp)
+        }
+        th(i) = acc; pw(i) = p
+        i += 1
+      }
+      val out = new Array[Long](n - 2)
+      i = 0
+      while (i < n - 2) {
+        var h = th(i)
+        h = (h * 31L + 32L) % P                 // the joining space
+        h = (h * pw(i + 1) + th(i + 1)) % P
+        h = (h * 31L + 32L) % P
+        h = (h * pw(i + 2) + th(i + 2)) % P
+        out(i) = h
+        i += 1
+      }
+      out.distinct
+    }
+
+  private val shingleHashesUdf =
+    udf((toks: Seq[String]) => shingleHashKernel(toks))
+
   /** Canonical text normalization for exact dedup: lowercase, collapse
     * whitespace runs, trim (the reference's clean_text, F1, applied globally). */
   def normalizeText(c: Column): Column =

@@ -40,10 +40,8 @@ object TextOps {
     * the shingle projection once, not once per consumer. */
   private def docShingles(s: SparkSession, d: String): DataFrame =
     docTokens(s, d)
-      .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("sh"))
-      .select(col("doc_id"), charHash(col("sh")).as("shh"))
-      .distinct()
-      .persist()
+      .select(col("doc_id"), explode(shingleHashes(col("toks"))).as("shh"))
+      .persist() // per-doc distinct already done in the kernel — no shuffle
 
   /** Exact Jaccard pairs (a<b) from a shared-shingle equi-join:
     * inter = |shared shingles|, union = nA + nB − inter, keep J ≥ 0.7. */

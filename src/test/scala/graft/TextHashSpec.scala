@@ -46,4 +46,19 @@ class TextHashSpec extends SparkSpec with TableDrivenPropertyChecks {
     val sizes = df.select(size($"sh")).as[Int].collect()
     assert(sizes.sameElements(Array(0, 0, 2)))
   }
+
+  test("composed shingle hashes == charHash of the materialized shingle strings") {
+    // the O(1)-per-shingle composition must equal hashing the concatenated
+    // string character by character, duplicates collapsed, for any tokens
+    val docs = samples ++ Seq("a a a a a", "", "x", "uno dos tres cuatro cinco",
+      "términos acentuados y más palabras aquí")
+    docs.foreach { s =>
+      val toks = s.split(" ", -1).toSeq
+      val composed = TextHash.shingleHashKernel(toks).toSeq
+      val expected = (0 until math.max(toks.length - 2, 0))
+        .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
+        .map(TextHash.polyHash).distinct
+      assert(composed == expected, s"mismatch for: '$s'")
+    }
+  }
 }
