@@ -61,6 +61,36 @@ object Main {
     runPipeline(spark, syntheticPages(worklist.select("id_negocio", "url")), out)
   }
 
+  /** §3.3 phase runners — the reference's run_extraction / run_transformation
+    * / run_loading scripts: standalone stages communicating through
+    * materialized JSON stage files (the container/Argo orchestration shape).
+    * Each stage is an independent read→transform→write Spark job; the JSON
+    * boundary is schema-on-read (SURVEY §1.2) cast back to the canonical
+    * schema. */
+  def stageExtract(spark: SparkSession, startId: Long, endId: Long, rawDir: String): RunResult = {
+    val raw = LeadPipeline.extract(syntheticPages(LeadPipeline.collect(spark, startId, endId)))
+    raw.write.mode("overwrite").json(rawDir)
+    RunResult("success", s"extracción completada", spark.read.json(rawDir).count())
+  }
+
+  def stageTransform(spark: SparkSession, rawDir: String, transformedDir: String): RunResult = {
+    val raw = spark.read.json(rawDir) // schema-on-read
+    val canonical = LeadPipeline.leadSchema.fields.foldLeft(raw) { (df, f) =>
+      if (raw.columns.contains(f.name)) df.withColumn(f.name, col(f.name).cast(f.dataType))
+      else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    val cleaned = LeadPipeline.dedup(LeadPipeline.clean(canonical), "url")
+    cleaned.write.mode("overwrite").json(transformedDir)
+    RunResult("success", "transformación completada", spark.read.json(transformedDir).count())
+  }
+
+  def stageLoad(spark: SparkSession, transformedDir: String, out: String): RunResult = {
+    val transformed = spark.read.json(transformedDir)
+    LeadPipeline.loadCsv(transformed, out)
+    RunResult("success", "carga completada",
+      spark.read.option("header", "true").csv(out).count())
+  }
+
   /** Manual mode: local HTML files → pipeline (manual_scraper.py:317-358). */
   def runManual(spark: SparkSession, htmlGlob: String, out: String): RunResult = {
     val pages = spark.read.format("binaryFile").load(htmlGlob)
@@ -81,6 +111,9 @@ object Main {
     val result = args.toList match {
       case "bulk" :: s :: e :: out :: Nil => runBulk(spark, s.toLong, e.toLong, out)
       case "manual" :: glob :: out :: Nil => runManual(spark, glob, out)
+      case "stage-extract" :: s :: e :: raw :: Nil => stageExtract(spark, s.toLong, e.toLong, raw)
+      case "stage-transform" :: raw :: tr :: Nil => stageTransform(spark, raw, tr)
+      case "stage-load" :: tr :: out :: Nil => stageLoad(spark, tr, out)
       case "sequential" :: searchGlob :: processedCsv :: out :: Nil =>
         val cards = spark.read.format("binaryFile").load(searchGlob)
           .select(col("content").cast("string").as("html"))

@@ -148,6 +148,21 @@ class EtlSpec extends SparkSpec {
     assert(r2.status == "success" && r2.recordsProcessed == 2) // only 12, 14
   }
 
+  test("staged phase runners: extract → transform → load via JSON stage files (§3.3)") {
+    val raw = tmp("graft_stage_raw")
+    val tr = tmp("graft_stage_tr")
+    val out = tmp("graft_stage_out")
+    val r1 = graft.app.Main.stageExtract(spark, 1, 10, raw)
+    assert(r1.status == "success" && r1.recordsProcessed == 10)
+    val r2 = graft.app.Main.stageTransform(spark, raw, tr)
+    assert(r2.status == "success" && r2.recordsProcessed == 10)
+    val r3 = graft.app.Main.stageLoad(spark, tr, out)
+    assert(r3.status == "success" && r3.recordsProcessed == 10)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.filter($"localidad" === "Santa Fe").count() == 10)
+    assert(back.filter($"telefonos" =!= "N/A").count() == 5) // even ids only
+  }
+
   test("streaming foreachBatch upserts each micro-batch (ST4 + K4)") {
     val target = tmp("graft_fb") + "/t"
     val src = tmp("graft_fb_src")
