@@ -154,6 +154,31 @@ object Functions {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
       doc = "approx_count_distinct (HLL++) error-bounded against exact counts"),
 
+    // Exact interpolated percentiles (the quality-score stratification cut
+    // points of a training pipeline). Interpolation fractions (.0/.25/.5/.75)
+    // and integer-valued inputs make every output exact in binary floating
+    // point, so Spark's percentile() and DuckDB's quantile_cont() agree
+    // bit-for-bit. At 100 TB you'd switch to approx_percentile (t-digest) —
+    // exact percentile sorts per group; here it doubles as the oracle check
+    // for those cut points.
+    "q69_percentiles" -> Q(
+      run = (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("q50"),
+          expr("percentile(l_quantity, 0.75)").as("q75"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS q25,
+               quantile_cont(l_quantity, 0.5) AS q50,
+               quantile_cont(l_quantity, 0.75) AS q75,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "exact interpolated percentiles per group (stratification cuts)"),
+
     // Unpivot/melt — the inverse reshape of q21's pivot: wide measure
     // columns → (metric, value) rows, then a grouped roll-up. Spark plans
     // unpivot as an Expand (row generator), no shuffle until the agg.
