@@ -82,6 +82,27 @@ object Operators {
         remerge.map { case (c, f) => expr(s"$f($c)").as(c.stripPrefix("__p_")) }.toSeq.tail: _*)
   }
 
+  /** E2 retry policy (reference src/common/utils.py:64-92,
+    * `retry_on_error(max_attempts=3, delay=5)`): for driver-side control
+    * actions and per-partition source fetches. Spark's own task retries
+    * (`spark.task.maxFailures`) cover task-level failure; this is the
+    * in-task form for a flaky external call inside e.g. a fetch
+    * `mapPartitions` — retrying the CALL, not the whole task, preserves
+    * the partition's progress. */
+  def retry[T](attempts: Int = 3, delayMs: Long = 5000)(f: => T): T = {
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return f
+      catch {
+        case e: Throwable =>
+          last = e; i += 1
+          if (i < attempts && delayMs > 0) Thread.sleep(delayMs)
+      }
+    }
+    throw last
+  }
+
   /** Salted equi-join for a skewed LEFT side: each left row gets a
     * deterministic salt in [0, buckets) and the right side is replicated
     * `buckets`× with every salt value, so the hot key's rows spread over

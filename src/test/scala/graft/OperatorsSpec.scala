@@ -67,6 +67,28 @@ class OperatorsSpec extends SparkSpec {
     assert(salted.collect().sameElements(plain.collect()))
   }
 
+  test("retry succeeds after transient failures, rethrows after exhaustion (E2)") {
+    var calls = 0
+    val got = Operators.retry(attempts = 3, delayMs = 0) {
+      calls += 1
+      if (calls < 3) sys.error("transient")
+      42
+    }
+    assert(got == 42 && calls == 3)
+
+    var calls2 = 0
+    val e = intercept[RuntimeException] {
+      Operators.retry(attempts = 2, delayMs = 0) { calls2 += 1; sys.error("always") }
+    }
+    assert(e.getMessage == "always" && calls2 == 2)
+
+    // distributed form: per-record retry inside mapPartitions keeps the task alive
+    val out = spark.range(0, 100, 1, 4).as[Long].mapPartitions { it =>
+      it.map(i => Operators.retry(attempts = 2, delayMs = 0) { i * 2 })
+    }.reduce(_ + _)
+    assert(out == 9900)
+  }
+
   test("saltedJoin equals plain join (hot-key spread, no row loss/dup)") {
     val left = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity")
     val right = Tables.orders(spark, sf)
