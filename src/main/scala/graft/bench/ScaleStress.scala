@@ -1,0 +1,34 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+object ScaleStress {
+  def t[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"STRESS $name%-40s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.1")
+
+    // 10x duplicate-heavy corpus, staged as a documents.parquet dir so the
+    // real q35 runs unmodified against it
+    val dir = "/tmp/stress_sf"
+    (0 until 10).map(k => docs.withColumn("doc_id", col("doc_id") + lit(k * 1000000L)))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    t("q35 on 50k docs, 10 exact copies each") {
+      println("  pairs=" + graft.SparkEntry.queries("q35_jaccard_pairs")(spark, dir).count())
+    }
+    t("q35 on the plain 5k-doc corpus") {
+      println("  pairs=" + graft.SparkEntry.queries("q35_jaccard_pairs")(spark, "/root/testdata/sf0.1").count())
+    }
+    spark.stop()
+  }
+}
