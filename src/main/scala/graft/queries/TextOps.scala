@@ -56,16 +56,38 @@ object TextOps {
     * (50k docs, 10 copies each) drops from 50 s to ~4 s; on a dup-free
     * corpus the collapse is a no-op costing one keyed groupBy. This ordering
     * (exact-dedup BEFORE near-dup) is the standard 100 TB pipeline. */
-  private def jaccardPairs(sh: DataFrame): DataFrame = {
-    val classes = sh
+  /** Exact-duplicate classes of shingle sets: a cheap order-independent
+    * fingerprint (count, Σshh mod P, Σshh² mod P — plain hash aggregation,
+    * map-side combinable, no arrays shuffled) screens for candidates; only
+    * docs whose fingerprint collides are verified by their full sorted sets,
+    * so the result is EXACT while a dup-free corpus pays nothing beyond two
+    * keyed aggs. Returns (rep, members, csize, n). */
+  private def shingleClasses(sh: DataFrame): DataFrame = {
+    // long sums are overflow-safe here: each term < P ≈ 2^30, so a doc would
+    // need > 2^33 shingles to overflow — and ANSI mode errors rather than
+    // wrapping if one ever does
+    val fp = sh.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n"),
+      pmod(sum(col("shh")), lit(P)).as("s1"),
+      pmod(sum(pmod(col("shh") * col("shh"), lit(P))), lit(P)).as("s2"))
+    val fpKey = Seq("n", "s1", "s2")
+    val sized = fp.join(
+      fp.groupBy(fpKey.map(col): _*).agg(count(lit(1)).as("fpsize")), fpKey)
+    val singles = sized.filter(col("fpsize") === 1)
+      .select(col("doc_id").as("rep"), array(col("doc_id")).as("members"),
+        lit(1L).as("csize"), col("n"))
+    val verified = sh
+      .join(sized.filter(col("fpsize") > 1).select("doc_id"), Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id")).agg(sort_array(collect_list(col("shh"))).as("set"))
       .groupBy(col("set"))
-      .agg(min(col("doc_id")).as("rep"),
-        collect_list(col("doc_id")).as("members"),
-        count(lit(1)).as("csize"),
-        size(col("set")).as("n"))
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"),
+        count(lit(1)).as("csize"), size(col("set")).cast("long").as("n"))
       .drop("set")
-      .persist()
+    singles.unionByName(verified)
+  }
+
+  private def jaccardPairs(sh: DataFrame): DataFrame = {
+    val classes = shingleClasses(sh).persist()
     val repSh = sh.join(classes.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
 
     val counts = classes.select(col("rep"), col("n"))
