@@ -99,6 +99,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q36/q58: candidate generation and tf-idf stay equi/broadcast joins") {
+    val p36 = plan("q36_minhash_lsh")
+    assert(!p36.contains("CartesianProduct"), s"LSH banding degenerated:\n$p36")
+    val p58 = plan("q58_tfidf")
+    assert(!p58.contains("CartesianProduct"), s"tf-idf corpus-size join degenerated:\n$p58")
+    // the 1-row corpus-size side must broadcast, not shuffle
+    assert(p58.contains("BroadcastNestedLoopJoin") || p58.contains("BroadcastExchange"),
+      s"n_docs scalar not broadcast:\n$p58")
+  }
+
+  test("q60: per-group top-k shuffles on the group key, sorts only the winners") {
+    val p = plan("q60_group_topk", execute = true)
+    assert(p.contains("Exchange hashpartitioning(c_mktsegment"),
+      s"window not partitioned by group key:\n$p")
+    // only the final 15-row output may range-partition; the 150k-row input
+    // never does (count within the AQE final plan only — the printed
+    // "Initial Plan" section repeats every node)
+    val finalPlan = p.split("== Initial Plan ==").head
+    val rangeExchanges = "Exchange rangepartitioning".r.findAllIn(finalPlan).length
+    assert(rangeExchanges <= 1, s"global sort before ranking:\n$finalPlan")
+  }
+
   test("q62: DSv2 scan consumes form filters, narrows range, prunes columns") {
     val p = plan("q62_dsv2_pushdown")
     assert(p.contains("EqualTo(rubro,Salud)"), s"rubro filter not pushed:\n$p")
