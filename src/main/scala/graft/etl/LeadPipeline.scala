@@ -149,6 +149,44 @@ object LeadPipeline {
     spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(targetPath)
   }
 
+  /** K4 upsert, scale form: the target is hash-bucket-partitioned on the
+    * key, and a merge rewrites ONLY the partitions that contain incoming
+    * keys (dynamic partition overwrite) — at 100 TB an upsert of 1% of keys
+    * touches ~1% of the table instead of rewriting all of it. The same
+    * full-outer-merge semantics as [[upsert]]; the bucket column is an
+    * internal layout detail (`__bucket`), stripped on read. */
+  def upsertPartitioned(spark: SparkSession, incoming: DataFrame,
+      targetPath: String, key: String, buckets: Int = 64): Unit = {
+    val withBucket = incoming.withColumn("__bucket",
+      pmod(xxhash64(col(key)), lit(buckets.toLong)))
+    val exists = new java.io.File(targetPath).exists()
+    if (!exists) {
+      withBucket.write.partitionBy("__bucket").parquet(targetPath)
+    } else {
+      val affected = withBucket.select("__bucket").distinct()
+        .collect().map(_.getLong(0)) // ≤ `buckets` values — driver-safe
+      val existing = spark.read.parquet(targetPath)
+        .filter(col("__bucket").isin(affected: _*)) // partition-pruned scan
+      val cols = incoming.columns
+      val merged = existing.alias("e")
+        .join(withBucket.alias("i"), col(s"e.$key") === col(s"i.$key"), "full_outer")
+        .select((cols.map(c => coalesce(col(s"i.$c"), col(s"e.$c")).as(c)) :+
+          coalesce(col("i.__bucket"), col("e.__bucket")).as("__bucket")).toIndexedSeq: _*)
+      val tmp = targetPath + "__staging"
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+      val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        spark.read.parquet(tmp).write.mode(SaveMode.Overwrite)
+          .partitionBy("__bucket").parquet(targetPath)
+      finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    }
+  }
+
+  /** Read side of [[upsertPartitioned]]: the table without layout columns. */
+  def readPartitionedTarget(spark: SparkSession, targetPath: String): DataFrame =
+    spark.read.parquet(targetPath).drop("__bucket")
+
   /** K6 TTL cache read: newest non-expired snapshot row-set, else empty. */
   def readCache(spark: SparkSession, path: String, ttlSeconds: Long, nowEpochSec: Long): DataFrame = {
     val all = spark.read.parquet(path)

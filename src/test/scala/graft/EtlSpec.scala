@@ -191,6 +191,31 @@ class EtlSpec extends SparkSpec {
     assert(rows.sameElements(Array((1L, "v1"), (2L, "v2"), (3L, "v1"))))
   }
 
+  test("partitioned upsert rewrites only affected buckets (K4 at scale)") {
+    val target = tmp("graft_up_part") + "/t"
+    val base = spark.range(0, 1000).select($"id", lit("v1").as("v"))
+    LeadPipeline.upsertPartitioned(spark, base, target, "id", buckets = 16)
+    assert(LeadPipeline.readPartitionedTarget(spark, target).count() == 1000)
+
+    // snapshot per-partition mtimes, then upsert keys landing in ONE bucket
+    def mtimes: Map[String, Long] = new java.io.File(target).listFiles()
+      .filter(_.getName.startsWith("__bucket="))
+      .map(f => f.getName -> f.listFiles().map(_.lastModified()).max).toMap
+    val before = mtimes
+    Thread.sleep(1100)
+    LeadPipeline.upsertPartitioned(spark, Seq((7L, "v2")).toDF("id", "v"), target, "id", buckets = 16)
+
+    val after = mtimes
+    val touched = after.filter { case (k, t) => before.get(k).exists(_ != t) }.keys.toSet
+    assert(touched.size == 1, s"expected 1 rewritten bucket, got $touched")
+
+    // semantics: update applied, every other row intact
+    val back = LeadPipeline.readPartitionedTarget(spark, target)
+    assert(back.count() == 1000)
+    assert(back.filter($"id" === 7L).head().getString(1) == "v2")
+    assert(back.filter($"v" === "v1").count() == 999)
+  }
+
   test("run-status envelope via observed metrics (E4)") {
     val df = Tables.lineitem(spark, sf)
       .observe("run_stats", count(lit(1)).as("records"),
