@@ -154,6 +154,30 @@ object Functions {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
       doc = "approx_count_distinct (HLL++) error-bounded against exact counts"),
 
+    // The SQL entry path end-to-end: temp view + spark.sql text, using the
+    // extension-registered native poly_hash function inside a ranking window
+    // — proves the engine's SQL surface (including its custom expression)
+    // is oracle-gated, not just the DataFrame API.
+    "q70_sql_surface" -> Q(
+      run = (s, d) => {
+        graft.GraftExtensions.register(s)
+        Tables.documents(s, d).createOrReplaceTempView("documents_v")
+        s.sql("""
+          SELECT doc_id, poly_hash(text) AS text_hash, lang,
+                 rank() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS size_rank
+          FROM documents_v
+          ORDER BY doc_id""")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                 (acc, c) -> (acc * 31 + c) % 1000000007) AS text_hash,
+               lang,
+               CAST(rank() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS INT) AS size_rank
+        FROM documents ORDER BY doc_id"""),
+      doc = "spark.sql surface: temp view + native poly_hash in a ranking window"),
+
     // Exact interpolated percentiles (the quality-score stratification cut
     // points of a training pipeline). Interpolation fractions (.0/.25/.5/.75)
     // and integer-valued inputs make every output exact in binary floating
