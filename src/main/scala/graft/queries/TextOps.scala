@@ -38,10 +38,16 @@ object TextOps {
     * scan+explode+distinct feeds them all (Spark's cache manager dedups by
     * canonicalized plan). At 100 TB this is the same call — you materialize
     * the shingle projection once, not once per consumer. */
-  private def docShingles(s: SparkSession, d: String): DataFrame =
-    docTokens(s, d)
+  private def docShingles(s: SparkSession, d: String): DataFrame = {
+    val sh = docTokens(s, d)
       .select(col("doc_id"), explode(shingleHashes(col("toks"))).as("shh"))
       .persist() // per-doc distinct already done in the kernel — no shuffle
+    // materialize eagerly: the consumers run as concurrent AQE stages, and a
+    // cold cache would be recomputed once per racing stage (at scale this is
+    // the explicit "stage the shingle table" step)
+    sh.count()
+    sh
+  }
 
   /** Exact Jaccard pairs (a<b): inter = |shared shingles|,
     * union = nA + nB − inter, keep J ≥ 0.7.
