@@ -154,6 +154,29 @@ object Functions {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
       doc = "approx_count_distinct (HLL++) error-bounded against exact counts"),
 
+    // MapType end-to-end (SURVEY §1.3): props parsed as MAP<STRING,BIGINT>,
+    // exploded to (key, value) rows, per-key stats. The fixture's key domain
+    // is {'k'}, which the oracle replays; the Spark side is generic over any
+    // key set.
+    "q71_map_explode" -> Q(
+      run = (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          explode(from_json(col("props"), "MAP<STRING, BIGINT>", Map.empty[String, String]))
+            .as(Seq("key", "val")))
+        .groupBy(col("event_type"), col("key"))
+        .agg(count(lit(1)).as("n"), sum(col("val")).as("val_sum"),
+          min(col("val")).as("val_min"), max(col("val")).as("val_max"))
+        .orderBy("event_type", "key"),
+      oracle = Some("""
+        SELECT event_type, 'k' AS key, count(*) AS n,
+               sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS val_sum,
+               min(CAST(json_extract(props, '$.k') AS BIGINT)) AS val_min,
+               max(CAST(json_extract(props, '$.k') AS BIGINT)) AS val_max
+        FROM events
+        WHERE json_extract(props, '$.k') IS NOT NULL
+        GROUP BY event_type ORDER BY event_type, key"""),
+      doc = "MapType parse + explode + per-key aggregation (§1.3 map path)"),
+
     // The SQL entry path end-to-end: temp view + spark.sql text, using the
     // extension-registered native poly_hash function inside a ranking window
     // — proves the engine's SQL surface (including its custom expression)
