@@ -29,6 +29,12 @@ object ScaleStress {
     t("q35 on the plain 5k-doc corpus") {
       println("  pairs=" + graft.SparkEntry.queries("q35_jaccard_pairs")(spark, "/root/testdata/sf0.1").count())
     }
+    t("q36 LSH on 50k docs, 10 exact copies each") {
+      println("  pairs=" + graft.SparkEntry.queries("q36_minhash_lsh")(spark, dir).count())
+    }
+    t("q36 LSH on the plain 5k-doc corpus") {
+      println("  pairs=" + graft.SparkEntry.queries("q36_minhash_lsh")(spark, "/root/testdata/sf0.1").count())
+    }
     spark.stop()
   }
 }
