@@ -187,6 +187,23 @@ object LeadPipeline {
   def readPartitionedTarget(spark: SparkSession, targetPath: String): DataFrame =
     spark.read.parquet(targetPath).drop("__bucket")
 
+  /** Table maintenance: compact a parquet directory's small files to
+    * ~targetBytes outputs (the append-heavy sink's antidote — K2's
+    * per-chunk appends at 100 TB degrade scans via file-count explosion;
+    * periodic compaction restores scan efficiency). Two-phase write like
+    * [[upsert]]: the compacted copy is staged, then swapped in. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val dir = new java.io.File(path)
+    val bytes = Option(dir.listFiles()).map(_.filter(_.isFile)
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum).getOrElse(0L)
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = path + "__compacting"
+    spark.read.parquet(path).repartition(parts)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** K6 TTL cache read: newest non-expired snapshot row-set, else empty. */
   def readCache(spark: SparkSession, path: String, ttlSeconds: Long, nowEpochSec: Long): DataFrame = {
     val all = spark.read.parquet(path)

@@ -216,6 +216,20 @@ class EtlSpec extends SparkSpec {
     assert(back.filter($"v" === "v1").count() == 999)
   }
 
+  test("compaction collapses small files without changing the data (K2 maintenance)") {
+    val path = tmp("graft_compact") + "/t"
+    spark.range(0, 10000).select($"id", ($"id" % 7).as("v"))
+      .repartition(40).write.parquet(path) // 40 small files
+    def files = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files == 40)
+    val checksumBefore = spark.read.parquet(path).agg(sum($"id" * $"v")).head().getLong(0)
+    LeadPipeline.compact(spark, path)
+    assert(files == 1, s"expected 1 compacted file, got $files") // tiny data → one target file
+    assert(spark.read.parquet(path).agg(sum($"id" * $"v")).head().getLong(0) == checksumBefore)
+    assert(spark.read.parquet(path).count() == 10000)
+  }
+
   test("run-status envelope via observed metrics (E4)") {
     val df = Tables.lineitem(spark, sf)
       .observe("run_stats", count(lit(1)).as("records"),
