@@ -133,6 +133,27 @@ object Events {
         FROM per_session GROUP BY user_id ORDER BY user_id"""),
       doc = "gap-based sessionization (lag + running sum)"),
 
+    // RANGE-framed window: per-user trailing-1-hour event count at every
+    // event (value-based frame over event time, vs q13's row-count frames).
+    // One keyed shuffle; frame state is bounded by the hour horizon.
+    "q72_range_frame" -> Q(
+      run = (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"))
+          .rangeBetween(-3600000000L, 0L)
+        Tables.events(s, d)
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("events_last_hour", count(lit(1)).over(w))
+          .select(col("event_id"), col("user_id"), col("events_last_hour"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT event_id, user_id,
+               count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS events_last_hour
+        FROM events ORDER BY event_id"""),
+      doc = "value-based RANGE frame: trailing-hour count per user"),
+
     // Sliding (hopping) window: 30-minute windows every 10 minutes — each
     // event contributes to 3 overlapping buckets. Spark's window() plans
     // this as a generator (3-row expansion) + one grouped agg; the oracle
