@@ -30,15 +30,25 @@ object Main {
         '<a class="search-result-link">Comercio</a></body></html>'"""))
 
   private def runPipeline(spark: SparkSession, pages: DataFrame, out: String): RunResult = {
-    val leads = LeadPipeline.dedup(
-      LeadPipeline.clean(LeadPipeline.extract(pages)), "url")
-    LeadPipeline.loadCsv(leads, out)
-    // count what the sink holds: exact regardless of plan shape (observe()
-    // through a global sort overcounts — the range-partitioner's sampling
-    // pass re-executes the metrics node; see EtlSpec E4 for the exact form)
-    val n = spark.read.option("header", "true").csv(out).count()
-    RunResult(if (n > 0) "success" else "warning",
-      if (n > 0) s"ETL completado: $n registros" else "sin registros", n)
+    val startedAt = System.currentTimeMillis()
+    val result = try {
+      val leads = LeadPipeline.dedup(
+        LeadPipeline.clean(LeadPipeline.extract(pages)), "url")
+      LeadPipeline.loadCsv(leads, out)
+      // count what the sink holds: exact regardless of plan shape (observe()
+      // through a global sort overcounts — the range-partitioner's sampling
+      // pass re-executes the metrics node; see EtlSpec E4 for the exact form)
+      val n = spark.read.option("header", "true").csv(out).count()
+      RunResult(if (n > 0) "success" else "warning",
+        if (n > 0) s"ETL completado: $n registros" else "sin registros", n)
+    } catch {
+      case e: Exception => RunResult("error", s"ETL falló: ${e.getMessage}", 0L)
+    }
+    // K5 audit row (scraping_log): every run leaves a record, failed or not
+    LeadPipeline.logRun(spark, out + "_audit", startedAt, System.currentTimeMillis(),
+      result.recordsProcessed, result.status,
+      if (result.status == "error") Some(result.message) else None)
+    result
   }
 
   /** Bulk mode: id-range worklist → pages → extract/clean/dedup → CSV. */

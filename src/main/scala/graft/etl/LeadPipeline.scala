@@ -187,6 +187,23 @@ object LeadPipeline {
   def readPartitionedTarget(spark: SparkSession, targetPath: String): DataFrame =
     spark.read.parquet(targetPath).drop("__bucket")
 
+  /** K5 run-audit log (reference scraping_log DDL,
+    * manual_scraper.py:223-232,297-313): one appended row per run with the
+    * session window, record count, status, and error. Parquet append — at
+    * scale an audit table is partitioned by run date; readers aggregate it
+    * for the A7/A8 run statistics. */
+  def logRun(spark: SparkSession, auditPath: String, startedAtMs: Long,
+      endedAtMs: Long, records: Long, status: String,
+      error: Option[String]): Unit = {
+    import spark.implicits._
+    Seq((startedAtMs, endedAtMs, records, status, error.orNull))
+      .toDF("started_at_ms", "ended_at_ms", "records_processed", "status", "error")
+      .withColumn("started_at", timestamp_millis(col("started_at_ms")))
+      .withColumn("ended_at", timestamp_millis(col("ended_at_ms")))
+      .drop("started_at_ms", "ended_at_ms")
+      .write.mode(SaveMode.Append).parquet(auditPath)
+  }
+
   /** Table maintenance: compact a parquet directory's small files to
     * ~targetBytes outputs (the append-heavy sink's antidote — K2's
     * per-chunk appends at 100 TB degrade scans via file-count explosion;

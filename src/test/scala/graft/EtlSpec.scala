@@ -146,6 +146,14 @@ class EtlSpec extends SparkSpec {
     val out2 = tmp("graft_app_seq")
     val r2 = graft.app.Main.runSequential(spark, cards, processed, out2)
     assert(r2.status == "success" && r2.recordsProcessed == 2) // only 12, 14
+
+    // K5: every run appends one audit row (scraping_log)
+    val audit = spark.read.parquet(out2 + "_audit")
+    assert(audit.count() == 1)
+    val a = audit.head()
+    assert(a.getAs[String]("status") == "success")
+    assert(a.getAs[Long]("records_processed") == 2)
+    assert(a.isNullAt(a.fieldIndex("error")))
   }
 
   test("staged phase runners: extract → transform → load via JSON stage files (§3.3)") {
