@@ -67,6 +67,19 @@ class OperatorsSpec extends SparkSpec {
     assert(salted.collect().sameElements(plain.collect()))
   }
 
+  test("accumulator counts per-record drops in one pass (A7 run statistics)") {
+    val acc = spark.sparkContext.longAccumulator("dropped")
+    val parsed = Seq("1", "x", "3", "y", "5").toDF("s").repartition(2)
+      .as[String].mapPartitions { it =>
+        it.flatMap { s =>
+          try Some(s.toLong)
+          catch { case _: Exception => acc.add(1); None }
+        }
+      }
+    assert(parsed.collect().sorted.sameElements(Array(1L, 3L, 5L)))
+    assert(acc.value == 2) // error tally rides the data pass — no second scan
+  }
+
   test("retry succeeds after transient failures, rethrows after exhaustion (E2)") {
     var calls = 0
     val got = Operators.retry(attempts = 3, delayMs = 0) {
