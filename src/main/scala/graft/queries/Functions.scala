@@ -154,6 +154,47 @@ object Functions {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
       doc = "approx_count_distinct (HLL++) error-bounded against exact counts"),
 
+    // The 100 TB percentile path: approx_percentile (t-digest-style sketch,
+    // no per-group sort) error-bounded against the exact percentile, q54's
+    // technique — the oracle supplies the exact side and a literal TRUE.
+    "q73_approx_percentile" -> Q(
+      run = (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("exact_median"),
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("exact_median"), col("n"),
+          (abs(col("ap") - col("exact_median")) <= 2.0).as("sketch_within_2"))
+        .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS exact_median,
+               count(*) AS n, TRUE AS sketch_within_2
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "approx_percentile sketch error-bounded against exact (q54 pattern)"),
+
+    // Conditional / argmax aggregates: count_if, bool_or/bool_and, and
+    // max_by over a UNIQUE ordering key (event_id) so the argmax is
+    // deterministic cross-engine.
+    "q74_conditional_aggs" -> Q(
+      run = (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("count_if(value > 100.0)").as("n_high"),
+          expr("bool_or(value > 450.0)").as("any_extreme"),
+          expr("bool_and(value >= 0.0)").as("all_nonneg"),
+          expr("max_by(user_id, event_id)").as("latest_event_user"),
+          max(col("event_id")).as("max_event_id"))
+        .orderBy("event_type"),
+      oracle = Some("""
+        SELECT event_type,
+               count(*) FILTER (WHERE value > 100.0) AS n_high,
+               bool_or(value > 450.0) AS any_extreme,
+               bool_and(value >= 0.0) AS all_nonneg,
+               arg_max(user_id, event_id) AS latest_event_user,
+               max(event_id) AS max_event_id
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      doc = "count_if / bool_or / bool_and / deterministic max_by"),
+
     // MapType end-to-end (SURVEY §1.3): props parsed as MAP<STRING,BIGINT>,
     // exploded to (key, value) rows, per-key stats. The fixture's key domain
     // is {'k'}, which the oracle replays; the Spark side is generic over any
