@@ -133,6 +133,54 @@ object Events {
         FROM per_session GROUP BY user_id ORDER BY user_id"""),
       doc = "gap-based sessionization (lag + running sum)"),
 
+    // collect_set per key — the reference's Dict/set building (A2 shape) as
+    // an aggregation; sorted + joined so output is order-deterministic.
+    "q75_collect_set" -> Q(
+      run = (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          array_join(sort_array(collect_set(col("event_type"))), ",").as("types_seen"),
+          count_distinct(col("event_type")).as("n_types"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id"),
+      oracle = Some("""
+        SELECT user_id,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_seen,
+               count(DISTINCT event_type) AS n_types,
+               count(*) AS n_events
+        FROM events GROUP BY user_id ORDER BY user_id"""),
+      doc = "collect_set + deterministic sorted egress (keyed set building)"),
+
+    // Calendar densification: a generated day spine left-joined to per-day
+    // counts so empty days surface as zero — the gap-filling shape every
+    // time-series report needs. The spine derives from the data's own
+    // min/max (one tiny agg, broadcast back); generation is a leaf
+    // `sequence`, not a scan.
+    "q76_date_spine" -> Q(
+      run = (s, d) => {
+        val perDay = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val bounds = Tables.events(s, d)
+          .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+        val spine = bounds
+          .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+        spine.join(perDay, Seq("day"), "left")
+          .select(col("day"), coalesce(col("n"), lit(0L)).as("n_events"))
+          .orderBy("day")
+      },
+      oracle = Some("""
+        WITH bounds AS (
+          SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+        spine AS (
+          SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+          FROM bounds),
+        per_day AS (
+          SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1)
+        SELECT day, COALESCE(n, 0) AS n_events
+        FROM spine LEFT JOIN per_day USING (day) ORDER BY day"""),
+      doc = "generated day spine + left join: zero-filled time series"),
+
     // RANGE-framed window: per-user trailing-1-hour event count at every
     // event (value-based frame over event time, vs q13's row-count frames).
     // One keyed shuffle; frame state is bounded by the hour horizon.
