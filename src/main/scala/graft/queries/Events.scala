@@ -181,6 +181,54 @@ object Events {
         FROM spine LEFT JOIN per_day USING (day) ORDER BY day"""),
       doc = "generated day spine + left join: zero-filled time series"),
 
+    // Gaps-and-islands: longest consecutive-day activity streak per user.
+    // The classic dense_rank − day-index trick: consecutive days share an
+    // island id; one keyed shuffle, no self-join.
+    "q77_activity_streaks" -> Q(
+      run = (s, d) => {
+        val days = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        days
+          .withColumn("rn", row_number().over(w))
+          .withColumn("island", date_sub(col("day"), col("rn")))
+          .groupBy(col("user_id"), col("island"))
+          .agg(count(lit(1)).as("streak_days"))
+          .groupBy(col("user_id"))
+          .agg(max(col("streak_days")).as("longest_streak"),
+            count(lit(1)).as("n_streaks"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH days AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        islands AS (
+          SELECT user_id, day,
+                 day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS island
+          FROM days),
+        streaks AS (
+          SELECT user_id, island, count(*) AS streak_days
+          FROM islands GROUP BY user_id, island)
+        SELECT user_id, max(streak_days) AS longest_streak, count(*) AS n_streaks
+        FROM streaks GROUP BY user_id ORDER BY user_id"""),
+      doc = "gaps-and-islands consecutive-day streaks (rank-offset islands)"),
+
+    // Fixed-width histogram over a continuous measure: integer bucket ids
+    // from floor division (exact in both engines), zero-filled by the
+    // group-by domain actually present.
+    "q78_value_histogram" -> Q(
+      run = (s, d) => Tables.events(s, d)
+        .withColumn("bucket", floor(col("value") / 50.0).cast("int"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("value_sum"))
+        .orderBy("bucket"),
+      oracle = Some("""
+        SELECT CAST(floor(value / 50.0) AS INT) AS bucket, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS value_sum
+        FROM events GROUP BY 1 ORDER BY bucket"""),
+      doc = "fixed-width value histogram (floor-division buckets)"),
+
     // RANGE-framed window: per-user trailing-1-hour event count at every
     // event (value-based frame over event time, vs q13's row-count frames).
     // One keyed shuffle; frame state is bounded by the hour horizon.
