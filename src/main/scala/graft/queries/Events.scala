@@ -181,6 +181,65 @@ object Events {
         FROM spine LEFT JOIN per_day USING (day) ORDER BY day"""),
       doc = "generated day spine + left join: zero-filled time series"),
 
+    // Cohort retention: users grouped by first-seen day, counted by how many
+    // days after their cohort day they return. Two keyed aggs + a broadcast
+    // of the per-user cohort — the standard retention-matrix shape.
+    "q79_cohort_retention" -> Q(
+      run = (s, d) => {
+        val userDays = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val cohorts = userDays.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort_day"))
+        userDays.join(cohorts, Seq("user_id"))
+          .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+          .groupBy(col("cohort_day"), col("day_offset"))
+          .agg(count_distinct(col("user_id")).as("active_users"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      oracle = Some("""
+        WITH user_days AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        cohorts AS (
+          SELECT user_id, min(day) AS cohort_day FROM user_days GROUP BY user_id)
+        SELECT cohort_day, day - cohort_day AS day_offset,
+               count(DISTINCT u.user_id) AS active_users
+        FROM user_days u JOIN cohorts c ON u.user_id = c.user_id
+        GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset"""),
+      doc = "cohort retention matrix (first-seen day x return offset)"),
+
+    // Ordered funnel: users whose first view precedes their first click
+    // precedes their first purchase — conditional min-timestamps per user,
+    // ONE pass + one agg (no per-stage self-joins).
+    "q80_funnel_order" -> Q(
+      run = (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+        .agg(
+          count(lit(1)).as("users"),
+          count(col("first_view")).as("viewed"),
+          sum(when(col("first_view") < col("first_click"), 1).otherwise(0))
+            .cast("long").as("view_then_click"),
+          sum(when(col("first_view") < col("first_click")
+            && col("first_click") < col("first_purchase"), 1).otherwise(0))
+            .cast("long").as("full_funnel")),
+      oracle = Some("""
+        WITH firsts AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+                 min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+                 min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+          FROM events GROUP BY user_id)
+        SELECT count(*) AS users,
+               count(first_view) AS viewed,
+               CAST(sum(CASE WHEN first_view < first_click THEN 1 ELSE 0 END) AS BIGINT) AS view_then_click,
+               CAST(sum(CASE WHEN first_view < first_click AND first_click < first_purchase
+                             THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
+        FROM firsts"""),
+      doc = "ordered funnel via conditional first-timestamps (single pass)"),
+
     // Gaps-and-islands: longest consecutive-day activity streak per user.
     // The classic dense_rank − day-index trick: consecutive days share an
     // island id; one keyed shuffle, no self-join.
