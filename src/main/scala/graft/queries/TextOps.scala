@@ -128,8 +128,8 @@ object TextOps {
     cross.unionByName(within)
   }
 
-  private val jaccardOracleSql = """
-    WITH t AS (
+  /** Shared CTE block ending in `jac` = the thresholded Jaccard pairs. */
+  private val jaccardCtes = """t AS (
       SELECT doc_id, string_split(text, ' ') AS toks
       FROM documents),
     sh AS (
@@ -145,11 +145,15 @@ object TextOps {
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       FROM sh a JOIN sh b ON a.shh = b.shh AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id)
-    SELECT doc_a, doc_b, inter, ca.n + cb.n - inter AS uni
-    FROM pairs JOIN counts ca ON ca.doc_id = doc_a
-               JOIN counts cb ON cb.doc_id = doc_b
-    WHERE inter * 10 >= (ca.n + cb.n - inter) * 7"""
+      GROUP BY a.doc_id, b.doc_id),
+    jac AS (
+      SELECT doc_a, doc_b, inter, ca.n + cb.n - inter AS uni
+      FROM pairs JOIN counts ca ON ca.doc_id = doc_a
+                 JOIN counts cb ON cb.doc_id = doc_b
+      WHERE inter * 10 >= (ca.n + cb.n - inter) * 7)"""
+
+  private val jaccardOracleSql =
+    s"WITH $jaccardCtes\n    SELECT doc_a, doc_b, inter, uni FROM jac"
 
   // ---- MinHash constants (8 affine hashes over shingle hashes) -------------
 
@@ -527,6 +531,58 @@ object TextOps {
         FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
         ORDER BY d.doc_id"""),
       doc = "char-trigram profile language ID (broadcast profile join, argmax)"),
+
+    // Near-dup CLUSTERS: connected components over the q35 pair graph —
+    // the step that turns pairs into "keep one per cluster" decisions.
+    // Min-label propagation to fixpoint: each round joins labels across
+    // edges and keeps the minimum; rounds = graph diameter (≤8 bound here —
+    // near-dup components are dup-groups plus short chains; each round is
+    // output-graph-sized work, far smaller than the corpus). The oracle's
+    // recursive CTE computes the same fixpoint (component min id) —
+    // path-independent, so bounded iteration and full closure agree.
+    "q81_dedup_clusters" -> Q(
+      run = (s, d) => {
+        val pairs = jaccardPairs(docShingles(s, d))
+          .select(col("doc_a"), col("doc_b")).persist()
+        val edges = pairs
+          .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        val nodes = edges.select(col("doc_a").as("doc")).distinct()
+        // lineage MUST be truncated each round (localCheckpoint, eager):
+        // without it the nested union/agg plan re-analyzes per iteration and
+        // analysis cost explodes exponentially — the classic iterative-
+        // DataFrame pitfall. Materialized rounds are also what a cluster
+        // job would do (each round is a small output-graph-sized table).
+        var labels = nodes.withColumn("root", col("doc")).localCheckpoint()
+        for (_ <- 1 to 8) {
+          val viaEdge = edges
+            .join(labels.withColumnRenamed("doc", "doc_a"), Seq("doc_a"))
+            .select(col("doc_b").as("doc"), col("root"))
+          labels = labels.unionByName(viaEdge)
+            .groupBy(col("doc")).agg(min(col("root")).as("root"))
+            .localCheckpoint()
+        }
+        labels
+          .groupBy(col("root"))
+          .agg(count(lit(1)).as("cluster_size"),
+            sort_array(collect_list(col("doc"))).as("members"))
+          .select(col("root").as("cluster_root"), col("cluster_size"),
+            array_join(col("members"), ",").as("member_list"))
+          .orderBy("cluster_root")
+      },
+      oracle = Some(s"""WITH RECURSIVE $jaccardCtes,
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM jac
+          UNION ALL SELECT doc_b, doc_a FROM jac),
+        reach AS (
+          SELECT a AS doc, a AS via FROM edges
+          UNION
+          SELECT r.doc, e.b FROM reach r JOIN edges e ON e.a = r.via),
+        labels AS (
+          SELECT doc, min(via) AS root FROM reach GROUP BY doc)
+        SELECT root AS cluster_root, count(*) AS cluster_size,
+               array_to_string(list_sort(list(doc)), ',') AS member_list
+        FROM labels GROUP BY root ORDER BY cluster_root"""),
+      doc = "connected-component near-dup clusters (min-label propagation)"),
 
     // TF-IDF top terms per document — the classic training-data relevance
     // ranking, in overflow-safe integer arithmetic (milli-scaled idf ratio)
