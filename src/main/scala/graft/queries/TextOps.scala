@@ -553,13 +553,20 @@ object TextOps {
         // DataFrame pitfall. Materialized rounds are also what a cluster
         // job would do (each round is a small output-graph-sized table).
         var labels = nodes.withColumn("root", col("doc")).localCheckpoint()
-        for (_ <- 1 to 8) {
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 16) { // near-dup components are
+          rounds += 1 // dup-cliques + short chains: converges in 1-2 rounds
           val viaEdge = edges
             .join(labels.withColumnRenamed("doc", "doc_a"), Seq("doc_a"))
             .select(col("doc_b").as("doc"), col("root"))
-          labels = labels.unionByName(viaEdge)
+          val next = labels.unionByName(viaEdge)
             .groupBy(col("doc")).agg(min(col("root")).as("root"))
             .localCheckpoint()
+          changed = next
+            .join(labels.withColumnRenamed("root", "prev"), Seq("doc"))
+            .filter(col("root") =!= col("prev")).count()
+          labels = next
         }
         labels
           .groupBy(col("root"))
