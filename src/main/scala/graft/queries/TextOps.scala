@@ -532,6 +532,76 @@ object TextOps {
         ORDER BY d.doc_id"""),
       doc = "char-trigram profile language ID (broadcast profile join, argmax)"),
 
+    // The quality GATE itself (C4-style): compose q31's signals into the
+    // keep/drop decision — token-count bounds, stopword floor, alpha floor —
+    // and report the funnel per language. Integer cross-multiplied
+    // thresholds keep both engines bit-agreed.
+    "q82_quality_filter" -> Q(
+      run = (s, d) => docTokens(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(col("toks")).as("n_tok"),
+          size(filter(col("toks"), t => t.isin(stopwords: _*))).as("n_stop"),
+          size(filter(col("toks"), t => t.rlike("^[a-z]+$"))).as("n_alpha"))
+        .withColumn("keep",
+          col("n_tok") >= 30 && col("n_tok") <= 5000 &&
+            col("n_stop") * 100 >= col("n_tok") * 3 && // ≥3% stopwords
+            col("n_alpha") * 100 >= col("n_tok") * 60) // ≥60% alphabetic
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("keep"), 1).otherwise(0)).cast("long").as("kept"),
+          sum(when(!col("keep"), 1).otherwise(0)).cast("long").as("dropped"))
+        .orderBy("lang"),
+      oracle = Some("""
+        WITH sig AS (
+          SELECT doc_id, lang,
+                 len(string_split(text, ' ')) AS n_tok,
+                 len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the','a','of','and','to','in','is','on','for','with'))) AS n_stop,
+                 len(list_filter(string_split(text, ' '),
+                   t -> regexp_matches(t, '^[a-z]+$'))) AS n_alpha
+          FROM documents),
+        gated AS (
+          SELECT lang,
+                 (n_tok >= 30 AND n_tok <= 5000
+                  AND n_stop * 100 >= n_tok * 3
+                  AND n_alpha * 100 >= n_tok * 60) AS keep
+          FROM sig)
+        SELECT lang, count(*) AS docs,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+               CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS dropped
+        FROM gated GROUP BY lang ORDER BY lang"""),
+      doc = "C4-style quality gate: keep/drop funnel per language"),
+
+    // PII scrub: redact email-shaped and long-digit-run substrings, count
+    // redactions per doc from length deltas — the pre-training scrub pass.
+    "q83_pii_scrub" -> Q(
+      run = (s, d) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "[0-9][0-9 ()-]{7,}[0-9]"
+        Tables.documents(s, d)
+          .withColumn("scrubbed",
+            regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>"))
+          .select(col("doc_id"),
+            (size(split(col("scrubbed"), "<EMAIL>", -1)) - 1).as("emails_redacted"),
+            (size(split(col("scrubbed"), "<PHONE>", -1)) - 1).as("phones_redacted"),
+            length(col("scrubbed")).as("scrubbed_len"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(string_split(scrubbed, '<EMAIL>')) - 1 AS INT) AS emails_redacted,
+               CAST(len(string_split(scrubbed, '<PHONE>')) - 1 AS INT) AS phones_redacted,
+               CAST(length(scrubbed) AS INT) AS scrubbed_len
+        FROM s ORDER BY doc_id"""),
+      doc = "PII redaction pass (email/phone patterns) with per-doc counts"),
+
     // Near-dup CLUSTERS: connected components over the q35 pair graph —
     // the step that turns pairs into "keep one per cluster" decisions.
     // Min-label propagation to fixpoint: each round joins labels across
