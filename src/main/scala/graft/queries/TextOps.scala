@@ -532,6 +532,44 @@ object TextOps {
         ORDER BY d.doc_id"""),
       doc = "char-trigram profile language ID (broadcast profile join, argmax)"),
 
+    // Token-budget packing: fill a per-language token budget greedily by a
+    // quality proxy (longer docs first, id tie-break) — the corpus-curation
+    // selection step. Running sum over one keyed window; the budget cut is
+    // a filter on the cumulative count.
+    "q84_token_budget" -> Q(
+      run = (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        docTokens(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            size(col("toks")).cast("long").as("n_tok"))
+          .withColumn("cum_tok", sum(col("n_tok")).over(w))
+          .filter(col("cum_tok") <= 20000L) // per-lang budget
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("docs_kept"),
+            max(col("cum_tok")).as("tokens_used"),
+            min(col("n_chars")).as("shortest_kept_chars"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH ranked AS (
+          SELECT doc_id, lang, n_chars,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        cum AS (
+          SELECT lang, n_chars, n_tok,
+                 sum(n_tok) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+          FROM ranked)
+        SELECT lang, count(*) AS docs_kept,
+               CAST(max(cum_tok) AS BIGINT) AS tokens_used,
+               min(n_chars) AS shortest_kept_chars
+        FROM cum WHERE cum_tok <= 20000
+        GROUP BY lang ORDER BY lang"""),
+      doc = "greedy per-language token-budget packing (cumulative window cut)"),
+
     // The quality GATE itself (C4-style): compose q31's signals into the
     // keep/drop decision — token-count bounds, stopword floor, alpha floor —
     // and report the funnel per language. Integer cross-multiplied
