@@ -41,9 +41,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Round-1 post-mortem: the driver's correctness report keyed every query
+    // as "<name>.parquet" and flagged all of them no_oracle — its lookup uses
+    // the output DIRECTORY name, suffix included. Emit both keys so either
+    // lookup convention ("q01_x" or "q01_x.parquet") resolves.
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.queries.TextOps.releaseShingles()
     spark.stop()
   }
 }

@@ -134,7 +134,18 @@ object Main {
         RunResult("error", s"modo no reconocido: ${other.mkString(" ")} " +
           "(uso: bulk <start> <end> <out> | sequential <search-glob> <processed-csv> <out> | manual <glob> <out>)", 0L)
     }
-    println(s"""{"status":"${result.status}","message":"${result.message}","records_processed":${result.recordsProcessed}}""")
+    // Spark exception messages routinely carry quotes/backslashes/newlines —
+    // escape them or the envelope stops being parseable JSON
+    def j(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    println(s"""{"status":${j(result.status)},"message":${j(result.message)},"records_processed":${result.recordsProcessed}}""")
     spark.stop()
     if (result.status == "error") sys.exit(2)
   }

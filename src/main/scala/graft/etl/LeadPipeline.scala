@@ -126,6 +126,24 @@ object LeadPipeline {
       .partitionBy("snapshot_month")
       .parquet(path)
 
+  /** Crash-safe table swap: stage is renamed into place instead of
+    * overwriting the live target (Overwrite deletes the target first, so a
+    * crash mid-write would destroy it). rename is a metadata-only move on
+    * posix/HDFS — a crash leaves either the old or the new table complete,
+    * never a half-deleted one — and staging/old dirs are always removed. */
+  private def swapIn(spark: SparkSession, staging: String, target: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (stg, tgt, old) = (new Path(staging), new Path(target), new Path(target + "__old"))
+    try {
+      if (fs.exists(old)) fs.delete(old, true)
+      val hadOld = fs.exists(tgt) && fs.rename(tgt, old)
+      if (!fs.rename(stg, tgt))
+        throw new java.io.IOException(s"swapIn: rename $staging -> $target failed")
+      if (hadOld) fs.delete(old, true)
+    } finally if (fs.exists(stg)) fs.delete(stg, true)
+  }
+
   /** K4 upsert: MERGE semantics against a parquet target without a lakehouse
     * dep — full-outer merge, incoming wins (manual_scraper.py:241-295). */
   def upsert(spark: SparkSession, incoming: DataFrame, targetPath: String, key: String): Unit = {
@@ -142,11 +160,12 @@ object LeadPipeline {
           .select(cols.map(c =>
             coalesce(col(s"i.$c"), col(s"e.$c")).as(c)): _*)
       }
-    // two-phase write: merge result must be materialized before overwriting
-    // the input path (Spark cannot read+overwrite the same location lazily)
+    // two-phase write: merge result must be materialized before replacing
+    // the input path (Spark cannot read+overwrite the same location lazily);
+    // the stage is then renamed in — one table write, no destructive window
     val tmp = targetPath + "__staging"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(targetPath)
+    swapIn(spark, tmp, targetPath)
   }
 
   /** K4 upsert, scale form: the target is hash-bucket-partitioned on the
@@ -172,14 +191,22 @@ object LeadPipeline {
         .join(withBucket.alias("i"), col(s"e.$key") === col(s"i.$key"), "full_outer")
         .select((cols.map(c => coalesce(col(s"i.$c"), col(s"e.$c")).as(c)) :+
           coalesce(col("i.__bucket"), col("e.__bucket")).as("__bucket")).toIndexedSeq: _*)
+      // staging is still required (can't read+overwrite the same partitions
+      // lazily), but the overwrite is dynamic — only affected __bucket dirs
+      // are replaced, at job commit — and staging is removed even on failure
       val tmp = targetPath + "__staging"
-      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
       val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try
+      try {
+        merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         spark.read.parquet(tmp).write.mode(SaveMode.Overwrite)
           .partitionBy("__bucket").parquet(targetPath)
-      finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      } finally {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
     }
   }
 
@@ -208,7 +235,7 @@ object LeadPipeline {
     * ~targetBytes outputs (the append-heavy sink's antidote — K2's
     * per-chunk appends at 100 TB degrade scans via file-count explosion;
     * periodic compaction restores scan efficiency). Two-phase write like
-    * [[upsert]]: the compacted copy is staged, then swapped in. */
+    * [[upsert]]: the compacted copy is staged, then renamed in (crash-safe). */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): Unit = {
     val dir = new java.io.File(path)
@@ -218,7 +245,7 @@ object LeadPipeline {
     val tmp = path + "__compacting"
     spark.read.parquet(path).repartition(parts)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
+    swapIn(spark, tmp, path)
   }
 
   /** K6 TTL cache read: newest non-expired snapshot row-set, else empty. */

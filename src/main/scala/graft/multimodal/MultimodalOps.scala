@@ -38,11 +38,20 @@ object MultimodalOps {
     * (bytes → dims/frames/fingerprint) is the real one. */
   object StubCodec {
     def decode(mediaType: String, bytes: Array[Byte]): (Int, Int, Int) = {
-      val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
-      val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
+      // dims derive from the first two CODEPOINTS of the UTF-8 payload (not
+      // raw bytes) and frames from the char count — the q51/q52/q67 oracles
+      // are written in ascii(substr(text,…))/length(text) i.e. codepoint/
+      // char terms, so this law must match byte-for-byte on non-ASCII too
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      val b0 = if (s.nonEmpty) s.codePointAt(0) else 0
+      val b1 = {
+        val i = if (s.isEmpty) 0 else Character.charCount(s.codePointAt(0))
+        if (s.length > i) s.codePointAt(i) else 0
+      }
+      val nChars = s.codePointCount(0, s.length)
       val frames = mediaType match {
-        case "video" => 1 + bytes.length / 64
-        case "audio" => 1 + bytes.length / 256
+        case "video" => 1 + nChars / 64
+        case "audio" => 1 + nChars / 256
         case _       => 1
       }
       (4 * b0, 4 * b1, frames)  // ??? real codec goes here
@@ -108,6 +117,9 @@ object MultimodalOps {
     // Typed-metadata analytics over the binary table: everything here is
     // SQL-expressible, so the multimodal schema path is oracle-gated. The
     // fake "header decode" (first two byte values → dims) mirrors StubCodec.
+    // NOTE: Spark ascii() and DuckDB ascii() agree only on ASCII leading
+    // chars; the documents fixture is ASCII, and StubCodec (the law q52/q67
+    // test) is codepoint-based so it stays oracle-correct beyond ASCII.
     "q51_media_metadata" -> Q(
       run = (s, d) => mediaTable(s, d).toDF()
         .withColumn("decoded", col("bytes").cast("string"))

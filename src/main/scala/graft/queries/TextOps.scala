@@ -38,15 +38,33 @@ object TextOps {
     * scan+explode+distinct feeds them all (Spark's cache manager dedups by
     * canonicalized plan). At 100 TB this is the same call — you materialize
     * the shingle projection once, not once per consumer. */
-  private def docShingles(s: SparkSession, d: String): DataFrame = {
-    val sh = docTokens(s, d)
-      .select(col("doc_id"), explode(shingleHashes(col("toks"))).as("shh"))
-      .persist() // per-doc distinct already done in the kernel — no shuffle
-    // materialize eagerly: the consumers run as concurrent AQE stages, and a
-    // cold cache would be recomputed once per racing stage (at scale this is
-    // the explicit "stage the shingle table" step)
-    sh.count()
-    sh
+  // One live shingle cache at a time, keyed by (session, dir): q35/q36/q81
+  // share it within a run, switching fixture dirs (Bench warms at sf0.001,
+  // times at sf0.1) releases the stale entry instead of pinning it for the
+  // session lifetime, and releaseShingles() frees it explicitly on exit.
+  private var shingleCache: Option[(SparkSession, String, DataFrame)] = None
+
+  private def docShingles(s: SparkSession, d: String): DataFrame = synchronized {
+    shingleCache match {
+      case Some((sess, dir, df)) if (sess eq s) && dir == d => df
+      case prev =>
+        prev.foreach(_._3.unpersist(blocking = false))
+        val sh = docTokens(s, d)
+          .select(col("doc_id"), explode(shingleHashes(col("toks"))).as("shh"))
+          .persist() // per-doc distinct already done in the kernel — no shuffle
+        // materialize eagerly: the consumers run as concurrent AQE stages, and
+        // a cold cache would be recomputed once per racing stage (at scale
+        // this is the explicit "stage the shingle table" step)
+        sh.count()
+        shingleCache = Some((s, d, sh))
+        sh
+    }
+  }
+
+  /** Drop the cached shingle table (end-of-run cleanup for Verify/Bench). */
+  def releaseShingles(): Unit = synchronized {
+    shingleCache.foreach(_._3.unpersist(blocking = false))
+    shingleCache = None
   }
 
   /** Exact Jaccard pairs (a<b): inter = |shared shingles|,
@@ -663,7 +681,10 @@ object TextOps {
         var labels = nodes.withColumn("root", col("doc")).localCheckpoint()
         var changed = 1L
         var rounds = 0
-        while (changed > 0 && rounds < 16) { // near-dup components are
+        // 64-round safety cap >> any plausible near-dup diameter; convergence
+        // is ASSERTED below — an unconverged run must fail loudly here, not
+        // obscurely at the oracle hash compare
+        while (changed > 0 && rounds < 64) { // near-dup components are
           rounds += 1 // dup-cliques + short chains: converges in 1-2 rounds
           val viaEdge = edges
             .join(labels.withColumnRenamed("doc", "doc_a"), Seq("doc_a"))
@@ -676,6 +697,10 @@ object TextOps {
             .filter(col("root") =!= col("prev")).count()
           labels = next
         }
+        require(changed == 0,
+          s"q81 label propagation did not converge in $rounds rounds " +
+            s"($changed labels still changing) — component diameter exceeds cap")
+        pairs.unpersist(blocking = false) // labels are checkpointed; edges done
         labels
           .groupBy(col("root"))
           .agg(count(lit(1)).as("cluster_size"),
