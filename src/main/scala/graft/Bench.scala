@@ -26,12 +26,18 @@ object Bench {
     // Two timed passes, min per query: streaming queries carry 2-3x run-to-
     // run variance from state-store/checkpoint I/O and micro-batch
     // scheduling, and min-of-N is the standard steady-state estimator.
-    def pass(): Seq[(String, Double)] =
+    // each pass starts cache-cold for the text-dedup family: q35 pays the
+    // shingle+pair build once per pass and q36/q81 reuse it within the pass
+    // (the pipeline-run attribution) — without this, pass 2 would time pure
+    // cache hits and min() would erase the build cost from the total
+    def pass(): Seq[(String, Double)] = {
+      graft.queries.TextOps.releaseShingles()
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
+    }
     val results = (pass() ++ pass()).groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (name, ts) => name -> ts.map(_._2).min }
     def fmt(v: Double) = f"$v%.3f"

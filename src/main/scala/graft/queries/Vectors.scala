@@ -153,24 +153,61 @@ object Vectors {
     // co-clustered (an explicit, deterministic approximation).
     "q40_ivf_neardup" -> Q(
       run = (s, d) => {
-        val v = vecs(s, d)
-        val cents = v.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
-            col("n2").as("c_n2"))
-        val assigned = v.join(broadcast(cents))
-          .withColumn("cos_c", cosine(dot(col("embedding"), col("c_emb")), col("n2"), col("c_n2")))
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos_c").desc, col("cent_id"))
-        val clustered = assigned
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("cent_id").as("cluster"), col("embedding"), col("n2"))
+        // assignment is a narrow map over a broadcast centroid matrix (the
+        // 100 TB shape: centroids always fit in a broadcast) executed as a
+        // JVM float kernel — the Catalyst HOF fold runs interpreted per
+        // element and was the q40 hot spot. Ties (equal cos) keep the
+        // smallest cent_id, identical to the oracle's (cos DESC, cent_id)
+        // ranking; the fold order matches the oracle bit-for-bit.
+        import s.implicits._
+        val centRows = Tables.embeddings(s, d).filter(col("vec_id") < 16)
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])].collect().sortBy(_._1)
+        val centMat = centRows.map(_._2)
+        val centN2 = centMat.map { v =>
+          var acc = 0.0; var i = 0
+          while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+          acc
+        }
+        val bc = s.sparkContext.broadcast((centMat, centN2))
+        val assignCluster = udf { (emb: Seq[Float]) =>
+          val (cm, cn2) = bc.value
+          val va = emb.toArray
+          var n2 = 0.0; var i = 0
+          while (i < va.length) { n2 += va(i).toDouble * va(i).toDouble; i += 1 }
+          var best = -1; var bestCos = Double.NegativeInfinity
+          var c = 0
+          while (c < cm.length) {
+            val vc = cm(c)
+            var acc = 0.0; var j = 0
+            while (j < va.length) { acc += va(j).toDouble * vc(j).toDouble; j += 1 }
+            val cos = acc / (math.sqrt(n2) * math.sqrt(cn2(c)))
+            if (cos > bestCos) { bestCos = cos; best = c } // first (asc id) wins ties
+            c += 1
+          }
+          best.toLong
+        }
+        val cosPair = udf { (a: Seq[Float], b: Seq[Float]) =>
+          val va = a.toArray; val vb = b.toArray
+          var acc = 0.0; var n2a = 0.0; var n2b = 0.0; var i = 0
+          while (i < va.length) {
+            acc += va(i).toDouble * vb(i).toDouble
+            n2a += va(i).toDouble * va(i).toDouble
+            n2b += vb(i).toDouble * vb(i).toDouble
+            i += 1
+          }
+          acc / (math.sqrt(n2a) * math.sqrt(n2b))
+        }
+        val clustered = Tables.embeddings(s, d)
+          .select(col("vec_id"), assignCluster(col("embedding")).as("cluster"),
+            col("embedding"))
         val a = clustered.select(col("cluster"), col("vec_id").as("vec_a"),
-          col("embedding").as("emb_a"), col("n2").as("n2a"))
+          col("embedding").as("emb_a"))
         val b = clustered.select(col("cluster"), col("vec_id").as("vec_b"),
-          col("embedding").as("emb_b"), col("n2").as("n2b"))
+          col("embedding").as("emb_b"))
         a.join(b, Seq("cluster"))
           .filter(col("vec_a") < col("vec_b"))
-          .filter(cosine(dot(col("emb_a"), col("emb_b")), col("n2a"), col("n2b")) >= 0.4)
+          .filter(cosPair(col("emb_a"), col("emb_b")) >= 0.4)
           .select(col("cluster"), col("vec_a"), col("vec_b"))
           .orderBy("cluster", "vec_a", "vec_b")
       },

@@ -60,7 +60,11 @@ object StreamOps {
   private def drain(s: SparkSession, streamed: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${runSeq.incrementAndGet()}"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // 4 state partitions: each one costs a store open + delta commit PER
+    // MICRO-BATCH regardless of data volume (a stream-stream join keeps 4
+    // stores per partition), and the fixture drain is commit-bound, not
+    // data-bound; production sizing scales this with key cardinality instead
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = streamed.writeStream
         .format("memory")
