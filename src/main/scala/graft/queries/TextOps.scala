@@ -820,6 +820,96 @@ object TextOps {
         FROM t a JOIN t b ON a.p_type < b.p_type
         WHERE levenshtein(a.p_type, b.p_type) <= 6
         ORDER BY type_a, type_b"""),
-      doc = "edit-distance fuzzy pairs over a distinct label domain")
+      doc = "edit-distance fuzzy pairs over a distinct label domain"),
+
+    // Deterministic train/val/test split: content-hash mod 100 → 80/10/10.
+    // Hash-based (not random) so the assignment is reproducible, stable
+    // under re-runs and resharding, and consistent across engines — the
+    // standard way to split a 100 TB corpus without a shuffle (the split
+    // column is a narrow projection; the per-split agg is the only exchange).
+    "q85_hash_split" -> Q(
+      run = (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          pmod(charHash(col("text")), lit(100L)).as("bucket"))
+        .select(col("n_chars"),
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("split"),
+      oracle = Some("""
+        WITH h AS (
+          SELECT doc_id, n_chars,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text,''), c -> CAST(ascii(c) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007) % 100 AS bucket
+          FROM documents)
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+               count(*) AS n_docs, sum(n_chars) AS total_chars
+        FROM h GROUP BY 1 ORDER BY split"""),
+      doc = "deterministic content-hash train/val/test split (shuffle-free assignment)"),
+
+    // Gopher-style intra-document repetition gate: fraction of duplicate
+    // word bigrams, in integer milli-units. A narrow per-doc computation
+    // (no shuffle but the egress sort) — the repetition filters that run
+    // over every document of a training corpus must be exactly this shape.
+    "q86_repetition_filter" -> Q(
+      run = (s, d) => docTokens(s, d)
+        .select(col("doc_id"),
+          greatest(size(col("toks")) - 1, lit(0)).cast("long").as("n_bigrams"),
+          size(shingles(col("toks"), 2)).cast("long").as("n_unique"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_unique"),
+          expr("1000 * (n_bigrams - n_unique) div greatest(n_bigrams, 1)")
+            .as("dup2_milli"))
+        .withColumn("kept", col("dup2_milli") <= 500)
+        .orderBy("doc_id"),
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        b AS (
+          SELECT doc_id,
+                 CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+                 CAST(len(list_distinct(list_transform(range(1, greatest(len(toks), 1)),
+                   i -> toks[i] || ' ' || toks[i+1]))) AS BIGINT) AS n_unique
+          FROM t)
+        SELECT doc_id, n_bigrams, n_unique,
+               1000 * (n_bigrams - n_unique) // greatest(n_bigrams, 1) AS dup2_milli,
+               (1000 * (n_bigrams - n_unique) // greatest(n_bigrams, 1)) <= 500 AS kept
+        FROM b ORDER BY doc_id"""),
+      doc = "duplicate-bigram repetition fraction + keep/drop gate (Gopher-style)"),
+
+    // Benchmark-contamination flagging: corpus docs sharing ≥ 20% of their
+    // shingles with a held-out eval set (doc_id < 10 here). The eval shingle
+    // set is small by construction → broadcast semi-join against the corpus
+    // shingle table (at 100 TB: a broadcast bloom/set filter in the scan
+    // projection — no corpus-sized shuffle is ever needed).
+    "q87_contamination" -> Q(
+      run = (s, d) => {
+        val sh = docShingles(s, d)
+        val evalSh = sh.filter(col("doc_id") < 10).select(col("shh")).distinct()
+        val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+        val overlap = sh.join(broadcast(evalSh), Seq("shh"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+        counts.join(overlap, Seq("doc_id"), "left")
+          .filter(col("doc_id") >= 10)
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+            (coalesce(col("n_overlap"), lit(0L)) * 5 >= col("n_shingles"))
+              .as("contaminated"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH $jaccardCtes,
+        ev AS (SELECT DISTINCT shh FROM sh WHERE doc_id < 10),
+        cnt AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+        ov AS (SELECT doc_id, count(*) AS n_overlap
+               FROM sh SEMI JOIN ev USING (shh) GROUP BY doc_id)
+        SELECT c.doc_id, c.n_shingles,
+               COALESCE(o.n_overlap, 0) AS n_overlap,
+               (COALESCE(o.n_overlap, 0) * 5 >= c.n_shingles) AS contaminated
+        FROM cnt c LEFT JOIN ov o USING (doc_id)
+        WHERE c.doc_id >= 10 ORDER BY doc_id"""),
+      doc = "eval-set contamination flags via broadcast shingle-overlap semi-join")
   )
 }

@@ -65,15 +65,33 @@ object StreamOps {
     // stores per partition), and the fixture drain is commit-bound, not
     // data-bound; production sizing scales this with key cardinality instead
     s.conf.set("spark.sql.shuffle.partitions", "4")
+    // ephemeral drain checkpoint on tmpfs when available: the micro-batch
+    // fixed cost is dozens of small WAL/state/commit writes, fsync-bound on
+    // disk. A PRODUCTION stream points this at durable shared storage — the
+    // checkpoint is the exactly-once contract; only the finite fixture drain
+    // may treat it as scratch.
+    val ckBase = new java.io.File("/dev/shm")
+    val ck =
+      if (ckBase.isDirectory && ckBase.canWrite)
+        Some(java.nio.file.Files.createTempDirectory(ckBase.toPath, s"graft_ck_$name"))
+      else None
     try {
-      val q = streamed.writeStream
+      val w = streamed.writeStream
         .format("memory")
         .queryName(name)
         .outputMode(mode)
         .trigger(Trigger.AvailableNow())
-        .start()
+      ck.foreach(p => w.option("checkpointLocation", p.toString))
+      val q = w.start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      ck.foreach { p =>
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
     s.table(name)
   }
 
