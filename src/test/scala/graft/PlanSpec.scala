@@ -139,4 +139,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("PushedFilters: [EqualTo(rubro,Salud), EqualTo(has_email,true), ("),
       "modulo residual unexpectedly pushed")
   }
+
+  test("q85: split assignment is shuffle-free (only the per-split agg exchanges)") {
+    val p = plan("q85_hash_split")
+    // exactly two exchanges: the groupBy(split) partial→final hop and the
+    // 3-row egress sort — the hash assignment itself must stay narrow
+    val n = "Exchange".r.findAllIn(p).length
+    assert(n <= 2, s"hash split introduced extra shuffles ($n exchanges):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"hash split should not join:\n$p")
+  }
+
+  test("q86: repetition gate is a narrow projection (no join, no agg shuffle)") {
+    val p = plan("q86_repetition_filter")
+    assert(!p.contains("Join"), s"repetition gate should not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"repetition gate should not aggregate:\n$p")
+  }
+
+  test("q87: eval-set overlap is a broadcast semi-join (no corpus-sized shuffle join)") {
+    val p = plan("q87_contamination", execute = true)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"contamination check lost the broadcast semi-join:\n$p")
+  }
 }
