@@ -92,6 +92,19 @@ class EtlSpec extends SparkSpec {
     assert(got.sameElements(Array((1L, "new", 11.0), (2L, "keep", 20.0), (3L, "ins", 30.0))))
   }
 
+  test("upsert/compact leave no staging or swap debris next to the table") {
+    val base = tmp("graft_swap")
+    val out = base + "/t"
+    val v1 = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "score")
+    LeadPipeline.upsert(spark, v1, out, "id")
+    LeadPipeline.upsert(spark, Seq((3L, "c", 3.0)).toDF("id", "name", "score"), out, "id")
+    LeadPipeline.compact(spark, out)
+    val siblings = new java.io.File(base).listFiles().map(_.getName).toSet
+    assert(siblings == Set("t"),
+      s"swap left debris: ${siblings - "t"}") // no __staging/__compacting/__old
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
   test("TTL cache read returns latest non-expired snapshot (K6)") {
     val out = tmp("graft_cache")
     Seq((100L, "stale"), (100L, "stale2")).toDF("cache_ts", "v")
