@@ -374,6 +374,47 @@ object EtlOps {
         WHERE (['Comercio','Salud','Gastronomia','Construccion','Educacion','Transporte','Agro','Servicios'])[CAST((id*7) % 8 AS INT) + 1] = 'Salud'
           AND id % 3 = 0 AND id <= 4000 AND id % 7 = 0
         ORDER BY id"""),
-      doc = "DataSource V2 scan with filter pushdown, range narrowing, column pruning")
+      doc = "DataSource V2 scan with filter pushdown, range narrowing, column pruning"),
+
+    // Snapshot diff — the read-side complement of K7's versioned snapshots
+    // (versioning.py keeps monthly copies precisely so consumers can answer
+    // "what changed"): month-over-month customer activity classified as
+    // new / retained / churned via a keys-only full-outer join. At 100 TB
+    // each month is one partition of the snapshot table, the distinct
+    // projections are partition-pruned scans, and the join carries only the
+    // 8-byte key — never the payload.
+    "q88_snapshot_diff" -> Q(
+      run = (s, d) => {
+        val o = Tables.orders(s, d)
+        def monthKeys(from: String, until: String) = o
+          .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+            col("o_orderdate") < lit(until).cast("timestamp"))
+          .select(col("o_custkey")).distinct()
+        val jan = monthKeys("1996-01-01", "1996-02-01").withColumn("in_jan", lit(1))
+        val feb = monthKeys("1996-02-01", "1996-03-01").withColumn("in_feb", lit(1))
+        jan.join(feb, Seq("o_custkey"), "full_outer")
+          .select(
+            when(col("in_jan").isNotNull && col("in_feb").isNotNull, "retained")
+              .when(col("in_feb").isNotNull, "new")
+              .otherwise("churned").as("status"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("status")
+      },
+      oracle = Some("""
+        WITH jan AS (
+          SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-02-01'),
+        feb AS (
+          SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-02-01' AND o_orderdate < TIMESTAMP '1996-03-01'),
+        diff AS (
+          SELECT CASE WHEN j.o_custkey IS NOT NULL AND f.o_custkey IS NOT NULL THEN 'retained'
+                      WHEN f.o_custkey IS NOT NULL THEN 'new'
+                      ELSE 'churned' END AS status
+          FROM jan j FULL OUTER JOIN feb f ON j.o_custkey = f.o_custkey)
+        SELECT status, count(*) AS n_customers
+        FROM diff GROUP BY status ORDER BY status"""),
+      doc = "month-over-month snapshot diff: new/retained/churned keys (K7 read side)")
   )
 }
