@@ -35,6 +35,19 @@ object ScaleStress {
     t("q36 LSH on the plain 5k-doc corpus") {
       println("  pairs=" + graft.SparkEntry.queries("q36_minhash_lsh")(spark, "/root/testdata/sf0.1").count())
     }
+
+    // hot-shingle skew: every doc gets the same viral preamble prepended, so
+    // its shingles occur in ALL 5k docs — the worst case for the shared-
+    // shingle candidate join (a naive plan quadratically explodes on the hot
+    // keys; AQE skew-split plus the per-doc-distinct fanout cap must hold it
+    // to output-proportional work)
+    val skewDir = "/tmp/stress_skew"
+    docs.withColumn("text",
+      concat(lit("breaking update please share this post now "), col("text")))
+      .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
+    t("q35 on 5k docs sharing a viral preamble (hot shingles)") {
+      println("  pairs=" + graft.SparkEntry.queries("q35_jaccard_pairs")(spark, skewDir).count())
+    }
     spark.stop()
   }
 }
