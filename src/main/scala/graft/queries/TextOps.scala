@@ -150,6 +150,13 @@ object TextOps {
     singles.unionByName(verified)
   }
 
+  /** |A∩B| by hash probe over two distinct shingle arrays (q35/q36 verify). */
+  private val interCount = udf { (a: Seq[Long], b: Seq[Long]) =>
+    val set = new java.util.HashSet[Long](a.size * 2)
+    a.foreach(set.add)
+    b.count(set.contains).toLong
+  }
+
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = docShingles(s, d)
     val classes = shingleClasses(sh).persist()
@@ -189,11 +196,6 @@ object TextOps {
     // join (5.6× fewer rows than the direct shh self-join on the plain
     // corpus, and independent of shingle hotness). cand broadcasts (it is
     // near-dup-proportional); the second hop is an AQE-sized join.
-    val interCount = udf { (a: Seq[Long], b: Seq[Long]) =>
-      val set = new java.util.HashSet[Long](a.size * 2)
-      a.foreach(set.add)
-      b.count(set.contains).toLong
-    }
     val repPairs = repArr.select(col("doc_id").as("ra"), col("shs").as("sa"))
       .join(broadcast(cand), Seq("ra"))
       .join(repArr.select(col("doc_id").as("rb"), col("shs").as("sb")), Seq("rb"))
@@ -403,7 +405,7 @@ object TextOps {
     // are identical to the oracle's unnest formulation.
     "q36_minhash_lsh" -> Q(
       run = (s, d) => {
-        val sh = docShingles(s, d)
+        val arr = docShingleArrays(s, d)
         val a = mhA.toArray
         val b = mhB.toArray
         val bandSigs = udf { (shingles: Seq[Long]) =>
@@ -418,8 +420,9 @@ object TextOps {
           }
           (0 until 4).map(band => mh(2 * band) * P + mh(2 * band + 1))
         }
-        val bands = sh.groupBy(col("doc_id"))
-          .agg(collect_list(col("shh")).as("shs"))
+        // signatures straight off the cached per-doc arrays — a narrow
+        // projection, no groupBy/collect re-aggregation shuffle
+        val bands = arr
           .select(col("doc_id"), posexplode(bandSigs(col("shs"))))
           .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
         val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
@@ -427,19 +430,15 @@ object TextOps {
             Seq("band", "sig"))
           .filter(col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b")).distinct()
-        // verify ONLY the candidate pairs (the LSH payoff): broadcast the
-        // small candidate set into the shingle join instead of computing
-        // exact Jaccard over every shared-shingle pair in the corpus
-        val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val interOnCand = sh.select(col("doc_id").as("doc_a"), col("shh"))
+        // verify ONLY the candidate pairs (the LSH payoff), against the
+        // per-doc shingle arrays with the hash-probe kernel — same
+        // candidate-bounded verify shape as q35
+        arr.select(col("doc_id").as("doc_a"), col("shs").as("sa"))
           .join(broadcast(cand), Seq("doc_a"))
-          .join(sh.select(col("doc_id").as("doc_b"), col("shh")), Seq("doc_b", "shh"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("inter"))
-        interOnCand
-          .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-          .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-          .withColumn("uni", col("na") + col("nb") - col("inter"))
+          .join(arr.select(col("doc_id").as("doc_b"), col("shs").as("sb")), Seq("doc_b"))
+          .withColumn("inter", interCount(col("sa"), col("sb")))
+          .withColumn("uni",
+            size(col("sa")).cast("long") + size(col("sb")).cast("long") - col("inter"))
           .filter(col("inter") * 10 >= col("uni") * 7)
           .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
           .orderBy("doc_a", "doc_b")
@@ -816,10 +815,18 @@ object TextOps {
     // broadcast back; the corpus-size scalar joins as a broadcast literal.
     "q58_tfidf" -> Q(
       run = (s, d) => {
-        val terms = docTokens(s, d)
-          .select(col("doc_id"), explode(col("toks")).as("term"))
-          .filter(col("term") =!= "")
-        val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        // per-doc term frequencies in a one-pass kernel (HashMap per doc) —
+        // the (doc, term) groupBy shuffle disappears; only the vocab-sized
+        // df agg and the per-doc ranking window exchange data
+        val tfKernel = udf { (toks: Seq[String]) =>
+          val m = new java.util.HashMap[String, Long]()
+          toks.foreach(t => if (t.nonEmpty) m.merge(t, 1L, _ + _))
+          import scala.jdk.CollectionConverters._
+          m.asScala.toSeq
+        }
+        val tf = docTokens(s, d)
+          .select(col("doc_id"), explode(tfKernel(col("toks"))).as("kv"))
+          .select(col("doc_id"), col("kv._1").as("term"), col("kv._2").as("tf"))
         val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val nDocs = Tables.documents(s, d)
           .agg(count_distinct(col("doc_id")).as("n_docs"))
