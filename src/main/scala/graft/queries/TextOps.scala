@@ -164,7 +164,9 @@ object TextOps {
     val repSh = sh.join(reps, Seq("doc_id"), "left_semi")
     val repArr = docShingleArrays(s, d).join(reps, Seq("doc_id"), "left_semi")
 
-    // Prefix filtering (SSJoin/PPJoin lemma): for J ≥ 0.7 the overlap is at
+    // Prefix filtering (the SSJoin/PPJoin prefix lemma of Chaudhuri et al.
+    // ICDE'06 / Bayardo et al. WWW'07 / Xiao et al. WWW'08, public
+    // literature): for J ≥ 0.7 the overlap is at
     // least ⌈0.7·n⌉ on BOTH sides, so two qualifying sets must share an
     // element within their (n − ⌈0.7n⌉ + 1)-prefixes under ANY common total
     // order. Ordering by (document-frequency asc, shh) puts the RAREST
@@ -976,6 +978,72 @@ object TextOps {
                (COALESCE(o.n_overlap, 0) * 5 >= c.n_shingles) AS contaminated
         FROM cnt c LEFT JOIN ov o USING (doc_id)
         WHERE c.doc_id >= 10 ORDER BY doc_id"""),
-      doc = "eval-set contamination flags via broadcast shingle-overlap semi-join")
+      doc = "eval-set contamination flags via broadcast shingle-overlap semi-join"),
+
+    // Stratified sampling: per-language keep rates applied by content hash —
+    // the deterministic sampleBy. Same shuffle-free assignment shape as q85;
+    // rates live in the expression, the only exchange is the tiny per-lang
+    // aggregation.
+    "q89_stratified_sample" -> Q(
+      run = (s, d) => Tables.documents(s, d)
+        .select(col("lang"),
+          (pmod(charHash(col("text")), lit(100L)) <
+            when(col("lang") === "en", 50L)
+              .when(col("lang") === "es", 30L)
+              .when(col("lang") === "de", 20L)
+              .otherwise(10L)).cast("long").as("kept"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
+        .orderBy("lang"),
+      oracle = Some("""
+        WITH h AS (
+          SELECT lang,
+                 CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(text,''), c -> CAST(ascii(c) AS BIGINT))),
+                        (acc, c) -> (acc * 31 + c) % 1000000007) % 100 <
+                      CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 30 WHEN 'de' THEN 20 ELSE 10 END
+                      THEN 1 ELSE 0 END AS kept
+          FROM documents)
+        SELECT lang, count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_kept
+        FROM h GROUP BY lang ORDER BY lang"""),
+      doc = "deterministic per-language stratified sampling (hash-gated sampleBy)"),
+
+    // Source-mixture weighting — the data-mixing step of corpus assembly:
+    // integer milli-weights per source, a doc budget, and a per-source
+    // repeat factor (clamped to [1, 4] epochs). The whole computation is one
+    // source-cardinality aggregation plus broadcast scalars — at 100 TB the
+    // repeat factors drive a later explode(sequence(1, repeat)) expansion,
+    // which is a narrow map.
+    "q90_mixture_weights" -> Q(
+      run = (s, d) => {
+        val sized = Tables.documents(s, d)
+          .select(col("source"),
+            when(col("source") === "src0", 500L)
+              .when(col("source") === "src1", 300L)
+              .otherwise(100L).as("w"))
+          .groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("n_docs"))
+        val totals = sized.agg(sum(col("w")).as("total_w"))
+        sized.crossJoin(broadcast(totals))
+          .withColumn("target", expr("10000 * w div total_w"))
+          .withColumn("repeat", expr("least(4, greatest(1, target div n_docs))"))
+          .withColumn("emitted", col("n_docs") * col("repeat"))
+          .select(col("source"), col("n_docs"), col("w"), col("target"),
+            col("repeat"), col("emitted"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH sized AS (
+          SELECT source,
+                 CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 300 ELSE 100 END AS w,
+                 count(*) AS n_docs
+          FROM documents GROUP BY 1, 2),
+        tot AS (SELECT sum(w) AS total_w FROM sized)
+        SELECT source, n_docs, CAST(w AS BIGINT) AS w,
+               CAST(10000 * w // total_w AS BIGINT) AS target,
+               CAST(least(4, greatest(1, (10000 * w // total_w) // n_docs)) AS BIGINT) AS "repeat",
+               CAST(n_docs * least(4, greatest(1, (10000 * w // total_w) // n_docs)) AS BIGINT) AS emitted
+        FROM sized CROSS JOIN tot ORDER BY source"""),
+      doc = "source-mixture weighting: budgeted per-source repeat factors (data mixing)")
   )
 }
