@@ -157,7 +157,7 @@ object LeadPipeline {
         val cols = incoming.columns
         existing.alias("e")
           .join(incoming.alias("i"), col(s"e.$key") === col(s"i.$key"), "full_outer")
-          .select(cols.map(c =>
+          .select(cols.toIndexedSeq.map(c =>
             coalesce(col(s"i.$c"), col(s"e.$c")).as(c)): _*)
       }
     // two-phase write: merge result must be materialized before replacing
@@ -185,7 +185,7 @@ object LeadPipeline {
       val affected = withBucket.select("__bucket").distinct()
         .collect().map(_.getLong(0)) // ≤ `buckets` values — driver-safe
       val existing = spark.read.parquet(targetPath)
-        .filter(col("__bucket").isin(affected: _*)) // partition-pruned scan
+        .filter(col("__bucket").isin(affected.toIndexedSeq: _*)) // partition-pruned scan
       val cols = incoming.columns
       val merged = existing.alias("e")
         .join(withBucket.alias("i"), col(s"e.$key") === col(s"i.$key"), "full_outer")

@@ -30,7 +30,7 @@ object Operators {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
       .withColumnsRenamed(valueCols.map(c => c -> s"__v_$c").toMap)
       .drop(rightTs)
-    val unioned = lTagged.unionByName(rTagged.select(lTagged.columns.map(col): _*))
+    val unioned = lTagged.unionByName(rTagged.select(lTagged.columns.toIndexedSeq.map(col): _*))
     // right rows sort before left rows at equal ts → inclusive (<=) semantics
     val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__src"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

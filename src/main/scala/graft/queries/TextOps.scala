@@ -764,7 +764,7 @@ object TextOps {
         // sums detects the fixpoint with one tiny agg instead of a
         // label-vs-label join + count
         def labelSum(df: DataFrame): Long =
-          df.agg(coalesce(sum(col("root")), lit(0L))).head.getLong(0)
+          df.agg(coalesce(sum(col("root")), lit(0L))).head().getLong(0)
         var prevSum = labelSum(labels)
         var converged = false
         var rounds = 0
