@@ -181,10 +181,11 @@ object TextOps {
     val freq = repSh.groupBy(col("shh")).agg(count(lit(1)).as("dfreq"))
     val wPrefix = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("dfreq"), col("shh"))
+    // set size n comes from the class table (one row per rep, broadcast-
+    // sized under AQE) — cheaper than a second count-window pass
     val prefix = repSh.join(freq, Seq("shh"))
+      .join(classes.select(col("rep").as("doc_id"), col("n")), Seq("doc_id"))
       .withColumn("rn", row_number().over(wPrefix))
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
       .filter(col("rn") <= expr("n - ((7 * n + 9) div 10) + 1"))
       .select(col("doc_id"), col("shh"))
     val cand = prefix.select(col("doc_id").as("ra"), col("shh"))

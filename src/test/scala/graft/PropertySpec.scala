@@ -64,6 +64,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered Jaccard pairs == brute-force all-pairs (adversarial corpus)") {
+    // adversarial shape for the SSJoin/PPJoin prefix lemma implementation:
+    // tiny vocabulary (everything hot), a viral preamble shared by half the
+    // corpus, exact duplicates (class-collapse path), and near-dup edit
+    // copies — the result must be IDENTICAL to brute force
+    val vocab = Vector("data", "spark", "join", "scan", "sort", "row", "key", "agg")
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map { i =>
+      val n = 3 + rnd.nextInt(25)
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val edited = base.take(10).map { t => // near-dups: one token appended
+      t + " " + vocab(rnd.nextInt(vocab.size))
+    }
+    val texts0 = (base ++ base.take(8) ++ edited).zipWithIndex.map { case (t, i) =>
+      if (i % 2 == 0) "breaking viral update now " + t else t
+    }
+    val docs = texts0.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "srcT", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_prop").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // brute force with the same hash law (polyHash of "a b c" 3-grams)
+    val sets: Map[Long, Set[Long]] = docs.map { case (id, t, _, _, _) =>
+      val toks = t.split(" ", -1)
+      id -> toks.sliding(3).filter(_.length == 3)
+        .map(g => TextHash.polyHash(g.mkString(" "))).toSet
+    }.toMap
+    val expect = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a < b && sa.nonEmpty && sb.nonEmpty
+      inter = (sa & sb).size.toLong
+      uni = sa.size + sb.size - inter
+      if inter * 10 >= uni * 7
+    } yield (a, b, inter, uni)).toSet
+
+    val got = SparkEntry.queries("q35_jaccard_pairs")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+    assert(expect.nonEmpty, "generator produced no qualifying pairs — test is vacuous")
+  }
+
   test("dedupFirstWins is idempotent") {
     val rows = samples(Gen.zip(Gen.choose(1L, 20L), Gen.choose(0, 1000)), 300)
     val df = rows.toDF("id", "seq")
