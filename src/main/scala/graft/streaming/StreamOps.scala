@@ -200,6 +200,65 @@ object StreamOps {
          AND v.event_type = 'view' AND p.event_type = 'purchase'
          AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL '30 minutes'
         ORDER BY v.user_id, view_id, purchase_id"""),
-      doc = "watermarked stream-stream interval join (bounded state, append mode)")
+      doc = "watermarked stream-stream interval join (bounded state, append mode)"),
+
+    // Custom-state sessionization: the KeyValueGroupedDataset
+    // flatMapGroupsWithState API (ST3's general form) building 30-minute-gap
+    // sessions per user, same law as q30's window formulation. The GroupState
+    // carries the per-user session counter across micro-batches (the
+    // cross-batch contract is exercised by StreamingSpec's multi-batch state
+    // test); the oracle drain is single-batch (one fixture file,
+    // maxFilesPerTrigger=1), so every session closes inside the drain and the
+    // result is deterministic against the batch SQL.
+    "q91_stateful_sessions" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        val ev = eventsStream(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+          .as[(Long, Long, Long)]
+        def sessions(user: Long, rows: Iterator[(Long, Long, Long)],
+            state: GroupState[Long]): Iterator[(Long, Long, Long, Long)] = {
+          val sorted = rows.toArray.sortBy(r => (r._2, r._3)) // (ts, event_id) — q30's order
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+            var sid = state.getOption.getOrElse(0L)
+            var start = 0L; var prev = Long.MinValue; var n = 0L
+            sorted.foreach { case (_, us, _) =>
+              if (prev == Long.MinValue || us - prev > 1800000000L) {
+                if (n > 0) out += ((user, sid, n, prev - start))
+                sid += 1; start = us; n = 0L
+              }
+              n += 1; prev = us
+            }
+            out += ((user, sid, n, prev - start))
+            state.update(sid) // next batch's sessions continue the numbering
+            out.iterator
+          }
+        }
+        val sessioned = ev.groupByKey(_._1)
+          .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(sessions)
+          .toDF("user_id", "session_id", "events_in_session", "session_span_us")
+        drain(s, sessioned, "update").orderBy("user_id", "session_id")
+      },
+      oracle = Some("""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, ts,
+                 CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM flagged)
+        SELECT user_id, session_id,
+               CAST(count(*) AS BIGINT) AS events_in_session,
+               CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS session_span_us
+        FROM sess GROUP BY user_id, session_id
+        ORDER BY user_id, session_id"""),
+      doc = "flatMapGroupsWithState custom-state sessionization (per-session rows)")
   )
 }
