@@ -188,10 +188,18 @@ object TextOps {
       .withColumn("rn", row_number().over(wPrefix))
       .filter(col("rn") <= expr("n - ((7 * n + 9) div 10) + 1"))
       .select(col("doc_id"), col("shh"))
+    // length filter (the other PPJoin screen): J ≥ 0.7 forces
+    // 7·max(nA,nB) ≤ 10·min(nA,nB), so size-mismatched candidates drop
+    // before the verify join ever sees them
+    val sizes = classes.select(col("rep"), col("n"))
     val cand = prefix.select(col("doc_id").as("ra"), col("shh"))
       .join(prefix.select(col("doc_id").as("rb"), col("shh")), Seq("shh"))
       .filter(col("ra") < col("rb"))
       .select(col("ra"), col("rb")).distinct()
+      .join(sizes.select(col("rep").as("ra"), col("n").as("la")), Seq("ra"))
+      .join(sizes.select(col("rep").as("rb"), col("n").as("lb")), Seq("rb"))
+      .filter(col("la") * 10 >= col("lb") * 7 && col("lb") * 10 >= col("la") * 7)
+      .select(col("ra"), col("rb"))
 
     // Exact verification: candidates join to the per-doc shingle ARRAYS (one
     // row per side, ~50 longs each) and a JVM hash-probe counts |A∩B| — the
