@@ -255,8 +255,13 @@ object EtlOps {
     "q49_snapshot_retention" -> Q(
       run = (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // one exchange serves BOTH windows: hash(o_custkey) satisfies the
+        // (o_custkey, month) clustering of the first window and the
+        // (o_custkey) clustering of the second, so the explicit repartition
+        // replaces two back-to-back window shuffles with one
         val versions = Tables.orders(s, d)
           .withColumn("month", date_trunc("month", col("o_orderdate")))
+          .repartition(col("o_custkey"))
         val latestInMonth = Window.partitionBy(col("o_custkey"), col("month"))
           .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
         val monthRank = Window.partitionBy(col("o_custkey"))

@@ -140,6 +140,14 @@ class PlanSpec extends SparkSpec {
       "modulo residual unexpectedly pushed")
   }
 
+  test("q49: both retention windows share one hash(o_custkey) exchange") {
+    val p = plan("q49_snapshot_retention")
+    // hash(o_custkey) satisfies both windows' clustering: expect exactly the
+    // explicit repartition plus the egress range sort — no per-window shuffle
+    val n = "Exchange".r.findAllIn(p).length
+    assert(n <= 2, s"windows re-shuffled ($n exchanges):\n$p")
+  }
+
   test("q85: split assignment is shuffle-free (only the per-split agg exchanges)") {
     val p = plan("q85_hash_split")
     // exactly two exchanges: the groupBy(split) partial→final hop and the
