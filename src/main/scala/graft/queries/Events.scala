@@ -245,8 +245,13 @@ object Events {
     // island id; one keyed shuffle, no self-join.
     "q77_activity_streaks" -> Q(
       run = (s, d) => {
+        // hash(user_id) satisfies every downstream clustering — the distinct
+        // on (user_id, day), the streak window, and both groupBys — so one
+        // explicit repartition serves the whole pipeline (q49's pattern)
         val days = Tables.events(s, d)
-          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .repartition(col("user_id"))
+          .distinct()
         val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
         days
           .withColumn("rn", row_number().over(w))
