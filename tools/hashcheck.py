@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Strict replica of the driver's hash gate.
+
+Unlike check.py (which compares numerically, so Decimal==float and 1-ulp float
+diffs still "pass"), this compares the CANONICAL BYTES of every value: a hash
+gate only matches if type-and-value are identical on both sides. Use this to
+predict the driver's hash_match, not check.py.
+
+Usage: python3 tools/hashcheck.py <sfDir> <outDir> [query ...]
+"""
+import sys, os, json
+import duckdb
+import pyarrow.parquet as pq
+import pyarrow as pa
+
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]
+
+def load_result(path):
+    files = [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+    if not files:
+        return None
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
+def canon_val(v):
+    """Canonical string a value hasher would see. Distinguishes int/float/
+    Decimal and exact float bits (repr)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return f"bool:{v}"
+    if isinstance(v, float):
+        return f"float:{v!r}"
+    if isinstance(v, int):
+        return f"int:{v}"
+    # Decimal, str, datetime, bytes, lists...
+    return f"{type(v).__name__}:{v!r}"
+
+def canon(table):
+    cols = sorted(table.column_names)
+    rows = []
+    for i in range(table.num_rows):
+        rows.append(tuple(canon_val(table.column(c)[i].as_py()) for c in cols))
+    rows.sort()
+    return cols, rows
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, name)
+        if not os.path.isdir(path):
+            continue
+        base = name[:-8] if name.endswith(".parquet") else name
+        if only and base not in only and name not in only:
+            continue
+        spark_tbl = load_result(path)
+        if spark_tbl is None:
+            print(f"FAIL {base}: no spark output"); n_fail += 1; continue
+        if base not in oracles:
+            print(f"SKIP {base}: no oracle"); continue
+        try:
+            duck_tbl = con.sql(oracles[base]).arrow()
+        except Exception as e:
+            print(f"FAIL {base}: oracle SQL error: {e}"); n_fail += 1; continue
+        sc, srows = canon(spark_tbl)
+        dc, drows = canon(duck_tbl)
+        if sc != dc:
+            print(f"FAIL {base}: columns spark={sc} duck={dc}"); n_fail += 1; continue
+        if len(srows) != len(drows):
+            print(f"FAIL {base}: rows spark={len(srows)} duck={len(drows)}"); n_fail += 1; continue
+        bad = None
+        for i, (sr, dr) in enumerate(zip(srows, drows)):
+            if sr != dr:
+                for c, sv, dv in zip(sc, sr, dr):
+                    if sv != dv:
+                        bad = (i, c, sv, dv)
+                        break
+                break
+        if bad:
+            i, c, sv, dv = bad
+            print(f"FAIL {base}: row {i} col {c}:\n  spark={sv}\n  duck ={dv}")
+            n_fail += 1
+        else:
+            print(f"PASS {base}: {len(srows)} rows [hash-exact]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
