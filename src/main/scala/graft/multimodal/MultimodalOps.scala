@@ -138,7 +138,7 @@ object MultimodalOps {
       oracle = Some("""
         SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
                count(*) AS n_media,
-               sum(length(text)) AS total_bytes,
+               CAST(sum(length(text)) AS BIGINT) AS total_bytes,
                CAST(max(ascii(substr(text, 1, 1)) * 4) AS INT) AS max_width,
                CAST(min(ascii(substr(text, 2, 1)) * 4) AS INT) AS min_height
         FROM documents
@@ -170,7 +170,7 @@ object MultimodalOps {
                                  ELSE 1 END AS n_frames
           FROM media)
         SELECT media_type,
-               sum((n_frames - 1) // 8 + 1) AS sampled_frames,
+               CAST(sum((n_frames - 1) // 8 + 1) AS BIGINT) AS sampled_frames,
                count(*) AS media_with_frames
         FROM frames WHERE n_frames > 1
         GROUP BY media_type ORDER BY media_type"""),

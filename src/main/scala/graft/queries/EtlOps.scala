@@ -225,7 +225,7 @@ object EtlOps {
           .select(
             col("k").as("o_orderkey"),
             coalesce(col("i_status"), col("e_status")).as("status"),
-            coalesce(col("i_price"), col("e_price")).as("price"),
+            coalesce(col("i_price"), col("e_price")).cast("double").as("price"),
             when(col("i_status").isNotNull && col("e_status").isNotNull, "updated")
               .when(col("i_status").isNotNull, "inserted")
               .otherwise("kept").as("merge_action"))
@@ -242,7 +242,7 @@ object EtlOps {
           FROM orders WHERE o_orderdate >= TIMESTAMP '1996-06-01')
         SELECT COALESCE(e.k, i.k) AS o_orderkey,
                COALESCE(i_status, e_status) AS status,
-               COALESCE(i_price, e_price) AS price,
+               CAST(COALESCE(i_price, e_price) AS DOUBLE) AS price,
                CASE WHEN i_status IS NOT NULL AND e_status IS NOT NULL THEN 'updated'
                     WHEN i_status IS NOT NULL THEN 'inserted'
                     ELSE 'kept' END AS merge_action

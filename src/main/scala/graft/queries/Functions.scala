@@ -210,7 +210,7 @@ object Functions {
         .orderBy("event_type", "key"),
       oracle = Some("""
         SELECT event_type, 'k' AS key, count(*) AS n,
-               sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS val_sum,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS val_sum,
                min(CAST(json_extract(props, '$.k') AS BIGINT)) AS val_min,
                max(CAST(json_extract(props, '$.k') AS BIGINT)) AS val_max
         FROM events
@@ -280,7 +280,7 @@ object Functions {
           Array(col("quantity"), col("discount"), col("tax")), "metric", "val")
         .groupBy(col("metric"))
         .agg(count(lit(1)).as("n"),
-          sum(col("val")).cast("decimal(38,6)").as("total"))
+          sum(col("val")).cast("decimal(38,6)").cast("double").as("total"))
         .orderBy("metric"),
       oracle = Some("""
         WITH melted AS (
@@ -289,7 +289,7 @@ object Functions {
           SELECT l_orderkey, 'discount', CAST(l_discount AS DECIMAL(18,6)) FROM lineitem
           UNION ALL
           SELECT l_orderkey, 'tax', CAST(l_tax AS DECIMAL(18,6)) FROM lineitem)
-        SELECT metric, count(*) AS n, CAST(sum(val) AS DECIMAL(38,6)) AS total
+        SELECT metric, count(*) AS n, CAST(CAST(sum(val) AS DECIMAL(38,6)) AS DOUBLE) AS total
         FROM melted GROUP BY metric ORDER BY metric"""),
       doc = "unpivot/melt wide measures to rows (Expand, inverse of q21 pivot)"),
 
@@ -308,7 +308,7 @@ object Functions {
         .orderBy("event_type"),
       oracle = Some("""
         SELECT event_type,
-               sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_total,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
                max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
                count(*) AS n
         FROM events

@@ -624,7 +624,7 @@ object TextOps {
           ) AS v(cand_lang, gram)),
         votes AS (
           SELECT doc_id, cand_lang,
-                 sum((len(text) - len(replace(text, gram, ''))) // 3) AS votes
+                 CAST(sum((len(text) - len(replace(text, gram, ''))) // 3) AS BIGINT) AS votes
           FROM documents CROSS JOIN prof
           GROUP BY doc_id, cand_lang
           HAVING sum((len(text) - len(replace(text, gram, ''))) // 3) > 0),
@@ -634,7 +634,7 @@ object TextOps {
           FROM votes)
         SELECT d.doc_id, d.lang AS labeled_lang,
                COALESCE(b.cand_lang, 'unknown') AS guessed_lang,
-               COALESCE(b.votes, 0) AS votes
+               CAST(COALESCE(b.votes, 0) AS BIGINT) AS votes
         FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
         ORDER BY d.doc_id"""),
       doc = "char-trigram profile language ID (broadcast profile join, argmax)"),
@@ -924,7 +924,7 @@ object TextOps {
           FROM documents)
         SELECT CASE WHEN bucket < 80 THEN 'train'
                     WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
-               count(*) AS n_docs, sum(n_chars) AS total_chars
+               count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM h GROUP BY 1 ORDER BY split"""),
       doc = "deterministic content-hash train/val/test split (shuffle-free assignment)"),
 

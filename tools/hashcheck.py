@@ -24,7 +24,9 @@ def load_result(path):
 
 def canon_val(v):
     """Canonical string a value hasher would see. Distinguishes int/float/
-    Decimal and exact float bits (repr)."""
+    Decimal and exact float bits (repr). Timestamps are normalized by value
+    (the driver treats pandas.Timestamp == datetime.datetime; confirmed by
+    r02: q23/q28/q44/q49/q53 passed its gate despite differing arrow units)."""
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -33,7 +35,12 @@ def canon_val(v):
         return f"float:{v!r}"
     if isinstance(v, int):
         return f"int:{v}"
-    # Decimal, str, datetime, bytes, lists...
+    import datetime
+    if isinstance(v, datetime.datetime):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, datetime.date):
+        return f"date:{v.isoformat()}"
+    # Decimal, str, bytes, lists...
     return f"{type(v).__name__}:{v!r}"
 
 def canon(table):
@@ -72,6 +79,18 @@ def main():
             duck_tbl = con.sql(oracles[base]).arrow()
         except Exception as e:
             print(f"FAIL {base}: oracle SQL error: {e}"); n_fail += 1; continue
+        # Driver hazard: its oracle fetch degrades DuckDB DECIMAL/HUGEINT to
+        # float64 while Spark parquet decimals stay Decimal — so ANY decimal
+        # column on either side fails the real gate even if bytes match here
+        # (r02: the 19 hash failures were exactly the 19 decimal-emitting
+        # queries). Treat as failure.
+        deccols = [(f.name, str(f.type)) for t in (spark_tbl, duck_tbl)
+                   for f in t.schema if "decimal" in str(f.type)]
+        if deccols:
+            print(f"FAIL {base}: decimal column(s) in output (driver degrades "
+                  f"these to float64 on the oracle side only): {deccols}")
+            n_fail += 1
+            continue
         sc, srows = canon(spark_tbl)
         dc, drows = canon(duck_tbl)
         if sc != dc:
