@@ -169,4 +169,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
       s"contamination check lost the broadcast semi-join:\n$p")
   }
+
+  test("q61: every window is partitioned (no single-partition ntile stage)") {
+    val df = SparkEntry.registry("q61_ntile_deciles").run(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, "expected the bucket-local rank window in the plan")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned window (all rows to one partition):\n${df.queryExecution.optimizedPlan}")
+  }
 }
