@@ -46,3 +46,34 @@ final case class Q(
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String] = None,
     doc: String = "")
+
+/** Canonical money-sum egress, bit-identical across engines at ANY magnitude.
+  *
+  * A decimal sum surfaced as `CAST(dec AS DOUBLE)` is only engine-stable
+  * while the unscaled value stays under 2^53: past that, Spark's single
+  * correctly-rounded BigDecimal conversion and DuckDB's convert-then-divide
+  * can differ by 1 ulp, and the driver's hash gate fails. Instead both
+  * engines surface sums through the SAME two IEEE operations:
+  *
+  *   round(sum, 2) --exact--> cents BIGINT --(int64->double, /100.0)--> DOUBLE
+  *
+  * int64->double conversion and double division are correctly rounded in
+  * both engines, so identical inputs give bit-identical outputs up to the
+  * int64 cents ceiling (9.2e16 money units ~ per-group sums beyond a
+  * 1000 TB TPC-H). The half-up rounding to cents agrees too: Spark's
+  * round() is HALF_UP (away from zero) and DuckDB's ROUND on decimals
+  * rounds halves away from zero (probed: 2.345->2.35, -2.345->-2.35).
+  * Mirror of the SQL in [[MoneyOut.sql]].
+  */
+object MoneyOut {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{round, lit}
+
+  /** Spark side: decimal sum -> engine-stable DOUBLE. */
+  def col(c: Column): Column =
+    (round(c, 2) * lit(100)).cast("bigint").cast("double") / lit(100.0)
+
+  /** Oracle side: the same two IEEE ops spelled in DuckDB SQL. */
+  def sql(e: String): String =
+    s"(CAST(CAST(ROUND($e, 2) * 100 AS BIGINT) AS DOUBLE) / 100.0)"
+}

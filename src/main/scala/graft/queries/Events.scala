@@ -21,7 +21,7 @@ object Events {
         .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").cast("double").as("value_sum"))
+          graft.MoneyOut.col(sum(col("value").cast("decimal(18,6)"))).as("value_sum"))
         .select(
           col("window.start").as("bucket_start"),
           col("event_type"), col("n"), col("value_sum"))
@@ -29,7 +29,7 @@ object Events {
       oracle = Some("""
         SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
                event_type, count(*) AS n,
-               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS value_sum
+               (CAST(CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS value_sum
         FROM events
         GROUP BY 1, 2 ORDER BY bucket_start, event_type"""),
       doc = "tumbling event-time window agg (batch twin of streaming ST1)"),
@@ -285,11 +285,11 @@ object Events {
         .withColumn("bucket", floor(col("value") / 50.0).cast("int"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").cast("double").as("value_sum"))
+          graft.MoneyOut.col(sum(col("value").cast("decimal(18,6)"))).as("value_sum"))
         .orderBy("bucket"),
       oracle = Some("""
         SELECT CAST(floor(value / 50.0) AS INT) AS bucket, count(*) AS n,
-               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS value_sum
+               (CAST(CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS value_sum
         FROM events GROUP BY 1 ORDER BY bucket"""),
       doc = "fixed-width value histogram (floor-division buckets)"),
 
@@ -323,7 +323,7 @@ object Events {
         .groupBy(window(col("ts"), "30 minutes", "10 minutes"), col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").cast("double").as("value_sum"))
+          graft.MoneyOut.col(sum(col("value").cast("decimal(18,6)"))).as("value_sum"))
         .select(
           col("window.start").as("bucket_start"),
           col("event_type"), col("n"), col("value_sum"))
@@ -334,7 +334,7 @@ object Events {
                  event_type, value
           FROM events CROSS JOIN (SELECT unnest(range(0, 3)) AS k))
         SELECT bucket_start, event_type, count(*) AS n,
-               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS value_sum
+               (CAST(CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS value_sum
         FROM expanded GROUP BY 1, 2 ORDER BY bucket_start, event_type"""),
       doc = "sliding event-time window (3x overlap, generator + one agg)")
   )

@@ -280,7 +280,7 @@ object Functions {
           Array(col("quantity"), col("discount"), col("tax")), "metric", "val")
         .groupBy(col("metric"))
         .agg(count(lit(1)).as("n"),
-          sum(col("val")).cast("decimal(38,6)").cast("double").as("total"))
+          graft.MoneyOut.col(sum(col("val"))).as("total"))
         .orderBy("metric"),
       oracle = Some("""
         WITH melted AS (
@@ -289,7 +289,7 @@ object Functions {
           SELECT l_orderkey, 'discount', CAST(l_discount AS DECIMAL(18,6)) FROM lineitem
           UNION ALL
           SELECT l_orderkey, 'tax', CAST(l_tax AS DECIMAL(18,6)) FROM lineitem)
-        SELECT metric, count(*) AS n, CAST(CAST(sum(val) AS DECIMAL(38,6)) AS DOUBLE) AS total
+        SELECT metric, count(*) AS n, (CAST(CAST(ROUND(sum(val), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS total
         FROM melted GROUP BY metric ORDER BY metric"""),
       doc = "unpivot/melt wide measures to rows (Expand, inverse of q21 pivot)"),
 

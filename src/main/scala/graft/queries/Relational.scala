@@ -29,7 +29,7 @@ object Relational {
     * 19 hash failures were exactly the 19 decimal-emitting queries). */
   private def dec(c: Column): Column = c.cast("decimal(18,6)")
   private def moneySum(c: Column): Column =
-    sum(dec(c)).cast("decimal(38,6)").cast("double")
+    graft.MoneyOut.col(sum(dec(c)))
 
   val qs: Map[String, Q] = Map(
 
@@ -46,17 +46,18 @@ object Relational {
         .agg(
           sum(col("l_quantity").cast("long")).as("sum_qty"),
           moneySum(col("l_extendedprice")).as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount"))))
-            .cast("decimal(38,6)").cast("double").as("sum_disc_price"),
+          graft.MoneyOut.col(
+            sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount")))))
+            .as("sum_disc_price"),
           moneySum(col("l_discount")).as("sum_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
       oracle = Some("""
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
-               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
-               CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc,
+               (CAST(CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS sum_base_price,
+               (CAST(CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS sum_disc_price,
+               (CAST(CAST(ROUND(sum(CAST(l_discount AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS sum_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -97,7 +98,7 @@ object Relational {
         .orderBy("o_orderpriority"),
       oracle = Some("""
         SELECT o_orderpriority, count(*) AS line_count,
-               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+               (CAST(CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS revenue
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
       doc = "fact-fact equi join + agg"),
@@ -113,7 +114,7 @@ object Relational {
         .orderBy("r_name", "n_name"),
       oracle = Some("""
         SELECT r_name, n_name, count(*) AS customers,
-               CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_acctbal
+               (CAST(CAST(ROUND(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS total_acctbal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
                       JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name ORDER BY r_name, n_name"""),
@@ -129,12 +130,13 @@ object Relational {
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
           && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         .groupBy(col("n_name"))
-        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount"))))
-          .cast("decimal(38,6)").cast("double").as("revenue"))
+        .agg(graft.MoneyOut.col(
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount")))))
+          .as("revenue"))
         .orderBy("n_name"),
       oracle = Some("""
         SELECT n_name,
-               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+               (CAST(CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS revenue
         FROM customer
           JOIN orders ON c_custkey = o_custkey
           JOIN lineitem ON o_orderkey = l_orderkey
@@ -275,7 +277,7 @@ object Relational {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.events(s, d)
-          .withColumn("running_value", sum(dec(col("value"))).over(w).cast("decimal(38,6)").cast("double"))
+          .withColumn("running_value", graft.MoneyOut.col(sum(dec(col("value"))).over(w)))
           .withColumn("seq", row_number().over(
             Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
           .filter(col("seq") <= 20)
@@ -285,7 +287,7 @@ object Relational {
       oracle = Some("""
         SELECT user_id, seq, event_id, running_value FROM (
           SELECT user_id, event_id,
-                 CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS DOUBLE) AS running_value,
+                 (CAST(CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS running_value,
                  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS seq
           FROM events) t
         WHERE seq <= 20 ORDER BY user_id, seq"""),
@@ -304,7 +306,7 @@ object Relational {
       oracle = Some("""
         SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderpriority,
                count(*) AS orders,
-               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total
+               (CAST(CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS total
         FROM orders
         GROUP BY ROLLUP (order_year, o_orderpriority)
         ORDER BY order_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""),
@@ -457,7 +459,7 @@ object Relational {
       oracle = Some("""
         SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderpriority,
                count(*) AS orders,
-               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total
+               (CAST(CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS total
         FROM orders
         GROUP BY GROUPING SETS ((order_year), (o_orderpriority))
         ORDER BY order_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""),

@@ -106,7 +106,7 @@ object StreamOps {
           .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
           .agg(
             count(lit(1)).as("n"),
-            sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").cast("double").as("value_sum"))
+            graft.MoneyOut.col(sum(col("value").cast("decimal(18,6)"))).as("value_sum"))
           .select(col("window.start").as("bucket_start"),
             col("event_type"), col("n"), col("value_sum"))
         drain(s, agg, "complete").orderBy("bucket_start", "event_type")
@@ -114,7 +114,7 @@ object StreamOps {
       oracle = Some("""
         SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
                event_type, count(*) AS n,
-               CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS value_sum
+               (CAST(CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS value_sum
         FROM events
         GROUP BY 1, 2 ORDER BY bucket_start, event_type"""),
       doc = "streaming watermark + tumbling window, AvailableNow drain (ST1/ST2)"),
