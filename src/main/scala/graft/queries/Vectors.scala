@@ -17,12 +17,14 @@ import graft.{Q, Tables}
   * stick to integer/string columns so the driver's hash compare never sees a
   * float.
   *
-  * Scale notes: brute-force near-dup is a broadcast nested-loop join — right
-  * for a ≤ 100k-row side, wrong at 100 TB, which is what q40's IVF pruning
-  * (cluster assignment → within-cluster pairs, candidate set cut ~k×) is for.
-  * For real ANN at cluster scale the same plan shape holds: centroids
-  * broadcast, assignment is a narrow map, and the pair join shuffles on
-  * cluster id.
+  * Scale notes: exact near-dup (q38) is a block-partitioned matrix join —
+  * no driver collect, no full-table broadcast; per-task memory is two row
+  * blocks and the shuffle moves each vector ~B+1 times. The O(n²) kernel
+  * work is inherent to the exact baseline; q40's IVF pruning (cluster
+  * assignment → within-cluster pairs, candidate set cut ~k×) is what cuts
+  * the candidate count at 100 TB. For real ANN at cluster scale the same
+  * plan shape holds: centroids broadcast, assignment is a narrow map, and
+  * the pair join shuffles on cluster id.
   */
 object Vectors {
 
@@ -60,46 +62,64 @@ object Vectors {
   val qs: Map[String, Q] = Map(
 
     // Embedding-cosine near-dup: all pairs with cosine >= 0.45, ids only.
-    // Executed as a broadcast primitive-array kernel: the vector set is tiny
-    // relative to the O(n²) pair work, so it broadcasts whole and each task
-    // scans a balanced slice of rows against it in a JVM float loop — the
-    // Catalyst HOF fold ran interpreted and was 30x slower. The fold order
-    // (ascending dim, acc += a*b in double) is byte-identical to the oracle.
-    // Ceiling: broadcast holds to ~1M×64 vectors; past that, q40's IVF
-    // pruning (or LSH banding) is the scale path.
+    // Executed as a block-partitioned exact matrix join: rows hash into B
+    // row-blocks; each of the B(B+1)/2 block pairs is one task scanning
+    // block_i × block_j with a primitive-array JVM kernel (the Catalyst HOF
+    // fold ran interpreted and was 30x slower). NO driver collect and NO
+    // full-table broadcast — per-task memory is two blocks (pick B so n/B
+    // fits an executor), and the only shuffle moves each vector ~B+1 times.
+    // The fold order (ascending dim, acc += a*b in double) stays
+    // byte-identical to the oracle, so the threshold decides identically.
+    // This is the exact baseline; q40's IVF pruning is the path that cuts
+    // the O(n²) candidate work itself.
     "q38_cosine_neardup" -> Q(
       run = (s, d) => {
         import s.implicits._
-        val rows = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("label"), col("embedding"))
-          .as[(Long, Int, Array[Float])].collect().sortBy(_._1)
-        val ids = rows.map(_._1)
-        val labels = rows.map(_._2)
-        val mat = rows.map(_._3)
-        val norms = mat.map { v =>
-          var acc = 0.0; var i = 0
-          while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
-          acc
-        }
-        val bc = s.sparkContext.broadcast((mat, norms, ids, labels))
         val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-        s.range(0, mat.length).repartition(nPart) // round-robin: balances the triangular scan
-          .as[Long].mapPartitions { iter =>
-            val (m, n2, id, lb) = bc.value
-            iter.flatMap { ai =>
-              val a = ai.toInt
-              val va = m(a)
-              (a + 1 until m.length).iterator.flatMap { b =>
-                val vb = m(b)
-                var acc = 0.0; var i = 0
-                while (i < va.length) { acc += va(i).toDouble * vb(i).toDouble; i += 1 }
-                val cos = acc / (math.sqrt(n2(a)) * math.sqrt(n2(b)))
-                if (cos >= 0.45) Iterator.single((id(a), id(b), lb(a), lb(b)))
-                else Iterator.empty
-              }
+        // B(B+1)/2 block-pair tasks ≈ nPart keeps all cores busy
+        val B = math.max(2, math.ceil(math.sqrt(nPart * 2.0)).toInt)
+        val blocks = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"))
+          .as[(Long, Int, Array[Float])].rdd
+          .map(r => ((r._1 % B).toInt, r))
+          .groupByKey(B)
+          .mapValues { rs =>
+            val arr = rs.toArray.sortBy(_._1) // id-sorted: intra-block a<b is triangular
+            val n2 = arr.map { case (_, _, v) =>
+              var acc = 0.0; var i = 0
+              while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+              acc
             }
+            (arr, n2)
           }
-          .toDF("vec_a", "vec_b", "label_a", "label_b")
+        // row-block k serves as the left side of pairs (k, j>=k) and the
+        // right side of pairs (i<=k, k): every unordered block pair gets
+        // both operands exactly once
+        val left = blocks.flatMap { case (k, blk) => (k until B).map(j => ((k, j), blk)) }
+        val right = blocks.flatMap { case (k, blk) => (0 to k).map(i => ((i, k), blk)) }
+        val pairs = left.join(right, nPart).flatMap {
+          case ((i, j), ((la, ln2), (ra, rn2))) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int)]
+            var a = 0
+            while (a < la.length) {
+              val (idA, lbA, va) = la(a)
+              var b = if (i == j) a + 1 else 0 // same block: triangular; else full cross
+              while (b < ra.length) {
+                val (idB, lbB, vb) = ra(b)
+                var acc = 0.0; var x = 0
+                while (x < va.length) { acc += va(x).toDouble * vb(x).toDouble; x += 1 }
+                val cos = acc / (math.sqrt(ln2(a)) * math.sqrt(rn2(b)))
+                if (cos >= 0.45) {
+                  if (idA < idB) out += ((idA, idB, lbA, lbB))
+                  else out += ((idB, idA, lbB, lbA))
+                }
+                b += 1
+              }
+              a += 1
+            }
+            out
+        }
+        pairs.toDF("vec_a", "vec_b", "label_a", "label_b")
           .orderBy("vec_a", "vec_b")
       },
       oracle = Some(s"""
