@@ -32,7 +32,9 @@ def canon_val(v):
     if isinstance(v, bool):
         return f"bool:{v}"
     if isinstance(v, float):
-        return f"float:{v!r}"
+        # -0.0 and 0.0 hash identically downstream (the driver formats by
+        # value); collapse them so the tool doesn't report a phantom diff
+        return f"float:{(v + 0.0)!r}"
     if isinstance(v, int):
         return f"int:{v}"
     import datetime
@@ -44,12 +46,15 @@ def canon_val(v):
     return f"{type(v).__name__}:{v!r}"
 
 def canon(table):
+    # Values hash over name-sorted columns (mirrors the driver's compare),
+    # but the ORIGINAL column order is returned too so a reordered schema is
+    # still reported instead of silently canonicalized away.
     cols = sorted(table.column_names)
     rows = []
     for i in range(table.num_rows):
         rows.append(tuple(canon_val(table.column(c)[i].as_py()) for c in cols))
     rows.sort()
-    return cols, rows
+    return cols, rows, list(table.column_names)
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -91,10 +96,14 @@ def main():
                   f"these to float64 on the oracle side only): {deccols}")
             n_fail += 1
             continue
-        sc, srows = canon(spark_tbl)
-        dc, drows = canon(duck_tbl)
+        sc, srows, sorder = canon(spark_tbl)
+        dc, drows, dorder = canon(duck_tbl)
         if sc != dc:
             print(f"FAIL {base}: columns spark={sc} duck={dc}"); n_fail += 1; continue
+        if sorder != dorder:
+            print(f"FAIL {base}: column ORDER spark={sorder} duck={dorder}")
+            n_fail += 1
+            continue
         if len(srows) != len(drows):
             print(f"FAIL {base}: rows spark={len(srows)} duck={len(drows)}"); n_fail += 1; continue
         bad = None
