@@ -16,18 +16,12 @@ object Main {
   /** E4 run-status envelope (src/main.py:107,130,133). */
   final case class RunResult(status: String, message: String, recordsProcessed: Long)
 
-  /** Deterministic stand-in for the page fetch (S3 is I/O, not semantics). */
+  /** S3 fetch through the runnable stage ([[graft.etl.FetchStage]]): the
+    * sandbox default client generates the same deterministic page a live
+    * client would fetch, so every mode runs offline and reproducibly while
+    * exercising the real per-partition fetch/retry/drop plumbing. */
   private def syntheticPages(worklist: DataFrame): DataFrame =
-    worklist.withColumn("html", expr(
-      """'<html><body><h1 class="business-name">Negocio ' || id_negocio || '</h1>' ||
-        '<span class="address">Av. Siempreviva ' || id_negocio || ' - Santa Fe</span>' ||
-        CASE WHEN id_negocio % 2 = 0
-             THEN '<a href="tel:342555' || lpad(CAST(id_negocio AS STRING), 4, '0') || '">t</a>'
-             ELSE '' END ||
-        CASE WHEN id_negocio % 3 = 0
-             THEN '<a href="mailto:negocio' || id_negocio || '@mail.com">m</a>' ELSE '' END ||
-        '<span class="horarios">Abierto Lun-Vie 8-17</span>' ||
-        '<a class="search-result-link">Comercio</a></body></html>'"""))
+    graft.etl.FetchStage.fetchPages(worklist)
 
   private def runPipeline(spark: SparkSession, pages: DataFrame, out: String): RunResult = {
     val startedAt = System.currentTimeMillis()

@@ -1,0 +1,149 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.etl.{DerbyUpsertDialect, FetchStage, JdbcUpsert, LeadPipeline,
+  PageClient, PostgresUpsertDialect, SyntheticPageClient}
+
+/** Test-only instrumentation shared across executor threads (local mode =
+  * one JVM, so statics are visible to tasks). */
+object FetchProbe {
+  val attempts = new ConcurrentHashMap[Long, AtomicInteger]()
+  val closes = new AtomicInteger(0)
+  def attemptsFor(id: Long): Int =
+    Option(attempts.get(id)).map(_.get).getOrElse(0)
+  def reset(): Unit = { attempts.clear(); closes.set(0) }
+}
+
+/** A client whose first (attempts-1) calls per URL throw, and which never
+  * succeeds for ids in `poison` — drives the E2-retry / E1-drop assertions. */
+final class FlakyClient(failFirst: Int, poison: Set[Long]) extends PageClient {
+  private val inner = new SyntheticPageClient
+  override def fetch(id: Long, url: String): String = {
+    val n = FetchProbe.attempts
+      .computeIfAbsent(id, _ => new AtomicInteger(0)).incrementAndGet()
+    if (poison.contains(id)) throw new RuntimeException(s"poisoned $id")
+    if (n <= failFirst) throw new RuntimeException(s"flaky $id attempt $n")
+    inner.fetch(id, url)
+  }
+  override def close(): Unit = { FetchProbe.closes.incrementAndGet(); () }
+}
+
+/** S3 runnable fetch stage + K4 JDBC upsert sink — the two I/O edges the
+  * oracle queries can't reach (VERDICT r4 "What's missing" §1/§2). */
+class SinkFetchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("S3: fetchPages produces the synthetic pages the pipeline extracts from") {
+    val pages = FetchStage.fetchPages(LeadPipeline.collect(spark, 1, 12))
+    assert(pages.columns.toSeq == Seq("id_negocio", "url", "html"))
+    assert(pages.count() == 12)
+    val lead = LeadPipeline.clean(LeadPipeline.extract(pages))
+      .filter($"id_negocio" === 6).head()
+    assert(lead.getAs[String]("nombre") == "Negocio 6")
+    // id 6 is %2 and %3: both tel and mailto present in the generated page
+    assert(lead.getAs[scala.collection.Seq[String]]("telefonos").nonEmpty)
+    assert(lead.getAs[String]("email") == "negocio6@mail.com")
+  }
+
+  test("S3+E2: in-task retry recovers flaky fetches without losing records") {
+    FetchProbe.reset()
+    val out = FetchStage.fetchPages(LeadPipeline.collect(spark, 1, 10),
+      () => new FlakyClient(failFirst = 2, poison = Set.empty),
+      attempts = 3, delayMs = 0L)
+    assert(out.count() == 10) // every record recovered on attempt 3
+    (1L to 10L).foreach(id => assert(FetchProbe.attemptsFor(id) == 3))
+  }
+
+  test("S3+E1: a record that exhausts its retries is dropped, not the partition") {
+    FetchProbe.reset()
+    val out = FetchStage.fetchPages(LeadPipeline.collect(spark, 1, 10),
+      () => new FlakyClient(failFirst = 0, poison = Set(4L, 7L)),
+      attempts = 2, delayMs = 0L)
+    assert(out.select("id_negocio").as[Long].collect().sorted.toSeq ==
+      (1L to 10L).filterNot(Set(4L, 7L)))
+    assert(FetchProbe.attemptsFor(4L) == 2) // retried, then gave up
+    assert(FetchProbe.attemptsFor(7L) == 2)
+  }
+
+  test("S3: one client per partition, closed when the partition drains") {
+    FetchProbe.reset()
+    val worklist = LeadPipeline.collect(spark, 1, 40).repartition(4)
+    FetchStage.fetchPages(worklist,
+      () => new FlakyClient(0, Set.empty), attempts = 1, delayMs = 0L).count()
+    assert(FetchProbe.closes.get() == 4)
+  }
+
+  // --- K4 JDBC upsert -------------------------------------------------------
+
+  private val derbyUrl = "jdbc:derby:memory:graftupsert;create=true"
+  private def derbyConn() = {
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    java.sql.DriverManager.getConnection(derbyUrl)
+  }
+
+  test("K4: JDBC upsert insert→update round-trip against embedded Derby") {
+    val conn = derbyConn()
+    conn.createStatement().execute(
+      """CREATE TABLE leads (url VARCHAR(200) PRIMARY KEY,
+        |  nombre VARCHAR(200), telefono VARCHAR(40), score DOUBLE,
+        |  updated TIMESTAMP)""".stripMargin)
+    conn.close()
+
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+    val schema = StructType(Seq(
+      StructField("url", StringType), StructField("nombre", StringType),
+      StructField("telefono", StringType), StructField("score", DoubleType),
+      StructField("updated", TimestampType)))
+    def df(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), schema)
+
+    // batch 1: pure insert (with a NULL exercising setNull)
+    JdbcUpsert.upsert(
+      df(Seq(Row("u1", "Alfa", "341-1", 1.0, t0),
+        Row("u2", null, "341-2", 2.0, t0),
+        Row("u3", "Gamma", "341-3", 3.0, t0))),
+      derbyUrl, "leads", Seq("url"), DerbyUpsertDialect, batchSize = 2,
+      driver = Some("org.apache.derby.jdbc.EmbeddedDriver"))
+
+    // batch 2: update u1/u2, insert u4 — K4 incoming-wins semantics
+    JdbcUpsert.upsert(
+      df(Seq(Row("u1", "Alfa2", "341-9", 9.0, t1),
+        Row("u2", "Beta", "341-2", 2.5, t1),
+        Row("u4", "Delta", "341-4", 4.0, t1))),
+      derbyUrl, "leads", Seq("url"), DerbyUpsertDialect, batchSize = 2,
+      driver = Some("org.apache.derby.jdbc.EmbeddedDriver"))
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double, java.sql.Timestamp)]
+    val c2 = derbyConn()
+    val rs = c2.createStatement()
+      .executeQuery("SELECT url, nombre, score, updated FROM leads ORDER BY url")
+    while (rs.next()) got +=
+      ((rs.getString(1), rs.getString(2), rs.getDouble(3), rs.getTimestamp(4)))
+    c2.close()
+    assert(got.toSeq == Seq(
+      ("u1", "Alfa2", 9.0, t1), // updated
+      ("u2", "Beta", 2.5, t1), // null replaced (incoming wins)
+      ("u3", "Gamma", 3.0, t0), // untouched
+      ("u4", "Delta", 4.0, t1))) // inserted
+  }
+
+  test("K4: Postgres dialect renders the reference's ON CONFLICT statement") {
+    val schema = StructType(Seq(
+      StructField("url", StringType), StructField("nombre", StringType),
+      StructField("telefono", StringType)))
+    assert(PostgresUpsertDialect.upsertSql("leads", schema, Seq("url")) ==
+      "INSERT INTO leads (url, nombre, telefono) VALUES (?, ?, ?) " +
+        "ON CONFLICT (url) DO UPDATE SET nombre = EXCLUDED.nombre, " +
+        "telefono = EXCLUDED.telefono")
+    assert(PostgresUpsertDialect.bindOrder(schema.fieldNames.toSeq, Seq("url")) ==
+      Seq(0, 1, 2))
+  }
+}
