@@ -40,6 +40,23 @@ final class SyntheticPageClient extends PageClient {
   }
 }
 
+/** ST6 politeness throttle as a client decorator: enforces a minimum gap
+  * between consecutive fetches OF THIS CLIENT (= this partition/worker —
+  * exactly the reference's per-worker `time.sleep` between page loads,
+  * sequential_scraper.py's inter-request delay). Cluster-wide request rate
+  * = partitions × 1000/minIntervalMs, tuned by sizing the worklist's
+  * partition count; no cross-task coordination needed. */
+final class ThrottledClient(inner: PageClient, minIntervalMs: Long)
+    extends PageClient {
+  private var lastAt = 0L
+  override def fetch(id: Long, url: String): String = {
+    val wait = lastAt + minIntervalMs - System.currentTimeMillis()
+    if (wait > 0) Thread.sleep(wait)
+    try inner.fetch(id, url) finally { lastAt = System.currentTimeMillis() }
+  }
+  override def close(): Unit = inner.close()
+}
+
 /** S3/S8 runnable fetch stage: worklist → raw pages via `mapPartitions`.
   *
   * Shape (the graded part): the fetch is a DISTRIBUTED per-partition loop —

@@ -7,7 +7,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.etl.{DerbyUpsertDialect, FetchStage, JdbcUpsert, LeadPipeline,
-  PageClient, PostgresUpsertDialect, SyntheticPageClient}
+  PageClient, PostgresUpsertDialect, SyntheticPageClient, ThrottledClient}
 
 /** Test-only instrumentation shared across executor threads (local mode =
   * one JVM, so statics are visible to tasks). */
@@ -79,6 +79,17 @@ class SinkFetchSpec extends SparkSpec {
     assert(FetchProbe.closes.get() == 4)
   }
 
+  test("ST6: throttled client enforces the per-worker inter-request gap") {
+    val worklist = LeadPipeline.collect(spark, 1, 6).coalesce(1)
+    val t0 = System.currentTimeMillis()
+    val n = FetchStage.fetchPages(worklist,
+      () => new ThrottledClient(new SyntheticPageClient, minIntervalMs = 30),
+      attempts = 1, delayMs = 0L).count()
+    assert(n == 6)
+    // 6 fetches on one partition = 5 enforced gaps of >= 30ms
+    assert(System.currentTimeMillis() - t0 >= 150)
+  }
+
   // --- K4 JDBC upsert -------------------------------------------------------
 
   private val derbyUrl = "jdbc:derby:memory:graftupsert;create=true"
@@ -133,6 +144,16 @@ class SinkFetchSpec extends SparkSpec {
       ("u2", "Beta", 2.5, t1), // null replaced (incoming wins)
       ("u3", "Gamma", 3.0, t0), // untouched
       ("u4", "Delta", 4.0, t1))) // inserted
+  }
+
+  test("config: env layer resolves reference defaults and overrides") {
+    val d = graft.etl.GraftConfig.load(Map.empty)
+    assert(d.jdbcUrl == "jdbc:postgresql://localhost:5432/etl_db")
+    assert(d.maxWorkers == 4 && d.chunkSize == 100 && d.retryAttempts == 3)
+    val o = graft.etl.GraftConfig.load(Map(
+      "DB_HOST" -> "db.prod", "DB_PORT" -> "5433", "MAX_WORKERS" -> "64"))
+    assert(o.jdbcUrl == "jdbc:postgresql://db.prod:5433/etl_db")
+    assert(o.maxWorkers == 64)
   }
 
   test("K4: Postgres dialect renders the reference's ON CONFLICT statement") {
