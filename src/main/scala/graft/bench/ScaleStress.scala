@@ -48,6 +48,23 @@ object ScaleStress {
     t("q35 on 5k docs sharing a viral preamble (hot shingles)") {
       println("  pairs=" + graft.SparkEntry.queries("q35_jaccard_pairs")(spark, skewDir).count())
     }
+
+    // block-partitioned exact cosine (q38): inherent O(n²) kernel work must
+    // grow with the PAIR count (4x rows -> 16x pairs) while per-task memory
+    // stays two row-blocks and the driver materializes nothing — the scaling
+    // evidence for the no-collect rewrite (a driver-broadcast plan hits its
+    // memory ceiling here instead)
+    val vecDir = "/tmp/stress_vec"
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
+    (0 until 4).map(k => emb.withColumn("vec_id", col("vec_id") + lit(k * 1000000L)))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$vecDir/embeddings.parquet")
+    t("q38 exact cosine, 2k vectors (baseline)") {
+      println("  pairs=" + graft.SparkEntry.queries("q38_cosine_neardup")(spark, "/root/testdata/sf0.1").count())
+    }
+    t("q38 exact cosine, 8k vectors (16x pair work)") {
+      println("  pairs=" + graft.SparkEntry.queries("q38_cosine_neardup")(spark, vecDir).count())
+    }
     spark.stop()
   }
 }
