@@ -108,6 +108,51 @@ class PropertySpec extends SparkSpec {
     assert(expect.nonEmpty, "generator produced no qualifying pairs — test is vacuous")
   }
 
+  test("block-partitioned cosine pairs == brute-force all-pairs (boundary shapes)") {
+    // adversarial shape for the q38 block decomposition: identical-vector
+    // clusters (cos = 1, intra- AND cross-block), sign-flipped copies
+    // (cos = -1, must drop), near-threshold directions, and an n chosen so
+    // block sizes are ragged (n % B != 0). Output must be IDENTICAL to a
+    // driver-side all-pairs scan using the same fold order.
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val base = (0 until 6).map(_ => Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    val vecs: Seq[Array[Float]] =
+      base ++ // originals
+        base.take(3) ++ // exact duplicates (cross-id identical clusters)
+        base.take(2).map(_.map(x => -x)) ++ // antipodes: cos = -1
+        base.take(3).map { v => // tiny perturbations: near-threshold cosines
+          val w = v.clone(); w(0) = w(0) + 0.05f; w
+        } ++
+        (0 until 5).map(_ => Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v, i % 3) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec_prop").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // brute force with the exact kernel arithmetic (ascending-dim double fold)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val expect = (for {
+      a <- rows; b <- rows
+      if a._1 < b._1
+      cos = dot(a._2, b._2) / (math.sqrt(dot(a._2, a._2)) * math.sqrt(dot(b._2, b._2)))
+      if cos >= 0.45
+    } yield (a._1, b._1, a._3, b._3)).toSet
+
+    val got = SparkEntry.queries("q38_cosine_neardup")(spark, dir)
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+    assert(expect.nonEmpty, "generator produced no qualifying pairs — test is vacuous")
+    // the duplicate cluster must pair across blocks (ids 0/6 differ mod B for
+    // any B >= 2 used by the query), proving cross-block coverage is real
+    assert(got.exists { case (a, b, _, _) => a == 0L && b == 6L })
+  }
+
   test("dedupFirstWins is idempotent") {
     val rows = samples(Gen.zip(Gen.choose(1L, 20L), Gen.choose(0, 1000)), 300)
     val df = rows.toDF("id", "seq")
