@@ -13,21 +13,31 @@ import org.apache.spark.sql.types._
 trait UpsertDialect extends Serializable {
   def upsertSql(table: String, schema: StructType, keys: Seq[String]): String
 
-  /** Row column index feeding each `?` of [[upsertSql]], in bind order. */
+  /** Row column index feeding each `?` of [[upsertSql]], in bind order.
+    * Index -1 is the NOW sentinel: the writer binds the current timestamp
+    * instead of a row value (for dialects whose SQL can't evaluate
+    * CURRENT_TIMESTAMP in the needed position). */
   def bindOrder(cols: Seq[String], keys: Seq[String]): Seq[Int]
+
+  /** DB-side audit column stamped `CURRENT_TIMESTAMP` on UPDATE only (the
+    * reference's `updated_at = CURRENT_TIMESTAMP`, manual_scraper.py:289;
+    * inserts take the column's DDL default). Not a dataframe column. */
+  def touch: Option[String] = None
 }
 
 /** The reference's own target syntax (manual_scraper.py:241-295:
   * `execute_values ... ON CONFLICT (url) DO UPDATE SET c = EXCLUDED.c`).
   * Render-only here — no Postgres server or driver jar in the sandbox; the
   * Derby dialect proves the sink end-to-end on an embedded database. */
-object PostgresUpsertDialect extends UpsertDialect {
+final case class PostgresUpsertDialect(override val touch: Option[String] = None)
+    extends UpsertDialect {
   def upsertSql(table: String, schema: StructType, keys: Seq[String]): String = {
     val cols = schema.fieldNames.toSeq
     val nonKeys = cols.filterNot(keys.contains)
+    val sets = nonKeys.map(c => s"$c = EXCLUDED.$c") ++
+      touch.map(t => s"$t = CURRENT_TIMESTAMP")
     val updates =
-      if (nonKeys.isEmpty) "DO NOTHING"
-      else "DO UPDATE SET " + nonKeys.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+      if (sets.isEmpty) "DO NOTHING" else "DO UPDATE SET " + sets.mkString(", ")
     s"INSERT INTO $table (${cols.mkString(", ")}) " +
       s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
       s"ON CONFLICT (${keys.mkString(", ")}) $updates"
@@ -40,7 +50,8 @@ object PostgresUpsertDialect extends UpsertDialect {
   * base table or table function — the SYSIBM.SYSDUMMY1 one-row-source idiom
   * — and its parameters are untyped in ON/SET/VALUES positions, hence the
   * explicit CASTs. */
-object DerbyUpsertDialect extends UpsertDialect {
+final case class DerbyUpsertDialect(override val touch: Option[String] = None)
+    extends UpsertDialect {
   private def ddl(dt: DataType): String = dt match {
     case StringType => "VARCHAR(32672)"
     case LongType => "BIGINT"
@@ -61,18 +72,29 @@ object DerbyUpsertDialect extends UpsertDialect {
     val cols = schema.fieldNames.toSeq
     val nonKeys = cols.filterNot(keys.contains)
     val on = keys.map(k => s"t.$k = CAST(? AS ${typeOf(k)})").mkString(" AND ")
+    // Derby can't compile CURRENT_TIMESTAMP anywhere a MERGE evaluates it —
+    // not in UPDATE SET, not as a subquery, not even a DDL column DEFAULT
+    // reached through the INSERT branch (NPE in CurrentDatetimeOperatorNode,
+    // probed on 10.16). So the stamp arrives as a bound parameter (the NOW
+    // sentinel) on BOTH branches. Client clock vs server clock is a no-op
+    // for embedded Derby (same JVM).
+    val sets = nonKeys.map(c => s"$c = CAST(? AS ${typeOf(c)})") ++
+      touch.map(t => s"$t = CAST(? AS TIMESTAMP)")
     val update =
-      if (nonKeys.isEmpty) ""
-      else "WHEN MATCHED THEN UPDATE SET " +
-        nonKeys.map(c => s"$c = CAST(? AS ${typeOf(c)})").mkString(", ") + " "
-    val insert = s"WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")}) " +
-      s"VALUES (${cols.map(c => s"CAST(? AS ${typeOf(c)})").mkString(", ")})"
+      if (sets.isEmpty) ""
+      else "WHEN MATCHED THEN UPDATE SET " + sets.mkString(", ") + " "
+    val insertCols = cols ++ touch
+    val insertVals = cols.map(c => s"CAST(? AS ${typeOf(c)})") ++
+      touch.map(_ => "CAST(? AS TIMESTAMP)")
+    val insert = s"WHEN NOT MATCHED THEN INSERT (${insertCols.mkString(", ")}) " +
+      s"VALUES (${insertVals.mkString(", ")})"
     s"MERGE INTO $table t USING SYSIBM.SYSDUMMY1 ON ($on) $update$insert"
   }
 
   def bindOrder(cols: Seq[String], keys: Seq[String]): Seq[Int] = {
     val idx = cols.zipWithIndex.toMap
-    keys.map(idx) ++ cols.filterNot(keys.contains).map(idx) ++ cols.indices
+    keys.map(idx) ++ cols.filterNot(keys.contains).map(idx) ++
+      touch.map(_ => -1) ++ cols.indices ++ touch.map(_ => -1)
   }
 }
 
@@ -127,7 +149,9 @@ object JdbcUpsert {
             rows.foreach { row =>
               var pi = 1
               binds.foreach { ci =>
-                if (row.isNullAt(ci)) ps.setNull(pi, types(ci))
+                if (ci == -1) ps.setTimestamp(pi,
+                  new java.sql.Timestamp(System.currentTimeMillis()))
+                else if (row.isNullAt(ci)) ps.setNull(pi, types(ci))
                 else ps.setObject(pi, row.get(ci))
                 pi += 1
               }

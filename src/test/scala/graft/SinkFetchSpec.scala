@@ -121,7 +121,7 @@ class SinkFetchSpec extends SparkSpec {
       df(Seq(Row("u1", "Alfa", "341-1", 1.0, t0),
         Row("u2", null, "341-2", 2.0, t0),
         Row("u3", "Gamma", "341-3", 3.0, t0))),
-      derbyUrl, "leads", Seq("url"), DerbyUpsertDialect, batchSize = 2,
+      derbyUrl, "leads", Seq("url"), DerbyUpsertDialect(), batchSize = 2,
       driver = Some("org.apache.derby.jdbc.EmbeddedDriver"))
 
     // batch 2: update u1/u2, insert u4 — K4 incoming-wins semantics
@@ -129,7 +129,7 @@ class SinkFetchSpec extends SparkSpec {
       df(Seq(Row("u1", "Alfa2", "341-9", 9.0, t1),
         Row("u2", "Beta", "341-2", 2.5, t1),
         Row("u4", "Delta", "341-4", 4.0, t1))),
-      derbyUrl, "leads", Seq("url"), DerbyUpsertDialect, batchSize = 2,
+      derbyUrl, "leads", Seq("url"), DerbyUpsertDialect(), batchSize = 2,
       driver = Some("org.apache.derby.jdbc.EmbeddedDriver"))
 
     val got = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double, java.sql.Timestamp)]
@@ -160,11 +160,49 @@ class SinkFetchSpec extends SparkSpec {
     val schema = StructType(Seq(
       StructField("url", StringType), StructField("nombre", StringType),
       StructField("telefono", StringType)))
-    assert(PostgresUpsertDialect.upsertSql("leads", schema, Seq("url")) ==
+    assert(PostgresUpsertDialect().upsertSql("leads", schema, Seq("url")) ==
       "INSERT INTO leads (url, nombre, telefono) VALUES (?, ?, ?) " +
         "ON CONFLICT (url) DO UPDATE SET nombre = EXCLUDED.nombre, " +
         "telefono = EXCLUDED.telefono")
-    assert(PostgresUpsertDialect.bindOrder(schema.fieldNames.toSeq, Seq("url")) ==
+    assert(PostgresUpsertDialect().bindOrder(schema.fieldNames.toSeq, Seq("url")) ==
       Seq(0, 1, 2))
+    // touch column: updated_at stamped on UPDATE only (manual_scraper.py:289)
+    assert(PostgresUpsertDialect(touch = Some("updated_at"))
+      .upsertSql("leads", schema, Seq("url")).endsWith(
+        "telefono = EXCLUDED.telefono, updated_at = CURRENT_TIMESTAMP"))
+  }
+
+  test("K4: Derby touch column stamps updated_at on both merge branches") {
+    val conn = derbyConn()
+    // no DDL DEFAULT: Derby's MERGE cannot evaluate CURRENT_TIMESTAMP even
+    // through a column default, so the dialect stamps inserts too
+    conn.createStatement().execute(
+      """CREATE TABLE leads2 (url VARCHAR(200) PRIMARY KEY,
+        |  nombre VARCHAR(200), updated_at TIMESTAMP)""".stripMargin)
+    conn.close()
+
+    val schema = StructType(Seq(
+      StructField("url", StringType), StructField("nombre", StringType)))
+    def df(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val dialect = DerbyUpsertDialect(touch = Some("updated_at"))
+
+    JdbcUpsert.upsert(df(Seq(Row("u1", "Alfa"), Row("u2", "Beta"))),
+      derbyUrl, "leads2", Seq("url"), dialect,
+      driver = Some("org.apache.derby.jdbc.EmbeddedDriver"))
+    Thread.sleep(60)
+    JdbcUpsert.upsert(df(Seq(Row("u1", "Alfa2"))),
+      derbyUrl, "leads2", Seq("url"), dialect,
+      driver = Some("org.apache.derby.jdbc.EmbeddedDriver"))
+
+    val c2 = derbyConn()
+    val rs = c2.createStatement().executeQuery(
+      "SELECT url, nombre, updated_at FROM leads2 ORDER BY url")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, String, java.sql.Timestamp)]
+    while (rs.next()) got += ((rs.getString(1), rs.getString(2), rs.getTimestamp(3)))
+    c2.close()
+    assert(got.map(r => (r._1, r._2)).toSeq == Seq(("u1", "Alfa2"), ("u2", "Beta")))
+    assert(got.forall(_._3 != null)) // both branches stamped
+    assert(got(0)._3.after(got(1)._3)) // updated row re-stamped later than untouched
   }
 }
