@@ -255,6 +255,101 @@ object Vectors {
         ORDER BY cluster, vec_a, vec_b"""),
       doc = "IVF cluster assignment + within-cluster near-dup (scale path)"),
 
+    // Int8-quantized cosine near-dup: the 4x-memory-cut representation real
+    // vector pipelines run ANN over (scalar quantization: per-vector scale
+    // 127/max|x|, round-away-from-zero to [-127,127]). Same block-
+    // partitioned join shape as q38 but the kernel is integer multiply-adds
+    // over byte-range values — at 100 TB this is the difference between the
+    // vector corpus fitting executor memory or not. The threshold test is
+    // EXACT integer arithmetic on both engines (dot > 0 and
+    // 400·dot² ≥ 81·|a|²·|b|², i.e. cos ≥ 0.45 squared without a float
+    // divide), and the quantization itself uses the same two IEEE double
+    // ops in both (x·(127/m), round half away from zero) — so the oracle
+    // decides identically, no 1-ulp hazard.
+    "q92_quantized_neardup" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+        val B = math.max(2, math.ceil(math.sqrt(nPart * 2.0)).toInt)
+        def quantize(v: Array[Float]): Array[Long] = {
+          var m = 0.0; var i = 0
+          while (i < v.length) {
+            val a = math.abs(v(i).toDouble); if (a > m) m = a; i += 1
+          }
+          if (m == 0.0) null // zero vector: no direction, dropped both sides
+          else {
+            val scale = 127.0 / m
+            val q = new Array[Long](v.length)
+            i = 0
+            while (i < v.length) {
+              val x = v(i).toDouble * scale
+              q(i) = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+              i += 1
+            }
+            q
+          }
+        }
+        val blocks = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"))
+          .as[(Long, Int, Array[Float])].rdd
+          .flatMap { case (id, lb, v) =>
+            val q = quantize(v)
+            if (q == null) Iterator.empty
+            else {
+              var nn = 0L; var i = 0
+              while (i < q.length) { nn += q(i) * q(i); i += 1 }
+              Iterator.single(((id % B).toInt, (id, lb, q, nn)))
+            }
+          }
+          .groupByKey(B)
+          .mapValues(_.toArray.sortBy(_._1))
+        val left = blocks.flatMap { case (k, blk) => (k until B).map(j => ((k, j), blk)) }
+        val right = blocks.flatMap { case (k, blk) => (0 to k).map(i => ((i, k), blk)) }
+        val pairs = left.join(right, nPart).flatMap { case ((i, j), (la, ra)) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int)]
+          var a = 0
+          while (a < la.length) {
+            val (idA, lbA, qa, nnA) = la(a)
+            var b = if (i == j) a + 1 else 0
+            while (b < ra.length) {
+              val (idB, lbB, qb, nnB) = ra(b)
+              var dot = 0L; var x = 0
+              while (x < qa.length) { dot += qa(x) * qb(x); x += 1 }
+              if (dot > 0 && 400L * dot * dot >= 81L * nnA * nnB) {
+                if (idA < idB) out += ((idA, idB, lbA, lbB))
+                else out += ((idB, idA, lbB, lbA))
+              }
+              b += 1
+            }
+            a += 1
+          }
+          out
+        }
+        pairs.toDF("vec_a", "vec_b", "label_a", "label_b")
+          .orderBy("vec_a", "vec_b")
+      },
+      oracle = Some("""
+        WITH q AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(CASE WHEN x * (127.0 / m) >= 0
+                     THEN floor(x * (127.0 / m) + 0.5)
+                     ELSE ceil(x * (127.0 / m) - 0.5) END AS BIGINT)) AS qv
+          FROM (SELECT vec_id, label, embedding,
+                       list_max(list_transform(embedding, x -> abs(x))) AS m
+                FROM embeddings) t
+          WHERE m > 0),
+        n AS (SELECT vec_id, label, qv,
+                     CAST(list_dot_product(qv, qv) AS BIGINT) AS nn FROM q)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               a.label AS label_a, b.label AS label_b
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) > 0
+          AND 400 * CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
+                  * CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
+              >= 81 * a.nn * b.nn
+        ORDER BY vec_a, vec_b"""),
+      doc = "int8 scalar-quantized cosine near-dup (exact integer threshold)"),
+
     // Embedding aggregation: per-label centroid summary in scaled-integer
     // space (floor(x*1e6) sums are order-independent, so engine-stable where
     // a double mean would not be).
