@@ -1008,6 +1008,45 @@ object TextOps {
         WHERE c.doc_id >= 10 ORDER BY doc_id"""),
       doc = "eval-set contamination flags via broadcast shingle-overlap semi-join"),
 
+    // Corpus-wide boilerplate coverage (the "duplicated n-gram fraction"
+    // curation signal): % of a doc's shingles whose document frequency is
+    // >= 4 — docs that are mostly corpus-repeated content (templates, nav
+    // chrome, viral copypasta) get keep=false. Third consumer of the staged
+    // shingle table (q35/q87 share it); the common-shingle set is df-gated
+    // (boilerplate is by definition a small, hot subset), so it broadcasts
+    // like q87's eval set — the per-doc pass is a broadcast semi-join, and
+    // the only corpus-sized shuffles are the two doc_id/shh aggregations.
+    // Integer percent + integer-product keep test: engine-stable.
+    "q93_boilerplate_coverage" -> Q(
+      run = (s, d) => {
+        val sh = docShingles(s, d)
+        val common = sh.groupBy(col("shh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 4).select(col("shh"))
+        val tot = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        val com = sh.join(broadcast(common), Seq("shh"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_common"))
+        tot.join(com, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_sh"),
+            coalesce(col("n_common"), lit(0L)).as("n_common"))
+          .withColumn("pct_common",
+            expr("CAST((n_common * 100) DIV n_sh AS INT)"))
+          .withColumn("keep", col("n_common") * 10 <= col("n_sh") * 3)
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH $jaccardCtes,
+        com_sh AS (SELECT shh FROM (
+          SELECT shh, count(*) AS df FROM sh GROUP BY shh) t WHERE df >= 4),
+        tot AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        com AS (SELECT doc_id, count(*) AS n_common
+                FROM sh SEMI JOIN com_sh USING (shh) GROUP BY doc_id)
+        SELECT t.doc_id, t.n_sh, COALESCE(c.n_common, 0) AS n_common,
+               CAST((COALESCE(c.n_common, 0) * 100) // t.n_sh AS INT) AS pct_common,
+               (COALESCE(c.n_common, 0) * 10 <= t.n_sh * 3) AS keep
+        FROM tot t LEFT JOIN com c USING (doc_id)
+        ORDER BY doc_id"""),
+      doc = "corpus-df boilerplate coverage (duplicated-shingle fraction gate)"),
+
     // Stratified sampling: per-language keep rates applied by content hash —
     // the deterministic sampleBy. Same shuffle-free assignment shape as q85;
     // rates live in the expression, the only exchange is the tiny per-lang
