@@ -170,6 +170,12 @@ class PlanSpec extends SparkSpec {
       s"contamination check lost the broadcast semi-join:\n$p")
   }
 
+  test("q93: boilerplate gate is a broadcast semi-join (common set never shuffles the corpus)") {
+    val p = plan("q93_boilerplate_coverage", execute = true)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"boilerplate coverage lost the broadcast semi-join:\n$p")
+  }
+
   test("q61: every window is partitioned (no single-partition ntile stage)") {
     val df = SparkEntry.registry("q61_ntile_deciles").run(spark, sf)
     val wins = df.queryExecution.optimizedPlan.collect {
