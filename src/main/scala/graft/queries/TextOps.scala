@@ -105,6 +105,8 @@ object TextOps {
     shingleCache = None
     pairsCache.foreach(_._3.unpersist(blocking = false))
     pairsCache = None
+    labelsCache.foreach(_._3.unpersist(blocking = false))
+    labelsCache = None
   }
 
   // The thresholded pair table is ALSO a shared intermediate: q35 emits it
@@ -125,6 +127,74 @@ object TextOps {
       }
     }
   }
+
+  /** Near-dup connected-component labels (doc → min-id root), shared by
+    * q81 (cluster rollup) and q94 (canonical selection) — in a real pipeline
+    * the label table is materialized once and every downstream consumer
+    * reads it. Same single-slot (session, dir) policy as the other staged
+    * intermediates.
+    *
+    * Lineage MUST be truncated each round (localCheckpoint, eager): without
+    * it the nested union/agg plan re-analyzes per iteration and analysis
+    * cost explodes exponentially — the classic iterative-DataFrame pitfall.
+    * Materialized rounds are also what a cluster job would do (each round is
+    * a small output-graph-sized table). Convergence: labels only ever
+    * DECREASE under min-propagation, so Σroot strictly decreases on any
+    * change — comparing per-round sums detects the fixpoint with one tiny
+    * agg instead of a label-vs-label join + count. */
+  private var labelsCache: Option[(SparkSession, String, DataFrame)] = None
+
+  private def clusterLabels(s: SparkSession, d: String): DataFrame = synchronized {
+    labelsCache match {
+      case Some((sess, dir, df)) if (sess eq s) && dir == d => df
+      case prev =>
+        prev.foreach(_._3.unpersist(blocking = false))
+        val pairs = jaccardPairsCached(s, d)
+          .select(col("doc_a"), col("doc_b"))
+        val edges = pairs
+          .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        val nodes = edges.select(col("doc_a").as("doc")).distinct()
+        var labels = nodes.withColumn("root", col("doc")).localCheckpoint()
+        def labelSum(df: DataFrame): Long =
+          df.agg(coalesce(sum(col("root")), lit(0L))).head().getLong(0)
+        var prevSum = labelSum(labels)
+        var converged = false
+        var rounds = 0
+        // 64-round safety cap >> any plausible near-dup diameter; convergence
+        // is ASSERTED below — an unconverged run must fail loudly here, not
+        // obscurely at the oracle hash compare
+        while (!converged && rounds < 64) { // near-dup components are
+          rounds += 1 // dup-cliques + short chains: converges in 1-2 rounds
+          val viaEdge = edges
+            .join(labels.withColumnRenamed("doc", "doc_a"), Seq("doc_a"))
+            .select(col("doc_b").as("doc"), col("root"))
+          val next = labels.unionByName(viaEdge)
+            .groupBy(col("doc")).agg(min(col("root")).as("root"))
+            .localCheckpoint()
+          val s2 = labelSum(next)
+          converged = s2 == prevSum
+          prevSum = s2
+          labels = next
+        }
+        require(converged,
+          s"label propagation did not converge in $rounds rounds — " +
+            "component diameter exceeds cap")
+        labelsCache = Some((s, d, labels))
+        labels
+    }
+  }
+
+  /** Cluster-labels oracle CTE block (shared by q81/q94); requires the
+    * `jac` CTE from [[jaccardCtes]] and a leading WITH RECURSIVE. */
+  private val clusterCtes = """edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jac
+      UNION ALL SELECT doc_b, doc_a FROM jac),
+    reach AS (
+      SELECT a AS doc, a AS via FROM edges
+      UNION
+      SELECT r.doc, e.b FROM reach r JOIN edges e ON e.a = r.via),
+    labels AS (
+      SELECT doc, min(via) AS root FROM reach GROUP BY doc)"""
 
   /** Exact Jaccard pairs (a<b): inter = |shared shingles|,
     * union = nA + nB − inter, keep J ≥ 0.7.
@@ -775,68 +845,51 @@ object TextOps {
     // recursive CTE computes the same fixpoint (component min id) —
     // path-independent, so bounded iteration and full closure agree.
     "q81_dedup_clusters" -> Q(
-      run = (s, d) => {
-        val pairs = jaccardPairsCached(s, d)
-          .select(col("doc_a"), col("doc_b"))
-        val edges = pairs
-          .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        val nodes = edges.select(col("doc_a").as("doc")).distinct()
-        // lineage MUST be truncated each round (localCheckpoint, eager):
-        // without it the nested union/agg plan re-analyzes per iteration and
-        // analysis cost explodes exponentially — the classic iterative-
-        // DataFrame pitfall. Materialized rounds are also what a cluster
-        // job would do (each round is a small output-graph-sized table).
-        var labels = nodes.withColumn("root", col("doc")).localCheckpoint()
-        // convergence check: labels only ever DECREASE under min-propagation,
-        // so Σroot strictly decreases on any change — comparing per-round
-        // sums detects the fixpoint with one tiny agg instead of a
-        // label-vs-label join + count
-        def labelSum(df: DataFrame): Long =
-          df.agg(coalesce(sum(col("root")), lit(0L))).head().getLong(0)
-        var prevSum = labelSum(labels)
-        var converged = false
-        var rounds = 0
-        // 64-round safety cap >> any plausible near-dup diameter; convergence
-        // is ASSERTED below — an unconverged run must fail loudly here, not
-        // obscurely at the oracle hash compare
-        while (!converged && rounds < 64) { // near-dup components are
-          rounds += 1 // dup-cliques + short chains: converges in 1-2 rounds
-          val viaEdge = edges
-            .join(labels.withColumnRenamed("doc", "doc_a"), Seq("doc_a"))
-            .select(col("doc_b").as("doc"), col("root"))
-          val next = labels.unionByName(viaEdge)
-            .groupBy(col("doc")).agg(min(col("root")).as("root"))
-            .localCheckpoint()
-          val s2 = labelSum(next)
-          converged = s2 == prevSum
-          prevSum = s2
-          labels = next
-        }
-        require(converged,
-          s"q81 label propagation did not converge in $rounds rounds — " +
-            "component diameter exceeds cap")
-        labels
+      run = (s, d) =>
+        clusterLabels(s, d)
           .groupBy(col("root"))
           .agg(count(lit(1)).as("cluster_size"),
             sort_array(collect_list(col("doc"))).as("members"))
           .select(col("root").as("cluster_root"), col("cluster_size"),
             array_join(col("members"), ",").as("member_list"))
-          .orderBy("cluster_root")
-      },
+          .orderBy("cluster_root"),
       oracle = Some(s"""WITH RECURSIVE $jaccardCtes,
-        edges AS (
-          SELECT doc_a AS a, doc_b AS b FROM jac
-          UNION ALL SELECT doc_b, doc_a FROM jac),
-        reach AS (
-          SELECT a AS doc, a AS via FROM edges
-          UNION
-          SELECT r.doc, e.b FROM reach r JOIN edges e ON e.a = r.via),
-        labels AS (
-          SELECT doc, min(via) AS root FROM reach GROUP BY doc)
+        $clusterCtes
         SELECT root AS cluster_root, count(*) AS cluster_size,
                array_to_string(list_sort(list(doc)), ',') AS member_list
         FROM labels GROUP BY root ORDER BY cluster_root"""),
       doc = "connected-component near-dup clusters (min-label propagation)"),
+
+    // Canonical selection — the dedup funnel's last step: within each
+    // near-dup cluster keep ONE representative (longest doc wins, doc_id
+    // breaks ties) and mark the rest for removal; unclustered docs are their
+    // own canonical. Shape at scale: the label table is dup-graph-sized so
+    // it rides a broadcast into the corpus join (the corpus itself never
+    // reshuffles), and the winner window partitions by cluster root.
+    "q94_canonical_selection" -> Q(
+      run = (s, d) => {
+        val labels = clusterLabels(s, d).withColumnRenamed("doc", "doc_id")
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        val lbl = docs.join(broadcast(labels), Seq("doc_id"), "left")
+          .withColumn("cluster_root", coalesce(col("root"), col("doc_id")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_root"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        lbl.withColumn("rn", row_number().over(w))
+          .select(col("doc_id"), col("cluster_root"),
+            (col("rn") === 1).as("is_canonical"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""WITH RECURSIVE $jaccardCtes,
+        $clusterCtes,
+        lbl AS (
+          SELECT d.doc_id, COALESCE(l.root, d.doc_id) AS cluster_root, d.n_chars
+          FROM documents d LEFT JOIN labels l ON l.doc = d.doc_id)
+        SELECT doc_id, cluster_root,
+               (row_number() OVER (PARTITION BY cluster_root
+                  ORDER BY n_chars DESC, doc_id) = 1) AS is_canonical
+        FROM lbl ORDER BY doc_id"""),
+      doc = "canonical doc per near-dup cluster (longest wins, id tie-break)"),
 
     // TF-IDF top terms per document — the classic training-data relevance
     // ranking, in overflow-safe integer arithmetic (milli-scaled idf ratio)
