@@ -336,6 +336,56 @@ object Events {
         SELECT bucket_start, event_type, count(*) AS n,
                (CAST(CAST(ROUND(sum(CAST(value AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS value_sum
         FROM expanded GROUP BY 1, 2 ORDER BY bucket_start, event_type"""),
-      doc = "sliding event-time window (3x overlap, generator + one agg)")
+      doc = "sliding event-time window (3x overlap, generator + one agg)"),
+
+    // User co-occurrence pairs via a SALTED self-join — the skew-safe shape
+    // for pair generation over hot keys. A plain self-join on the bucket key
+    // (event_type, hour) puts every pair of a hot bucket in ONE task: a
+    // bucket with u distinct users does u^2 comparisons on a single core, the
+    // classic straggler at 100 TB. Salting splits that quadratic work B ways
+    // with identical output: the left side is replicated across B block ids,
+    // the right side carries its own deterministic block id
+    // (user_id mod B), and the equi-join key becomes
+    // (bucket, block) — each (u1,u2) pair matches exactly once, in the task
+    // owning u2's block. Hot-bucket work now spreads over B tasks; B scales
+    // with observed skew (AQE's skew stats or a count-by-key probe pick it).
+    // Reference shape: /root/reference/src/transformers/data_cleaner.py's
+    // per-key grouping, generalized to the pairwise form it cannot express.
+    "q96_salted_cooccur" -> Q(
+      run = (s, d) => {
+        val B = 8
+        val bucketed = Tables.events(s, d)
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+            col("user_id"))
+          .distinct() // one (bucket, user) row per hour of activity
+        // right side: natural block id; left side: replicated across all B
+        // blocks so it meets every right-block in a separate shuffle key
+        val right = bucketed
+          .select(col("event_type"), col("h"), col("user_id").as("u2"),
+            pmod(col("user_id"), lit(B)).cast("int").as("blk"))
+        val left = bucketed
+          .select(col("event_type"), col("h"), col("user_id").as("u1"))
+          .crossJoin(broadcast(
+            s.range(B).select(col("id").cast("int").as("blk"))))
+        left.join(right, Seq("event_type", "h", "blk"))
+          .filter(col("u1") < col("u2"))
+          .groupBy(col("u1"), col("u2"))
+          .agg(count(lit(1)).as("shared_buckets"))
+          .filter(col("shared_buckets") >= 5)
+          .orderBy("u1", "u2")
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+          FROM events),
+        p AS (
+          SELECT b1.user_id AS u1, b2.user_id AS u2, count(*) AS shared_buckets
+          FROM b b1 JOIN b b2
+            ON b1.event_type = b2.event_type AND b1.h = b2.h
+           AND b1.user_id < b2.user_id
+          GROUP BY 1, 2)
+        SELECT u1, u2, shared_buckets FROM p
+        WHERE shared_buckets >= 5 ORDER BY u1, u2"""),
+      doc = "co-occurring user pairs via salted (block-split) self-join")
   )
 }

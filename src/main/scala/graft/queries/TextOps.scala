@@ -1164,6 +1164,102 @@ object TextOps {
                CAST(least(4, greatest(1, (10000 * w // total_w) // n_docs)) AS BIGINT) AS "repeat",
                CAST(n_docs * least(4, greatest(1, (10000 * w // total_w) // n_docs)) AS BIGINT) AS emitted
         FROM sized CROSS JOIN tot ORDER BY source"""),
-      doc = "source-mixture weighting: budgeted per-source repeat factors (data mixing)")
+      doc = "source-mixture weighting: budgeted per-source repeat factors (data mixing)"),
+
+    // Incremental-batch dedup, bloom-gated — the steady-state shape of corpus
+    // ingestion: a new batch arrives and only docs NOT already in the corpus
+    // may enter. The naive plan shuffles batch+corpus on the fingerprint; at
+    // a 100 TB corpus that reshuffles petabyte-scale state for every
+    // (comparatively tiny) batch. Instead:
+    //   1. a Bloom filter over corpus fingerprints is built ONCE by
+    //      distributed partial-aggregation (driver merges compact bitsets —
+    //      ~1.2 GB per 10^9 keys at 1% fpp, the standard trade);
+    //   2. the batch filters against the broadcast bloom: "definitely new"
+    //      rows exit immediately, only true-dups + ~fpp false positives
+    //      survive as candidates;
+    //   3. the candidate set (small by construction) BROADCASTS into a semi
+    //      join against the corpus — the corpus is scanned, never shuffled;
+    //   4. the confirmed-hit set broadcasts back into an anti join against
+    //      the batch.
+    // Output is exactly "batch docs whose fingerprint is absent from the
+    // corpus" — bloom false positives are removed by step 3, so the result
+    // is bloom-independent and the oracle is a plain anti join. Fingerprint
+    // is the cross-engine normalize+polyhash of q34. Reference shape:
+    // /root/reference/src/extractors/bulk_scraper.py:130-170 (resume list:
+    // "skip ids already scraped"), re-expressed as set subtraction that
+    // never moves the big side.
+    "q95_bloom_increment" -> Q(
+      run = (s, d) => {
+        val hashed = Tables.documents(s, d)
+          .select(col("doc_id"),
+            charHash(normalizeText(col("text"))).as("fingerprint"))
+        val corpus = hashed.filter(pmod(col("doc_id"), lit(8)) =!= 0)
+        val batch = hashed.filter(pmod(col("doc_id"), lit(8)) === 0)
+        // distributed bloom build: partial filters per partition, OR-merged
+        // on the driver; sized from a cheap count of the corpus side
+        val bloom = corpus.stat.bloomFilter("fingerprint",
+          expectedNumItems = math.max(corpus.count(), 1L), fpp = 0.01)
+        val bloomBc = s.sparkContext.broadcast(bloom)
+        val bloomMaybe = udf((h: Long) => bloomBc.value.mightContainLong(h))
+        val candidates = batch.filter(bloomMaybe(col("fingerprint")))
+          .select(col("fingerprint")).distinct()
+        // corpus side: scan + broadcast semi join, NO corpus shuffle
+        val hits = corpus.join(broadcast(candidates), Seq("fingerprint"),
+          "left_semi").select(col("fingerprint")).distinct()
+        batch.join(broadcast(hits), Seq("fingerprint"), "left_anti")
+          .select(col("doc_id"), col("fingerprint"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH hashed AS (
+          SELECT doc_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),''),
+                c -> CAST(ascii(c) AS BIGINT))),
+              (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+          FROM documents)
+        SELECT b.doc_id, b.fingerprint
+        FROM hashed b
+        WHERE b.doc_id % 8 = 0
+          AND NOT EXISTS (
+            SELECT 1 FROM hashed c
+            WHERE c.doc_id % 8 <> 0 AND c.fingerprint = b.fingerprint)
+        ORDER BY b.doc_id"""),
+      doc = "bloom-gated incremental-batch dedup (corpus never shuffles)"),
+
+    // Corpus-wide bigram heavy hitters — the n-gram frequency table that
+    // feeds tokenizer/boilerplate analysis. Pure two-phase aggregation:
+    // bigram formation is a codegen'd zip_with over the token array (no UDF,
+    // no extra shuffle), partial counts combine map-side, and the global
+    // top-k is TakeOrderedAndProject — only k rows per partition ever reach
+    // the driver. At 100 TB this is scan-shaped: one exchange on the bigram
+    // key, output bounded at k regardless of corpus size.
+    "q97_bigram_topk" -> Q(
+      run = (s, d) => {
+        val toks = filter(tokens(col("text")), t => t =!= lit(""))
+        val bigrams = when(size(toks) >= 2,
+          zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => concat_ws(" ", a, b)))
+          .otherwise(array())
+        Tables.documents(s, d)
+          .select(explode(bigrams).as("bigram"))
+          .groupBy(col("bigram"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("bigram"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents),
+        b AS (
+          SELECT unnest(list_transform(range(1, len(w)),
+                   i -> w[i] || ' ' || w[i + 1])) AS bigram
+          FROM t WHERE len(w) >= 2)
+        SELECT bigram, count(*) AS cnt FROM b
+        GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20"""),
+      doc = "corpus bigram top-k (two-phase agg + TakeOrderedAndProject)")
   )
 }

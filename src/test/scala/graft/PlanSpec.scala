@@ -176,6 +176,39 @@ class PlanSpec extends SparkSpec {
       s"boilerplate coverage lost the broadcast semi-join:\n$p")
   }
 
+  test("q95: incremental dedup never shuffles a join side (bloom + broadcast only)") {
+    val p = plan("q95_bloom_increment", execute = true)
+    // both the corpus semi-probe and the batch anti-join must ride broadcasts;
+    // a SortMergeJoin here means the corpus was reshuffled for the batch
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"corpus hit-probe lost the broadcast semi-join:\n$p")
+    assert(p.contains("LeftAnti"), s"batch subtraction lost the anti join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"incremental dedup shuffled a join side:\n$p")
+  }
+
+  test("q96: co-occurrence self-join keys include the salt block") {
+    val p = plan("q96_salted_cooccur", execute = true)
+    // the pair join must be an equi-join whose keys carry blk — that's what
+    // splits a hot (event_type, hour) bucket across B tasks
+    assert(!p.contains("CartesianProduct"), s"pair join degenerated:\n$p")
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        (l.contains("BroadcastHashJoin") && l.contains("event_type")))
+    assert(joinLine.exists(_.contains("blk")),
+      s"salt block missing from the pair-join keys:\n$p")
+  }
+
+  test("q97: bigram top-k is two-phase agg + TakeOrderedAndProject") {
+    val p = plan("q97_bigram_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bigram top-k fell back to a global sort:\n$p")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstExchange >= 0 &&
+      p.indexOf("HashAggregate", firstExchange) > firstExchange,
+      s"no map-side partial count below the exchange:\n$p")
+  }
+
   test("q61: every window is partitioned (no single-partition ntile stage)") {
     val df = SparkEntry.registry("q61_ntile_deciles").run(spark, sf)
     val wins = df.queryExecution.optimizedPlan.collect {
