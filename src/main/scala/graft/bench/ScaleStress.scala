@@ -65,6 +65,82 @@ object ScaleStress {
     t("q38 exact cosine, 8k vectors (16x pair work)") {
       println("  pairs=" + graft.SparkEntry.queries("q38_cosine_neardup")(spark, vecDir).count())
     }
+
+    // q96's salt, measured on the axis it actually fixes. Worst case: ONE
+    // (event_type, hour) bucket holding 8000 distinct users → ~32M pairs.
+    // Wall-clock is the WRONG metric here: the shuffle of pair rows into
+    // the per-pair count dominates and is identical in both plans (measured
+    // salted 27 s vs unsalted 23 s), and the raw enumeration is a codegen'd
+    // inner loop that does 72M pairs in under a second even single-task.
+    // What breaks at 100 TB is the per-task SHUFFLE WRITE: unsalted, the
+    // one task that owns the hot bucket must materialize, sort, and write
+    // EVERY pair row of that bucket — a single-task multi-TB write is the
+    // OOM/straggler/disk-burst that kills the job. The salt bounds it at
+    // 1/B per task. So the reported metric is max per-task shuffle write
+    // in the end-to-end plan, salted vs not (outputs identical).
+    val coDir = "/tmp/stress_cooccur"
+    // ts staged as epoch-NANOS int64 — the fixture's TIMESTAMP(NANOS)
+    // convention that Tables.events normalizes on read
+    spark.range(8000L)
+      .select(
+        col("id").as("event_id"),
+        expr("1704067200L * 1000000000L").as("ts"),
+        col("id").as("user_id"),
+        lit("view").as("event_type"),
+        lit(1.0).as("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$coDir/events.parquet")
+    val maxTask = new org.apache.spark.scheduler.SparkListener {
+      val max = new java.util.concurrent.atomic.AtomicLong(0)
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) max.getAndAccumulate(
+          m.shuffleWriteMetrics.bytesWritten, math.max)
+      }
+    }
+    spark.sparkContext.addSparkListener(maxTask)
+    // Two session knobs put the measurement in the regime the salt is FOR —
+    // both verified empirically on this fixture first:
+    //  1. broadcast off: while either side fits a broadcast, BroadcastHash-
+    //     Join streams the probe side under its EXISTING partitioning and
+    //     key skew simply does not exist (measured: salted and unsalted
+    //     both spread to 32 tasks, 7 MB max write). Salting is for the
+    //     large-large sort-merge regime where neither side broadcasts —
+    //     the 100 TB self-join case this staging miniaturizes.
+    //  2. AQE partition coalescing off: it sizes post-shuffle partitions by
+    //     INPUT bytes, and an explosive join has tiny inputs with huge
+    //     outputs, so it re-merges the B salted partitions into one and
+    //     silently undoes the salt (measured: identical 183 MB max-task
+    //     write either way with it on). In production you lower
+    //     advisoryPartitionSizeInBytes or disable coalescing on such stages.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    def maxWriteMb(f: => Long): Unit = {
+      maxTask.max.set(0)
+      val n = f
+      Thread.sleep(2000) // let the listener bus drain task-end events
+      println(f"  pairs=$n  max-task-shuffle-write=${maxTask.max.get / 1e6}%.0f MB")
+    }
+    t("q96 salted, 1 hot bucket x 8000 users (~32M pairs)") {
+      maxWriteMb(graft.SparkEntry.queries("q96_salted_cooccur")(spark, coDir).count())
+    }
+    t("unsalted twin on the same hot bucket") {
+      val b = graft.Tables.events(spark, coDir)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"), col("user_id"))
+        .distinct()
+      maxWriteMb(b.as("b1").join(b.as("b2"),
+          col("b1.event_type") === col("b2.event_type") &&
+            col("b1.h") === col("b2.h") &&
+            col("b1.user_id") < col("b2.user_id"))
+        .groupBy(col("b1.user_id").as("u1"), col("b2.user_id").as("u2"))
+        .agg(count(lit(1)).as("shared_buckets"))
+        .filter(col("shared_buckets") >= 5)
+        .count())
+    }
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.sparkContext.removeSparkListener(maxTask)
     spark.stop()
   }
 }

@@ -349,6 +349,11 @@ object Events {
     // (bucket, block) — each (u1,u2) pair matches exactly once, in the task
     // owning u2's block. Hot-bucket work now spreads over B tasks; B scales
     // with observed skew (AQE's skew stats or a count-by-key probe pick it).
+    // Deployment note (measured in ScaleStress): AQE's partition coalescing
+    // sizes post-shuffle partitions by INPUT bytes, and an explosive
+    // self-join has tiny inputs with huge outputs — on such stages lower
+    // spark.sql.adaptive.advisoryPartitionSizeInBytes or disable
+    // coalescePartitions, or the B salted partitions get re-merged.
     // Reference shape: /root/reference/src/transformers/data_cleaner.py's
     // per-key grouping, generalized to the pairwise form it cannot express.
     "q96_salted_cooccur" -> Q(

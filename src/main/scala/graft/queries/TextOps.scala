@@ -1260,6 +1260,64 @@ object TextOps {
           FROM t WHERE len(w) >= 2)
         SELECT bigram, count(*) AS cnt FROM b
         GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20"""),
-      doc = "corpus bigram top-k (two-phase agg + TakeOrderedAndProject)")
+      doc = "corpus bigram top-k (two-phase agg + TakeOrderedAndProject)"),
+
+    // Fixed-window document chunking with overlap — the step that turns
+    // variable-length documents into training sequences (window 32 tokens,
+    // stride 24, so consecutive chunks share an 8-token overlap; the final
+    // chunk is allowed to run short). Entirely narrow: chunk indices come
+    // from explode(sequence(...)) on arithmetic over the token count, the
+    // chunk text is a slice of the already-split token array, and the only
+    // exchange is the egress sort — at 100 TB chunking is scan-shaped and
+    // embarrassingly parallel. Each chunk carries the cross-engine polyhash
+    // of its text so chunk-level dedup (q34's shape) composes directly.
+    "q98_doc_chunks" -> Q(
+      run = (s, d) => {
+        val C = 32 // chunk window (tokens)
+        val S = 24 // stride = window - overlap
+        val toks = filter(tokens(col("text")), t => t =!= lit(""))
+        Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("w"))
+          .withColumn("n_toks", size(col("w")).cast("long"))
+          .filter(col("n_toks") >= 1)
+          .select(col("doc_id"), col("w"), col("n_toks"),
+            explode(sequence(lit(0L), expr(s"(n_toks - 1) div $S")))
+              .as("chunk_id"))
+          .select(
+            col("doc_id"),
+            col("chunk_id"),
+            (col("chunk_id") * S + 1).as("start_tok"),
+            least(col("chunk_id") * S + C, col("n_toks")).as("end_tok"),
+            charHash(concat_ws(" ",
+              slice(col("w"), (col("chunk_id") * S + 1).cast("int"),
+                (least(col("chunk_id") * S + C, col("n_toks"))
+                  - col("chunk_id") * S).cast("int"))))
+              .as("chunk_hash"))
+          .withColumn("chunk_len", col("end_tok") - col("start_tok") + 1)
+          .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+            col("end_tok"), col("chunk_len"), col("chunk_hash"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents),
+        c AS (
+          SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_toks,
+                 unnest(range(0, (len(w) - 1) // 24 + 1)) AS chunk_id
+          FROM t WHERE len(w) >= 1),
+        sliced AS (
+          SELECT doc_id, chunk_id,
+                 chunk_id * 24 + 1 AS start_tok,
+                 least(chunk_id * 24 + 32, n_toks) AS end_tok,
+                 array_to_string(w[CAST(chunk_id * 24 + 1 AS INT):CAST(least(chunk_id * 24 + 32, n_toks) AS INT)], ' ') AS chunk_text
+          FROM c)
+        SELECT doc_id, chunk_id, start_tok, end_tok,
+               end_tok - start_tok + 1 AS chunk_len,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(chunk_text,''), ch -> CAST(ascii(ch) AS BIGINT))),
+                 (acc, ch) -> (acc * 31 + ch) % 1000000007) AS chunk_hash
+        FROM sliced ORDER BY doc_id, chunk_id"""),
+      doc = "overlapping fixed-window doc chunking (training-sequence prep)")
   )
 }

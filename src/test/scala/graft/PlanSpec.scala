@@ -209,6 +209,14 @@ class PlanSpec extends SparkSpec {
       s"no map-side partial count below the exchange:\n$p")
   }
 
+  test("q98: chunking is scan-shaped (no join, only the egress sort exchanges)") {
+    val p = plan("q98_doc_chunks")
+    assert(!p.contains("Join"), s"chunking should not join:\n$p")
+    assert(!p.contains("HashAggregate"), s"chunking should not aggregate:\n$p")
+    val n = "Exchange".r.findAllIn(p).length
+    assert(n <= 1, s"chunk assignment shuffled before egress ($n exchanges):\n$p")
+  }
+
   test("q61: every window is partitioned (no single-partition ntile stage)") {
     val df = SparkEntry.registry("q61_ntile_deciles").run(spark, sf)
     val wins = df.queryExecution.optimizedPlan.collect {
