@@ -1318,6 +1318,84 @@ object TextOps {
                  list_transform(string_split(chunk_text,''), ch -> CAST(ascii(ch) AS BIGINT))),
                  (acc, ch) -> (acc * 31 + ch) % 1000000007) AS chunk_hash
         FROM sliced ORDER BY doc_id, chunk_id"""),
-      doc = "overlapping fixed-window doc chunking (training-sequence prep)")
+      doc = "overlapping fixed-window doc chunking (training-sequence prep)"),
+
+    // The curation funnel, end to end — every gate this module implements,
+    // composed in pipeline order with FIRST-FAILURE attribution (each doc
+    // counts against the first gate it fails, the standard corpus-curation
+    // report). Gates reuse the exact semantics of their standalone queries:
+    // language (q32's declared-lang filter), quality (q82), repetition
+    // (q86), exact dedup (q34's normalized-hash min-id canonical), near-dup
+    // (q81's min-label cluster root, via the staged label table). Shape at
+    // 100 TB: gates 1-3 are narrow projections fused into the scan; gate 4
+    // is the one keyed shuffle (8-byte hashes); gate 5 joins the dup-graph-
+    // sized label table as a broadcast; the report agg is 6 rows.
+    "q99_curation_funnel" -> Q(
+      run = (s, d) => {
+        val sig = docTokens(s, d)
+          .select(col("doc_id"), col("lang"), col("toks"),
+            charHash(normalizeText(col("text"))).as("h"))
+          .withColumn("n_tok", size(col("toks")))
+          .withColumn("n_stop", size(filter(col("toks"), t => t.isin(stopwords: _*))))
+          .withColumn("n_alpha", size(filter(col("toks"), t => t.rlike("^[a-z]+$"))))
+          .withColumn("n_bigrams", greatest(size(col("toks")) - 1, lit(0)).cast("long"))
+          .withColumn("n_unique", size(shingles(col("toks"), 2)).cast("long"))
+          .withColumn("dup2_milli",
+            expr("1000 * (n_bigrams - n_unique) div greatest(n_bigrams, 1)"))
+        val canon = sig.groupBy(col("h")).agg(min(col("doc_id")).as("canonical_id"))
+        val labels = clusterLabels(s, d).withColumnRenamed("doc", "doc_id")
+        sig.join(canon, Seq("h"))
+          .join(broadcast(labels), Seq("doc_id"), "left")
+          .withColumn("stage",
+            when(col("lang") =!= "en", "1_lang")
+              .when(!(col("n_tok") >= 30 && col("n_tok") <= 5000 &&
+                col("n_stop") * 100 >= col("n_tok") * 3 &&
+                col("n_alpha") * 100 >= col("n_tok") * 60), "2_quality")
+              .when(col("dup2_milli") > 500, "3_repetition")
+              .when(col("doc_id") =!= col("canonical_id"), "4_exact_dup")
+              .when(col("root").isNotNull && col("root") =!= col("doc_id"),
+                "5_near_dup")
+              .otherwise("6_kept"))
+          .groupBy(col("stage"))
+          .agg(count(lit(1)).as("docs"))
+          .orderBy("stage")
+      },
+      oracle = Some(s"""WITH RECURSIVE $jaccardCtes,
+        $clusterCtes,
+        sig AS (
+          SELECT doc_id, lang,
+                 string_split(text, ' ') AS toks,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),''),
+                     c -> CAST(ascii(c) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+          FROM documents),
+        m AS (
+          SELECT doc_id, lang, h,
+                 len(toks) AS n_tok,
+                 len(list_filter(toks,
+                   t -> t IN ('the','a','of','and','to','in','is','on','for','with'))) AS n_stop,
+                 len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$$'))) AS n_alpha,
+                 CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+                 CAST(len(list_distinct(list_transform(range(1, greatest(len(toks), 1)),
+                   i -> toks[i] || ' ' || toks[i+1]))) AS BIGINT) AS n_unique
+          FROM sig),
+        canon AS (SELECT h, min(doc_id) AS canonical_id FROM sig GROUP BY h),
+        staged AS (
+          SELECT CASE
+            WHEN m.lang <> 'en' THEN '1_lang'
+            WHEN NOT (m.n_tok >= 30 AND m.n_tok <= 5000
+                      AND m.n_stop * 100 >= m.n_tok * 3
+                      AND m.n_alpha * 100 >= m.n_tok * 60) THEN '2_quality'
+            WHEN 1000 * (m.n_bigrams - m.n_unique) // greatest(m.n_bigrams, 1) > 500
+              THEN '3_repetition'
+            WHEN m.doc_id <> c.canonical_id THEN '4_exact_dup'
+            WHEN l.root IS NOT NULL AND l.root <> m.doc_id THEN '5_near_dup'
+            ELSE '6_kept' END AS stage
+          FROM m JOIN canon c USING (h)
+          LEFT JOIN labels l ON l.doc = m.doc_id)
+        SELECT stage, count(*) AS docs FROM staged
+        GROUP BY stage ORDER BY stage"""),
+      doc = "end-to-end curation funnel: first-failure attrition per gate")
   )
 }

@@ -217,6 +217,13 @@ class PlanSpec extends SparkSpec {
     assert(n <= 1, s"chunk assignment shuffled before egress ($n exchanges):\n$p")
   }
 
+  test("q99: funnel joins the label table as a broadcast; gates never cartesian") {
+    val p = plan("q99_curation_funnel", execute = true)
+    assert(!p.contains("CartesianProduct"), s"funnel join degenerated:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"near-dup label table not broadcast into the corpus:\n$p")
+  }
+
   test("q61: every window is partitioned (no single-partition ntile stage)") {
     val df = SparkEntry.registry("q61_ntile_deciles").run(spark, sf)
     val wins = df.queryExecution.optimizedPlan.collect {
