@@ -259,6 +259,36 @@ object StreamOps {
                CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS session_span_us
         FROM sess GROUP BY user_id, session_id
         ORDER BY user_id, session_id"""),
-      doc = "flatMapGroupsWithState custom-state sessionization (per-session rows)")
+      doc = "flatMapGroupsWithState custom-state sessionization (per-session rows)"),
+
+    // Stream-static enrichment — the other half of the streaming join
+    // surface (q64 covers stream-stream): a micro-batch event stream joined
+    // to a static dimension, then aggregated. The static side is re-planned
+    // per micro-batch; marking it broadcast() pins the dim to a hash join on
+    // every batch, so the stream side never shuffles for the join — at
+    // scale this is THE enrichment shape (dims broadcast, facts stream),
+    // and the only stateful operator is the downstream agg. Reference:
+    // /root/reference/src/transformers/data_cleaner.py joins scraped rows
+    // against static rubro/localidad lookup lists the same way.
+    "q100_stream_enrich" -> Q(
+      run = (s, d) => {
+        val dim = graft.Tables.customer(s, d)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        val enriched = eventsStream(s, d)
+          .withWatermark("ts", "1 hour")
+          .join(broadcast(dim), Seq("user_id"))
+          .groupBy(col("c_mktsegment"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            graft.MoneyOut.col(sum(col("value").cast("decimal(18,6)"))).as("value_sum"))
+        drain(s, enriched, "complete")
+          .orderBy("c_mktsegment", "event_type")
+      },
+      oracle = Some("""
+        SELECT c.c_mktsegment, e.event_type, count(*) AS n,
+               (CAST(CAST(ROUND(sum(CAST(e.value AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS value_sum
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY 1, 2 ORDER BY c_mktsegment, event_type"""),
+      doc = "stream-static broadcast enrichment + streaming agg (dims broadcast, facts stream)")
   )
 }

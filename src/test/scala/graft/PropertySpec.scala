@@ -161,4 +161,34 @@ class PropertySpec extends SparkSpec {
     assert(once.orderBy("id").collect().sameElements(twice.orderBy("id").collect()))
     assert(once.select("id").distinct().count() == once.count())
   }
+
+  test("q98 chunking: full coverage, exact stride/overlap, short-only-last") {
+    // invariants of the (window=32, stride=24) chunker against the real
+    // query output at sf0.001 — every token lands in ≥1 chunk, consecutive
+    // chunks overlap by exactly 8, only the last chunk may run short
+    val rows = SparkEntry.registry("q98_doc_chunks")
+      .run(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "chunk_id", "start_tok", "end_tok", "chunk_len")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // chunk ids are dense from 0
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq, s"doc $doc ids")
+      val n = sorted.map(_._4).max // max end_tok == token count
+      sorted.foreach { case (_, k, st, en, len) =>
+        assert(st == k * 24 + 1, s"doc $doc chunk $k start")
+        assert(en == math.min(k * 24 + 32, n), s"doc $doc chunk $k end")
+        assert(len == en - st + 1 && len >= 1 && len <= 32)
+        // a chunk runs short of the 32-token window iff the doc end
+        // truncates it (window > stride → up to two ragged tail chunks)
+        assert((len == 32) == (k * 24 + 32 <= n), s"doc $doc chunk $k len $len")
+      }
+      // coverage: consecutive starts differ by the stride, so [1, n] is
+      // covered iff the last chunk reaches n (asserted via en == min above)
+      assert(sorted.last._4 == n)
+    }
+  }
 }
