@@ -420,6 +420,60 @@ object EtlOps {
           FROM jan j FULL OUTER JOIN feb f ON j.o_custkey = f.o_custkey)
         SELECT status, count(*) AS n_customers
         FROM diff GROUP BY status ORDER BY status"""),
-      doc = "month-over-month snapshot diff: new/retained/churned keys (K7 read side)")
+      doc = "month-over-month snapshot diff: new/retained/churned keys (K7 read side)"),
+
+    // CSV sink→source round trip under the hash gate — the S9/K1 fidelity
+    // proof. The oracle never sees the CSV: it computes the same aggregate
+    // straight from parquet, so the gate passes ONLY if write→read is
+    // lossless across the awkward axes: embedded delimiters and quotes
+    // (quoted + escaped), nulls (empty-field sentinel, distinguished from
+    // data), doubles (shortest-round-trip repr), and microsecond NTZ
+    // timestamps (explicit format on both sides). Mirrors the reference's
+    // CSV resume-state contract (/root/reference/src/common/utils.py
+    // save_to_csv / read side) where a crashed run must re-read exactly
+    // what it wrote. Scale shape: CSV write/read are narrow per-partition
+    // streams; only the final summary aggregates.
+    "q101_csv_roundtrip" -> Q(
+      run = (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+        val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        Tables.orders(s, d)
+          .select(
+            col("o_orderkey"),
+            when(pmod(col("o_orderkey"), lit(10)) === 0, lit(null))
+              .otherwise(col("o_orderpriority")).as("prio"),
+            concat(col("o_orderstatus"), lit(","), col("o_orderpriority"),
+              lit(" \"q\"")).as("tricky"),
+            col("o_totalprice"),
+            col("o_orderdate"))
+          .write.mode("overwrite")
+          .option("header", "true").option("timestampNTZFormat", tsFmt)
+          .csv(tmp)
+        s.read
+          .schema("o_orderkey BIGINT, prio STRING, tricky STRING, " +
+            "o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ")
+          .option("header", "true").option("timestampNTZFormat", tsFmt)
+          .csv(tmp)
+          .groupBy(col("prio"))
+          .agg(
+            count(lit(1)).as("n"),
+            graft.MoneyOut.col(sum(col("o_totalprice").cast("decimal(18,6)")))
+              .as("total"),
+            min(col("tricky")).as("min_tricky"),
+            max(col("o_orderdate")).as("max_date"))
+          .orderBy(col("prio").asc_nulls_first)
+      },
+      oracle = Some("""
+        WITH src AS (
+          SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderpriority END AS prio,
+                 o_orderstatus || ',' || o_orderpriority || ' "q"' AS tricky,
+                 o_totalprice, o_orderdate
+          FROM orders)
+        SELECT prio, count(*) AS n,
+               (CAST(CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS total,
+               min(tricky) AS min_tricky,
+               max(o_orderdate) AS max_date
+        FROM src GROUP BY prio ORDER BY prio NULLS FIRST"""),
+      doc = "CSV sink->source round trip proven lossless by the parquet-side oracle")
   )
 }
