@@ -474,6 +474,43 @@ object EtlOps {
                min(tricky) AS min_tricky,
                max(o_orderdate) AS max_date
         FROM src GROUP BY prio ORDER BY prio NULLS FIRST"""),
-      doc = "CSV sink->source round trip proven lossless by the parquet-side oracle")
+      doc = "CSV sink->source round trip proven lossless by the parquet-side oracle"),
+
+    // Hive-partitioned layout + partition-pruned scan — the layout decision
+    // that matters most at 100 TB: data written partitioned by a low-
+    // cardinality key means a filter on that key prunes DIRECTORIES, so the
+    // scan never opens the other partitions' files (PlanSpec asserts the
+    // PartitionFilters + a file-count ceiling). The oracle computes from the
+    // unpartitioned table — the gate passes only if the partitioned
+    // write→pruned read is value-faithful, including the key's round trip
+    // through directory names (partition values are strings on disk; the
+    // read schema restores the numeric type). K7's snapshot layout is this
+    // same shape with a date key.
+    "q102_partition_prune" -> Q(
+      run = (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+        Tables.orders(s, d)
+          .withColumn("order_month", month(col("o_orderdate")))
+          .write.mode("overwrite")
+          .partitionBy("order_month")
+          .parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("order_month").isin(3, 4))
+          .groupBy(col("order_month"), col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            graft.MoneyOut.col(sum(col("o_totalprice").cast("decimal(18,6)")))
+              .as("total"))
+          .withColumn("order_month", col("order_month").cast("int"))
+          .orderBy("order_month", "o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT CAST(month(o_orderdate) AS INT) AS order_month, o_orderstatus,
+               count(*) AS n,
+               (CAST(CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS total
+        FROM orders
+        WHERE month(o_orderdate) IN (3, 4)
+        GROUP BY 1, 2 ORDER BY order_month, o_orderstatus"""),
+      doc = "hive-partitioned write + partition-pruned scan (directory-level skipping)")
   )
 }

@@ -224,6 +224,18 @@ class PlanSpec extends SparkSpec {
       s"near-dup label table not broadcast into the corpus:\n$p")
   }
 
+  test("q102: month filter prunes partitions at the directory level") {
+    val p = plan("q102_partition_prune")
+    assert(p.contains("PartitionFilters: ["), s"no partition filters in scan:\n$p")
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(scanLine.contains("order_month"),
+      s"month predicate did not reach the partition filter:\n$scanLine")
+    // the data filter side must be empty — the predicate is fully satisfied
+    // by directory pruning, no row-level filtering needed
+    assert(scanLine.contains("PushedFilters: []") || !scanLine.contains("PushedFilters: [In"),
+      s"month predicate degraded to a row filter:\n$scanLine")
+  }
+
   test("q61: every window is partitioned (no single-partition ntile stage)") {
     val df = SparkEntry.registry("q61_ntile_deciles").run(spark, sf)
     val wins = df.queryExecution.optimizedPlan.collect {
