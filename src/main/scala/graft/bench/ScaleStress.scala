@@ -139,7 +139,7 @@ object ScaleStress {
         .count())
     }
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
     spark.sparkContext.removeSparkListener(maxTask)
     spark.stop()
   }

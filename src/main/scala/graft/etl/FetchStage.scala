@@ -86,6 +86,16 @@ object FetchStage {
     worklist.select("id_negocio", "url").as[(Long, String)]
       .mapPartitions { urls =>
         val client = newClient()
+        // close exactly once, and on TASK COMPLETION rather than iterator
+        // drain: a limit/take, a downstream failure, or a task kill stops
+        // pulling before exhaustion, and only the completion listener still
+        // fires then — tying close() to hasNext would leak the client (or
+        // double-close it on repeated end-of-iterator probes)
+        val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+        def closeOnce(): Unit =
+          if (closed.compareAndSet(false, true)) client.close()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
         val fetched = urls.flatMap { case (id, url) =>
           try Iterator.single(RawPage(id, url,
             Operators.retry(attempts, delayMs)(client.fetch(id, url))))
@@ -94,8 +104,8 @@ object FetchStage {
         new Iterator[RawPage] {
           def hasNext: Boolean = {
             val h = fetched.hasNext
-            if (!h) client.close()
-            h
+            if (!h) closeOnce() // eager release on clean drain (local runs
+            h // may reuse the thread long after task completion)
           }
           def next(): RawPage = fetched.next()
         }

@@ -24,6 +24,16 @@ final case class GraftConfig(
   /** Postgres JDBC url for the K4 sink (credentials go in connection
     * properties, never in the url). */
   def jdbcUrl: String = s"jdbc:postgresql://$dbHost:$dbPort/$dbName"
+
+  /** The connection properties carrying those credentials — what
+    * [[JdbcUpsert.upsert]] and [[JdbcSource.read]] accept alongside
+    * [[jdbcUrl]]. */
+  def connProps: java.util.Properties = {
+    val p = new java.util.Properties()
+    p.setProperty("user", dbUser)
+    if (dbPassword.nonEmpty) p.setProperty("password", dbPassword)
+    p
+  }
 }
 
 object GraftConfig {

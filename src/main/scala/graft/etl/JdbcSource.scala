@@ -19,13 +19,16 @@ object JdbcSource {
 
   /** Reads `table` split into `numPartitions` range slices of the numeric
     * `partitionCol`. `driver` forces registration when the JDBC jar doesn't
-    * self-register (same contract as [[JdbcUpsert.upsert]]). */
+    * self-register; `connProps` carries credentials (user/password —
+    * [[GraftConfig.connProps]]) for both the bounds probe and the per-slice
+    * reads (same contract as [[JdbcUpsert.upsert]]). */
   def read(spark: SparkSession, url: String, table: String,
       partitionCol: String, numPartitions: Int,
-      driver: Option[String] = None): DataFrame = {
+      driver: Option[String] = None,
+      connProps: Properties = new Properties()): DataFrame = {
     driver.foreach(Class.forName)
     val (lo, hi) = {
-      val conn = java.sql.DriverManager.getConnection(url)
+      val conn = java.sql.DriverManager.getConnection(url, connProps)
       try {
         val rs = conn.createStatement().executeQuery(
           s"SELECT MIN($partitionCol), MAX($partitionCol) FROM $table")
@@ -34,6 +37,8 @@ object JdbcSource {
       } finally conn.close()
     }
     val props = new Properties()
+    connProps.stringPropertyNames().forEach(k =>
+      props.setProperty(k, connProps.getProperty(k)))
     driver.foreach(props.setProperty("driver", _))
     // upperBound is exclusive-ish in Spark's stride math; +1 keeps the max
     // row in the last slice instead of lumping it with a boundary predicate

@@ -128,10 +128,13 @@ object JdbcUpsert {
 
   /** Upserts `df` into `table` keyed on `keys`. `driver` forces
     * `Class.forName` registration on the executor when the JDBC jar doesn't
-    * self-register via ServiceLoader. */
+    * self-register via ServiceLoader. `connProps` carries credentials
+    * (user/password — [[GraftConfig.connProps]]); they ship inside the task
+    * closure, never in the url. */
   def upsert(df: DataFrame, url: String, table: String, keys: Seq[String],
       dialect: UpsertDialect, batchSize: Int = 500,
-      driver: Option[String] = None): Unit = {
+      driver: Option[String] = None,
+      connProps: java.util.Properties = new java.util.Properties()): Unit = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     val schema = df.schema
     val sql = dialect.upsertSql(table, schema, keys)
@@ -140,7 +143,7 @@ object JdbcUpsert {
     df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.nonEmpty) {
         driver.foreach(Class.forName)
-        val conn: Connection = DriverManager.getConnection(url)
+        val conn: Connection = DriverManager.getConnection(url, connProps)
         try {
           conn.setAutoCommit(false)
           val ps: PreparedStatement = conn.prepareStatement(sql)

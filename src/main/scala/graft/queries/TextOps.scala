@@ -57,10 +57,20 @@ object TextOps {
   // build-vs-consume. Last build per stage wins (Bench runs two passes).
   private val stageTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
   def stageTimings: Map[String, Double] = synchronized { stageTimes.toMap }
+  // Build timers nest (pairs → exploded → arrays, all under the same
+  // synchronized lock, same thread), so each stage records its EXCLUSIVE
+  // time — child build time is subtracted via the frame stack — and the
+  // BENCH_DETAIL "stages" entries sum without overlap.
+  private val frameChildNs = scala.collection.mutable.Stack[Long]()
   private def timedStage[T](name: String)(f: => T): T = {
     val t0 = System.nanoTime()
+    frameChildNs.push(0L)
     val r = f
-    stageTimes(name) = (System.nanoTime() - t0) / 1e9
+    val elapsed = System.nanoTime() - t0
+    val childNs = frameChildNs.pop()
+    if (frameChildNs.nonEmpty)
+      frameChildNs.push(frameChildNs.pop() + elapsed)
+    stageTimes(name) = (elapsed - childNs) / 1e9
     r
   }
 

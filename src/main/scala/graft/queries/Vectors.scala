@@ -92,6 +92,10 @@ object Vectors {
             }
             (arr, n2)
           }
+          // both join sides read this RDD: persist so the block sort + norm
+          // pass runs once, not once per side (ContextCleaner frees it when
+          // the RDD goes unreachable after the query)
+          .persist()
         // row-block k serves as the left side of pairs (k, j>=k) and the
         // right side of pairs (i<=k, k): every unordered block pair gets
         // both operands exactly once
@@ -109,7 +113,11 @@ object Vectors {
                 var acc = 0.0; var x = 0
                 while (x < va.length) { acc += va(x).toDouble * vb(x).toDouble; x += 1 }
                 val cos = acc / (math.sqrt(ln2(a)) * math.sqrt(rn2(b)))
-                if (cos >= 0.45) {
+                // zero vectors have no direction: cos is NaN, and JVM
+                // NaN >= t (false) disagrees with SQL NaN ordering
+                // (greatest) — drop them explicitly on BOTH sides
+                // (oracle mirrors with n2 > 0) so the engines agree
+                if (ln2(a) > 0 && rn2(b) > 0 && cos >= 0.45) {
                   if (idA < idB) out += ((idA, idB, lbA, lbB))
                   else out += ((idB, idA, lbB, lbA))
                 }
@@ -129,7 +137,8 @@ object Vectors {
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                a.label AS label_a, b.label AS label_b
         FROM v a JOIN v b ON a.vec_id < b.vec_id
-        WHERE ${sqlDot("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) >= 0.45
+        WHERE a.n2 > 0 AND b.n2 > 0
+          AND ${sqlDot("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2)) >= 0.45
         ORDER BY vec_a, vec_b"""),
       doc = "embedding cosine near-dup pairs (exact, fold-deterministic)"),
 
@@ -303,6 +312,7 @@ object Vectors {
           }
           .groupByKey(B)
           .mapValues(_.toArray.sortBy(_._1))
+          .persist() // both join sides read it — quantize+sort once
         val left = blocks.flatMap { case (k, blk) => (k until B).map(j => ((k, j), blk)) }
         val right = blocks.flatMap { case (k, blk) => (0 to k).map(i => ((i, k), blk)) }
         val pairs = left.join(right, nPart).flatMap { case ((i, j), (la, ra)) =>

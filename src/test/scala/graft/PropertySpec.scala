@@ -162,6 +162,23 @@ class PropertySpec extends SparkSpec {
     assert(once.select("id").distinct().count() == once.count())
   }
 
+  test("money-sum oracles stay locked to MoneyOut.sql's canonical form") {
+    // MoneyOut.col and MoneyOut.sql must stay byte-for-byte twins; every
+    // oracle that rounds a sum has the SQL side inlined, so this pins each
+    // inline copy to the helper — change the canonical form and this fails
+    // until every site is updated in lockstep
+    val parts = graft.MoneyOut.sql("@SUM@")
+      .split(java.util.regex.Pattern.quote("@SUM@"))
+    val (pre, post) = (parts(0), parts(1))
+    val bad = SparkEntry.oracleSql.toSeq.flatMap { case (name, sql) =>
+      sql.linesIterator.filter(_.contains("ROUND(")).filterNot { l =>
+        l.contains(pre) && l.contains(post)
+      }.map(l => s"$name: ${l.trim}")
+    }
+    assert(bad.isEmpty,
+      s"oracle money egress deviating from MoneyOut.sql:\n${bad.mkString("\n")}")
+  }
+
   test("q98 chunking: full coverage, exact stride/overlap, short-only-last") {
     // invariants of the (window=32, stride=24) chunker against the real
     // query output at sf0.001 — every token lands in ≥1 chunk, consecutive
