@@ -79,6 +79,23 @@ class SinkFetchSpec extends SparkSpec {
     assert(FetchProbe.closes.get() == 4)
   }
 
+  test("S3: clients close exactly once even when the consumer stops early") {
+    // limit() stops pulling before the partition iterators drain — the
+    // task-completion listener must still close every built client, and the
+    // drain-path close must not double-fire on partitions that DID finish
+    FetchProbe.reset()
+    val worklist = LeadPipeline.collect(spark, 1, 40).repartition(4)
+    val taken = FetchStage.fetchPages(worklist,
+      () => new FlakyClient(0, Set.empty), attempts = 1, delayMs = 0L)
+      .limit(3).count()
+    assert(taken == 3)
+    // every STARTED task closed its client exactly once; limit may plan a
+    // single-partition first attempt, so the count is 1..4, never 0 and
+    // never more than one per partition
+    val closes = FetchProbe.closes.get()
+    assert(closes >= 1 && closes <= 4, s"unexpected close count $closes")
+  }
+
   test("ST6: throttled client enforces the per-worker inter-request gap") {
     val worklist = LeadPipeline.collect(spark, 1, 6).coalesce(1)
     val t0 = System.currentTimeMillis()
