@@ -391,6 +391,60 @@ object Events {
           GROUP BY 1, 2)
         SELECT u1, u2, shared_buckets FROM p
         WHERE shared_buckets >= 5 ORDER BY u1, u2"""),
-      doc = "co-occurring user pairs via salted (block-split) self-join")
+      doc = "co-occurring user pairs via salted (block-split) self-join"),
+
+    // Key-skew profiler — the count-by-key probe that DRIVES the q96 salt
+    // width (and every repartition/skew decision): per-bucket row counts
+    // reduced to the distribution a planner reads (max, p50, p99, and the
+    // max/median heat ratio, all integer-exact). Two tiny aggregations —
+    // keys-space-sized, never row-sized — so profiling 100 TB costs one
+    // map-side-combined pass. The reference has no planner, but its chunk
+    // sizing (bulk_collector.py CHUNK_SIZE) is the static version of this
+    // runtime decision.
+    "q103_skew_profile" -> Q(
+      run = (s, d) => {
+        val perKey = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("rows_in_bucket"))
+        // exact integer percentiles over the bucket-count distribution:
+        // sort key = count, pick ranks ceil(q*n) — deterministic, no
+        // interpolation, same arithmetic spelled in the oracle
+        val w = Window.orderBy(col("rows_in_bucket"), col("event_type"), col("h"))
+        val ranked = perKey
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over())
+        ranked
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_buckets"),
+            max(col("rows_in_bucket")).as("max_bucket"))
+          .join(
+            ranked.filter(col("rk") === expr("(n + 1) div 2"))
+              .select(col("rows_in_bucket").as("p50_bucket")),
+            lit(true))
+          .join(
+            ranked.filter(col("rk") === expr("(99 * n + 99) div 100"))
+              .select(col("rows_in_bucket").as("p99_bucket")),
+            lit(true))
+          .withColumn("heat_ratio_milli",
+            expr("1000 * max_bucket div greatest(p50_bucket, 1)"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH k AS (
+          SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS rows_in_bucket
+          FROM events GROUP BY 1, 2),
+        r AS (
+          SELECT *, row_number() OVER (ORDER BY rows_in_bucket, event_type, h) AS rk,
+                 count(*) OVER () AS n
+          FROM k),
+        p50 AS (SELECT rows_in_bucket AS p50_bucket FROM r WHERE rk = (n + 1) // 2),
+        p99 AS (SELECT rows_in_bucket AS p99_bucket FROM r WHERE rk = (99 * n + 99) // 100)
+        SELECT event_type, count(*) AS n_buckets, max(rows_in_bucket) AS max_bucket,
+               p50_bucket, p99_bucket,
+               1000 * max(rows_in_bucket) // greatest(p50_bucket, 1) AS heat_ratio_milli
+        FROM k CROSS JOIN p50 CROSS JOIN p99
+        GROUP BY event_type, p50_bucket, p99_bucket
+        ORDER BY event_type"""),
+      doc = "key-skew profiler: bucket-count distribution that sizes the q96 salt")
   )
 }
