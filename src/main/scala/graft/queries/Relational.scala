@@ -44,7 +44,10 @@ object Relational {
         .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          // floor() before the long conversion on BOTH engines: a bare
+          // double→bigint cast truncates in Spark but rounds in DuckDB, so
+          // any fractional quantity would silently split the hash gate
+          sum(floor(col("l_quantity"))).as("sum_qty"),
           moneySum(col("l_extendedprice")).as("sum_base_price"),
           graft.MoneyOut.col(
             sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount")))))
@@ -54,7 +57,7 @@ object Relational {
         .orderBy("l_returnflag", "l_linestatus"),
       oracle = Some("""
         SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
                (CAST(CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS sum_base_price,
                (CAST(CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS sum_disc_price,
                (CAST(CAST(ROUND(sum(CAST(l_discount AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS sum_disc,
@@ -500,7 +503,7 @@ object Relational {
     // so both engines rank identically despite the double-typed price.
     "q60_group_topk" -> Q(
       run = (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
+        val w = Window
           .partitionBy(col("c_mktsegment"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         Tables.orders(s, d)
@@ -540,7 +543,12 @@ object Relational {
     //      buckets hold ceil(N/10) rows — bit-identical to the window ntile.
     "q61_ntile_deciles" -> Q(
       run = (s, d) => {
-        val base = Tables.orders(s, d).select(col("o_totalprice"), col("o_orderkey"))
+        // three jobs consume this projection (quantile probe, per-bucket
+        // counts, final agg) — localCheckpoint materializes the 2-column
+        // slice once instead of re-scanning parquet per job, and its blocks
+        // free via the ContextCleaner when the query's references drop
+        val base = Tables.orders(s, d)
+          .select(col("o_totalprice"), col("o_orderkey")).localCheckpoint()
         val nBuckets = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
         val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
         val bounds = base.stat
@@ -557,7 +565,7 @@ object Relational {
         var acc = 0L
         val offsets = counts.map { case (b, c) => val o = acc; acc += c; (b, o) }
         val offMap = map(offsets.flatMap { case (b, o) => Seq(lit(b), lit(o)) }: _*)
-        val w = org.apache.spark.sql.expressions.Window
+        val w = Window
           .partitionBy(col("b")).orderBy(col("o_totalprice"), col("o_orderkey"))
         val q10 = n / 10
         val rem = n % 10

@@ -12,7 +12,7 @@ import graft.functions.TextHash._
   * Determinism across engines (the hard requirement of the oracle gate):
   * every similarity/threshold decision is integer arithmetic mod 1e9+7 —
   * Jaccard thresholds are cross-multiplied (inter*10 >= union*7), MinHash is
-  * affine-mod hashing, SimHash is 32-bit with explicit shifts — so Spark and
+  * affine-mod hashing, SimHash is 48-bit (4x12-bit blocks) with explicit shifts — so Spark and
   * DuckDB agree bit-for-bit. No doubles anywhere near a comparison.
   *
   * Scale design: all pairwise steps go through candidate generation (prefix
@@ -65,13 +65,17 @@ object TextOps {
   private def timedStage[T](name: String)(f: => T): T = {
     val t0 = System.nanoTime()
     frameChildNs.push(0L)
-    val r = f
-    val elapsed = System.nanoTime() - t0
-    val childNs = frameChildNs.pop()
-    if (frameChildNs.nonEmpty)
-      frameChildNs.push(frameChildNs.pop() + elapsed)
-    stageTimes(name) = (elapsed - childNs) / 1e9
-    r
+    try {
+      val r = f
+      val elapsed = System.nanoTime() - t0
+      val childNs = frameChildNs.pop()
+      if (frameChildNs.nonEmpty)
+        frameChildNs.push(frameChildNs.pop() + elapsed)
+      stageTimes(name) = (elapsed - childNs) / 1e9
+      r
+    } catch { // pop the frame on failure too, or the orphan entry corrupts
+      case t: Throwable => frameChildNs.pop(); throw t // later attributions
+    }
   }
 
   private def docShingleArrays(s: SparkSession, d: String): DataFrame = synchronized {
@@ -132,11 +136,20 @@ object TextOps {
         prev.foreach(_._3.unpersist(blocking = false))
         val p = jaccardPairs(s, d).persist()
         p.count() // realize inside the timer: build cost lands on this stage
+        // the shingle-classes table only feeds the pair build — once pairs
+        // are materialized, drop it so it doesn't pin storage per fixture
+        // dir for the session lifetime
+        lastClasses.foreach(_.unpersist(blocking = false))
+        lastClasses = None
         pairsCache = Some((s, d, p))
         p
       }
     }
   }
+
+  // classes DataFrame persisted by the most recent jaccardPairs build;
+  // jaccardPairsCached frees it as soon as the pair table is materialized
+  private var lastClasses: Option[DataFrame] = None
 
   /** Near-dup connected-component labels (doc → min-id root), shared by
     * q81 (cluster rollup) and q94 (canonical selection) — in a real pipeline
@@ -157,7 +170,12 @@ object TextOps {
   private def clusterLabels(s: SparkSession, d: String): DataFrame = synchronized {
     labelsCache match {
       case Some((sess, dir, df)) if (sess eq s) && dir == d => df
-      case prev =>
+      case prev => timedStage("cluster_labels_build") {
+        // NOTE: localCheckpoint blocks are not CacheManager entries — the
+        // unpersist here (and in releaseShingles) frees nothing directly;
+        // superseded rounds become unreachable once `labels` advances and
+        // the ContextCleaner reclaims their blocks asynchronously. The
+        // explicit call stays for the pairs-cache symmetry only.
         prev.foreach(_._3.unpersist(blocking = false))
         val pairs = jaccardPairsCached(s, d)
           .select(col("doc_a"), col("doc_b"))
@@ -191,6 +209,7 @@ object TextOps {
             "component diameter exceeds cap")
         labelsCache = Some((s, d, labels))
         labels
+      }
     }
   }
 
@@ -261,6 +280,7 @@ object TextOps {
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = docShingles(s, d)
     val classes = shingleClasses(sh).persist()
+    lastClasses = Some(classes) // freed by jaccardPairsCached post-build
     val reps = classes.select(col("rep").as("doc_id"))
     val repSh = sh.join(reps, Seq("doc_id"), "left_semi")
     val repArr = docShingleArrays(s, d).join(reps, Seq("doc_id"), "left_semi")
@@ -533,8 +553,15 @@ object TextOps {
           (0 until 4).map(band => mh(2 * band) * P + mh(2 * band + 1))
         }
         // signatures straight off the cached per-doc arrays — a narrow
-        // projection, no groupBy/collect re-aggregation shuffle
+        // projection, no groupBy/collect re-aggregation shuffle. Docs with
+        // NO shingles (< 3 tokens) are excluded up front: their MinHash
+        // slots stay Long.MaxValue, every such doc would share one
+        // (overflowed) band signature and pair up vacuously (0 >= 0 passes
+        // the cross-multiplied threshold) — pairs the oracle, whose shingle
+        // CTE never contains them, would not emit. Matches q35, which
+        // excludes them structurally via the shingle join.
         val bands = arr
+          .filter(size(col("shs")) > 0)
           .select(col("doc_id"), posexplode(bandSigs(col("shs"))))
           .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
         val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
@@ -677,7 +704,7 @@ object TextOps {
         SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
         FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
         ORDER BY doc_a, doc_b"""),
-      doc = "32-bit SimHash + byte-block pigeonhole candidate join"),
+      doc = "48-bit SimHash + 12-bit-block pigeonhole candidate join"),
 
     // Character-n-gram language ID — the fasttext-style profile technique
     // itself (q32 is the stopword-vote variant): doc trigrams equi-join a
