@@ -161,8 +161,11 @@ object Events {
         val perDay = Tables.events(s, d)
           .groupBy(to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("n"))
-        val bounds = Tables.events(s, d)
-          .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+          .localCheckpoint() // two consumers (bounds + join): scan once
+        // bounds fold over the keys-space aggregate, not the events table —
+        // min/max of the day column is derivable without a second scan
+        val bounds = perDay
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
         val spine = bounds
           .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
         spine.join(perDay, Seq("day"), "left")
@@ -347,8 +350,10 @@ object Events {
     // the right side carries its own deterministic block id
     // (user_id mod B), and the equi-join key becomes
     // (bucket, block) — each (u1,u2) pair matches exactly once, in the task
-    // owning u2's block. Hot-bucket work now spreads over B tasks; B scales
-    // with observed skew (AQE's skew stats or a count-by-key probe pick it).
+    // owning u2's block. Hot-bucket work now spreads over B tasks. B = 8 is
+    // a fixed fixture-scale choice here; a deployment sizes it from the
+    // observed heat ratio — exactly what the q103 skew profile measures —
+    // since the cost of salting is a B× replication of the other side.
     // Deployment note (measured in ScaleStress): AQE's partition coalescing
     // sizes post-shuffle partitions by INPUT bytes, and an explosive
     // self-join has tiny inputs with huge outputs — on such stages lower
@@ -403,28 +408,37 @@ object Events {
     // runtime decision.
     "q103_skew_profile" -> Q(
       run = (s, d) => {
+        // the keys-space table is consumed by three branches (per-type
+        // stats, p50 pick, p99 pick) — localCheckpoint materializes the
+        // scan + per-key agg once; everything downstream reads the tiny
+        // bucket table, so the global rank window and both percentile
+        // picks cost bucket-count work, not row work
         val perKey = Tables.events(s, d)
           .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
           .agg(count(lit(1)).as("rows_in_bucket"))
+          .localCheckpoint()
         // exact integer percentiles over the bucket-count distribution:
         // sort key = count, pick ranks ceil(q*n) — deterministic, no
-        // interpolation, same arithmetic spelled in the oracle
+        // interpolation, same arithmetic spelled in the oracle. Both
+        // ranks come out of ONE window pass; the two scalars broadcast
+        // back as literals (bounded driver metadata, like q61's offsets)
         val w = Window.orderBy(col("rows_in_bucket"), col("event_type"), col("h"))
         val ranked = perKey
           .withColumn("rk", row_number().over(w))
           .withColumn("n", count(lit(1)).over())
-        ranked
+        val picks = ranked
+          .filter(col("rk") === expr("(n + 1) div 2") ||
+            col("rk") === expr("(99 * n + 99) div 100"))
+          .select(col("rk") === expr("(n + 1) div 2"), col("rows_in_bucket"))
+          .collect()
+        val p50 = picks.find(_.getBoolean(0)).get.getLong(1)
+        val p99 = picks.find(!_.getBoolean(0)).map(_.getLong(1)).getOrElse(p50)
+        perKey
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_buckets"),
             max(col("rows_in_bucket")).as("max_bucket"))
-          .join(
-            ranked.filter(col("rk") === expr("(n + 1) div 2"))
-              .select(col("rows_in_bucket").as("p50_bucket")),
-            lit(true))
-          .join(
-            ranked.filter(col("rk") === expr("(99 * n + 99) div 100"))
-              .select(col("rows_in_bucket").as("p99_bucket")),
-            lit(true))
+          .withColumn("p50_bucket", lit(p50))
+          .withColumn("p99_bucket", lit(p99))
           .withColumn("heat_ratio_milli",
             expr("1000 * max_bucket div greatest(p50_bucket, 1)"))
           .orderBy("event_type")

@@ -41,11 +41,16 @@ object Vectors {
   private def cosine(dotC: Column, n2a: Column, n2b: Column): Column =
     dotC / (sqrt(n2a) * sqrt(n2b))
 
-  /** embeddings + precomputed squared norm. */
+  /** Vectors with their squared norm, zero vectors excluded: a zero vector
+    * has no direction, and its NaN cosine is ordered/compared differently
+    * by the JVM (NaN >= t false), Catalyst (NaN largest), and DuckDB
+    * (0/0 -> NULL) — the one value the engines genuinely disagree on, so
+    * it must never reach a comparison. Oracles mirror with `n2 > 0`. */
   private def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"),
         norm2(col("embedding")).as("n2"))
+      .filter(col("n2") > 0.0)
 
   /** Oracle fragment: squared norm of `e` as a list_reduce fold. */
   private def sqlNorm2(e: String): String =
@@ -132,8 +137,9 @@ object Vectors {
       },
       oracle = Some(s"""
         WITH v AS (
-          SELECT vec_id, label, embedding, ${sqlNorm2("embedding")} AS n2
-          FROM embeddings)
+          SELECT * FROM (
+            SELECT vec_id, label, embedding, ${sqlNorm2("embedding")} AS n2
+            FROM embeddings) WHERE n2 > 0)
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                a.label AS label_a, b.label AS label_b
         FROM v a JOIN v b ON a.vec_id < b.vec_id
@@ -162,8 +168,9 @@ object Vectors {
       },
       oracle = Some(s"""
         WITH v AS (
-          SELECT vec_id, label, embedding, ${sqlNorm2("embedding")} AS n2
-          FROM embeddings),
+          SELECT * FROM (
+            SELECT vec_id, label, embedding, ${sqlNorm2("embedding")} AS n2
+            FROM embeddings) WHERE n2 > 0),
         scored AS (
           SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.label AS neighbor_label,
                  ${sqlDot("q.embedding", "n.embedding")} / (sqrt(q.n2) * sqrt(n.n2)) AS cos
@@ -189,18 +196,22 @@ object Vectors {
         // smallest cent_id, identical to the oracle's (cos DESC, cent_id)
         // ranking; the fold order matches the oracle bit-for-bit.
         import s.implicits._
-        val centRows = Tables.embeddings(s, d).filter(col("vec_id") < 16)
+        // centroid ids ride along so the emitted cluster id is the
+        // centroid's vec_id (the oracle's cent_id), not an array index —
+        // they only coincide while the centroid ids are contiguous
+        val centRows = vecs(s, d).filter(col("vec_id") < 16)
           .select(col("vec_id"), col("embedding"))
           .as[(Long, Array[Float])].collect().sortBy(_._1)
+        val centIds = centRows.map(_._1)
         val centMat = centRows.map(_._2)
         val centN2 = centMat.map { v =>
           var acc = 0.0; var i = 0
           while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
           acc
         }
-        val bc = s.sparkContext.broadcast((centMat, centN2))
+        val bc = s.sparkContext.broadcast((centIds, centMat, centN2))
         val assignCluster = udf { (emb: Seq[Float]) =>
-          val (cm, cn2) = bc.value
+          val (cids, cm, cn2) = bc.value
           val va = emb.toArray
           var n2 = 0.0; var i = 0
           while (i < va.length) { n2 += va(i).toDouble * va(i).toDouble; i += 1 }
@@ -214,7 +225,7 @@ object Vectors {
             if (cos > bestCos) { bestCos = cos; best = c } // first (asc id) wins ties
             c += 1
           }
-          best.toLong
+          cids(best)
         }
         val cosPair = udf { (a: Seq[Float], b: Seq[Float]) =>
           val va = a.toArray; val vb = b.toArray
@@ -227,7 +238,9 @@ object Vectors {
           }
           acc / (math.sqrt(n2a) * math.sqrt(n2b))
         }
-        val clustered = Tables.embeddings(s, d)
+        // vecs() excludes zero vectors — their NaN cosine diverges across
+        // engines (see vecs scaladoc); the oracle's v CTE filters the same
+        val clustered = vecs(s, d)
           .select(col("vec_id"), assignCluster(col("embedding")).as("cluster"),
             col("embedding"))
         val a = clustered.select(col("cluster"), col("vec_id").as("vec_a"),
@@ -242,8 +255,9 @@ object Vectors {
       },
       oracle = Some(s"""
         WITH v AS (
-          SELECT vec_id, label, embedding, ${sqlNorm2("embedding")} AS n2
-          FROM embeddings),
+          SELECT * FROM (
+            SELECT vec_id, label, embedding, ${sqlNorm2("embedding")} AS n2
+            FROM embeddings) WHERE n2 > 0),
         cents AS (
           SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2
           FROM v WHERE vec_id < 16),

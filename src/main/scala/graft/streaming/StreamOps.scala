@@ -53,10 +53,11 @@ object StreamOps {
     *
     * State-store partition count is pinned at stream start (it is NOT
     * re-sizable later, and AQE never applies to stateful plans), so it must
-    * be sized to the stream's key cardinality up front: 8 covers the fixture
-    * drain with minimal per-partition store/commit overhead; a production
-    * deployment sizes this to executor cores before the FIRST run and keeps
-    * it stable across restarts (changing it invalidates the checkpoint). */
+    * be sized to the stream's key cardinality up front: 4 covers the fixture
+    * drain with minimal per-partition store/commit overhead (see the inline
+    * note below); a production deployment sizes this to executor cores
+    * before the FIRST run and keeps it stable across restarts (changing it
+    * invalidates the checkpoint). */
   private def drain(s: SparkSession, streamed: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${runSeq.incrementAndGet()}"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -88,8 +89,10 @@ object StreamOps {
       s.conf.set("spark.sql.shuffle.partitions", prev)
       ck.foreach { p =>
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.toSeq.reverse
           .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close() // the stream holds directory handles
       }
     }
     s.table(name)
