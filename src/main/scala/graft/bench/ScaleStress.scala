@@ -115,13 +115,29 @@ object ScaleStress {
     //     write either way with it on). In production you lower
     //     advisoryPartitionSizeInBytes or disable coalescing on such stages.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     def maxWriteMb(f: => Long): Unit = {
       maxTask.max.set(0)
       val n = f
-      Thread.sleep(2000) // let the listener bus drain task-end events
+      // bounded poll until the async listener bus goes quiet (value stable
+      // for 4 consecutive 250ms reads, 20s cap) — a fixed sleep under-reports
+      // on a loaded host if the bus is still draining task-end events
+      var last = -1L; var stable = 0; var waitedMs = 0
+      while (stable < 4 && waitedMs < 20000) {
+        Thread.sleep(250); waitedMs += 250
+        val v = maxTask.max.get
+        if (v == last) stable += 1 else { stable = 0; last = v }
+      }
       println(f"  pairs=$n  max-task-shuffle-write=${maxTask.max.get / 1e6}%.0f MB")
     }
+    // coalescing deliberately left ON here: q96's join inputs now go through
+    // REPARTITION_BY_NUM exchanges (explicit repartition(P, keys)), which
+    // AQE's coalescer/skew-splitter never touch — so the B salted partitions
+    // must survive and max write must match the coalescing-off run below.
+    // Before the in-plan guard this measured 183 MB (salt silently undone).
+    t("q96 salted, AQE coalescing ON (in-plan guard)") {
+      maxWriteMb(graft.SparkEntry.queries("q96_salted_cooccur")(spark, coDir).count())
+    }
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     t("q96 salted, 1 hot bucket x 8000 users (~32M pairs)") {
       maxWriteMb(graft.SparkEntry.queries("q96_salted_cooccur")(spark, coDir).count())
     }

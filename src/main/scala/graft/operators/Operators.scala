@@ -103,6 +103,78 @@ object Operators {
     throw last
   }
 
+  /** Distributed total rank — the scale-safe replacement for
+    * `Window.orderBy(...)` with no partitionBy (which moves EVERY row to one
+    * partition). The recipe (q61's, factored out so q103 and any future
+    * global-order consumer share it):
+    *   1. approxQuantile picks ~P range boundaries over `valueCol` (accuracy
+    *      affects only bucket balance, never correctness);
+    *   2. each row gets a deterministic range-bucket id — ties on valueCol
+    *      always share a bucket, so buckets are contiguous in the total order
+    *      and the tie-break columns stay bucket-local;
+    *   3. one tiny job collects per-bucket counts (≤ P+1 rows of driver
+    *      metadata) → prefix offsets + total N;
+    *   4. global rank = bucket offset + row_number over a window PARTITIONED
+    *      by bucket — no single-partition stage anywhere.
+    *
+    * Returns (df + `rankCol` as a 1-based LONG rank over
+    * ORDER BY valueCol, tieCols…, total row count N). The input should be
+    * materialized (localCheckpoint/cache) by the caller: the quantile probe,
+    * the count job, and the ranked consumer each re-read it.
+    * Empty input → (empty frame with the rank column, 0). */
+  def totalRank(df: DataFrame, valueCol: String, tieCols: Seq[Column],
+      rankCol: String = "rnk"): (DataFrame, Long) = {
+    val nBuckets =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds = df.stat.approxQuantile(valueCol, probes, 0.02).distinct.sorted
+    // bucket = count of boundaries strictly below the value; equal values
+    // always share a bucket, so tie-break ordering stays bucket-local
+    val bucketExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(valueCol) > lit(b), 1).otherwise(0)
+    }
+    val withB = df.withColumn("__trb", bucketExpr)
+    val counts = withB.groupBy(col("__trb")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    if (n == 0) return (withB.withColumn(rankCol, lit(0L)).drop("__trb"), 0L)
+    var acc = 0L
+    val offsets = counts.map { case (b, c) => val o = acc; acc += c; (b, o) }
+    val offMap = map(offsets.flatMap { case (b, o) => Seq(lit(b), lit(o)) }.toIndexedSeq: _*)
+    val w = Window.partitionBy(col("__trb"))
+      .orderBy(col(valueCol) +: tieCols: _*)
+    (withB
+      .withColumn(rankCol,
+        row_number().over(w).cast("long") + element_at(offMap, col("__trb")))
+      .drop("__trb"), n)
+  }
+
+  /** Profile-driven salt width — the q103 skew probe wired into the plan.
+    * Counts rows per key bucket (keys-space-sized, map-side combined — one
+    * cheap pass even at 100 TB) and sizes the salt from the DOMINANCE ratio:
+    * how many fair per-task shares (total/P) the hottest bucket spans. A
+    * bucket that fits inside one task's fair share needs no salt no matter
+    * how skewed the tail distribution looks (max/median alone over-salts
+    * that case), while a single bucket holding everything — where
+    * max/median reads a useless 1 — gets split P ways. B is the next power
+    * of two ≥ the ratio, clamped to [1, maxB], and since max ≤ total the
+    * ratio never exceeds P: the salt never out-splits the stage. Uniform
+    * well-spread keys ⇒ ratio ≤ 1 ⇒ B = 1 (salting correctly degenerates
+    * to a plain join, avoiding its B× replication cost). */
+  def saltWidth(df: DataFrame, keyCols: Seq[Column], maxB: Int = 64): Int = {
+    val heat = df.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
+    val row = heat.agg(
+      max(col("__n")).as("mx"), sum(col("__n")).as("total")).collect()(0)
+    if (row.isNullAt(0)) 1
+    else {
+      val p =
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toLong
+      val ratio = row.getLong(0) * p / math.max(1L, row.getLong(1))
+      val clamped = math.min(maxB.toLong, math.max(1L, ratio)).toInt
+      Integer.highestOneBit(clamped * 2 - 1) // next power of two >= clamped
+    }
+  }
+
   /** Salted equi-join for a skewed LEFT side: each left row gets a
     * deterministic salt in [0, buckets) and the right side is replicated
     * `buckets`× with every salt value, so the hot key's rows spread over

@@ -435,7 +435,11 @@ object EtlOps {
     // streams; only the final summary aggregates.
     "q101_csv_roundtrip" -> Q(
       run = (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+        // deterministic per-query path: mode("overwrite") makes rewrites
+        // safe, and re-runs (bench passes, correctness, PlanSpec) reuse the
+        // same directory instead of leaking a fresh temp copy per invocation
+        val tmp = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_q101_csv_rt").toString
         val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
         Tables.orders(s, d)
           .select(
@@ -488,7 +492,10 @@ object EtlOps {
     // same shape with a date key.
     "q102_partition_prune" -> Q(
       run = (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+        // deterministic per-query path (same rationale as q101): bounded to
+        // one copy across all runs rather than one per invocation
+        val tmp = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_q102_part").toString
         Tables.orders(s, d)
           .withColumn("order_month", month(col("o_orderdate")))
           .write.mode("overwrite")

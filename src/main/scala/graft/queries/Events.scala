@@ -350,33 +350,46 @@ object Events {
     // the right side carries its own deterministic block id
     // (user_id mod B), and the equi-join key becomes
     // (bucket, block) — each (u1,u2) pair matches exactly once, in the task
-    // owning u2's block. Hot-bucket work now spreads over B tasks. B = 8 is
-    // a fixed fixture-scale choice here; a deployment sizes it from the
-    // observed heat ratio — exactly what the q103 skew profile measures —
-    // since the cost of salting is a B× replication of the other side.
-    // Deployment note (measured in ScaleStress): AQE's partition coalescing
-    // sizes post-shuffle partitions by INPUT bytes, and an explosive
-    // self-join has tiny inputs with huge outputs — on such stages lower
-    // spark.sql.adaptive.advisoryPartitionSizeInBytes or disable
-    // coalescePartitions, or the B salted partitions get re-merged.
+    // owning u2's block. Hot-bucket work now spreads over B tasks.
+    //
+    // B is DERIVED, not fixed: `Operators.saltWidth` runs the q103 per-key
+    // count probe (keys-space-sized) and salts to the next power of two ≥
+    // the DOMINANCE ratio — fair task shares spanned by the hottest bucket.
+    // Well-spread data degenerates to B = 1 (a plain join, no replication
+    // cost); a pathological bucket gets split as many ways as it dominates,
+    // never more than P. B tracks measured heat instead of guesswork.
+    //
+    // AQE guard, enforced IN THE PLAN: both join inputs go through
+    // repartition(P, event_type, h, blk) — a REPARTITION_BY_NUM exchange,
+    // which AQE's partition coalescing (and skew split) explicitly never
+    // touches (it sizes post-shuffle partitions by INPUT bytes, and an
+    // explosive self-join has tiny inputs with huge outputs, so it would
+    // re-merge the B salted partitions — measured in ScaleStress). The join
+    // reuses these exchanges (same hash partitioning as its requirement),
+    // so the guard costs no extra shuffle.
     // Reference shape: /root/reference/src/transformers/data_cleaner.py's
     // per-key grouping, generalized to the pairwise form it cannot express.
     "q96_salted_cooccur" -> Q(
       run = (s, d) => {
-        val B = 8
         val bucketed = Tables.events(s, d)
           .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
             col("user_id"))
           .distinct() // one (bucket, user) row per hour of activity
+          .localCheckpoint() // three consumers: heat probe, left, right
+        val B = graft.operators.Operators.saltWidth(
+          bucketed, Seq(col("event_type"), col("h")))
+        val P = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
         // right side: natural block id; left side: replicated across all B
         // blocks so it meets every right-block in a separate shuffle key
         val right = bucketed
           .select(col("event_type"), col("h"), col("user_id").as("u2"),
             pmod(col("user_id"), lit(B)).cast("int").as("blk"))
+          .repartition(P, col("event_type"), col("h"), col("blk"))
         val left = bucketed
           .select(col("event_type"), col("h"), col("user_id").as("u1"))
           .crossJoin(broadcast(
             s.range(B).select(col("id").cast("int").as("blk"))))
+          .repartition(P, col("event_type"), col("h"), col("blk"))
         left.join(right, Seq("event_type", "h", "blk"))
           .filter(col("u1") < col("u2"))
           .groupBy(col("u1"), col("u2"))
@@ -419,20 +432,24 @@ object Events {
           .localCheckpoint()
         // exact integer percentiles over the bucket-count distribution:
         // sort key = count, pick ranks ceil(q*n) — deterministic, no
-        // interpolation, same arithmetic spelled in the oracle. Both
-        // ranks come out of ONE window pass; the two scalars broadcast
-        // back as literals (bounded driver metadata, like q61's offsets)
-        val w = Window.orderBy(col("rows_in_bucket"), col("event_type"), col("h"))
-        val ranked = perKey
-          .withColumn("rk", row_number().over(w))
-          .withColumn("n", count(lit(1)).over())
+        // interpolation, same arithmetic spelled in the oracle. The global
+        // order comes from Operators.totalRank (the q61 recipe — bucketed,
+        // never a single-partition window), and N falls out of its count
+        // job, so the rank literals are plain driver arithmetic. Empty
+        // input short-circuits to the (empty) aggregate — no percentile
+        // rows to pick, same degraded shape as the oracle.
+        val (ranked, n) = graft.operators.Operators.totalRank(
+          perKey, "rows_in_bucket", Seq(col("event_type"), col("h")))
+        val p50rk = (n + 1) / 2
+        val p99rk = (99 * n + 99) / 100
         val picks = ranked
-          .filter(col("rk") === expr("(n + 1) div 2") ||
-            col("rk") === expr("(99 * n + 99) div 100"))
-          .select(col("rk") === expr("(n + 1) div 2"), col("rows_in_bucket"))
+          .filter(col("rnk") === p50rk || col("rnk") === p99rk)
+          .select(col("rnk"), col("rows_in_bucket"))
           .collect()
-        val p50 = picks.find(_.getBoolean(0)).get.getLong(1)
-        val p99 = picks.find(!_.getBoolean(0)).map(_.getLong(1)).getOrElse(p50)
+        val p50 = picks.find(_.getLong(0) == p50rk)
+          .map(_.getLong(1)).getOrElse(0L)
+        val p99 = picks.find(_.getLong(0) == p99rk)
+          .map(_.getLong(1)).getOrElse(p50)
         perKey
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_buckets"),

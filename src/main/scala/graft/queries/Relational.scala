@@ -529,18 +529,10 @@ object Relational {
     //
     // NOT a global ntile window: `Window.orderBy` with no partitionBy moves
     // every row to one partition — correct at sf0.1, a scale-killer at 100x.
-    // Instead, the classic distributed total-rank recipe:
-    //   1. approxQuantile picks ~32 range boundaries (accuracy only affects
-    //      balance, never correctness);
-    //   2. each row gets a deterministic range-bucket id (ties on the sort
-    //      key land in one bucket, so buckets are contiguous in the total
-    //      order);
-    //   3. one tiny job collects per-bucket counts (<= 33 rows of metadata)
-    //      -> prefix offsets + total N on the driver;
-    //   4. global rank = bucket offset + row_number over a window
-    //      PARTITIONED by bucket (no single-partition stage anywhere);
-    //   5. ntile(10) is then pure arithmetic on (rank, N): the first N%10
-    //      buckets hold ceil(N/10) rows — bit-identical to the window ntile.
+    // Instead, `Operators.totalRank` (the distributed quantile-bucketed
+    // total-rank recipe — see its doc); ntile(10) is then pure arithmetic on
+    // (rank, N): the first N%10 deciles hold ceil(N/10) rows — bit-identical
+    // to the window ntile.
     "q61_ntile_deciles" -> Q(
       run = (s, d) => {
         // three jobs consume this projection (quantile probe, per-bucket
@@ -549,24 +541,8 @@ object Relational {
         // free via the ContextCleaner when the query's references drop
         val base = Tables.orders(s, d)
           .select(col("o_totalprice"), col("o_orderkey")).localCheckpoint()
-        val nBuckets = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-        val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-        val bounds = base.stat
-          .approxQuantile("o_totalprice", probes, 0.02).distinct.sorted
-        // bucket = count of boundaries strictly below the price; equal prices
-        // always share a bucket, so the orderkey tie-break stays bucket-local
-        val bucketExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
-          acc + when(col("o_totalprice") > lit(b), 1).otherwise(0)
-        }
-        val withB = base.withColumn("b", bucketExpr)
-        val counts = withB.groupBy(col("b")).agg(count(lit(1)).as("c"))
-          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-        val n = counts.map(_._2).sum
-        var acc = 0L
-        val offsets = counts.map { case (b, c) => val o = acc; acc += c; (b, o) }
-        val offMap = map(offsets.flatMap { case (b, o) => Seq(lit(b), lit(o)) }: _*)
-        val w = Window
-          .partitionBy(col("b")).orderBy(col("o_totalprice"), col("o_orderkey"))
+        val (ranked, n) = graft.operators.Operators.totalRank(
+          base, "o_totalprice", Seq(col("o_orderkey")))
         val q10 = n / 10
         val rem = n % 10
         val thr = rem * (q10 + 1) // ranks <= thr fall in the first rem (fat) buckets
@@ -574,9 +550,7 @@ object Relational {
           if (q10 == 0) "CAST(rnk AS INT)" // fewer rows than buckets: decile = rank
           else s"""CAST(CASE WHEN rnk <= $thr THEN 1 + (rnk - 1) DIV ${q10 + 1}
                    ELSE ${rem + 1} + (rnk - 1 - $thr) DIV $q10 END AS INT)"""
-        withB
-          .withColumn("rnk",
-            row_number().over(w).cast("long") + element_at(offMap, col("b")))
+        ranked
           .withColumn("decile", expr(decile))
           .groupBy(col("decile"))
           .agg(count(lit(1)).as("n"),

@@ -199,6 +199,18 @@ class PlanSpec extends SparkSpec {
       s"salt block missing from the pair-join keys:\n$p")
   }
 
+  test("q96: salted exchanges are REPARTITION_BY_NUM (AQE cannot re-merge the salt)") {
+    val p = plan("q96_salted_cooccur", execute = true)
+    // both join inputs go through an explicit repartition(P, keys) — a
+    // REPARTITION_BY_NUM shuffle origin, which AQE's partition coalescer and
+    // skew splitter are both defined to never touch. This is the in-plan
+    // guard replacing the old "lower advisoryPartitionSizeInBytes in prod"
+    // prose: an explosive self-join has tiny inputs with huge outputs, so
+    // input-byte-sized coalescing would re-merge the B salted partitions.
+    assert("REPARTITION_BY_NUM".r.findAllIn(p).length >= 2,
+      s"salted join inputs lost the REPARTITION_BY_NUM guard:\n$p")
+  }
+
   test("q97: bigram top-k is two-phase agg + TakeOrderedAndProject") {
     val p = plan("q97_bigram_topk")
     assert(p.contains("TakeOrderedAndProject"),
@@ -230,19 +242,27 @@ class PlanSpec extends SparkSpec {
     val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).get
     assert(scanLine.contains("order_month"),
       s"month predicate did not reach the partition filter:\n$scanLine")
-    // the data filter side must be empty — the predicate is fully satisfied
-    // by directory pruning, no row-level filtering needed
-    assert(scanLine.contains("PushedFilters: []") || !scanLine.contains("PushedFilters: [In"),
+    // the data filter side must be EXACTLY empty — the predicate is fully
+    // satisfied by directory pruning, no row-level filtering needed
+    assert(scanLine.contains("PushedFilters: []"),
       s"month predicate degraded to a row filter:\n$scanLine")
   }
 
-  test("q61: every window is partitioned (no single-partition ntile stage)") {
-    val df = SparkEntry.registry("q61_ntile_deciles").run(spark, sf)
-    val wins = df.queryExecution.optimizedPlan.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+  test("q61/q103: every window is partitioned (no single-partition rank stage)") {
+    // both ride Operators.totalRank — the shared distributed total-rank
+    // recipe — so neither may plan a Window with an empty partitionSpec
+    for (name <- Seq("q61_ntile_deciles", "q103_skew_profile")) {
+      val df = SparkEntry.registry(name).run(spark, sf)
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        s"$name: unpartitioned window (all rows to one partition):\n${df.queryExecution.optimizedPlan}")
     }
-    assert(wins.nonEmpty, "expected the bucket-local rank window in the plan")
-    assert(wins.forall(_.partitionSpec.nonEmpty),
-      s"unpartitioned window (all rows to one partition):\n${df.queryExecution.optimizedPlan}")
+    // q61's plan must still contain the bucket-local rank window itself
+    val q61 = SparkEntry.registry("q61_ntile_deciles").run(spark, sf)
+    assert(q61.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.nonEmpty, "expected the bucket-local rank window in the q61 plan")
   }
 }
