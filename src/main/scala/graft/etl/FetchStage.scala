@@ -40,6 +40,45 @@ final class SyntheticPageClient extends PageClient {
   }
 }
 
+/** Live HTTP-backed [[PageClient]] — the deployable S3/S8 client, built on
+  * the JDK's `java.net.http.HttpClient` (no extra dependency). Carries the
+  * reference's fetch contract (bulk_scraper.py:64-111 `requests.get` with
+  * `APP_CONFIG` timeout=30 / retry_attempts=3, manual_scraper.py:400-414
+  * status-code check): connect + request timeout from [[GraftConfig]]'s
+  * `TIMEOUT`, redirects followed, and any non-2xx status thrown as
+  * `IOException` so [[FetchStage.fetchPages]]'s in-task E2 retry / E1
+  * per-record drop semantics apply unchanged. One instance per partition
+  * (the `newClient` thunk runs on the executor), so the underlying
+  * connection pool is reused across the partition's whole worklist — the
+  * HTTP analog of the reference's per-worker WebDriver reuse. Compose with
+  * [[ThrottledClient]] for the ST6 politeness gap. */
+final class HttpPageClient(timeoutSec: Int, userAgent: String = "graft-fetch/1.0")
+    extends PageClient {
+  def this() = this(GraftConfig.load().timeoutSec)
+
+  // built lazily ON the executor; HttpClient itself is never serialized
+  @transient private lazy val http: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(timeoutSec.toLong))
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+
+  override def fetch(id: Long, url: String): String = {
+    val req = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofSeconds(timeoutSec.toLong))
+      .header("User-Agent", userAgent)
+      .GET().build()
+    val resp =
+      http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(
+        s"HTTP ${resp.statusCode()} fetching id=$id $url")
+    resp.body()
+  }
+  // JDK 17's HttpClient has no close(); its threads retire with the task
+}
+
 /** ST6 politeness throttle as a client decorator: enforces a minimum gap
   * between consecutive fetches OF THIS CLIENT (= this partition/worker —
   * exactly the reference's per-worker `time.sleep` between page loads,

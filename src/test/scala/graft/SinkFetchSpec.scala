@@ -6,8 +6,9 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.etl.{DerbyUpsertDialect, FetchStage, JdbcUpsert, LeadPipeline,
-  PageClient, PostgresUpsertDialect, SyntheticPageClient, ThrottledClient}
+import graft.etl.{DerbyUpsertDialect, FetchStage, HttpPageClient, JdbcUpsert,
+  LeadPipeline, PageClient, PostgresUpsertDialect, SyntheticPageClient,
+  ThrottledClient}
 
 /** Test-only instrumentation shared across executor threads (local mode =
   * one JVM, so statics are visible to tasks). */
@@ -105,6 +106,59 @@ class SinkFetchSpec extends SparkSpec {
     assert(n == 6)
     // 6 fetches on one partition = 5 enforced gaps of >= 30ms
     assert(System.currentTimeMillis() - t0 >= 150)
+  }
+
+  // --- S3/S8 live HTTP client -----------------------------------------------
+
+  test("S3/S8: HttpPageClient fetches over a real socket; retry and drop hold") {
+    // an in-process com.sun.net.httpserver.HttpServer stands in for the live
+    // site (never the real one): serves the synthetic detail page per id,
+    // 500s the FIRST hit on ids %5==0 (a transient fault the in-task E2
+    // retry must absorb), and permanently 404s id 13 (E1 must drop it)
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val hits = new ConcurrentHashMap[Long, AtomicInteger]()
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/detail", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val id = ex.getRequestURI.getQuery.stripPrefix("id=").toLong
+        val n = hits.computeIfAbsent(id, _ => new AtomicInteger(0))
+          .incrementAndGet()
+        val (code, body) =
+          if (id == 13L) (404, "")
+          else if (id % 5 == 0 && n == 1) (500, "transient")
+          else (200, new SyntheticPageClient().fetch(id, ""))
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(code, if (bytes.isEmpty) -1L else bytes.length.toLong)
+        if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val worklist = LeadPipeline.collect(spark, 1, 16)
+        .withColumn("url",
+          concat(lit(s"http://127.0.0.1:$port/detail?id="), $"id_negocio"))
+      val pages = FetchStage.fetchPages(worklist,
+        () => new HttpPageClient(timeoutSec = 5), attempts = 3, delayMs = 0L)
+      val got = pages.collect()
+      // 16 ids minus the permanent 404
+      assert(got.map(_.getAs[Long]("id_negocio")).sorted.toSeq ==
+        (1L to 16L).filterNot(_ == 13L))
+      // transient 500s were retried on the same socket, once each
+      Seq(5L, 10L, 15L).foreach(id =>
+        assert(hits.get(id).get() == 2, s"id $id not retried over HTTP"))
+      // the 404 burned all three attempts before E1 dropped it
+      assert(hits.get(13L).get() == 3)
+      // the fetched bytes are the real response bodies: golden extraction
+      // runs unchanged on HTTP-fetched pages
+      val lead = LeadPipeline.clean(LeadPipeline.extract(pages))
+        .filter($"id_negocio" === 6).head()
+      assert(lead.getAs[String]("nombre") == "Negocio 6")
+      assert(lead.getAs[String]("email") == "negocio6@mail.com")
+    } finally server.stop(0)
   }
 
   // --- K4 JDBC upsert -------------------------------------------------------
