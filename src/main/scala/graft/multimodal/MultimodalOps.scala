@@ -7,13 +7,14 @@ import graft.{Q, Tables}
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, plus decode / feature-extract / resize / frame-sample stages.
   *
-  * The container ships no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic STUB ([[StubCodec]]) — what is real and
-  * tested is everything Spark-side: the binary column schema, the
-  * per-partition batching shape (one codec instance per partition, the way a
-  * real decoder/model handle would be held), partition sizing, and the
-  * metadata struct contract. Swapping StubCodec for a JNI/ffmpeg call changes
-  * no plan shape.
+  * The decode kernel ([[MediaCodec]]) uses REAL JDK codecs where the JDK
+  * ships one: PNG bytes decode through `javax.imageio` (real pixel decode,
+  * real dims) and RIFF/WAV through `javax.sound.sampled` (real container
+  * parse). The fixture's image rows carry real PNG payloads, so q51/q67 are
+  * honest end-to-end decodes. The JDK has no mp3/mp4 codec, so audio/video
+  * fixture rows keep a deterministic header-parse payload (disclosed below);
+  * a JNI/ffmpeg decoder plugs in behind the same (bytes → dims/frames)
+  * contract without touching any plan shape.
   *
   * At 100 TB: media bytes dominate row size, so the design keeps binary
   * columns out of shuffles — features are extracted in a narrow
@@ -23,25 +24,53 @@ import graft.{Q, Tables}
   */
 object MultimodalOps {
 
-  /** A media row: bytes + the typed metadata a lakehouse would carry. */
+  /** A media row: bytes + the typed metadata a lakehouse would carry.
+    * `n_bytes` is the SOURCE payload size recorded in the catalog (the
+    * document's char count), independent of the container encoding. */
   final case class MediaRow(
       media_id: Long, media_type: String, bytes: Array[Byte],
       source: String, n_bytes: Long)
 
-  /** Extracted features (the decode output contract). */
+  /** Extracted features (the decode output contract). `n_bytes` carries the
+    * source payload size through the stage so downstream aggregates never
+    * re-join the binary table. */
   final case class MediaFeatures(
       media_id: Long, media_type: String, width: Int, height: Int,
-      n_frames: Int, checksum: Long)
+      n_frames: Int, checksum: Long, n_bytes: Long)
 
-  /** STUB decode kernel — stands in for an image/audio/video codec.
-    * Deterministic over the bytes so tests are stable; the interface
-    * (bytes → dims/frames/fingerprint) is the real one. */
-  object StubCodec {
-    def decode(mediaType: String, bytes: Array[Byte]): (Int, Int, Int) = {
-      // dims derive from the first two CODEPOINTS of the UTF-8 payload (not
-      // raw bytes) and frames from the char count — the q51/q52/q67 oracles
-      // are written in ascii(substr(text,…))/length(text) i.e. codepoint/
-      // char terms, so this law must match byte-for-byte on non-ASCII too
+  /** Decode kernel — real JDK codecs, sniffed by container magic:
+    *  - PNG (0x89 'PNG'): `javax.imageio.ImageIO` — dims from real decode;
+    *  - RIFF/WAV: `javax.sound.sampled.AudioSystem` — the (width, height,
+    *    frames) slots carry (sampleRate, channels, frameLength);
+    *  - anything else: deterministic header parse of the synthetic text
+    *    payload (dims = first two codepoints ×4, frames by modality) — the
+    *    stand-in for codecs the JDK lacks (mp3/mp4). The law is written in
+    *    the codepoint/char terms the q51/q52/q67 DuckDB oracles replay
+    *    (ascii(substr(text,…))/length(text)), which is what makes the
+    *    decode stage hash-gateable: the oracle replays arithmetic, and the
+    *    Spark side must agree byte-for-byte even on non-ASCII. */
+  object MediaCodec {
+    def isPng(b: Array[Byte]): Boolean = b.length > 8 &&
+      (b(0) & 0xff) == 0x89 && b(1) == 'P'.toByte &&
+      b(2) == 'N'.toByte && b(3) == 'G'.toByte
+    def isRiff(b: Array[Byte]): Boolean = b.length > 12 &&
+      b(0) == 'R'.toByte && b(1) == 'I'.toByte &&
+      b(2) == 'F'.toByte && b(3) == 'F'.toByte
+
+    def decode(mediaType: String, bytes: Array[Byte]): (Int, Int, Int) =
+      if (isPng(bytes)) {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) (0, 0, 1) else (img.getWidth, img.getHeight, 1)
+      } else if (isRiff(bytes)) {
+        val aff = javax.sound.sampled.AudioSystem
+          .getAudioFileFormat(new java.io.ByteArrayInputStream(bytes))
+        (aff.getFormat.getSampleRate.toInt, aff.getFormat.getChannels,
+          aff.getFrameLength)
+      } else if (bytes.isEmpty) (0, 0, 1) // undecodable payload
+      else headerParse(mediaType, bytes)
+
+    private def headerParse(mediaType: String, bytes: Array[Byte]): (Int, Int, Int) = {
       val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
       val b0 = if (s.nonEmpty) s.codePointAt(0) else 0
       val b1 = {
@@ -54,25 +83,68 @@ object MultimodalOps {
         case "audio" => 1 + nChars / 256
         case _       => 1
       }
-      (4 * b0, 4 * b1, frames)  // ??? real codec goes here
+      (4 * b0, 4 * b1, frames)
     }
+
     def checksum(bytes: Array[Byte]): Long =
       bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+
+    /** Deterministic PNG encoder (fixture + tests): flat id-derived fill.
+      * The JDK PNG writer emits no timestamp chunks, so bytes are stable
+      * across runs for a given (w, h, seed). */
+    def encodePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(((seed * 2654435761L) & 0xffffff).toInt))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Deterministic 8-bit mono PCM WAV encoder (tests): `frames` silent
+      * frames at `sampleRate` Hz. */
+    def encodeWav(frames: Int, sampleRate: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 8, 1, false, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](frames)),
+        fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
   }
 
-  /** Media fixture synthesized from `documents` (text bytes as payload —
-    * opaque to everything downstream, exactly like real media bytes). */
+  /** Media fixture synthesized from `documents`. Image rows carry REAL PNG
+    * payloads — encoded at the dims the oracle law derives from the text
+    * (first two codepoints ×4), then decoded back through `javax.imageio`
+    * in [[extractFeatures]], so the image path is a true encode→decode
+    * round trip. Audio/video rows keep the text bytes as a synthetic
+    * container (no JDK mp3/mp4 codec — see [[MediaCodec]]). */
   def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
     Tables.documents(s, d)
-      .select(
-        col("doc_id").as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
-        col("text").cast("binary").as("bytes"),
-        col("source"),
-        length(col("text")).cast("long").as("n_bytes"))
-      .as[MediaRow]
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, source) =>
+        val mt = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        val bytes =
+          if (mt == "image") {
+            val cp0 = if (text.isEmpty) 0 else text.codePointAt(0)
+            val o = if (text.isEmpty) 0 else Character.charCount(text.codePointAt(0))
+            val cp1 = if (text.length > o) text.codePointAt(o) else 0
+            if (cp0 > 0 && cp1 > 0) MediaCodec.encodePng(4 * cp0, 4 * cp1, id)
+            else Array.empty[Byte] // undecodable sentinel (dims (0,0))
+          } else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        MediaRow(id, mt, bytes, source,
+          text.codePointCount(0, text.length).toLong)
+      })
   }
 
   /** The decode/feature-extract stage: per-partition codec instance, arrow
@@ -81,10 +153,11 @@ object MultimodalOps {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // one codec handle per partition (in real life: model/codec init here)
-      val codec = StubCodec
+      val codec = MediaCodec
       rows.map { r =>
         val (w, h, f) = codec.decode(r.media_type, r.bytes)
-        MediaFeatures(r.media_id, r.media_type, w, h, f, codec.checksum(r.bytes))
+        MediaFeatures(r.media_id, r.media_type, w, h, f,
+          codec.checksum(r.bytes), r.n_bytes)
       }
     }
   }
@@ -114,20 +187,17 @@ object MultimodalOps {
 
   val qs: Map[String, Q] = Map(
 
-    // Typed-metadata analytics over the binary table: everything here is
-    // SQL-expressible, so the multimodal schema path is oracle-gated. The
-    // fake "header decode" (first two byte values → dims) mirrors StubCodec.
+    // Typed-metadata analytics over the DECODED features. Image rows run a
+    // real javax.imageio decode of real PNG payloads; the oracle replays the
+    // dims arithmetically (the fixture encodes PNGs at exactly the dims the
+    // law derives from the text — ascii(substr)×4), so the gate verifies
+    // the whole encode→decode round trip. Audio/video dims come from the
+    // header parse of the synthetic payload, which IS the oracle law.
     // NOTE: Spark ascii() and DuckDB ascii() agree only on ASCII leading
-    // chars; the documents fixture is ASCII, and StubCodec (the law q52/q67
-    // test) is codepoint-based so it stays oracle-correct beyond ASCII.
+    // chars; the documents fixture is ASCII, and MediaCodec's header law is
+    // codepoint-based so it stays oracle-correct beyond ASCII.
     "q51_media_metadata" -> Q(
-      run = (s, d) => mediaTable(s, d).toDF()
-        .withColumn("decoded", col("bytes").cast("string"))
-        .select(
-          col("media_type"),
-          col("n_bytes"),
-          (ascii(substring(col("decoded"), 1, 1)) * 4).as("width"),
-          (ascii(substring(col("decoded"), 2, 1)) * 4).as("height"))
+      run = (s, d) => extractFeatures(mediaTable(s, d)).toDF()
         .groupBy(col("media_type"))
         .agg(
           count(lit(1)).as("n_media"),
