@@ -18,7 +18,16 @@ object Bench {
       val small = new java.io.File("/root/testdata/sf0.001")
       if (small.isDirectory) small.getAbsolutePath else sfDir
     }
-    SparkEntry.queries.values.foreach { fn =>
+    // SPARK_GRAFT_ONLY=q24_json_extract,q71_map_explode runs an isolated
+    // subset — the A/B knob for separating a real per-query regression from
+    // whole-suite session pressure (same JVM/session/warmup protocol)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    queries.values.foreach { fn =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     // deterministic name order (also: q35 primes the shared shingle cache
@@ -32,7 +41,7 @@ object Bench {
     // cache hits and min() would erase the build cost from the total
     def pass(): Seq[(String, Double)] = {
       graft.queries.TextOps.releaseShingles()
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
@@ -50,9 +59,14 @@ object Bench {
     // Print a compact line (slowest queries only, capped) and write the full
     // per-query map to BENCH_DETAIL.json for the judge.
     // build-vs-consume attribution for the shared dedup intermediates
-    // (q35 pays these builds; q36/q81 consume the caches) — pass-2 values
+    // (q35 pays these builds; q36/q81 consume the caches) — every build is
+    // listed in order (warmup, pass 1, pass 2), so cross-pass degradation
+    // is visible instead of last-wins hiding it
     val stages = graft.queries.TextOps.stageTimings.toSeq.sortBy(_._1)
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"stages":${toJson(stages)},"sf":"$sfDir"}"""
+      .map { case (k, vs) =>
+        "\"" + k + "\":[" + vs.map(fmt).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"stages":$stages,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), full + "\n")
     catch { case _: Throwable => () }

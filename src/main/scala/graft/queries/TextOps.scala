@@ -54,13 +54,21 @@ object TextOps {
   // per-query bench numbers attribution-opaque: the first consumer pays the
   // build, the rest time near-zero. Bench writes this map into
   // BENCH_DETAIL.json ("stages") so a regression is traceable to
-  // build-vs-consume. Last build per stage wins (Bench runs two passes).
-  private val stageTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
-  def stageTimings: Map[String, Double] = synchronized { stageTimes.toMap }
+  // build-vs-consume. EVERY build is recorded (Bench runs two passes, so
+  // each stage typically shows [pass1, pass2] — last-wins hid a 6× pass-2
+  // degradation in round 5).
+  private val stageTimes =
+    scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+  def stageTimings: Map[String, List[Double]] = synchronized { stageTimes.toMap }
   // Build timers nest (pairs → exploded → arrays, all under the same
   // synchronized lock, same thread), so each stage records its EXCLUSIVE
   // time — child build time is subtracted via the frame stack — and the
   // BENCH_DETAIL "stages" entries sum without overlap.
+  // auxiliary per-build stats (round counts/durations) recorded into the
+  // same map; callers already hold the TextOps lock
+  private def recordStat(name: String, v: Double): Unit =
+    stageTimes(name) = stageTimes.getOrElse(name, Nil) :+ v
+
   private val frameChildNs = scala.collection.mutable.Stack[Long]()
   private def timedStage[T](name: String)(f: => T): T = {
     val t0 = System.nanoTime()
@@ -71,7 +79,8 @@ object TextOps {
       val childNs = frameChildNs.pop()
       if (frameChildNs.nonEmpty)
         frameChildNs.push(frameChildNs.pop() + elapsed)
-      stageTimes(name) = (elapsed - childNs) / 1e9
+      stageTimes(name) =
+        stageTimes.getOrElse(name, Nil) :+ (elapsed - childNs) / 1e9
       r
     } catch { // pop the frame on failure too, or the orphan entry corrupts
       case t: Throwable => frameChildNs.pop(); throw t // later attributions
@@ -193,6 +202,7 @@ object TextOps {
         // obscurely at the oracle hash compare
         while (!converged && rounds < 64) { // near-dup components are
           rounds += 1 // dup-cliques + short chains: converges in 1-2 rounds
+          val rt0 = System.nanoTime()
           val viaEdge = edges
             .join(labels.withColumnRenamed("doc", "doc_a"), Seq("doc_a"))
             .select(col("doc_b").as("doc"), col("root"))
@@ -200,6 +210,9 @@ object TextOps {
             .groupBy(col("doc")).agg(min(col("root")).as("root"))
             .localCheckpoint()
           val s2 = labelSum(next)
+          // per-round wall time into the stage map — the diagnostic that
+          // localizes a slow build to one round vs uniform degradation
+          recordStat("cluster_labels_round_secs", (System.nanoTime() - rt0) / 1e9)
           converged = s2 == prevSum
           prevSum = s2
           labels = next

@@ -169,6 +169,30 @@ class EtlSpec extends SparkSpec {
     assert(a.isNullAt(a.fieldIndex("error")))
   }
 
+  test("E4+K5: a FAILING run leaves an error-status audit row (scraping_log)") {
+    // manual mode on a nonexistent glob: the page source blows up during
+    // construction — before any pipeline action — and the contract is that
+    // even this run logs a scraping_log row with status=error + message,
+    // matching the reference's except-branch log_scraping_session call
+    val out = tmp("graft_app_fail")
+    val r = graft.app.Main.runManual(spark, "/nonexistent/graft/glob/*.html", out)
+    assert(r.status == "error" && r.recordsProcessed == 0)
+    assert(r.message.startsWith("ETL falló"))
+    val audit = spark.read.parquet(out + "_audit")
+    assert(audit.count() == 1)
+    val a = audit.head()
+    assert(a.getAs[String]("status") == "error")
+    assert(a.getAs[Long]("records_processed") == 0)
+    assert(!a.isNullAt(a.fieldIndex("error"))) // the message rode along
+
+    // a failing STAGE runner logs the same way (transform on a missing dir)
+    val tr = tmp("graft_stage_fail")
+    val r2 = graft.app.Main.stageTransform(spark, "/nonexistent/graft/raw", tr)
+    assert(r2.status == "error")
+    val a2 = spark.read.parquet(tr + "_audit").head()
+    assert(a2.getAs[String]("status") == "error")
+  }
+
   test("staged phase runners: extract → transform → load via JSON stage files (§3.3)") {
     val raw = tmp("graft_stage_raw")
     val tr = tmp("graft_stage_tr")
