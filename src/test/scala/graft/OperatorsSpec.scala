@@ -117,4 +117,54 @@ class OperatorsSpec extends SparkSpec {
         .orderBy("o_orderpriority").collect()
     assert(sig(salted).sameElements(sig(plain)))
   }
+
+  test("totalRank equals the single-partition window rank, with no unpartitioned window") {
+    val df = Tables.orders(spark, sf)
+      .select($"o_totalprice", $"o_orderkey").localCheckpoint()
+    val (ranked, n) = Operators.totalRank(df, "o_totalprice", Seq($"o_orderkey"))
+    assert(n == df.count())
+    // oracle: the plain global window (fine at test scale)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"o_totalprice", $"o_orderkey")
+    val expected = df.withColumn("exp_rnk", row_number().over(w).cast("long"))
+    val joined = ranked.join(expected, Seq("o_orderkey", "o_totalprice"))
+    assert(joined.filter($"rnk" =!= $"exp_rnk").count() == 0)
+    // ranks are a permutation of 1..n
+    assert(ranked.agg(min($"rnk"), max($"rnk"), count_distinct($"rnk"))
+      .head() == org.apache.spark.sql.Row(1L, n, n))
+    // and the plan never funnels all rows through one partition
+    val wins = ranked.queryExecution.optimizedPlan.collect {
+      case win: org.apache.spark.sql.catalyst.plans.logical.Window => win
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
+  }
+
+  test("totalRank on empty and single-row inputs") {
+    val empty = Seq.empty[(Double, Long)].toDF("v", "k").localCheckpoint()
+    val (r0, n0) = Operators.totalRank(empty, "v", Seq($"k"))
+    assert(n0 == 0 && r0.count() == 0)
+    assert(r0.columns.contains("rnk")) // schema stays stable for consumers
+    val one = Seq((3.5, 7L)).toDF("v", "k").localCheckpoint()
+    val (r1, n1) = Operators.totalRank(one, "v", Seq($"k"))
+    assert(n1 == 1 && r1.select("rnk").as[Long].head() == 1L)
+  }
+
+  test("saltWidth sizes the salt from bucket dominance, not tail skew") {
+    import spark.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // one bucket holds everything → split a full P ways (max/median would
+    // blindly report ratio 1 here and disable the salt)
+    val oneHot = (1 to 1000).map(i => ("hot", i)).toDF("k", "v")
+    assert(Operators.saltWidth(oneHot, Seq($"k")) == Integer.highestOneBit(2 * p - 1))
+    // well-spread keys, each bucket far under a fair task share → B = 1
+    val uniform = (1 to 1000).map(i => (s"k${i % 200}", i)).toDF("k", "v")
+    assert(Operators.saltWidth(uniform, Seq($"k")) == 1)
+    // skewed tail but hot bucket still under one fair share → no salt
+    // (1000 rows / 32 tasks ≈ 31 rows fair share; hot bucket holds 25)
+    val mildTail = ((1 to 25).map(_ => "warm") ++ (1 to 975).map(i => s"k$i"))
+      .zipWithIndex.toDF("k", "v")
+    assert(Operators.saltWidth(mildTail, Seq($"k")) == 1)
+    // empty input degenerates safely
+    assert(Operators.saltWidth(Seq.empty[(String, Int)].toDF("k", "v"), Seq($"k")) == 1)
+  }
 }
