@@ -121,7 +121,14 @@ object Operators {
     * ORDER BY valueCol, tieCols…, total row count N). The input should be
     * materialized (localCheckpoint/cache) by the caller: the quantile probe,
     * the count job, and the ranked consumer each re-read it.
-    * Empty input → (empty frame with the rank column, 0). */
+    * Empty input → (empty frame with the rank column, 0).
+    *
+    * Balance caveat: buckets split on `valueCol` alone (the quantile probe
+    * is single-column), so all rows sharing one value land in one bucket —
+    * per-partition work degrades toward the MODAL value's frequency.
+    * Correctness is unaffected (ranks stay exact via the tie columns); use
+    * a near-unique numeric sort value, as q61 (price) and q103 (bucket
+    * counts over a keys-space-sized table) both do. */
   def totalRank(df: DataFrame, valueCol: String, tieCols: Seq[Column],
       rankCol: String = "rnk"): (DataFrame, Long) = {
     val nBuckets =
@@ -191,4 +198,14 @@ object Operators {
       explode(sequence(lit(0L), lit(buckets.toLong - 1))))
     saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Profile-driven form: measures the left side's per-key heat with
+    * [[saltWidth]] and salts exactly as wide as the dominance ratio demands
+    * — well-spread keys come back B = 1 and the join degenerates to a plain
+    * equi-join with no replication cost. The left side should be
+    * materialized (cache/localCheckpoint) by the caller: the probe and the
+    * join each read it. */
+  def saltedJoinAuto(left: DataFrame, right: DataFrame, key: String,
+      maxB: Int = 64): DataFrame =
+    saltedJoin(left, right, key, saltWidth(left, Seq(col(key)), maxB))
 }

@@ -167,4 +167,16 @@ class OperatorsSpec extends SparkSpec {
     // empty input degenerates safely
     assert(Operators.saltWidth(Seq.empty[(String, Int)].toDF("k", "v"), Seq($"k")) == 1)
   }
+
+  test("saltedJoinAuto equals the plain join on skewed and uniform inputs") {
+    // hot key: 500 of 600 left rows share one key
+    val left = ((1 to 500).map(_ => ("hot", 1)) ++
+      (1 to 100).map(i => (s"k$i", i))).toDF("k", "lv").localCheckpoint()
+    val right = (Seq("hot") ++ (1 to 100).map(i => s"k$i"))
+      .zipWithIndex.toDF("k", "rv")
+    val auto = Operators.saltedJoinAuto(left, right, "k")
+    val plain = left.join(right, Seq("k"))
+    assert(auto.count() == plain.count())
+    assert(auto.agg(sum($"lv" * $"rv")).head() == plain.agg(sum($"lv" * $"rv")).head())
+  }
 }
