@@ -50,6 +50,11 @@ object MultimodalOps {
     *    decode stage hash-gateable: the oracle replays arithmetic, and the
     *    Spark side must agree byte-for-byte even on non-ASCII. */
   object MediaCodec {
+    // ImageIO defaults to buffering streams through TEMP FILES on disk; in
+    // a per-row executor decode loop that is a file create/delete per image
+    // (and fd pressure under concurrency) — in-memory cache only, always
+    javax.imageio.ImageIO.setUseCache(false)
+
     def isPng(b: Array[Byte]): Boolean = b.length > 8 &&
       (b(0) & 0xff) == 0x89 && b(1) == 'P'.toByte &&
       b(2) == 'N'.toByte && b(3) == 'G'.toByte

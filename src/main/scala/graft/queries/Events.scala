@@ -385,10 +385,11 @@ object Events {
           .select(col("event_type"), col("h"), col("user_id").as("u2"),
             pmod(col("user_id"), lit(B)).cast("int").as("blk"))
           .repartition(P, col("event_type"), col("h"), col("blk"))
-        val left = bucketed
+        val leftBase = bucketed
           .select(col("event_type"), col("h"), col("user_id").as("u1"))
-          .crossJoin(broadcast(
-            s.range(B).select(col("id").cast("int").as("blk"))))
+        val left = (if (B == 1) leftBase.withColumn("blk", lit(0)) // no
+          else leftBase.crossJoin(broadcast( // replication when unsalted
+            s.range(B).select(col("id").cast("int").as("blk")))))
           .repartition(P, col("event_type"), col("h"), col("blk"))
         left.join(right, Seq("event_type", "h", "blk"))
           .filter(col("u1") < col("u2"))

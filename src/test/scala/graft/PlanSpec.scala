@@ -187,8 +187,31 @@ class PlanSpec extends SparkSpec {
       s"incremental dedup shuffled a join side:\n$p")
   }
 
-  test("q96: co-occurrence self-join keys include the salt block") {
-    val p = plan("q96_salted_cooccur", execute = true)
+  // q96's salt width is PROFILE-DERIVED: on the uniform test fixture it
+  // correctly degenerates to B = 1 (no salt, no replication), so the salt
+  // assertions need a fixture where salting actually engages — one hot
+  // (event_type, hour) bucket holding every user, ScaleStress's shape.
+  private lazy val skewedEventsDir: String = {
+    val dir = "/tmp/graft_planspec_skew"
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    // ts staged as epoch-NANOS int64 — the fixture convention Tables.events
+    // normalizes on read
+    spark.range(500L)
+      .select(
+        col("id").as("event_id"),
+        expr("1704067200L * 1000000000L").as("ts"),
+        col("id").as("user_id"),
+        lit("view").as("event_type"),
+        lit(1.0).as("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q96: on a hot bucket, the pair-join keys carry the salt block") {
+    val df = SparkEntry.registry("q96_salted_cooccur").run(spark, skewedEventsDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     // the pair join must be an equi-join whose keys carry blk — that's what
     // splits a hot (event_type, hour) bucket across B tasks
     assert(!p.contains("CartesianProduct"), s"pair join degenerated:\n$p")
@@ -197,10 +220,6 @@ class PlanSpec extends SparkSpec {
         (l.contains("BroadcastHashJoin") && l.contains("event_type")))
     assert(joinLine.exists(_.contains("blk")),
       s"salt block missing from the pair-join keys:\n$p")
-  }
-
-  test("q96: salted exchanges are REPARTITION_BY_NUM (AQE cannot re-merge the salt)") {
-    val p = plan("q96_salted_cooccur", execute = true)
     // both join inputs go through an explicit repartition(P, keys) — a
     // REPARTITION_BY_NUM shuffle origin, which AQE's partition coalescer and
     // skew splitter are both defined to never touch. This is the in-plan
@@ -209,6 +228,15 @@ class PlanSpec extends SparkSpec {
     // input-byte-sized coalescing would re-merge the B salted partitions.
     assert("REPARTITION_BY_NUM".r.findAllIn(p).length >= 2,
       s"salted join inputs lost the REPARTITION_BY_NUM guard:\n$p")
+  }
+
+  test("q96: on uniform data the derived salt degenerates to a plain equi-join") {
+    val p = plan("q96_salted_cooccur", execute = true)
+    // B = 1 on the well-spread fixture: no cartesian, no replication join —
+    // the salt costs nothing when the profile says it isn't needed
+    assert(!p.contains("CartesianProduct"), s"pair join degenerated:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"unsalted path still pays the block-replication join:\n$p")
   }
 
   test("q97: bigram top-k is two-phase agg + TakeOrderedAndProject") {
