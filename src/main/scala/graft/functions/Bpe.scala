@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding subword tokenizer — the REAL learned form of the
+  * "BPE-ish" token counting in q31/q84 (reference has no tokenizer at all;
+  * public algorithm: Sennrich et al. 2016, "Neural Machine Translation of
+  * Rare Words with Subword Units").
+  *
+  * Spark shape, designed for the 100 TB corpus the engine targets:
+  *
+  *  - TRAIN runs on the WORD-TYPE table, not the corpus: one
+  *    explode+groupBy shuffle reduces 100 TB of text to a vocab-sized
+  *    (word, freq) table, and every merge iteration is (a) a map-side-
+  *    combined pair-count aggregation over that small table plus (b) a
+  *    1-row argmax collect — the q81-style driver-coordinated loop where
+  *    per-round driver metadata is O(1). Lineage is truncated per round
+  *    (localCheckpoint) exactly like the label-propagation loop, or the
+  *    nested plan re-analysis cost explodes.
+  *  - ENCODE is a narrow per-partition map with the learned merge ranks
+  *    broadcast (a few KB) — the corpus never shuffles to be tokenized.
+  *
+  * Determinism: pair-count ties break lexicographically (count DESC, pair
+  * ASC), so the learned merge list — and therefore every token count — is
+  * a pure function of the corpus.
+  */
+object Bpe {
+
+  /** End-of-word marker (classic BPE): distinguishes "low" in "lowest"
+    * from word-final "low". A printable sentinel the fixture text never
+    * contains. */
+  val Eow = "·"
+
+  private def wordSymbols(w: String): Array[String] = {
+    val cps = w.codePoints().toArray
+    val syms = new Array[String](cps.length + 1)
+    var i = 0
+    while (i < cps.length) { syms(i) = new String(Character.toChars(cps(i))); i += 1 }
+    syms(cps.length) = Eow
+    syms
+  }
+
+  /** Lowercased word stream of a text column (the q31 token law's word
+    * split, kept identical so counts are comparable). */
+  def words(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** Learn `nMerges` merges from the corpus. Returns the ordered merge
+    * list (highest-priority first). `docs` needs a `text` column. */
+  def train(docs: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // corpus → word-type table: the ONLY corpus-sized job in training
+    val wordFreq = docs
+      .select(explode(words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+    var seg = wordFreq
+      .map { case (w, f) => (wordSymbols(w), f) }
+      .toDF("syms", "freq")
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (continue && merges.length < nMerges) {
+      // adjacent-pair counts weighted by word frequency; deterministic
+      // argmax = (count DESC, a ASC, b ASC) — ONE tiny collect
+      val top = seg
+        .select(col("freq"), explode(expr(
+          "transform(slice(syms, 1, size(syms) - 1), (s, i) -> struct(s AS a, syms[i + 1] AS b))"))
+          .as("p"))
+        .groupBy(col("p.a"), col("p.b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty || top(0).getLong(2) < 2) continue = false
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val applyMerge = udf { syms: Seq[String] =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.toSeq
+        }
+        val next = seg.withColumn("syms", applyMerge(col("syms")))
+          .localCheckpoint() // truncate per-round lineage (q81's rule)
+        seg.unpersist(blocking = false)
+        seg = next
+      }
+    }
+    seg.unpersist(blocking = false)
+    merges.toSeq
+  }
+
+  /** Tokenize one word under the learned merges: repeatedly apply the
+    * highest-priority (lowest-rank) applicable merge — the exact encoder
+    * dual of the trainer's greedy loop. */
+  def encodeWord(w: String, rank: Map[(String, String), Int]): Seq[String] = {
+    var syms = wordSymbols(w).toSeq
+    var done = false
+    while (!done && syms.length > 1) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = i }
+        i += 1
+      }
+      if (best < 0) done = true
+      else syms = (syms.take(best) :+ (syms(best) + syms(best + 1))) ++ syms.drop(best + 2)
+    }
+    syms
+  }
+
+  /** Per-doc subword token counts under a learned merge list: narrow
+    * mapPartitions with the rank map broadcast; `docs` needs
+    * (doc_id, text). */
+  def tokenCounts(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rankB = spark.sparkContext.broadcast(
+      merges.zipWithIndex.toMap)
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val rank = rankB.value
+        it.map { case (id, ws) =>
+          val n = ws.iterator.filter(_.nonEmpty)
+            .map(w => encodeWord(w, rank).length).sum
+          (id, n.toLong)
+        }
+      }
+      .toDF("doc_id", "n_subword_tokens")
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.functions.Bpe
+
+/** Learned BPE subword tokenizer: the distributed trainer must equal a
+  * naive single-threaded reference on the same corpus, the encoder must be
+  * the trainer's exact dual, and everything must be deterministic. */
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Naive in-memory BPE trainer (textbook form, same tie-break). */
+  private def naiveTrain(texts: Seq[String], nMerges: Int): Seq[(String, String)] = {
+    var vocab: Map[List[String], Long] = texts
+      .flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        (w.map(_.toString).toList :+ Bpe.Eow) -> ws.size.toLong
+      }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (continue && merges.length < nMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- vocab; p <- syms.zip(syms.tail))
+        counts(p) = counts.getOrElse(p, 0L) + f
+      if (counts.isEmpty) continue = false
+      else {
+        val (p, n) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        if (n < 2) continue = false
+        else {
+          merges += p
+          def apply(syms: List[String]): List[String] = syms match {
+            case a :: b :: rest if (a, b) == p => (a + b) :: apply(rest)
+            case s :: rest => s :: apply(rest)
+            case Nil => Nil
+          }
+          vocab = vocab.map { case (syms, f) => apply(syms) -> f }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  private val corpus = Seq(
+    "low low low low low", "lower lower", "newest newest newest",
+    "newest newest newest", "widest widest widest", "new new news")
+
+  test("distributed trainer equals the naive reference merge-for-merge") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val dist = Bpe.train(docs, nMerges = 12)
+    val naive = naiveTrain(corpus, nMerges = 12)
+    assert(dist == naive, s"\ndistributed: $dist\nnaive:       $naive")
+    assert(dist.nonEmpty && dist == Bpe.train(docs, 12)) // deterministic
+  }
+
+  test("encoder is the trainer's dual: training words re-encode to their final segmentation") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, nMerges = 20)
+    val rank = merges.zipWithIndex.toMap
+    // "low" was fully merged during training → 1 token; novel word falls
+    // back to learned subwords, never fails
+    assert(Bpe.encodeWord("low", rank) == Seq("low" + Bpe.Eow))
+    val novel = Bpe.encodeWord("lowest", rank)
+    assert(novel.mkString == "lowest" + Bpe.Eow) // lossless segmentation
+    assert(novel.length > 1 && novel.head.startsWith("low"))
+  }
+
+  test("tokenCounts is a narrow broadcast stage over the corpus") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, nMerges = 12)
+    val counts = Bpe.tokenCounts(docs, merges)
+    // no shuffle anywhere: tokenization must not exchange the corpus
+    assert(!counts.queryExecution.executedPlan.toString.contains("Exchange"),
+      counts.queryExecution.executedPlan.toString)
+    val m = counts.as[(Long, Long)].collect().toMap
+    assert(m.size == corpus.size)
+    // more merges => counts never increase (monotone compression)
+    val fewer = Bpe.tokenCounts(docs, merges.take(3)).as[(Long, Long)]
+      .collect().toMap
+    assert(m.keys.forall(k => m(k) <= fewer(k)))
+    // and with zero merges, count = total codepoints + one EOW per word
+    val zero = Bpe.tokenCounts(docs, Nil).as[(Long, Long)].collect().toMap
+    val expected = corpus.zipWithIndex.map { case (t, i) =>
+      val ws = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      i.toLong -> ws.map(w => w.codePointCount(0, w.length) + 1).sum.toLong
+    }.toMap
+    assert(zero == expected)
+  }
+
+  test("trainer runs on the real documents fixture at spec scale") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val merges = Bpe.train(docs, nMerges = 8)
+    assert(merges.length == 8)
+    assert(merges.distinct.length == 8) // no merge learned twice
+    val counts = Bpe.tokenCounts(docs, merges)
+    assert(counts.count() == docs.count())
+  }
+}
