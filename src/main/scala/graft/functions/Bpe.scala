@@ -46,6 +46,18 @@ object Bpe {
   def words(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     split(lower(trim(text)), "\\s+")
 
+  /** The PINNED tokenizer: the first 16 merges [[train]] learns from the
+    * sf0.01 documents fixture (BpeSpec re-derives and asserts this).
+    * Tokenizing with a FIXED public vocabulary is the production shape —
+    * you train a tokenizer once and count tokens with it everywhere — and
+    * a fixed list is what lets q104's DuckDB oracle replay the encoder
+    * exactly (chained separator replaces, see the q104 oracle). */
+  val pinnedMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("e", Eow), ("n", Eow), ("er", Eow), ("o", "w"),
+    ("ow", Eow), ("o", "r"), ("s", "t"), ("h", Eow), ("a", "t"),
+    ("l", "u"), ("i", "n"), ("a", Eow), ("g", Eow), ("y", Eow),
+    ("a", "r"))
+
   /** Learn `nMerges` merges from the corpus. Returns the ordered merge
     * list (highest-priority first). `docs` needs a `text` column. */
   def train(docs: DataFrame, nMerges: Int): Seq[(String, String)] = {

@@ -1448,6 +1448,61 @@ object TextOps {
           LEFT JOIN labels l ON l.doc = m.doc_id)
         SELECT stage, count(*) AS docs FROM staged
         GROUP BY stage ORDER BY stage"""),
-      doc = "end-to-end curation funnel: first-failure attrition per gate")
+      doc = "end-to-end curation funnel: first-failure attrition per gate"),
+
+    // Subword token counts under the PINNED BPE tokenizer (functions/Bpe):
+    // the Spark side runs the real rank-best-first encoder (broadcast
+    // merges, narrow mapPartitions, corpus never shuffles); the oracle
+    // replays the SAME encoder step-for-step as a recursive CTE over
+    // symbol lists — per step, the lowest-rank (leftmost on tie) adjacent
+    // pair merges, until no learned pair remains. (A flat chained-replace
+    // formulation is NOT exact: its separator patterns can match across
+    // multi-char symbol boundaries — caught by this very hash gate.)
+    "q104_bpe_tokens" -> Q(
+      run = (s, d) => graft.functions.Bpe.tokenCounts(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          graft.functions.Bpe.pinnedMerges)
+        .orderBy("doc_id"),
+      oracle = Some(bpeOracle),
+      doc = "subword token counts under a pinned learned-BPE vocabulary")
   )
+
+  /** q104's oracle, generated from the SAME pinned merge list the Spark
+    * side encodes with — one source of truth for the tokenizer. */
+  private def bpeOracle: String = {
+    val eow = graft.functions.Bpe.Eow
+    // rank of the adjacent pair (syms[i], syms[i+1]), 999 = not a merge
+    val rankCase = graft.functions.Bpe.pinnedMerges.zipWithIndex.map {
+      case ((a, b), r) => s"WHEN syms[i] = '$a' AND syms[i + 1] = '$b' THEN $r"
+    }.mkString("CASE ", " ", " ELSE 999 END")
+    s"""
+      WITH RECURSIVE wordsx AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents),
+      init AS (
+        SELECT doc_id,
+               list_transform(range(length(w)), i -> w[i + 1:i + 1]) || ['$eow'] AS syms
+        FROM wordsx WHERE w <> ''),
+      enc(doc_id, syms, done) AS (
+        SELECT doc_id, syms, false FROM init
+        UNION ALL
+        SELECT doc_id,
+               CASE WHEN COALESCE(list_min(rks), 999) = 999 THEN syms
+                    ELSE syms[1:list_position(rks, list_min(rks)) - 1] ||
+                         [syms[list_position(rks, list_min(rks))] ||
+                          syms[list_position(rks, list_min(rks)) + 1]] ||
+                         syms[list_position(rks, list_min(rks)) + 2:len(syms)]
+               END AS syms,
+               COALESCE(list_min(rks), 999) = 999 AS done
+        FROM (
+          SELECT doc_id, syms,
+                 list_transform(range(1, len(syms)), i -> $rankCase) AS rks
+          FROM enc WHERE NOT done) t),
+      per_doc AS (
+        SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n
+        FROM enc WHERE done GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(p.n, 0) AS n_subword_tokens
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      ORDER BY doc_id"""
+  }
 }

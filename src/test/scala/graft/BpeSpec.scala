@@ -89,6 +89,13 @@ class BpeSpec extends SparkSpec {
     assert(zero == expected)
   }
 
+  test("pinnedMerges is exactly what train() learns from the sf0.01 fixture") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "text")
+    assert(Bpe.train(docs, Bpe.pinnedMerges.length) == Bpe.pinnedMerges,
+      "pinned tokenizer out of sync with the trainer — re-derive pinnedMerges")
+  }
+
   test("trainer runs on the real documents fixture at spec scale") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val merges = Bpe.train(docs, nMerges = 8)
