@@ -23,6 +23,11 @@ object Bench {
     // whole-suite session pressure (same JVM/session/warmup protocol)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    only.foreach { names => // fail fast: a typo'd name would otherwise
+      val unknown = names -- SparkEntry.queries.keySet // silently A/B an
+      require(unknown.isEmpty, // empty suite as a huge "speedup"
+        s"SPARK_GRAFT_ONLY names not in the registry: ${unknown.mkString(",")}")
+    }
     val queries = only match {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries

@@ -63,19 +63,22 @@ object Main {
 
   /** Sequential mode: discovery (reference-structure result cards →
     * worklist, first-wins dedup, anti-join resume) → pages → pipeline.
-    * `processed` models the sink-derived resume state (S9/J1). */
-  def runSequential(spark: SparkSession, cardsHtml: DataFrame,
-      processed: DataFrame, out: String): RunResult = {
-    val cards = cardsHtml
-      .select(posexplode(graft.functions.ReferenceHtml.resultCards(
-        col("html"), "https://www.guiacores.com.ar/")).as(Seq("seq", "c")))
-      .select(col("seq"), col("c.id_negocio"), col("c.url"))
-      .filter(col("id_negocio").isNotNull) // id-less cards silently skipped
-    val worklist = graft.operators.Operators
-      .dedupFirstWins(cards, Seq("id_negocio"), Seq(col("seq")))
-      .join(processed, Seq("id_negocio"), "left_anti")
-    runPipeline(spark, syntheticPages(worklist.select("id_negocio", "url")), out)
-  }
+    * `processed` models the sink-derived resume state (S9/J1). Both inputs
+    * are by-name so a failing SOURCE (bad glob, bad resume CSV) resolves to
+    * an audited error run like every other mode, not an unlogged crash. */
+  def runSequential(spark: SparkSession, cardsHtml: => DataFrame,
+      processed: => DataFrame, out: String): RunResult =
+    runPipeline(spark, {
+      val cards = cardsHtml
+        .select(posexplode(graft.functions.ReferenceHtml.resultCards(
+          col("html"), "https://www.guiacores.com.ar/")).as(Seq("seq", "c")))
+        .select(col("seq"), col("c.id_negocio"), col("c.url"))
+        .filter(col("id_negocio").isNotNull) // id-less cards silently skipped
+      val worklist = graft.operators.Operators
+        .dedupFirstWins(cards, Seq("id_negocio"), Seq(col("seq")))
+        .join(processed, Seq("id_negocio"), "left_anti")
+      syntheticPages(worklist.select("id_negocio", "url"))
+    }, out)
 
   /** §3.3 phase runners — the reference's run_extraction / run_transformation
     * / run_loading scripts: standalone stages communicating through
@@ -138,11 +141,13 @@ object Main {
       case "stage-transform" :: raw :: tr :: Nil => stageTransform(spark, raw, tr)
       case "stage-load" :: tr :: out :: Nil => stageLoad(spark, tr, out)
       case "sequential" :: searchGlob :: processedCsv :: out :: Nil =>
-        val cards = spark.read.format("binaryFile").load(searchGlob)
-          .select(col("content").cast("string").as("html"))
-        val processed = spark.read.option("header", "true")
-          .schema("id_negocio LONG").csv(processedCsv)
-        runSequential(spark, cards, processed, out)
+        // inlined into the by-name args: source failures must be audited
+        runSequential(spark,
+          spark.read.format("binaryFile").load(searchGlob)
+            .select(col("content").cast("string").as("html")),
+          spark.read.option("header", "true")
+            .schema("id_negocio LONG").csv(processedCsv),
+          out)
       case other =>
         RunResult("error", s"modo no reconocido: ${other.mkString(" ")} " +
           "(uso: bulk <start> <end> <out> | sequential <search-glob> <processed-csv> <out> | manual <glob> <out>)", 0L)

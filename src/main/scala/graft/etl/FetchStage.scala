@@ -57,11 +57,15 @@ final class HttpPageClient(timeoutSec: Int, userAgent: String = "graft-fetch/1.0
   def this() = this(GraftConfig.load().timeoutSec)
 
   // built lazily ON the executor; HttpClient itself is never serialized
-  @transient private lazy val http: java.net.http.HttpClient =
-    java.net.http.HttpClient.newBuilder()
-      .connectTimeout(java.time.Duration.ofSeconds(timeoutSec.toLong))
-      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
-      .build()
+  @transient private var httpRef: java.net.http.HttpClient = _
+  private def http: java.net.http.HttpClient = {
+    if (httpRef == null)
+      httpRef = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofSeconds(timeoutSec.toLong))
+        .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+        .build()
+    httpRef
+  }
 
   override def fetch(id: Long, url: String): String = {
     val req = java.net.http.HttpRequest
@@ -76,7 +80,12 @@ final class HttpPageClient(timeoutSec: Int, userAgent: String = "graft-fetch/1.0
         s"HTTP ${resp.statusCode()} fetching id=$id $url")
     resp.body()
   }
-  // JDK 17's HttpClient has no close(); its threads retire with the task
+
+  /** JDK 17's HttpClient has no close(); its selector thread + pool retire
+    * only when the client is GC'd. Dropping the reference on partition
+    * drain is what keeps a long-lived executor from accumulating selector
+    * threads across thousands of fetch partitions. */
+  override def close(): Unit = { httpRef = null }
 }
 
 /** ST6 politeness throttle as a client decorator: enforces a minimum gap

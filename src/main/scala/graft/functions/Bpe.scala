@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   *    broadcast (a few KB) — the corpus never shuffles to be tokenized.
   *
   * Determinism: pair-count ties break lexicographically (count DESC, pair
-  * ASC), so the learned merge list — and therefore every token count — is
-  * a pure function of the corpus.
+  * ASC in CODEPOINT order — Spark compares strings as UTF-8 bytes, which
+  * is codepoint order, NOT Java's UTF-16 code-unit order; they differ for
+  * supplementary-plane symbols), so the learned merge list — and therefore
+  * every token count — is a pure function of the corpus.
   */
 object Bpe {
 

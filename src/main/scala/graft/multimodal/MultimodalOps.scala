@@ -64,14 +64,29 @@ object MultimodalOps {
 
     def decode(mediaType: String, bytes: Array[Byte]): (Int, Int, Int) =
       if (isPng(bytes)) {
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes))
-        if (img == null) (0, 0, 1) else (img.getWidth, img.getHeight, 1)
+        // a corrupt body behind a valid magic throws from the JDK codec
+        // (ImageIO.read returns null only when NO reader claims the bytes);
+        // one bad row must degrade to the undecodable sentinel, never kill
+        // the task. PNG magic (0x89 lead byte) is invalid UTF-8, so a text
+        // payload can never land here.
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          if (img == null) (0, 0, 1) else (img.getWidth, img.getHeight, 1)
+        } catch { case scala.util.control.NonFatal(_) => (0, 0, 1) }
       } else if (isRiff(bytes)) {
-        val aff = javax.sound.sampled.AudioSystem
-          .getAudioFileFormat(new java.io.ByteArrayInputStream(bytes))
-        (aff.getFormat.getSampleRate.toInt, aff.getFormat.getChannels,
-          aff.getFrameLength)
+        // 'RIFF'-prefixed bytes that AudioSystem rejects (a text payload
+        // that happens to start with RIFF, a non-WAV RIFF container) fall
+        // through to the header parse — the law the oracle replays for
+        // text payloads — instead of aborting the stage
+        try {
+          val aff = javax.sound.sampled.AudioSystem
+            .getAudioFileFormat(new java.io.ByteArrayInputStream(bytes))
+          (aff.getFormat.getSampleRate.toInt, aff.getFormat.getChannels,
+            aff.getFrameLength)
+        } catch {
+          case scala.util.control.NonFatal(_) => headerParse(mediaType, bytes)
+        }
       } else if (bytes.isEmpty) (0, 0, 1) // undecodable payload
       else headerParse(mediaType, bytes)
 
@@ -155,7 +170,11 @@ object MultimodalOps {
             val o = if (text.isEmpty) 0 else Character.charCount(text.codePointAt(0))
             val cp1 = if (text.length > o) text.codePointAt(o) else 0
             if (cp0 > 0 && cp1 > 0) MediaCodec.encodePng(4 * cp0, 4 * cp1, id)
-            else Array.empty[Byte] // undecodable sentinel (dims (0,0))
+            // degenerate (< 2 codepoints): keep the text payload so decode
+            // falls to the header parse — (4*cp0, 0), exactly the oracle's
+            // ascii-law value; an empty-bytes sentinel would report (0,0)
+            // and diverge from the q51 oracle if such a doc held a group max
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           } else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         MediaRow(id, mt, bytes, source,
           text.codePointCount(0, text.length).toLong)

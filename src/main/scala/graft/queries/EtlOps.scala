@@ -15,6 +15,26 @@ import graft.functions.{CleanFunctions => CF, HtmlFunctions => HF}
   */
 object EtlOps {
 
+  /** Per-JVM scratch dir for the sink round-trip queries (q101/q102):
+    * unique per process (no cross-process overwrite races or /tmp ownership
+    * clashes between concurrent graft JVMs), reused across invocations
+    * within the JVM (mode-overwrite keeps rewrites safe), and removed on
+    * exit — disk usage is bounded at one copy per live JVM. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+  private[queries] def scratchDir(name: String): String =
+    scratchRoot.resolve(name).toString
+
   /** 10 deterministic digits per customer (phone raw material). */
   private val digits10 = "lpad(CAST(c_custkey AS STRING), 10, '3')"
 
@@ -435,11 +455,10 @@ object EtlOps {
     // streams; only the final summary aggregates.
     "q101_csv_roundtrip" -> Q(
       run = (s, d) => {
-        // deterministic per-query path: mode("overwrite") makes rewrites
-        // safe, and re-runs (bench passes, correctness, PlanSpec) reuse the
-        // same directory instead of leaking a fresh temp copy per invocation
-        val tmp = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft_q101_csv_rt").toString
+        // per-JVM scratch path (see scratchRoot): re-runs within the JVM
+        // reuse it instead of leaking a fresh temp copy per invocation, and
+        // concurrent JVMs never collide on a shared /tmp name
+        val tmp = scratchDir("q101_csv_rt")
         val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
         Tables.orders(s, d)
           .select(
@@ -492,10 +511,8 @@ object EtlOps {
     // same shape with a date key.
     "q102_partition_prune" -> Q(
       run = (s, d) => {
-        // deterministic per-query path (same rationale as q101): bounded to
-        // one copy across all runs rather than one per invocation
-        val tmp = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft_q102_part").toString
+        // per-JVM scratch path (same rationale as q101)
+        val tmp = scratchDir("q102_part")
         Tables.orders(s, d)
           .withColumn("order_month", month(col("o_orderdate")))
           .write.mode("overwrite")

@@ -211,8 +211,12 @@ object TextOps {
             .localCheckpoint()
           val s2 = labelSum(next)
           // per-round wall time into the stage map — the diagnostic that
-          // localizes a slow build to one round vs uniform degradation
-          recordStat("cluster_labels_round_secs", (System.nanoTime() - rt0) / 1e9)
+          // localizes a slow build to one round vs uniform degradation.
+          // "diag_" prefix: this time is INSIDE cluster_labels_build's
+          // exclusive total, so diag_* entries are excluded from the
+          // stages-sum-without-overlap invariant
+          recordStat("diag_cluster_labels_round_secs",
+            (System.nanoTime() - rt0) / 1e9)
           converged = s2 == prevSum
           prevSum = s2
           labels = next

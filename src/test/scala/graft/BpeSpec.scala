@@ -9,12 +9,28 @@ class BpeSpec extends SparkSpec {
 
   import spark.implicits._
 
-  /** Naive in-memory BPE trainer (textbook form, same tie-break). */
+  /** Codepoint-order string compare — Spark's UTF-8 binary ordering, which
+    * differs from Java String (UTF-16) order on supplementary-plane chars. */
+  private def cpLess(x: String, y: String): Boolean = {
+    val xi = x.codePoints().toArray
+    val yi = y.codePoints().toArray
+    val n = math.min(xi.length, yi.length)
+    var i = 0
+    while (i < n) { if (xi(i) != yi(i)) return xi(i) < yi(i); i += 1 }
+    xi.length < yi.length
+  }
+
+  /** Naive in-memory BPE trainer (textbook form, same tie-break: count
+    * DESC, then pair ASC in codepoint order to match the engine). */
   private def naiveTrain(texts: Seq[String], nMerges: Int): Seq[(String, String)] = {
     var vocab: Map[List[String], Long] = texts
       .flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
       .groupBy(identity).map { case (w, ws) =>
-        (w.map(_.toString).toList :+ Bpe.Eow) -> ws.size.toLong
+        // segment by CODEPOINT (like the engine), not UTF-16 char — per-char
+        // mapping would shear supplementary-plane symbols into surrogates
+        (w.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp))).toList :+ Bpe.Eow) ->
+          ws.size.toLong
       }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var continue = true
@@ -24,7 +40,12 @@ class BpeSpec extends SparkSpec {
         counts(p) = counts.getOrElse(p, 0L) + f
       if (counts.isEmpty) continue = false
       else {
-        val (p, n) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        val (p, n) = counts.toSeq.sortWith {
+          case (((a1, b1), c1), ((a2, b2), c2)) =>
+            if (c1 != c2) c1 > c2
+            else if (a1 != a2) cpLess(a1, a2)
+            else cpLess(b1, b2)
+        }.head
         if (n < 2) continue = false
         else {
           merges += p
@@ -87,6 +108,18 @@ class BpeSpec extends SparkSpec {
       i.toLong -> ws.map(w => w.codePointCount(0, w.length) + 1).sum.toLong
     }.toMap
     assert(zero == expected)
+  }
+
+  test("trainer/reference agree on a non-BMP corpus (codepoint tie-break)") {
+    // U+1F600 (emoji, UTF-16 lead 0xD83D) vs U+FFFD: codepoint order and
+    // Java's UTF-16 order DISAGREE on this pair, and the counts are
+    // engineered to tie — the reference must sort like the engine does
+    val e = new String(Character.toChars(0x1F600))
+    val r = "�"
+    val texts = Seq(s"${e}a ${r}a ${e}a ${r}a", s"b$e b$r b$e b$r")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    assert(Bpe.train(docs, 6) == naiveTrain(texts, 6))
   }
 
   test("pinnedMerges is exactly what train() learns from the sf0.01 fixture") {

@@ -192,7 +192,10 @@ class PlanSpec extends SparkSpec {
   // assertions need a fixture where salting actually engages — one hot
   // (event_type, hour) bucket holding every user, ScaleStress's shape.
   private lazy val skewedEventsDir: String = {
-    val dir = "/tmp/graft_planspec_skew"
+    // unique per test JVM: concurrent test runs must not overwrite each
+    // other's staged fixture mid-read
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_planspec_skew").toString
     import org.apache.spark.sql.functions.{col, expr, lit}
     // ts staged as epoch-NANOS int64 — the fixture convention Tables.events
     // normalizes on read
