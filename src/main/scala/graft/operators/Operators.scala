@@ -107,53 +107,45 @@ object Operators {
     * `Window.orderBy(...)` with no partitionBy (which moves EVERY row to one
     * partition). The recipe (q61's, factored out so q103 and any future
     * global-order consumer share it):
-    *   1. approxQuantile picks ~P range boundaries over `valueCol` (accuracy
-    *      affects only bucket balance, never correctness);
-    *   2. each row gets a deterministic range-bucket id — ties on valueCol
-    *      always share a bucket, so buckets are contiguous in the total order
-    *      and the tie-break columns stay bucket-local;
-    *   3. one tiny job collects per-bucket counts (≤ P+1 rows of driver
+    *   1. `repartitionByRange(P, valueCol, tieCols…)` range-partitions on
+    *      the FULL composite sort key (Spark's RangePartitioner samples
+    *      multi-column keys), so partition i holds a contiguous slice of
+    *      the total order — and heavy ties on the value column still spread
+    *      across partitions by the tie columns. Sampling accuracy affects
+    *      only balance, never correctness;
+    *   2. the partition id is frozen as a column (localCheckpoint — the
+    *      range boundaries are sampled per execution, so the id must be
+    *      data, not lineage, before two jobs consume it);
+    *   3. one tiny job collects per-partition counts (≤ P rows of driver
     *      metadata) → prefix offsets + total N;
-    *   4. global rank = bucket offset + row_number over a window PARTITIONED
-    *      by bucket — no single-partition stage anywhere.
+    *   4. global rank = partition offset + row_number over a window
+    *      PARTITIONED by the frozen id — no single-partition stage anywhere.
     *
     * Returns (df + `rankCol` as a 1-based LONG rank over
-    * ORDER BY valueCol, tieCols…, total row count N). The input should be
-    * materialized (localCheckpoint/cache) by the caller: the quantile probe,
-    * the count job, and the ranked consumer each re-read it.
-    * Empty input → (empty frame with the rank column, 0).
-    *
-    * Balance caveat: buckets split on `valueCol` alone (the quantile probe
-    * is single-column), so all rows sharing one value land in one bucket —
-    * per-partition work degrades toward the MODAL value's frequency.
-    * Correctness is unaffected (ranks stay exact via the tie columns); use
-    * a near-unique numeric sort value, as q61 (price) and q103 (bucket
-    * counts over a keys-space-sized table) both do. */
+    * ORDER BY valueCol, tieCols…, total row count N). The input is consumed
+    * exactly once (the range exchange materializes it); rows sharing the
+    * complete sort key rank in arbitrary order among themselves, as with
+    * any rank. Empty input → (empty frame with the rank column, 0). */
   def totalRank(df: DataFrame, valueCol: String, tieCols: Seq[Column],
       rankCol: String = "rnk"): (DataFrame, Long) = {
-    val nBuckets =
+    val p =
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val probes = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val bounds = df.stat.approxQuantile(valueCol, probes, 0.02).distinct.sorted
-    // bucket = count of boundaries strictly below the value; equal values
-    // always share a bucket, so tie-break ordering stays bucket-local
-    val bucketExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col(valueCol) > lit(b), 1).otherwise(0)
-    }
-    val withB = df.withColumn("__trb", bucketExpr)
-    val counts = withB.groupBy(col("__trb")).agg(count(lit(1)).as("c"))
+    val sortCols = col(valueCol) +: tieCols
+    val ranged = df.repartitionByRange(p, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val n = counts.map(_._2).sum
-    if (n == 0) return (withB.withColumn(rankCol, lit(0L)).drop("__trb"), 0L)
+    if (n == 0) return (ranged.withColumn(rankCol, lit(0L)).drop("__pid"), 0L)
     var acc = 0L
     val offsets = counts.map { case (b, c) => val o = acc; acc += c; (b, o) }
     val offMap = map(offsets.flatMap { case (b, o) => Seq(lit(b), lit(o)) }.toIndexedSeq: _*)
-    val w = Window.partitionBy(col("__trb"))
-      .orderBy(col(valueCol) +: tieCols: _*)
-    (withB
+    val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+    (ranged
       .withColumn(rankCol,
-        row_number().over(w).cast("long") + element_at(offMap, col("__trb")))
-      .drop("__trb"), n)
+        row_number().over(w).cast("long") + element_at(offMap, col("__pid")))
+      .drop("__pid"), n)
   }
 
   /** Profile-driven salt width — the q103 skew probe wired into the plan.

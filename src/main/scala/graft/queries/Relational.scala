@@ -535,12 +535,10 @@ object Relational {
     // to the window ntile.
     "q61_ntile_deciles" -> Q(
       run = (s, d) => {
-        // three jobs consume this projection (quantile probe, per-bucket
-        // counts, final agg) — localCheckpoint materializes the 2-column
-        // slice once instead of re-scanning parquet per job, and its blocks
-        // free via the ContextCleaner when the query's references drop
+        // totalRank consumes the projection exactly once (its range
+        // exchange materializes it), so no caller-side checkpoint is needed
         val base = Tables.orders(s, d)
-          .select(col("o_totalprice"), col("o_orderkey")).localCheckpoint()
+          .select(col("o_totalprice"), col("o_orderkey"))
         val (ranked, n) = graft.operators.Operators.totalRank(
           base, "o_totalprice", Seq(col("o_orderkey")))
         val q10 = n / 10

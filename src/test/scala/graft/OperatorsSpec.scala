@@ -139,6 +139,27 @@ class OperatorsSpec extends SparkSpec {
     assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
   }
 
+  test("totalRank stays exact AND balanced under a heavily tied sort value") {
+    // 90% of rows share one value — the shape that collapsed the old
+    // single-column quantile bucketing into one window partition. The
+    // full-composite-key range partitioning must both rank exactly and
+    // spread the modal value across partitions by the tie column.
+    val df = ((1 to 900).map(i => (5.0, i.toLong)) ++
+      (1 to 100).map(i => (i.toDouble, 900L + i)))
+      .toDF("v", "k")
+    val (ranked, n) = Operators.totalRank(df, "v", Seq($"k"))
+    assert(n == 1000)
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"v", $"k")
+    val expected = df.withColumn("exp_rnk", row_number().over(w).cast("long"))
+    assert(ranked.join(expected, Seq("v", "k"))
+      .filter($"rnk" =!= $"exp_rnk").count() == 0)
+    // balance: the modal slice spans multiple range partitions (tie columns
+    // participate in the boundaries), so no partition holds ~90% of rows
+    val parts = df.repartitionByRange(32, $"v", $"k")
+      .rdd.glom().map(_.length).collect()
+    assert(parts.max < 900, s"modal value collapsed into one partition: ${parts.toSeq}")
+  }
+
   test("totalRank on empty and single-row inputs") {
     val empty = Seq.empty[(Double, Long)].toDF("v", "k").localCheckpoint()
     val (r0, n0) = Operators.totalRank(empty, "v", Seq($"k"))
