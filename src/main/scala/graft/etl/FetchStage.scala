@@ -56,9 +56,11 @@ final class HttpPageClient(timeoutSec: Int, userAgent: String = "graft-fetch/1.0
     extends PageClient {
   def this() = this(GraftConfig.load().timeoutSec)
 
-  // built lazily ON the executor; HttpClient itself is never serialized
+  // built lazily ON the executor; HttpClient itself is never serialized.
+  // synchronized: a shared instance must never double-build (the loser's
+  // selector thread would linger until GC — the leak close() exists to stop)
   @transient private var httpRef: java.net.http.HttpClient = _
-  private def http: java.net.http.HttpClient = {
+  private def http: java.net.http.HttpClient = synchronized {
     if (httpRef == null)
       httpRef = java.net.http.HttpClient.newBuilder()
         .connectTimeout(java.time.Duration.ofSeconds(timeoutSec.toLong))
@@ -85,7 +87,7 @@ final class HttpPageClient(timeoutSec: Int, userAgent: String = "graft-fetch/1.0
     * only when the client is GC'd. Dropping the reference on partition
     * drain is what keeps a long-lived executor from accumulating selector
     * threads across thousands of fetch partitions. */
-  override def close(): Unit = { httpRef = null }
+  override def close(): Unit = synchronized { httpRef = null }
 }
 
 /** ST6 politeness throttle as a client decorator: enforces a minimum gap

@@ -122,10 +122,13 @@ object Operators {
     *      PARTITIONED by the frozen id — no single-partition stage anywhere.
     *
     * Returns (df + `rankCol` as a 1-based LONG rank over
-    * ORDER BY valueCol, tieCols…, total row count N). The input is consumed
-    * exactly once (the range exchange materializes it); rows sharing the
-    * complete sort key rank in arbitrary order among themselves, as with
-    * any rank. Empty input → (empty frame with the rank column, 0). */
+    * ORDER BY valueCol, tieCols…, total row count N). NOTE: the range
+    * partitioner's boundary-sampling pass executes the input ONCE MORE
+    * before the shuffle does — callers with a non-trivial input should
+    * materialize it first (localCheckpoint/cache), as q61 and q103 do.
+    * Rows sharing the complete sort key rank in arbitrary order among
+    * themselves, as with any rank.
+    * Empty input → (empty frame with the rank column, 0). */
   def totalRank(df: DataFrame, valueCol: String, tieCols: Seq[Column],
       rankCol: String = "rnk"): (DataFrame, Long) = {
     val p =

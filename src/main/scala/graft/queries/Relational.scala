@@ -535,10 +535,10 @@ object Relational {
     // to the window ntile.
     "q61_ntile_deciles" -> Q(
       run = (s, d) => {
-        // totalRank consumes the projection exactly once (its range
-        // exchange materializes it), so no caller-side checkpoint is needed
+        // two executions consume this projection (totalRank's range-sampling
+        // pass + the shuffle itself) — localCheckpoint scans parquet once
         val base = Tables.orders(s, d)
-          .select(col("o_totalprice"), col("o_orderkey"))
+          .select(col("o_totalprice"), col("o_orderkey")).localCheckpoint()
         val (ranked, n) = graft.operators.Operators.totalRank(
           base, "o_totalprice", Seq(col("o_orderkey")))
         val q10 = n / 10

@@ -192,10 +192,18 @@ class PlanSpec extends SparkSpec {
   // assertions need a fixture where salting actually engages — one hot
   // (event_type, hour) bucket holding every user, ScaleStress's shape.
   private lazy val skewedEventsDir: String = {
-    // unique per test JVM: concurrent test runs must not overwrite each
-    // other's staged fixture mid-read
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_planspec_skew").toString
+    // unique per test JVM (concurrent test runs must not overwrite each
+    // other's staged fixture mid-read), removed on JVM exit
+    val path = java.nio.file.Files.createTempDirectory("graft_planspec_skew")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(path.toFile)
+    }))
+    val dir = path.toString
     import org.apache.spark.sql.functions.{col, expr, lit}
     // ts staged as epoch-NANOS int64 — the fixture convention Tables.events
     // normalizes on read
