@@ -125,6 +125,31 @@ object Main {
           col("content").cast("string").as("html")),
       out)
 
+  /** Status surface — the CLI form of the reference UI's result panel +
+    * generated-files section (streamlit_app.py:85-100) over the K5 audit
+    * table: per-status run counts and records from scraping_log, the most
+    * recent run's outcome, and the sink directory listing. A8's progress
+    * reporting covers the in-flight view (StreamingSpec listeners); this is
+    * the at-rest view. */
+  def runStatus(spark: SparkSession, auditPath: String, filesDir: String): RunResult = {
+    val audit = spark.read.parquet(auditPath)
+    val byStatus = audit.groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("records_processed")).as("records"))
+      .orderBy("status").collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}(${r.getLong(2)} recs)")
+    val last = audit.orderBy(col("ended_at").desc).limit(1).collect()
+      .headOption.map(r =>
+        s"${r.getAs[String]("status")} @ ${r.getAs[java.sql.Timestamp]("ended_at")}")
+      .getOrElse("none")
+    val files = Option(new java.io.File(filesDir).listFiles())
+      .map(_.filter(_.isFile).map(_.getName).sorted.toSeq).getOrElse(Seq.empty)
+    val runs = audit.count()
+    RunResult("success",
+      s"runs: ${byStatus.mkString(", ")}; last: $last; " +
+        s"files(${files.length}): ${files.take(10).mkString(",")}",
+      runs)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
@@ -140,6 +165,7 @@ object Main {
       case "stage-extract" :: s :: e :: raw :: Nil => stageExtract(spark, s.toLong, e.toLong, raw)
       case "stage-transform" :: raw :: tr :: Nil => stageTransform(spark, raw, tr)
       case "stage-load" :: tr :: out :: Nil => stageLoad(spark, tr, out)
+      case "status" :: audit :: filesDir :: Nil => runStatus(spark, audit, filesDir)
       case "sequential" :: searchGlob :: processedCsv :: out :: Nil =>
         // inlined into the by-name args: source failures must be audited
         runSequential(spark,

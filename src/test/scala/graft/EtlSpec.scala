@@ -169,6 +169,18 @@ class EtlSpec extends SparkSpec {
     assert(a.isNullAt(a.fieldIndex("error")))
   }
 
+  test("status mode reports run history + sink listing from the audit table") {
+    val out = tmp("graft_app_status")
+    assert(graft.app.Main.runBulk(spark, 1, 5, out).status == "success")
+    graft.app.Main.runManual(spark, "/nonexistent/x/*.html", out) // error run
+    val st = graft.app.Main.runStatus(spark, out + "_audit", out)
+    assert(st.status == "success")
+    assert(st.recordsProcessed == 2) // two audit rows: one success, one error
+    assert(st.message.contains("error=1") && st.message.contains("success=1"))
+    assert(st.message.contains("last: error")) // error run finished last
+    assert(st.message.contains(".csv")) // sink listing surfaces the output
+  }
+
   test("E4+K5: a FAILING run leaves an error-status audit row (scraping_log)") {
     // manual mode on a nonexistent glob: the page source blows up during
     // construction — before any pipeline action — and the contract is that
