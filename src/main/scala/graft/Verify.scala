@@ -28,6 +28,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the write consumed this query's scoped checkpoints — free their
+      // blocks so a 104-query dump doesn't accumulate session storage
+      // (shared STAGED tables live in TextOps's caches, not this registry)
+      Checkpoints.releaseScoped()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

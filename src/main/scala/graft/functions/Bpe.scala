@@ -61,8 +61,29 @@ object Bpe {
     ("a", "r"))
 
   /** Learn `nMerges` merges from the corpus. Returns the ordered merge
-    * list (highest-priority first). `docs` needs a `text` column. */
-  def train(docs: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    * list (highest-priority first). `docs` needs a `text` column.
+    *
+    * `batchK` > 1 applies up to that many merges per distributed pass —
+    * the scale knob for a production vocab (a 32k-merge vocab at batchK=1
+    * is 32k driver round-trips). The batch is chosen so batched training
+    * is EXACTLY sequential training, tie-breaks included (BpeSpec asserts
+    * list equality on toy and fixture corpora):
+    *
+    *  - accept a PREFIX of the (count DESC, pair ASC) pair list whose
+    *    members are pairwise disjoint — no shared symbol, and no member's
+    *    concatenation string-equals another member's symbol or
+    *    concatenation (a merge whose output collides with a batch symbol
+    *    would interact) — stopping at the first entry that overlaps;
+    *  - applying an accepted merge only changes/creates pairs that OVERLAP
+    *    it, and a created pair (x, ab)'s count is bounded by the old count
+    *    of (x, a) — an overlapping, therefore non-accepted, pair. So every
+    *    count sequential training could newly prefer is ≤ nBound, the
+    *    largest non-accepted count (the stopper's, or the collection
+    *    boundary's). Keeping only members that rank strictly above nBound
+    *    reproduces the sequential argmax at every step of the batch. */
+  def train(docs: DataFrame, nMerges: Int,
+      batchK: Int = 1): Seq[(String, String)] = {
+    require(batchK >= 1, s"batchK must be >= 1, got $batchK")
     val spark = docs.sparkSession
     import spark.implicits._
     // corpus → word-type table: the ONLY corpus-sized job in training
@@ -79,7 +100,10 @@ object Bpe {
     var continue = true
     while (continue && merges.length < nMerges) {
       // adjacent-pair counts weighted by word frequency; deterministic
-      // argmax = (count DESC, a ASC, b ASC) — ONE tiny collect
+      // order = (count DESC, a ASC, b ASC) — ONE tiny head collect (the
+      // head is batch-selection metadata, vocab-bounded, never row-sized)
+      val want = math.min(batchK, nMerges - merges.length)
+      val topN = math.max(want * 8, 64)
       val top = seg
         .select(col("freq"), explode(expr(
           "transform(slice(syms, 1, size(syms) - 1), (s, i) -> struct(s AS a, syms[i + 1] AS b))"))
@@ -87,29 +111,62 @@ object Bpe {
         .groupBy(col("p.a"), col("p.b"))
         .agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1)
+        .limit(topN)
         .collect()
-      if (top.isEmpty || top(0).getLong(2) < 2) continue = false
+      val entries = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      // disjoint-prefix walk (see scaladoc): stop at the first overlap
+      val used = scala.collection.mutable.Set.empty[String]
+      val accepted =
+        scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var idx = 0
+      var overlapped = false
+      while (!overlapped && idx < entries.length && accepted.length < want) {
+        val (a, b, n) = entries(idx)
+        if (accepted.nonEmpty && (used(a) || used(b) || used(a + b)))
+          overlapped = true
+        else {
+          accepted += ((a, b, n))
+          used += a; used += b; used += (a + b)
+          idx += 1
+        }
+      }
+      // largest count sequential training could see OUTSIDE the accepted
+      // prefix: the stopper / first unvisited entry, or — when the head
+      // was cut at topN — the collection boundary
+      val nBound =
+        if (idx < entries.length) entries(idx)._3
+        else if (entries.length == topN) entries.last._3
+        else 1L
+      val batch = (accepted.headOption.toSeq ++
+        accepted.drop(1).takeWhile(_._3 > nBound))
+        .filter(_._3 >= 2).map(t => (t._1, t._2))
+      if (batch.isEmpty) continue = false
       else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges += ((a, b))
+        merges ++= batch
+        val bmap = batch.map { case (a, b) => (a, b) -> (a + b) }.toMap
         val applyMerge = udf { syms: Seq[String] =>
           val out = scala.collection.mutable.ArrayBuffer.empty[String]
           var i = 0
           while (i < syms.length) {
-            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-              out += (a + b); i += 2
-            } else { out += syms(i); i += 1 }
+            val m = if (i + 1 < syms.length) bmap.get((syms(i), syms(i + 1)))
+              else None
+            m match {
+              case Some(s) => out += s; i += 2
+              case None => out += syms(i); i += 1
+            }
           }
           out.toSeq
         }
         val next = seg.withColumn("syms", applyMerge(col("syms")))
           .localCheckpoint() // truncate per-round lineage (q81's rule)
-        seg.unpersist(blocking = false)
+        // next is materialized (eager checkpoint): free the superseded
+        // round's BLOCKS — Dataset.unpersist is a no-op on checkpoint
+        // storage and a 32k-merge vocab would leak 32k word-type tables
+        graft.Checkpoints.release(seg)
         seg = next
       }
     }
-    seg.unpersist(blocking = false)
+    graft.Checkpoints.release(seg)
     merges.toSeq
   }
 
@@ -147,7 +204,10 @@ object Bpe {
       .mapPartitions { it =>
         val rank = rankB.value
         it.map { case (id, ws) =>
-          val n = ws.iterator.filter(_.nonEmpty)
+          // split(NULL) decodes to a null Seq: degrade to 0 tokens, the
+          // same answer the oracle's LEFT JOIN gives a null-text doc
+          val n = Option(ws).getOrElse(Seq.empty).iterator
+            .filter(_.nonEmpty)
             .map(w => encodeWord(w, rank).length).sum
           (id, n.toLong)
         }

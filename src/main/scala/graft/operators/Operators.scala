@@ -65,11 +65,20 @@ object Operators {
 
   /** Salted aggregation for skewed keys: spread each hot key over `buckets`
     * partial groups, then merge — two small shuffles instead of one stuck
-    * straggler task. `aggs` must be algebraic (sum/count/min/max). */
+    * straggler task. `aggs` must be algebraic (sum/count/min/max).
+    *
+    * The salt is DETERMINISTIC — xxhash64 over every column — so a
+    * speculative or retried task recomputes the identical partial-group
+    * assignment (a nondeterministic salt is harmless for algebraic merges
+    * but breaks silently if the pattern is copied into a non-algebraic
+    * context). Trade-off: fully identical rows share a salt; they spread
+    * only if anything (even one value column) differs, which holds for any
+    * realistic fact table — and a hot key of bit-identical rows reduces to
+    * a count, which partial aggregation already collapses map-side. */
   def saltedAgg(df: DataFrame, key: String, buckets: Int,
       aggs: Map[String, String]): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(spark_partition_id() +
-      monotonically_increasing_id(), lit(buckets)))
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(buckets.toLong)))
     val partial = salted.groupBy(col(key), col("__salt"))
       .agg(aggs.map { case (c, f) => expr(s"$f($c)").as(s"__p_$c") }.toSeq.head,
         aggs.map { case (c, f) => expr(s"$f($c)").as(s"__p_$c") }.toSeq.tail: _*)
@@ -134,9 +143,13 @@ object Operators {
     val p =
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val sortCols = col(valueCol) +: tieCols
-    val ranged = df.repartitionByRange(p, sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+    // scoped checkpoint: the frozen-pid table is this invocation's scratch;
+    // the session driver reclaims its blocks via Checkpoints.releaseScoped
+    // once the caller's action has consumed the ranked result (plain
+    // localCheckpoint blocks leak for the session — round-6 post-mortem)
+    val ranged = graft.Checkpoints.localCheckpoint(
+      df.repartitionByRange(p, sortCols: _*)
+        .withColumn("__pid", spark_partition_id()))
     val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val n = counts.map(_._2).sum
@@ -171,7 +184,10 @@ object Operators {
     else {
       val p =
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toLong
-      val ratio = row.getLong(0) * p / math.max(1L, row.getLong(1))
+      // ceiling division: a bucket spanning 1.3 fair shares must salt 2-way
+      // — floor read it as ratio 1 (= no salt) for anything under 2 shares
+      val total = math.max(1L, row.getLong(1))
+      val ratio = (row.getLong(0) * p + total - 1) / total
       val clamped = math.min(maxB.toLong, math.max(1L, ratio)).toInt
       Integer.highestOneBit(clamped * 2 - 1) // next power of two >= clamped
     }

@@ -158,10 +158,10 @@ object Events {
     // `sequence`, not a scan.
     "q76_date_spine" -> Q(
       run = (s, d) => {
-        val perDay = Tables.events(s, d)
+        val perDay = graft.Checkpoints.localCheckpoint(Tables.events(s, d)
           .groupBy(to_date(col("ts")).as("day"))
-          .agg(count(lit(1)).as("n"))
-          .localCheckpoint() // two consumers (bounds + join): scan once
+          .agg(count(lit(1)).as("n"))) // two consumers (bounds + join):
+        // scan once; scoped — the driver reclaims the blocks post-action
         // bounds fold over the keys-space aggregate, not the events table —
         // min/max of the day column is derivable without a second scan
         val bounds = perDay
@@ -371,11 +371,11 @@ object Events {
     // per-key grouping, generalized to the pairwise form it cannot express.
     "q96_salted_cooccur" -> Q(
       run = (s, d) => {
-        val bucketed = Tables.events(s, d)
+        val bucketed = graft.Checkpoints.localCheckpoint(Tables.events(s, d)
           .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
             col("user_id"))
-          .distinct() // one (bucket, user) row per hour of activity
-          .localCheckpoint() // three consumers: heat probe, left, right
+          .distinct()) // one (bucket, user) row per hour of activity;
+        // three consumers (heat probe, left, right) — scoped checkpoint
         val B = graft.operators.Operators.saltWidth(
           bucketed, Seq(col("event_type"), col("h")))
         val P = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -427,10 +427,9 @@ object Events {
         // scan + per-key agg once; everything downstream reads the tiny
         // bucket table, so the global rank window and both percentile
         // picks cost bucket-count work, not row work
-        val perKey = Tables.events(s, d)
+        val perKey = graft.Checkpoints.localCheckpoint(Tables.events(s, d)
           .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-          .agg(count(lit(1)).as("rows_in_bucket"))
-          .localCheckpoint()
+          .agg(count(lit(1)).as("rows_in_bucket")))
         // exact integer percentiles over the bucket-count distribution:
         // sort key = count, pick ranks ceil(q*n) — deterministic, no
         // interpolation, same arithmetic spelled in the oracle. The global
@@ -477,6 +476,44 @@ object Events {
         FROM k CROSS JOIN p50 CROSS JOIN p99
         GROUP BY event_type, p50_bucket, p99_bucket
         ORDER BY event_type"""),
-      doc = "key-skew profiler: bucket-count distribution that sizes the q96 salt")
+      doc = "key-skew profiler: bucket-count distribution that sizes the q96 salt"),
+
+    // Profile-driven salted dimension join, end-to-end: the row-level form
+    // of the q96 mechanism. `event_type` is the canonical pathological key —
+    // a handful of values over the whole fact table, so a plain shuffle join
+    // sends each type's entire row set to ONE task. saltedJoinAuto probes
+    // the heat (q103's count-by-key pass), derives B from the dominance
+    // ratio (~P/5 here — the salt genuinely engages on this fixture, unlike
+    // q96's uniform composite key), spreads each hot type over B tasks and
+    // replicates the vocab-sized right side B× — the trade the operator doc
+    // promises. Result: per-type/day share of the type's total, all
+    // integer math.
+    "q105_salted_dim_join" -> Q(
+      run = (s, d) => {
+        // probe + join both read the projection: materialize it once
+        // (scoped checkpoint, reclaimed by the driver post-action)
+        val ev = graft.Checkpoints.localCheckpoint(Tables.events(s, d)
+          .select(col("event_type"), to_date(col("ts")).as("day")))
+        val totals = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n_type_total"))
+        graft.operators.Operators.saltedJoinAuto(ev, totals, "event_type")
+          .groupBy(col("event_type"), col("day"), col("n_type_total"))
+          .agg(count(lit(1)).as("n_day"))
+          .withColumn("ppm_of_type",
+            expr("1000000 * n_day div n_type_total"))
+          .select(col("event_type"), col("day"), col("n_day"),
+            col("n_type_total"), col("ppm_of_type"))
+          .orderBy("event_type", "day")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT event_type, count(*) AS n_type_total FROM events GROUP BY 1)
+        SELECT e.event_type, CAST(e.ts AS DATE) AS day,
+               count(*) AS n_day, t.n_type_total,
+               1000000 * count(*) // t.n_type_total AS ppm_of_type
+        FROM events e JOIN t USING (event_type)
+        GROUP BY e.event_type, CAST(e.ts AS DATE), t.n_type_total
+        ORDER BY event_type, day"""),
+      doc = "profile-driven salted dimension join (saltedJoinAuto end-to-end)")
   )
 }

@@ -536,9 +536,10 @@ object Relational {
     "q61_ntile_deciles" -> Q(
       run = (s, d) => {
         // two executions consume this projection (totalRank's range-sampling
-        // pass + the shuffle itself) — localCheckpoint scans parquet once
-        val base = Tables.orders(s, d)
-          .select(col("o_totalprice"), col("o_orderkey")).localCheckpoint()
+        // pass + the shuffle itself) — a scoped checkpoint scans parquet
+        // once and is reclaimed by the driver after the query's action
+        val base = graft.Checkpoints.localCheckpoint(Tables.orders(s, d)
+          .select(col("o_totalprice"), col("o_orderkey")))
         val (ranked, n) = graft.operators.Operators.totalRank(
           base, "o_totalprice", Seq(col("o_orderkey")))
         val q10 = n / 10

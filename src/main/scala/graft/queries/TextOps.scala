@@ -120,7 +120,10 @@ object TextOps {
     }
   }
 
-  /** Drop the cached shingle tables (end-of-run cleanup for Verify/Bench). */
+  /** Drop the cached shingle tables (end-of-run cleanup for Verify/Bench).
+    * The first three are CacheManager entries (unpersist frees them); the
+    * label table is a localCheckpoint and must release at the BLOCK level
+    * or its storage outlives the cache slot for the whole session. */
   def releaseShingles(): Unit = synchronized {
     arrayCache.foreach(_._3.unpersist(blocking = false))
     arrayCache = None
@@ -128,7 +131,7 @@ object TextOps {
     shingleCache = None
     pairsCache.foreach(_._3.unpersist(blocking = false))
     pairsCache = None
-    labelsCache.foreach(_._3.unpersist(blocking = false))
+    labelsCache.foreach(p => graft.Checkpoints.release(p._3))
     labelsCache = None
   }
 
@@ -180,12 +183,11 @@ object TextOps {
     labelsCache match {
       case Some((sess, dir, df)) if (sess eq s) && dir == d => df
       case prev => timedStage("cluster_labels_build") {
-        // NOTE: localCheckpoint blocks are not CacheManager entries — the
-        // unpersist here (and in releaseShingles) frees nothing directly;
-        // superseded rounds become unreachable once `labels` advances and
-        // the ContextCleaner reclaims their blocks asynchronously. The
-        // explicit call stays for the pairs-cache symmetry only.
-        prev.foreach(_._3.unpersist(blocking = false))
+        // localCheckpoint blocks are not CacheManager entries; release them
+        // at the block level (graft.Checkpoints) — Dataset.unpersist would
+        // free nothing and the blocks would pin storage for the session
+        // (the round-6 bench degradation mechanism).
+        prev.foreach(p => graft.Checkpoints.release(p._3))
         val pairs = jaccardPairsCached(s, d)
           .select(col("doc_a"), col("doc_b"))
         val edges = pairs
@@ -210,6 +212,10 @@ object TextOps {
             .groupBy(col("doc")).agg(min(col("root")).as("root"))
             .localCheckpoint()
           val s2 = labelSum(next)
+          // round k is materialized (eager checkpoint) and summed — round
+          // k-1's blocks are dead; free them NOW so the loop holds at most
+          // two rounds of blocks instead of leaking one table per round
+          graft.Checkpoints.release(labels)
           // per-round wall time into the stage map — the diagnostic that
           // localizes a slow build to one round vs uniform degradation.
           // "diag_" prefix: this time is INSIDE cluster_labels_build's
@@ -1475,9 +1481,14 @@ object TextOps {
     * side encodes with — one source of truth for the tokenizer. */
   private def bpeOracle: String = {
     val eow = graft.functions.Bpe.Eow
+    // merge symbols land inside SQL string literals: escape quotes (a
+    // learned merge over text containing ' would otherwise corrupt the
+    // generated oracle silently)
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
     // rank of the adjacent pair (syms[i], syms[i+1]), 999 = not a merge
     val rankCase = graft.functions.Bpe.pinnedMerges.zipWithIndex.map {
-      case ((a, b), r) => s"WHEN syms[i] = '$a' AND syms[i + 1] = '$b' THEN $r"
+      case ((a, b), r) =>
+        s"WHEN syms[i] = ${lit(a)} AND syms[i + 1] = ${lit(b)} THEN $r"
     }.mkString("CASE ", " ", " ELSE 999 END")
     s"""
       WITH RECURSIVE wordsx AS (

@@ -12,3 +12,19 @@ object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Block-level access to a `localCheckpoint()`ed Dataset's storage.
+  * localCheckpoint materializes into block-manager storage OUTSIDE the SQL
+  * cache manager — `Dataset.unpersist` frees nothing, and the async
+  * ContextCleaner only reclaims the blocks after the driver GCs the RDD
+  * object. The checkpointed RDD sits behind the plan's `LogicalRDD` leaf
+  * (package-scoped in Spark 4), so the explicit-release path
+  * (graft.Checkpoints) reaches it through this shim. */
+object GraftRddBridge {
+  /** The materialized RDD behind a localCheckpoint'd Dataset; None for any
+    * other plan shape. */
+  def checkpointedRdd(df: Dataset[_]): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+}

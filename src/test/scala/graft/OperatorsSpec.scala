@@ -65,6 +65,13 @@ class OperatorsSpec extends SparkSpec {
       .agg(sum($"l_quantity").cast("decimal(20,2)").as("l_quantity"))
       .orderBy("l_returnflag")
     assert(salted.collect().sameElements(plain.collect()))
+    // retry safety: the salt is a pure function of the row, so the whole
+    // plan must be deterministic — a speculative/retried task recomputes
+    // the IDENTICAL partial-group assignment (a nondeterministic salt is
+    // only accidentally safe for algebraic merges)
+    val nondet = salted.queryExecution.analyzed.flatMap(
+      _.expressions.filterNot(_.deterministic))
+    assert(nondet.isEmpty, s"nondeterministic salt exprs: $nondet")
   }
 
   test("accumulator counts per-record drops in one pass (A7 run statistics)") {

@@ -250,6 +250,22 @@ class PlanSpec extends SparkSpec {
       s"unsalted path still pays the block-replication join:\n$p")
   }
 
+  test("q105: the profile-driven salt engages on the hot event_type key") {
+    // event_type is 5 values over the whole fact table — every fixture is
+    // "skewed" for this key, so unlike q96 no staged fixture is needed for
+    // the engaged-salt assertion
+    val df = SparkEntry.registry("q105_salted_dim_join").run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"dim join degenerated:\n$p")
+    val joinLine = p.linesIterator.find(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    assert(joinLine.exists(_.contains("__salt")),
+      s"salt missing from the dim-join keys (B degenerated to 1 on a " +
+        s"5-key fact table):\n$p")
+  }
+
   test("q97: bigram top-k is two-phase agg + TakeOrderedAndProject") {
     val p = plan("q97_bigram_topk")
     assert(p.contains("TakeOrderedAndProject"),
