@@ -52,8 +52,8 @@ final class SyntheticPageClient extends PageClient {
   * connection pool is reused across the partition's whole worklist — the
   * HTTP analog of the reference's per-worker WebDriver reuse. Compose with
   * [[ThrottledClient]] for the ST6 politeness gap. */
-final class HttpPageClient(timeoutSec: Int, userAgent: String = "graft-fetch/1.0")
-    extends PageClient {
+final class HttpPageClient(timeoutSec: Int, userAgent: String = "graft-fetch/1.0",
+    maxBodyBytes: Int = 8 << 20) extends PageClient {
   def this() = this(GraftConfig.load().timeoutSec)
 
   // built lazily ON the executor; HttpClient itself is never serialized.
@@ -75,12 +75,37 @@ final class HttpPageClient(timeoutSec: Int, userAgent: String = "graft-fetch/1.0
       .timeout(java.time.Duration.ofSeconds(timeoutSec.toLong))
       .header("User-Agent", userAgent)
       .GET().build()
-    val resp =
-      http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() / 100 != 2)
-      throw new java.io.IOException(
-        s"HTTP ${resp.statusCode()} fetching id=$id $url")
-    resp.body()
+    // stream the body and TRUNCATE past maxBodyBytes instead of buffering
+    // whatever the server sends (ofString would materialize an unbounded
+    // string per fetch — one misbehaving multi-GB page pressures the whole
+    // executor). Truncation beats rejection: the extractors' selectors live
+    // in the head of the document, and a partial page degrades to partial
+    // fields rather than an E1 drop.
+    val resp = http.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofInputStream())
+    val in = resp.body()
+    try {
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(
+          s"HTTP ${resp.statusCode()} fetching id=$id $url")
+      val cs = { // charset from Content-Type; UTF-8 when absent/unknown
+        val ct = resp.headers().firstValue("content-type").orElse("")
+        val m = java.util.regex.Pattern.compile("charset=([^;\\s]+)",
+          java.util.regex.Pattern.CASE_INSENSITIVE).matcher(ct)
+        if (m.find())
+          try java.nio.charset.Charset.forName(m.group(1))
+          catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
+        else java.nio.charset.StandardCharsets.UTF_8
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0 && buf.size < maxBodyBytes) {
+        buf.write(chunk, 0, math.min(n, maxBodyBytes - buf.size))
+        n = if (buf.size < maxBodyBytes) in.read(chunk) else -1
+      }
+      new String(buf.toByteArray, cs)
+    } finally in.close()
   }
 
   /** JDK 17's HttpClient has no close(); its selector thread + pool retire

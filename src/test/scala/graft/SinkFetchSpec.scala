@@ -161,6 +161,77 @@ class SinkFetchSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("S3+E2: a hung server trips the request timeout, retries, then drops") {
+    // the failure mode the 500/404 test can't reach: the server ACCEPTS the
+    // request and never answers. HttpRequest.timeout must abort the call,
+    // the in-task E2 wrapper retries it, and E1 drops the record — the
+    // partition's other fetches are untouched.
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val hangHits = new AtomicInteger(0)
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def respond(ex: HttpExchange, body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    server.createContext("/ok", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val id = ex.getRequestURI.getQuery.stripPrefix("id=").toLong
+        respond(ex, new SyntheticPageClient().fetch(id, ""))
+      }
+    })
+    server.createContext("/hang", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        hangHits.incrementAndGet()
+        Thread.sleep(2500) // well past the 1s client timeout
+        respond(ex, "too late")
+      }
+    })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    server.setExecutor(pool)
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val worklist = LeadPipeline.collect(spark, 1, 4)
+        .withColumn("url", concat(
+          lit(s"http://127.0.0.1:$port/"),
+          when($"id_negocio" === 3L, lit("hang")).otherwise(lit("ok")),
+          lit("?id="), $"id_negocio"))
+      val got = FetchStage.fetchPages(worklist,
+        () => new HttpPageClient(timeoutSec = 1), attempts = 2, delayMs = 0L)
+        .select("id_negocio").as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L, 2L, 4L)) // hung id dropped, siblings intact
+      assert(hangHits.get() == 2) // both E2 attempts reached the server
+    } finally { server.stop(0); pool.shutdownNow(); () }
+  }
+
+  test("S3: oversized response bodies truncate at the client's byte cap") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val big = "x" * 100_000
+    server.createContext("/big", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val bytes = big.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(2))
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val client = new HttpPageClient(timeoutSec = 5, maxBodyBytes = 1024)
+      val body = client.fetch(1L, s"http://127.0.0.1:$port/big")
+      client.close()
+      // truncated to exactly the cap, keeping the head of the document
+      assert(body == big.take(1024))
+    } finally server.stop(0)
+  }
+
   // --- K4 JDBC upsert -------------------------------------------------------
 
   private val derbyUrl = "jdbc:derby:memory:graftupsert;create=true"
@@ -260,6 +331,10 @@ class SinkFetchSpec extends SparkSpec {
     assert(PostgresUpsertDialect(touch = Some("updated_at"))
       .upsertSql("leads", schema, Seq("url")).endsWith(
         "telefono = EXCLUDED.telefono, updated_at = CURRENT_TIMESTAMP"))
+    // all-keys degenerate form: no non-key columns to update -> DO NOTHING
+    assert(PostgresUpsertDialect().upsertSql("seen",
+      StructType(Seq(StructField("url", StringType))), Seq("url")) ==
+      "INSERT INTO seen (url) VALUES (?) ON CONFLICT (url) DO NOTHING")
   }
 
   test("K4: Derby touch column stamps updated_at on both merge branches") {
