@@ -65,8 +65,10 @@ object Bpe {
     *
     * `batchK` > 1 applies up to that many merges per distributed pass —
     * the scale knob for a production vocab (a 32k-merge vocab at batchK=1
-    * is 32k driver round-trips). The batch is chosen so batched training
-    * is EXACTLY sequential training, tie-breaks included (BpeSpec asserts
+    * is 32k driver round-trips). Two batch rules:
+    *
+    * `exact = true` (default): the batch is chosen so batched training is
+    * EXACTLY sequential training, tie-breaks included (BpeSpec asserts
     * list equality on toy and fixture corpora):
     *
     *  - accept a PREFIX of the (count DESC, pair ASC) pair list whose
@@ -80,10 +82,31 @@ object Bpe {
     *    count sequential training could newly prefer is ≤ nBound, the
     *    largest non-accepted count (the stopper's, or the collection
     *    boundary's). Keeping only members that rank strictly above nBound
-    *    reproduces the sequential argmax at every step of the batch. */
+    *    reproduces the sequential argmax at every step of the batch.
+    *
+    * On tie-heavy natural text the exact rule degenerates toward one
+    * merge per pass (top pairs share 'e'/'t'-like symbols constantly) —
+    * the price of bit-exactness, measured at ~9% pass savings on the
+    * fixture corpus.
+    *
+    * `exact = false`: classic approximate batching (the standard
+    * distributed-trainer trade): accept every pairwise-disjoint pair in
+    * the head, capped at batchK, no rank-safety truncation. Each accepted
+    * merge's count is still its TRUE count (disjoint members cannot
+    * change each other's counts), so every merge is individually valid;
+    * only the global ORDER may deviate from sequential where a
+    * merge-created pair would have outranked a later batch member.
+    * Deterministic for a fixed corpus. BpeSpec measures the pass
+    * reduction and pins determinism; production vocab builds use this
+    * mode, oracle-pinned artifacts use exact. */
+  /** Distributed passes (pair-count jobs) the most recent [[train]] call
+    * made — the quantity batching exists to cut. Test-instrumentation. */
+  private[graft] var lastTrainPasses: Int = 0
+
   def train(docs: DataFrame, nMerges: Int,
-      batchK: Int = 1): Seq[(String, String)] = {
+      batchK: Int = 1, exact: Boolean = true): Seq[(String, String)] = {
     require(batchK >= 1, s"batchK must be >= 1, got $batchK")
+    lastTrainPasses = 0
     val spark = docs.sparkSession
     import spark.implicits._
     // corpus → word-type table: the ONLY corpus-sized job in training
@@ -104,6 +127,7 @@ object Bpe {
       // head is batch-selection metadata, vocab-bounded, never row-sized)
       val want = math.min(batchK, nMerges - merges.length)
       val topN = math.max(want * 8, 64)
+      lastTrainPasses += 1
       val top = seg
         .select(col("freq"), explode(expr(
           "transform(slice(syms, 1, size(syms) - 1), (s, i) -> struct(s AS a, syms[i + 1] AS b))"))
@@ -114,7 +138,10 @@ object Bpe {
         .limit(topN)
         .collect()
       val entries = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      // disjoint-prefix walk (see scaladoc): stop at the first overlap
+      // disjoint walk (see scaladoc): exact mode stops at the first
+      // overlap (prefix rule); approximate mode skips it and keeps
+      // scanning — within-batch disjointness (incl. the concatenation
+      // guard) is what application correctness needs in both modes
       val used = scala.collection.mutable.Set.empty[String]
       val accepted =
         scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
@@ -122,23 +149,24 @@ object Bpe {
       var overlapped = false
       while (!overlapped && idx < entries.length && accepted.length < want) {
         val (a, b, n) = entries(idx)
-        if (accepted.nonEmpty && (used(a) || used(b) || used(a + b)))
-          overlapped = true
-        else {
+        if (accepted.nonEmpty && (used(a) || used(b) || used(a + b))) {
+          if (exact) overlapped = true else idx += 1
+        } else {
           accepted += ((a, b, n))
           used += a; used += b; used += (a + b)
           idx += 1
         }
       }
-      // largest count sequential training could see OUTSIDE the accepted
-      // prefix: the stopper / first unvisited entry, or — when the head
-      // was cut at topN — the collection boundary
+      // exact mode only: largest count sequential training could see
+      // OUTSIDE the accepted prefix — the stopper / first unvisited entry,
+      // or, when the head was cut at topN, the collection boundary
       val nBound =
-        if (idx < entries.length) entries(idx)._3
+        if (!exact) 1L
+        else if (idx < entries.length) entries(idx)._3
         else if (entries.length == topN) entries.last._3
         else 1L
       val batch = (accepted.headOption.toSeq ++
-        accepted.drop(1).takeWhile(_._3 > nBound))
+        accepted.drop(1).takeWhile(!exact || _._3 > nBound))
         .filter(_._3 >= 2).map(t => (t._1, t._2))
       if (batch.isEmpty) continue = false
       else {

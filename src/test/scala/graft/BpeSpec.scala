@@ -145,7 +145,26 @@ class BpeSpec extends SparkSpec {
     // orders past the toy corpus, stop condition included
     assert(batched.length >= 100, s"vocab exhausted early: ${batched.length}")
     assert(batched.distinct.length == batched.length)
+    // exact batching saves what tie-heavy text allows (~9% here) — the
+    // assert is only that it never costs MORE passes than merges; the real
+    // pass cut is the approximate mode's job (next test)
+    assert(Bpe.lastTrainPasses <= batched.length)
     assert(batched == naiveTrain(texts, 256))
+  }
+
+  test("approximate batching cuts driver passes; merges stay valid and deterministic") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val approx = Bpe.train(docs, nMerges = 256, batchK = 16, exact = false)
+    val passes = Bpe.lastTrainPasses
+    assert(approx.length >= 100)
+    assert(approx.distinct.length == approx.length)
+    // the production claim: a 32k vocab is NOT 32k driver round-trips
+    assert(passes * 2 <= approx.length,
+      s"approximate batching saved too little: $passes passes for ${approx.length} merges")
+    assert(approx == Bpe.train(docs, 256, 16, exact = false)) // deterministic
+    // encoder duality holds under ANY rank list: lossless segmentation
+    val rank = approx.zipWithIndex.toMap
+    assert(Bpe.encodeWord("customer", rank).mkString == "customer" + Bpe.Eow)
   }
 
   test("pinnedMerges is exactly what train() learns from the sf0.01 fixture") {
