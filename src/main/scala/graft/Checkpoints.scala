@@ -36,12 +36,24 @@ import org.apache.spark.sql.{DataFrame, GraftRddBridge}
   *    read (the lineage is truncated; lost blocks cannot recompute).
   */
 object Checkpoints {
-  private val scoped = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
+  // WEAK references: the registry must never be the thing keeping a
+  // checkpoint alive. A session that drops its DataFrames without calling
+  // releaseScoped falls back to the old (slow but safe) path — the RDD
+  // handle is GC'd, the weak ref clears, and the ContextCleaner reclaims
+  // the blocks asynchronously. A strong registry would pin those blocks
+  // forever in exactly the long-session scenario this object exists to fix.
+  private val scoped = scala.collection.mutable.ArrayBuffer
+    .empty[java.lang.ref.WeakReference[RDD[_]]]
 
   /** localCheckpoint + register the backing blocks for [[releaseScoped]]. */
   def localCheckpoint(df: DataFrame): DataFrame = {
     val out = df.localCheckpoint()
-    synchronized { GraftRddBridge.checkpointedRdd(out).foreach(scoped += _) }
+    synchronized {
+      scoped.filterInPlace(_.get != null) // purge GC-cleared entries so a
+      // session that never sweeps keeps the registry bounded
+      GraftRddBridge.checkpointedRdd(out)
+        .foreach(r => scoped += new java.lang.ref.WeakReference[RDD[_]](r))
+    }
     out
   }
 
@@ -52,18 +64,25 @@ object Checkpoints {
     GraftRddBridge.checkpointedRdd(df).foreach { r =>
       // unpersist on a stopped context (test teardown) is a harmless no-op
       try r.unpersist(blocking = false) catch { case _: Throwable => () }
-      synchronized { scoped.filterInPlace(_ ne r) }
+      synchronized {
+        scoped.filterInPlace { w =>
+          val ref = w.get; ref != null && (ref ne r)
+        }
+      }
     }
 
   /** Free every registered query-scoped checkpoint. Call only at a point
-    * where no in-flight plan can still read them. */
+    * where no in-flight plan can still read them. Weak refs already
+    * cleared by GC are skipped — the ContextCleaner owns those blocks. */
   def releaseScoped(): Unit = synchronized {
-    scoped.foreach { r =>
-      try r.unpersist(blocking = false) catch { case _: Throwable => () }
+    scoped.foreach { w =>
+      val r = w.get
+      if (r != null)
+        try r.unpersist(blocking = false) catch { case _: Throwable => () }
     }
     scoped.clear()
   }
 
-  /** Telemetry: registered-but-unreleased scoped checkpoints. */
-  def scopedCount: Int = synchronized(scoped.size)
+  /** Telemetry: registered-but-unreleased scoped checkpoints still alive. */
+  def scopedCount: Int = synchronized(scoped.count(_.get != null))
 }

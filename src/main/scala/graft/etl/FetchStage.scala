@@ -93,7 +93,9 @@ final class HttpPageClient(timeoutSec: Int, userAgent: String = "graft-fetch/1.0
         val m = java.util.regex.Pattern.compile("charset=([^;\\s]+)",
           java.util.regex.Pattern.CASE_INSENSITIVE).matcher(ct)
         if (m.find())
-          try java.nio.charset.Charset.forName(m.group(1))
+          // RFC 9110 allows a quoted value: charset="windows-1252"
+          try java.nio.charset.Charset.forName(
+            m.group(1).replaceAll("^\"|\"$", ""))
           catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
         else java.nio.charset.StandardCharsets.UTF_8
       }

@@ -176,14 +176,22 @@ object Operators {
     * ratio never exceeds P: the salt never out-splits the stage. Uniform
     * well-spread keys ⇒ ratio ≤ 1 ⇒ B = 1 (salting correctly degenerates
     * to a plain join, avoiding its B× replication cost). */
-  def saltWidth(df: DataFrame, keyCols: Seq[Column], maxB: Int = 64): Int = {
-    val heat = df.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
+  def saltWidth(df: DataFrame, keyCols: Seq[Column], maxB: Int = 64): Int =
+    saltWidthFromHeat(
+      df.groupBy(keyCols: _*).agg(count(lit(1)).as("__n")), "__n", maxB)
+
+  /** [[saltWidth]]'s core, for callers that ALREADY have the per-key count
+    * table (a dimension of totals, a q103 profile): derives B from its
+    * max/sum without re-aggregating the fact table — the probe then shares
+    * the aggregation the query builds anyway. */
+  def saltWidthFromHeat(heat: DataFrame, countCol: String,
+      maxB: Int = 64): Int = {
     val row = heat.agg(
-      max(col("__n")).as("mx"), sum(col("__n")).as("total")).collect()(0)
+      max(col(countCol)).as("mx"), sum(col(countCol)).as("total")).collect()(0)
     if (row.isNullAt(0)) 1
     else {
       val p =
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toLong
+        heat.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toLong
       // ceiling division: a bucket spanning 1.3 fair shares must salt 2-way
       // — floor read it as ratio 1 (= no salt) for anything under 2 shares
       val total = math.max(1L, row.getLong(1))
@@ -203,8 +211,14 @@ object Operators {
     * this is the explicit form for pathological keys at 100 TB. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       buckets: Int): DataFrame = {
+    // deterministic salt (xxhash64 over the whole row, same rule as
+    // saltedAgg): a retried/speculative map task recomputes the identical
+    // assignment — a positional/nondeterministic salt re-shuffles rows on
+    // partial stage re-execution, the classic lost-or-duplicated-rows
+    // hazard. Fully identical left rows share a salt; any differing column
+    // spreads them, which holds for any realistic fact table.
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(buckets.toLong)))
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(buckets.toLong)))
     val replicatedRight = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(buckets.toLong - 1))))
     saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")

@@ -490,13 +490,18 @@ object Events {
     // integer math.
     "q105_salted_dim_join" -> Q(
       run = (s, d) => {
-        // probe + join both read the projection: materialize it once
-        // (scoped checkpoint, reclaimed by the driver post-action)
+        // the staged form of saltedJoinAuto, probe SHARED with the join's
+        // own dim table: the fact projection materializes once (scoped
+        // checkpoint), the per-type totals it aggregates are both the
+        // join's right side AND the salt-width heat table
+        // (saltWidthFromHeat) — one keys-space aggregation, not two
         val ev = graft.Checkpoints.localCheckpoint(Tables.events(s, d)
           .select(col("event_type"), to_date(col("ts")).as("day")))
-        val totals = ev.groupBy("event_type")
-          .agg(count(lit(1)).as("n_type_total"))
-        graft.operators.Operators.saltedJoinAuto(ev, totals, "event_type")
+        val totals = graft.Checkpoints.localCheckpoint(
+          ev.groupBy("event_type").agg(count(lit(1)).as("n_type_total")))
+        val B = graft.operators.Operators.saltWidthFromHeat(
+          totals, "n_type_total")
+        graft.operators.Operators.saltedJoin(ev, totals, "event_type", B)
           .groupBy(col("event_type"), col("day"), col("n_type_total"))
           .agg(count(lit(1)).as("n_day"))
           .withColumn("ppm_of_type",

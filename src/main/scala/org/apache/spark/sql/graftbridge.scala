@@ -22,9 +22,14 @@ object GraftColumnBridge {
   * (graft.Checkpoints) reaches it through this shim. */
 object GraftRddBridge {
   /** The materialized RDD behind a localCheckpoint'd Dataset; None for any
-    * other plan shape. */
+    * other plan shape. ROOT-only match, deliberately: a derived frame
+    * (checkpoint.filter(...)) or a join of two checkpoints would make "which
+    * checkpoint?" ambiguous, and releasing an upstream SHARED checkpoint
+    * through a derived handle would free blocks another consumer still
+    * needs — callers must hold the checkpoint root itself. */
   def checkpointedRdd(df: Dataset[_]): Option[org.apache.spark.rdd.RDD[_]] =
-    df.queryExecution.analyzed.collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
     }
 }

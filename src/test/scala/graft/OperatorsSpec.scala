@@ -206,5 +206,11 @@ class OperatorsSpec extends SparkSpec {
     val plain = left.join(right, Seq("k"))
     assert(auto.count() == plain.count())
     assert(auto.agg(sum($"lv" * $"rv")).head() == plain.agg(sum($"lv" * $"rv")).head())
+    // retry safety: like saltedAgg, the salt must be a pure function of the
+    // row — a partial stage re-execution with a positional salt re-shuffles
+    // rows across already-committed reducers (lost/duplicated rows)
+    val nondet = auto.queryExecution.analyzed.flatMap(
+      _.expressions.filterNot(_.deterministic))
+    assert(nondet.isEmpty, s"nondeterministic salt exprs: $nondet")
   }
 }

@@ -251,19 +251,33 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q105: the profile-driven salt engages on the hot event_type key") {
-    // event_type is 5 values over the whole fact table — every fixture is
-    // "skewed" for this key, so unlike q96 no staged fixture is needed for
-    // the engaged-salt assertion
-    val df = SparkEntry.registry("q105_salted_dim_join").run(spark, sf)
-    df.collect()
+    // Skew is RELATIVE TO PARALLELISM: a 5-value key at this suite's P = 4
+    // genuinely isn't skewed (hottest bucket ≈ 0.8 fair shares ⇒ B = 1 is
+    // the correct degenerate answer), while at the production P = 32 the
+    // same table is pathological (~6 shares/bucket). Pin P = 32 here so the
+    // assert exercises the engaged-salt path the driver's Verify run takes.
+    // The width itself must engage — the join keys carry __salt even at
+    // B = 1, so asserting on the plan alone would be vacuous.
+    import org.apache.spark.sql.functions.{col, to_date}
+    val pBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    val (b, df) =
+      try {
+        val ev = Tables.events(spark, sf)
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+        val w = graft.operators.Operators.saltWidth(ev, Seq(col("event_type")))
+        val d = SparkEntry.registry("q105_salted_dim_join").run(spark, sf)
+        d.collect()
+        (w, d)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", pBefore)
+    assert(b > 1, s"salt width degenerated to $b on a 5-key fact table at P=32")
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), s"dim join degenerated:\n$p")
     val joinLine = p.linesIterator.find(l =>
       l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
         l.contains("BroadcastHashJoin"))
     assert(joinLine.exists(_.contains("__salt")),
-      s"salt missing from the dim-join keys (B degenerated to 1 on a " +
-        s"5-key fact table):\n$p")
+      s"salt missing from the dim-join keys:\n$p")
   }
 
   test("q97: bigram top-k is two-phase agg + TakeOrderedAndProject") {
