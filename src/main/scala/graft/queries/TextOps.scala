@@ -31,6 +31,20 @@ object TextOps {
   private def docTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).withColumn("toks", tokens(col("text")))
 
+  /** docs with every k-token window reduced to a hash (q106/q107). md5 of
+    * the joined window keeps the oracle bit-compatible (DuckDB and Spark
+    * emit identical lowercase hex for identical UTF-8 input); at production
+    * scale xxhash64 halves the hash width again. The `when` guard matters:
+    * Spark's `sequence(1, n)` with n <= 0 yields a DESCENDING sequence, not
+    * an empty one, so short docs must short-circuit to an empty array. */
+  private val winK = 8
+  private def docWindows(s: SparkSession, d: String): DataFrame =
+    docTokens(s, d).withColumn("wins",
+      when(size(col("toks")) >= winK,
+        expr(s"transform(sequence(1, size(toks) - ${winK - 1}), " +
+          s"i -> md5(array_join(slice(toks, i, $winK), ' ')))"))
+        .otherwise(array().cast("array<string>")))
+
   // ---- shared Jaccard-pair plumbing (q35 exact, q36 LSH-verified) ----------
 
   /** (doc_id, shingle-hash) pairs, distinct per doc — the candidate unit.
@@ -1474,7 +1488,121 @@ object TextOps {
           graft.functions.Bpe.pinnedMerges)
         .orderBy("doc_id"),
       oracle = Some(bpeOracle),
-      doc = "subword token counts under a pinned learned-BPE vocabulary")
+      doc = "subword token counts under a pinned learned-BPE vocabulary"),
+
+    // Exact-substring dedup stats (Lee et al. 2021, "Deduplicating Training
+    // Data Makes Language Models Better"): every 8-token window is hashed;
+    // a window appearing in >= 2 documents is a duplicated span. Per doc:
+    // total windows, distinct windows, and how many of its distinct windows
+    // are duplicated somewhere in the corpus. Complements q35: Jaccard is
+    // SET similarity (reordered docs still match); this catches verbatim
+    // spans inside otherwise-different documents.
+    // 100 TB shape: the text never shuffles — windows leave the scan as
+    // fixed-width hashes (md5 here for oracle parity; xxhash64's 8 bytes in
+    // production), the frequency table is the one keyed shuffle, and hot
+    // boilerplate windows cost nothing extra in the join (freq is unique
+    // per window, so fanout is 1) while the skewed groupBy collapses
+    // map-side via partial aggregation.
+    "q106_window_dedup" -> Q(
+      run = (s, d) => {
+        val base = docWindows(s, d)
+          .select(col("doc_id"), size(col("wins")).cast("long").as("n_windows"),
+            array_distinct(col("wins")).as("dwins"))
+        // distinct windows per doc, exploded — consumed by the frequency agg
+        // AND the per-doc rollup (query-scoped, released by the driver)
+        val wd = graft.Checkpoints.localCheckpoint(
+          base.select(col("doc_id"), explode(col("dwins")).as("w")))
+        val freq = wd.groupBy(col("w")).agg(count(lit(1)).as("n_docs"))
+        val perDoc = wd.join(freq, Seq("w"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_distinct_windows"),
+            sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+        base.select(col("doc_id"), col("n_windows"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_windows"),
+            coalesce(col("n_distinct_windows"), lit(0L)).as("n_distinct_windows"),
+            coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+            when(coalesce(col("n_distinct_windows"), lit(0L)) === 0, 0L)
+              .otherwise(expr("100 * n_dup_windows div n_distinct_windows"))
+              .as("dup_pct"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        w AS (
+          SELECT doc_id, array_to_string(list_slice(toks, i, i+7), ' ') AS win
+          FROM t, unnest(range(1, len(toks)-7+1)) AS u(i)
+          WHERE len(toks) >= 8),
+        wd AS (SELECT DISTINCT doc_id, win FROM w),
+        freq AS (SELECT win, count(*) AS n_docs FROM wd GROUP BY win),
+        per_doc AS (
+          SELECT wd.doc_id,
+                 count(*) AS n_distinct_windows,
+                 count(*) FILTER (WHERE freq.n_docs >= 2) AS n_dup_windows
+          FROM wd JOIN freq USING (win) GROUP BY wd.doc_id)
+        SELECT t.doc_id AS doc_id,
+               CAST(CASE WHEN len(t.toks) >= 8 THEN len(t.toks) - 7 ELSE 0 END AS BIGINT) AS n_windows,
+               CAST(coalesce(p.n_distinct_windows, 0) AS BIGINT) AS n_distinct_windows,
+               CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+               CAST(CASE WHEN coalesce(p.n_distinct_windows, 0) = 0 THEN 0
+                    ELSE 100 * p.n_dup_windows // p.n_distinct_windows END AS BIGINT) AS dup_pct
+        FROM t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+        ORDER BY doc_id"""),
+      doc = "exact 8-token-window substring-dedup stats per document"),
+
+    // Cross-source contamination matrix over the same 8-token windows: for
+    // each source pair, how many distinct windows appear in both (the
+    // dataset-mixing / eval-decontamination question: "how much of A is
+    // verbatim inside B?"). The diagonal reports windows duplicated across
+    // >= 2 documents WITHIN the source. 100 TB shape: the self-join runs on
+    // the (source, window-hash) DISTINCT table, so per-window fanout is
+    // bounded by the number of SOURCES containing it (never the number of
+    // documents) — a boilerplate window in a million docs of 3 sources
+    // contributes 3 rows a side, and the matrix itself is |sources|².
+    "q107_source_overlap" -> Q(
+      run = (s, d) => {
+        val w = docWindows(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(array_distinct(col("wins"))).as("w"))
+        // (source, window) distinct table: both sides of the self-join read
+        // it — materialize once, query-scoped
+        val srcwin = graft.Checkpoints.localCheckpoint(
+          w.select(col("source"), col("w")).distinct())
+        val cross = srcwin.as("a")
+          .join(srcwin.as("b"),
+            col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+          .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("shared_windows"))
+        val within = w.groupBy(col("source"), col("w"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("shared_windows"))
+          .select(col("source").as("source_a"), col("source").as("source_b"),
+            col("shared_windows"))
+        cross.unionByName(within).orderBy("source_a", "source_b")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, source, string_split(text,' ') AS toks FROM documents),
+        w AS (
+          SELECT DISTINCT doc_id, source, array_to_string(list_slice(toks, i, i+7), ' ') AS win
+          FROM t, unnest(range(1, len(toks)-7+1)) AS u(i)
+          WHERE len(toks) >= 8),
+        srcwin AS (SELECT DISTINCT source, win FROM w),
+        cross_o AS (
+          SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_windows
+          FROM srcwin a JOIN srcwin b ON a.win = b.win AND a.source < b.source
+          GROUP BY 1, 2),
+        within AS (
+          SELECT source AS source_a, source AS source_b, count(*) AS shared_windows
+          FROM (SELECT source, win FROM w GROUP BY source, win
+                HAVING count(DISTINCT doc_id) >= 2)
+          GROUP BY source),
+        m AS (SELECT * FROM cross_o UNION ALL SELECT * FROM within)
+        SELECT source_a, source_b, CAST(shared_windows AS BIGINT) AS shared_windows
+        FROM m ORDER BY source_a, source_b"""),
+      doc = "cross-source verbatim-window overlap matrix (contamination)")
   )
 
   /** q104's oracle, generated from the SAME pinned merge list the Spark

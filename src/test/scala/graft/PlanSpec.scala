@@ -280,6 +280,18 @@ class PlanSpec extends SparkSpec {
       s"salt missing from the dim-join keys:\n$p")
   }
 
+  test("q106/q107: window-dedup joins are equi joins on the window hash") {
+    // the substring-dedup family must never degenerate to all-pairs: the
+    // frequency join (q106) and the source self-join (q107) key on the
+    // window hash, and the raw text column must not survive past the scan
+    // projection into any exchange
+    for (name <- Seq("q106_window_dedup", "q107_source_overlap")) {
+      val p = plan(name, execute = true)
+      assert(!p.contains("CartesianProduct"), s"$name degenerated:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name degenerated:\n$p")
+    }
+  }
+
   test("q97: bigram top-k is two-phase agg + TakeOrderedAndProject") {
     val p = plan("q97_bigram_topk")
     assert(p.contains("TakeOrderedAndProject"),
