@@ -280,6 +280,44 @@ class PlanSpec extends SparkSpec {
       s"salt missing from the dim-join keys:\n$p")
   }
 
+  test("q106: short docs yield zero windows, shared spans count as dups") {
+    // the < k-token edge is the one the fixture may not cover: Spark's
+    // sequence(1, n) with n <= 0 is DESCENDING (not empty), so an unguarded
+    // window transform would fabricate windows for short docs
+    val path = java.nio.file.Files.createTempDirectory("graft_planspec_windedup")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(path.toFile)
+    }))
+    val dir = path.toString
+    val span = "one two three four five six seven eight" // exactly 8 tokens
+    import spark.implicits._
+    Seq(
+      (0L, "tiny doc", "en", "srcA", 8L),             // 2 tokens: no windows
+      (1L, span, "en", "srcA", span.length.toLong),   // 1 window
+      (2L, s"prefix $span", "en", "srcB", 0L))        // shares doc 1's span
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.registry("q106_window_dedup").run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (0L, 0L, 0L, 0L, 0L),   // short doc: all zeros, not phantom windows
+      (1L, 1L, 1L, 1L, 100L), // its only window appears in doc 2 too
+      (2L, 2L, 2L, 1L, 50L)), // 2 windows, the shared one is a dup
+      s"unexpected q106 rows: ${rows.toSeq}")
+    // cross-source matrix: the shared span is srcA x srcB overlap of 1
+    val m = SparkEntry.registry("q107_source_overlap").run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(m.toSeq == Seq(("srcA", "srcB", 1L)), s"unexpected matrix: ${m.toSeq}")
+    graft.queries.TextOps.releaseShingles() // drop the window cache staged
+    // on this temp dir so later tests rebuild against the real fixture
+  }
+
   test("q106/q107: window-dedup joins are equi joins on the window hash") {
     // the substring-dedup family must never degenerate to all-pairs: the
     // frequency join (q106) and the source self-join (q107) key on the
