@@ -157,6 +157,33 @@ object ScaleStress {
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
     spark.sparkContext.removeSparkListener(maxTask)
+
+    // Substring-dedup (q106/q107) boilerplate adversary: every doc carries
+    // the SAME 9-token preamble, so its 2 windows appear in all 5k docs and
+    // all 20 sources — maximal window hotness. The claimed bounds: q106's
+    // freq join has fanout 1 per (doc, window) row regardless of hotness
+    // (freq is unique per window), and q107's self-join fans out per window
+    // by SOURCES containing it (≤ 20² here), never by documents. If either
+    // bound were wrong this corpus would quadratically explode like the
+    // naive shared-window self-join (5k² ≈ 25M rows per hot window).
+    val boilDir = "/tmp/stress_boiler"
+    docs.withColumn("text",
+      concat(lit("subscribe to our newsletter for all the latest updates today "),
+        col("text")))
+      .write.mode("overwrite").parquet(s"$boilDir/documents.parquet")
+    t("q106 window-dedup, 5k docs sharing a boilerplate preamble") {
+      println("  rows=" + graft.SparkEntry.queries("q106_window_dedup")(spark, boilDir).count())
+    }
+    t("q107 source matrix on the same corpus (20 sources, all sharing windows)") {
+      println("  rows=" + graft.SparkEntry.queries("q107_source_overlap")(spark, boilDir).count())
+    }
+    graft.queries.TextOps.releaseShingles()
+    t("q106 window-dedup on the plain corpus (reference)") {
+      println("  rows=" + graft.SparkEntry.queries("q106_window_dedup")(spark, "/root/testdata/sf0.1").count())
+    }
+    t("q107 source matrix on the plain corpus (reference)") {
+      println("  rows=" + graft.SparkEntry.queries("q107_source_overlap")(spark, "/root/testdata/sf0.1").count())
+    }
     spark.stop()
   }
 }
