@@ -1628,7 +1628,64 @@ object TextOps {
         m AS (SELECT * FROM cross_o UNION ALL SELECT * FROM within)
         SELECT source_a, source_b, CAST(shared_windows AS BIGINT) AS shared_windows
         FROM m ORDER BY source_a, source_b"""),
-      doc = "cross-source verbatim-window overlap matrix (contamination)")
+      doc = "cross-source verbatim-window overlap matrix (contamination)"),
+
+    // Greedy sequence packing (the LLM-training batching step — Krell et
+    // al. 2021 "Efficient Sequence Packing"; here the deterministic
+    // in-order greedy law): within each source shard, docs in doc_id order
+    // fill a 128-token sequence; a doc that would overflow starts the next
+    // one (docs longer than the capacity truncate to it). The fold is
+    // inherently sequential PER SHARD and embarrassingly parallel ACROSS
+    // shards, so the plan is the secondary-sort pattern: one shuffle on the
+    // shard key, an in-partition sort, and a STREAMING per-partition fold
+    // that resets at shard boundaries — O(1) task memory however large a
+    // shard grows (a groupByKey formulation would materialize the whole
+    // shard per task). The oracle replays the identical fold as a recursive
+    // CTE stepping per-source in row_number order — the q104 precedent for
+    // laws flat SQL can't express.
+    "q108_sequence_packing" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        val C = 128L
+        docTokens(s, d)
+          .select(col("source"), col("doc_id"),
+            least(size(col("toks")).cast("long"), lit(C)).as("n_tok"))
+          .repartition(col("source"))
+          .sortWithinPartitions(col("source"), col("doc_id"))
+          .as[(String, Long, Long)]
+          .mapPartitions { rows =>
+            var cur: String = null; var seq = 0L; var fill = 0L
+            rows.map { case (src, id, n) =>
+              if (src != cur) { cur = src; seq = 0L; fill = 0L }
+              // n <= C always, so the first doc of a shard never overflows
+              val off = if (fill + n > C) { seq += 1; fill = n; 0L }
+                        else { val o = fill; fill += n; o }
+              (src, id, n, seq, off)
+            }
+          }
+          .toDF("source", "doc_id", "n_tok", "seq_id", "offset_in_seq")
+          .orderBy("source", "doc_id")
+      },
+      oracle = Some("""
+        WITH RECURSIVE t AS (
+          SELECT source, doc_id,
+                 least(CAST(len(string_split(text,' ')) AS BIGINT), 128) AS n_tok,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS idx
+          FROM documents),
+        pack AS (
+          SELECT source, doc_id, n_tok, idx,
+                 CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS offset_in_seq,
+                 n_tok AS fill
+          FROM t WHERE idx = 1
+          UNION ALL
+          SELECT t.source, t.doc_id, t.n_tok, t.idx,
+                 CASE WHEN p.fill + t.n_tok > 128 THEN p.seq_id + 1 ELSE p.seq_id END,
+                 CASE WHEN p.fill + t.n_tok > 128 THEN CAST(0 AS BIGINT) ELSE p.fill END,
+                 CASE WHEN p.fill + t.n_tok > 128 THEN t.n_tok ELSE p.fill + t.n_tok END
+          FROM pack p JOIN t ON t.source = p.source AND t.idx = p.idx + 1)
+        SELECT source, doc_id, n_tok, seq_id, offset_in_seq
+        FROM pack ORDER BY source, doc_id"""),
+      doc = "greedy per-shard sequence packing into 128-token training rows")
   )
 
   /** q104's oracle, generated from the SAME pinned merge list the Spark

@@ -208,4 +208,39 @@ class PropertySpec extends SparkSpec {
       assert(sorted.last._4 == n)
     }
   }
+
+  test("q108 packing: capacity respected, offsets contiguous, greedy-tight") {
+    // invariants of the per-shard greedy 128-token packer against the real
+    // query output — within each (source, seq): docs fill back-to-back from
+    // offset 0 and never exceed capacity; across seq boundaries the break
+    // is FORCED (the next doc could not have fit), which is greedy-ness
+    val C = 128L
+    val rows = SparkEntry.registry("q108_sequence_packing")
+      .run(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, docs) =>
+      val inOrder = docs.sortBy(_._2) // doc_id order = packing order
+      // seq ids are non-decreasing, start at 0, step by at most 1
+      val seqs = inOrder.map(_._4)
+      assert(seqs.head == 0L, s"$src first seq")
+      seqs.sliding(2).foreach { case Array(a, b) =>
+        assert(b == a || b == a + 1, s"$src seq jump $a -> $b"); case _ => }
+      inOrder.groupBy(_._4).foreach { case (seq, members) =>
+        val m = members.sortBy(_._2)
+        assert(m.head._5 == 0L, s"$src seq $seq starts at nonzero offset")
+        // back-to-back: each offset is the previous fill
+        m.sliding(2).foreach {
+          case Array(a, b) => assert(b._5 == a._5 + a._3, s"$src seq $seq gap")
+          case _ => }
+        assert(m.last._5 + m.last._3 <= C, s"$src seq $seq overflows")
+      }
+      // greedy: the first doc of seq k+1 would overflow seq k
+      inOrder.sliding(2).foreach {
+        case Array(a, b) if b._4 == a._4 + 1 =>
+          assert(a._5 + a._3 + b._3 > C, s"$src premature break at doc ${b._2}")
+        case _ => }
+    }
+  }
 }
