@@ -38,6 +38,16 @@ object TextOps {
     * Spark's `sequence(1, n)` with n <= 0 yields a DESCENDING sequence, not
     * an empty one, so short docs must short-circuit to an empty array. */
   private val winK = 8
+
+  /** q108's subshard width: consecutive docs per packing unit. 32 on the
+    * fixture (≈100-doc sources → ~4 subshards each, so the multi-task path
+    * is exercised, not just theoretical); at 100 TB you'd set this to the
+    * docs-per-output-file-group (e.g. 10k) — parallelism is docs/shardDocs
+    * per source either way. NOTE: declared BEFORE the query registry — the
+    * oracle string interpolates it EAGERLY at object init, and a later
+    * declaration would interpolate the pre-init 0 (division by zero in the
+    * oracle; caught by the hash gate). */
+  private[graft] val packShardDocs = 32L
   private def docWindows(s: SparkSession, d: String): DataFrame =
     docTokens(s, d).withColumn("wins",
       when(size(col("toks")) >= winK,
@@ -1632,61 +1642,116 @@ object TextOps {
 
     // Greedy sequence packing (the LLM-training batching step — Krell et
     // al. 2021 "Efficient Sequence Packing"; here the deterministic
-    // in-order greedy law): within each source shard, docs in doc_id order
-    // fill a 128-token sequence; a doc that would overflow starts the next
-    // one (docs longer than the capacity truncate to it). The fold is
-    // inherently sequential PER SHARD and embarrassingly parallel ACROSS
-    // shards, so the plan is the secondary-sort pattern: one shuffle on the
-    // shard key, an in-partition sort, and a STREAMING per-partition fold
-    // that resets at shard boundaries — O(1) task memory however large a
-    // shard grows (a groupByKey formulation would materialize the whole
-    // shard per task). The oracle replays the identical fold as a recursive
-    // CTE stepping per-source in row_number order — the q104 precedent for
-    // laws flat SQL can't express.
+    // in-order greedy law): docs in doc_id order fill a 128-token sequence;
+    // a doc that would overflow starts the next one (docs longer than the
+    // capacity truncate to it). The packing unit is a SUBSHARD — a
+    // deterministic run of `packShardDocs` consecutive docs within a source
+    // (the per-output-file-group law real packers use: each subshard is one
+    // file group, and packing resets at its boundary) — so the fold is
+    // sequential per subshard but parallel ACROSS subshards of the same
+    // source: a mega-source spreads over ~docs/packShardDocs tasks instead
+    // of serializing onto one (the round-7 scale defect). Plan shape and
+    // the oracle's identical recursive-CTE replay: see [[packSequences]].
     "q108_sequence_packing" -> Q(
-      run = (s, d) => {
-        import s.implicits._
-        val C = 128L
-        docTokens(s, d)
-          .select(col("source"), col("doc_id"),
-            least(size(col("toks")).cast("long"), lit(C)).as("n_tok"))
-          .repartition(col("source"))
-          .sortWithinPartitions(col("source"), col("doc_id"))
-          .as[(String, Long, Long)]
-          .mapPartitions { rows =>
-            var cur: String = null; var seq = 0L; var fill = 0L
-            rows.map { case (src, id, n) =>
-              if (src != cur) { cur = src; seq = 0L; fill = 0L }
-              // n <= C always, so the first doc of a shard never overflows
-              val off = if (fill + n > C) { seq += 1; fill = n; 0L }
-                        else { val o = fill; fill += n; o }
-              (src, id, n, seq, off)
-            }
-          }
-          .toDF("source", "doc_id", "n_tok", "seq_id", "offset_in_seq")
-          .orderBy("source", "doc_id")
-      },
-      oracle = Some("""
+      run = (s, d) =>
+        packSequences(
+          docTokens(s, d).select(col("source"), col("doc_id"),
+            size(col("toks")).cast("long").as("n_tok")),
+          capacity = 128L, shardDocs = packShardDocs)
+          .drop("pack_task")
+          .orderBy("source", "doc_id"),
+      oracle = Some(s"""
         WITH RECURSIVE t AS (
           SELECT source, doc_id,
                  least(CAST(len(string_split(text,' ')) AS BIGINT), 128) AS n_tok,
-                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS idx
+                 CAST((row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+                      // $packShardDocs AS BIGINT) AS shard_id
           FROM documents),
+        sh AS (
+          SELECT source, doc_id, n_tok, shard_id,
+                 row_number() OVER (PARTITION BY source, shard_id ORDER BY doc_id) AS idx
+          FROM t),
         pack AS (
-          SELECT source, doc_id, n_tok, idx,
+          SELECT source, doc_id, n_tok, shard_id, idx,
                  CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS offset_in_seq,
                  n_tok AS fill
-          FROM t WHERE idx = 1
+          FROM sh WHERE idx = 1
           UNION ALL
-          SELECT t.source, t.doc_id, t.n_tok, t.idx,
-                 CASE WHEN p.fill + t.n_tok > 128 THEN p.seq_id + 1 ELSE p.seq_id END,
-                 CASE WHEN p.fill + t.n_tok > 128 THEN CAST(0 AS BIGINT) ELSE p.fill END,
-                 CASE WHEN p.fill + t.n_tok > 128 THEN t.n_tok ELSE p.fill + t.n_tok END
-          FROM pack p JOIN t ON t.source = p.source AND t.idx = p.idx + 1)
-        SELECT source, doc_id, n_tok, seq_id, offset_in_seq
+          SELECT sh.source, sh.doc_id, sh.n_tok, sh.shard_id, sh.idx,
+                 CASE WHEN p.fill + sh.n_tok > 128 THEN p.seq_id + 1 ELSE p.seq_id END,
+                 CASE WHEN p.fill + sh.n_tok > 128 THEN CAST(0 AS BIGINT) ELSE p.fill END,
+                 CASE WHEN p.fill + sh.n_tok > 128 THEN sh.n_tok ELSE p.fill + sh.n_tok END
+          FROM pack p JOIN sh ON sh.source = p.source AND sh.shard_id = p.shard_id
+                             AND sh.idx = p.idx + 1)
+        SELECT source, doc_id, n_tok, shard_id, seq_id, offset_in_seq
         FROM pack ORDER BY source, doc_id"""),
-      doc = "greedy per-shard sequence packing into 128-token training rows")
+      doc = "greedy sub-shard sequence packing into 128-token training rows")
   )
+
+  /** Greedy in-order sequence packing, subshard-parallel. Input: one row
+    * per doc `(source: string, doc_id: long, n_tok: long)`; n_tok is capped
+    * to `capacity` (longer docs truncate). Output adds `(shard_id, seq_id,
+    * offset_in_seq, pack_task)` — seq_id/offset are the greedy fill law
+    * within each (source, shard_id), pack_task is the physical task id the
+    * fold ran on (a test/telemetry column; queries drop it).
+    *
+    * Plan, built to hold at 100 TB:
+    *   1. per-source doc index via [[graft.operators.Operators.totalRank]]
+    *      (range-partition on (source, doc_id), offsets from ≤P rows of
+    *      driver metadata — no single-partition window) minus the source's
+    *      min rank (a |sources|-row broadcast);
+    *   2. `shard_id = idx0 div shardDocs` — deterministic runs of
+    *      consecutive docs;
+    *   3. secondary-sort fold: one shuffle on (source, shard_id), an
+    *      in-partition sort, and a STREAMING fold that resets at subshard
+    *      boundaries — O(1) task memory however large a shard grows (a
+    *      groupByKey formulation would materialize the whole shard per
+    *      task), and at most `shardDocs` docs serialize on any one task.
+    * The q108 oracle replays the identical law as a recursive CTE stepping
+    * per (source, shard_id) in row_number order — the q104 precedent for
+    * laws flat SQL can't express. */
+  private[graft] def packSequences(docs: DataFrame, capacity: Long,
+      shardDocs: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // capped sizes, materialized: totalRank's range sampler and its shuffle
+    // each execute the input (scoped checkpoint — driver sweeps it)
+    val base = graft.Checkpoints.localCheckpoint(
+      docs.select(col("source"), col("doc_id"),
+        least(col("n_tok"), lit(capacity)).as("n_tok")))
+    val (ranked, _) = graft.operators.Operators.totalRank(
+      base, "source", Seq(col("doc_id")), "__rnk")
+    // ranks are contiguous per source (the rank orders by (source, doc_id)),
+    // so idx-within-source = rank - min(rank over the source)
+    val minRanks = ranked.groupBy(col("source")).agg(min(col("__rnk")).as("__rnk0"))
+    ranked.join(broadcast(minRanks), Seq("source"))
+      .withColumn("shard_id", expr(s"(__rnk - __rnk0) div $shardDocs"))
+      .select(col("source"), col("doc_id"), col("n_tok"), col("shard_id"))
+      // explicit partition count = REPARTITION_BY_NUM: AQE's input-size
+      // coalescing would re-merge the subshards of a small-input shard key
+      // back onto one task (exactly the serialization this operator splits)
+      .repartition(
+        s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col("source"), col("shard_id"))
+      .sortWithinPartitions(col("source"), col("shard_id"), col("doc_id"))
+      .as[(String, Long, Long, Long)]
+      .mapPartitions { rows =>
+        val task = org.apache.spark.TaskContext.getPartitionId()
+        var curSrc: String = null; var curShard = -1L
+        var seq = 0L; var fill = 0L
+        rows.map { case (src, id, n, shard) =>
+          if (src != curSrc || shard != curShard) {
+            curSrc = src; curShard = shard; seq = 0L; fill = 0L
+          }
+          // n <= capacity always, so a subshard's first doc never overflows
+          val off = if (fill + n > capacity) { seq += 1; fill = n; 0L }
+                    else { val o = fill; fill += n; o }
+          (src, id, n, shard, seq, off, task)
+        }
+      }
+      .toDF("source", "doc_id", "n_tok", "shard_id", "seq_id",
+        "offset_in_seq", "pack_task")
+  }
 
   /** q104's oracle, generated from the SAME pinned merge list the Spark
     * side encodes with — one source of truth for the tokenizer. */

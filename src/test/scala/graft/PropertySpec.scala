@@ -210,37 +210,85 @@ class PropertySpec extends SparkSpec {
   }
 
   test("q108 packing: capacity respected, offsets contiguous, greedy-tight") {
-    // invariants of the per-shard greedy 128-token packer against the real
-    // query output — within each (source, seq): docs fill back-to-back from
-    // offset 0 and never exceed capacity; across seq boundaries the break
-    // is FORCED (the next doc could not have fit), which is greedy-ness
+    // invariants of the sub-shard greedy 128-token packer against the real
+    // query output — within each (source, shard, seq): docs fill
+    // back-to-back from offset 0 and never exceed capacity; across seq
+    // boundaries INSIDE a shard the break is FORCED (the next doc could not
+    // have fit), which is greedy-ness; shard boundaries land every
+    // packShardDocs docs and reset the fold
     val C = 128L
     val rows = SparkEntry.registry("q108_sequence_packing")
       .run(spark, "/root/testdata/sf0.001")
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
     assert(rows.nonEmpty)
     rows.groupBy(_._1).foreach { case (src, docs) =>
       val inOrder = docs.sortBy(_._2) // doc_id order = packing order
-      // seq ids are non-decreasing, start at 0, step by at most 1
-      val seqs = inOrder.map(_._4)
-      assert(seqs.head == 0L, s"$src first seq")
-      seqs.sliding(2).foreach { case Array(a, b) =>
-        assert(b == a || b == a + 1, s"$src seq jump $a -> $b"); case _ => }
-      inOrder.groupBy(_._4).foreach { case (seq, members) =>
-        val m = members.sortBy(_._2)
-        assert(m.head._5 == 0L, s"$src seq $seq starts at nonzero offset")
-        // back-to-back: each offset is the previous fill
-        m.sliding(2).foreach {
-          case Array(a, b) => assert(b._5 == a._5 + a._3, s"$src seq $seq gap")
+      // shard ids are the deterministic doc-count runs: doc i (0-based,
+      // doc_id order within the source) lands in shard i div packShardDocs
+      inOrder.zipWithIndex.foreach { case (r, i) =>
+        assert(r._4 == i / queries.TextOps.packShardDocs,
+          s"$src doc ${r._2} shard ${r._4} at position $i") }
+      inOrder.groupBy(_._4).foreach { case (shard, shardDocs) =>
+        val sh = shardDocs.sortBy(_._2)
+        // seq ids reset per shard: non-decreasing from 0, step by at most 1
+        val seqs = sh.map(_._5)
+        assert(seqs.head == 0L, s"$src shard $shard first seq")
+        seqs.sliding(2).foreach { case Array(a, b) =>
+          assert(b == a || b == a + 1, s"$src shard $shard seq jump $a -> $b")
           case _ => }
-        assert(m.last._5 + m.last._3 <= C, s"$src seq $seq overflows")
+        sh.groupBy(_._5).foreach { case (seq, members) =>
+          val m = members.sortBy(_._2)
+          assert(m.head._6 == 0L, s"$src shard $shard seq $seq nonzero start")
+          // back-to-back: each offset is the previous fill
+          m.sliding(2).foreach {
+            case Array(a, b) => assert(b._6 == a._6 + a._3,
+              s"$src shard $shard seq $seq gap")
+            case _ => }
+          assert(m.last._6 + m.last._3 <= C, s"$src shard $shard seq $seq overflows")
+        }
+        // greedy: the first doc of seq k+1 would overflow seq k
+        sh.sliding(2).foreach {
+          case Array(a, b) if b._5 == a._5 + 1 =>
+            assert(a._6 + a._3 + b._3 > C, s"$src premature break at doc ${b._2}")
+          case _ => }
       }
-      // greedy: the first doc of seq k+1 would overflow seq k
-      inOrder.sliding(2).foreach {
-        case Array(a, b) if b._4 == a._4 + 1 =>
-          assert(a._5 + a._3 + b._3 > C, s"$src premature break at doc ${b._2}")
-        case _ => }
     }
+  }
+
+  test("q108 packing: a single mega-source packs on multiple tasks, law intact") {
+    // the round-7 scale defect was one task per source; prove the sub-shard
+    // split really parallelizes a mega-source AND preserves the greedy law
+    // exactly (vs a sequential in-order replay of the per-shard fold)
+    import spark.implicits._
+    val C = 128L; val S = 16L
+    val docs = (1 to 200).map(i =>
+      ("mega", i.toLong, (5 + (i * 37) % 140).toLong)) // some n_tok > C: truncate path
+    val packed = queries.TextOps.packSequences(
+        docs.toDF("source", "doc_id", "n_tok"), capacity = C, shardDocs = S)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6)))
+    assert(packed.length == 200)
+    // the fold genuinely ran on >1 physical task for the one source
+    assert(packed.map(_._7).distinct.length > 1,
+      s"mega-source fold serialized onto ${packed.map(_._7).distinct.length} task")
+    // docs of the same subshard never split across tasks (the law's unit)
+    packed.groupBy(_._4).foreach { case (shard, rows) =>
+      assert(rows.map(_._7).distinct.length == 1, s"shard $shard split across tasks") }
+    // sequential reference: replay greedy per shard in doc_id order
+    val expect = docs.sortBy(_._2).zipWithIndex.groupBy(_._2 / S).toSeq.flatMap {
+      case (shard, members) =>
+        var seq = 0L; var fill = 0L
+        members.map { case ((_, id, n0), _) =>
+          val n = math.min(n0, C)
+          val off = if (fill + n > C) { seq += 1; fill = n; 0L }
+                    else { val o = fill; fill += n; o }
+          (id, n, shard.toLong, seq, off)
+        }
+    }.sortBy(_._1)
+    assert(packed.sortBy(_._2).map(t => (t._2, t._3, t._4, t._5, t._6)).toSeq
+      == expect, "packed output diverges from the sequential greedy replay")
   }
 }
