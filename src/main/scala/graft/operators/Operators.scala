@@ -233,4 +233,53 @@ object Operators {
   def saltedJoinAuto(left: DataFrame, right: DataFrame, key: String,
       maxB: Int = 64): DataFrame =
     saltedJoin(left, right, key, saltWidth(left, Seq(col(key)), maxB))
+
+  /** Size-gated broadcast hint. Returns `broadcast(df)` only when the
+    * table's MEASURED size fits under the session's
+    * `spark.sql.autoBroadcastJoinThreshold`; past the bound (or with the
+    * threshold set to -1) the frame comes back unhinted, the shuffle join
+    * stands, and AQE plans from real runtime stats.
+    *
+    * Why a gate instead of a bare hint: a `broadcast()` hint is obeyed
+    * REGARDLESS of size — on a table whose cardinality scales with the
+    * corpus's duplicate rate (near-dup candidate pairs, cluster-label
+    * tables; 30-50% dup rates are normal on web-crawl corpora) an
+    * unconditional hint becomes a driver-side collect-and-OOM at 100 TB.
+    * The gate keeps the broadcast fast-path at fixture scale and degrades
+    * to the AQE-planned equi-join exactly when the data outgrows it.
+    *
+    * Measurement is cheap by contract: callers pass a MATERIALIZED frame
+    * (localCheckpoint root), so the gate reads the block manager's actual
+    * byte count for the backing RDD — no job, no guessed row widths. For a
+    * non-checkpoint frame it falls back to `count() × schema width`; don't
+    * pass unmaterialized frames on hot paths (the count would recompute
+    * the lineage).
+    */
+  def broadcastIfSmall(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    // the conf accepts a bare long ("-1" = disabled, "10485760") OR a byte
+    // string ("10MB"); JavaUtils rejects negatives, so try the long first
+    val threshold = raw.toLongOption.getOrElse(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
+    if (threshold <= 0) return df // broadcast disabled session-wide
+    val bytes = org.apache.spark.sql.GraftRddBridge.checkpointedRdd(df) match {
+      case Some(rdd) =>
+        val info = spark.sparkContext.getRDDStorageInfo.find(_.id == rdd.id)
+        info.map(i => i.memSize + i.diskSize).getOrElse(estimatedBytes(df))
+      case None => estimatedBytes(df)
+    }
+    if (bytes <= threshold) broadcast(df) else df
+  }
+
+  /** Fallback size estimate for [[broadcastIfSmall]] when the frame isn't a
+    * checkpoint root: row count × UnsafeRow-shaped width (fixed per-field
+    * defaults + null bitset + object header). Deliberately conservative on
+    * strings (defaultSize 20): the gate should under-broadcast, never
+    * over-broadcast. */
+  private def estimatedBytes(df: DataFrame): Long = {
+    val rowWidth = df.schema.fields.map(_.dataType.defaultSize.toLong).sum +
+      8L * df.schema.length + 16L
+    df.count() * rowWidth
+  }
 }

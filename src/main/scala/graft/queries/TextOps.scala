@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.TextHash._
+import graft.operators.Operators.broadcastIfSmall
 
 /** Training-data text pipeline over `documents`: token/quality statistics,
   * language ID, fingerprinting, and the dedup family (exact, n-gram Jaccard,
@@ -43,11 +44,13 @@ object TextOps {
     * fixture (≈100-doc sources → ~4 subshards each, so the multi-task path
     * is exercised, not just theoretical); at 100 TB you'd set this to the
     * docs-per-output-file-group (e.g. 10k) — parallelism is docs/shardDocs
-    * per source either way. NOTE: declared BEFORE the query registry — the
-    * oracle string interpolates it EAGERLY at object init, and a later
-    * declaration would interpolate the pre-init 0 (division by zero in the
-    * oracle; caught by the hash gate). */
-  private[graft] val packShardDocs = 32L
+    * per source either way. `final val` without a type ascription is a
+    * Scala CONSTANT: the literal is folded into every use site (including
+    * the oracle string's interpolation) at COMPILE time, so declaration
+    * order relative to the query registry cannot change the emitted SQL —
+    * a plain val interpolated eagerly at object init would silently become
+    * 0 if ever moved below the registry. */
+  private[graft] final val packShardDocs = 32L
   private def docWindows(s: SparkSession, d: String): DataFrame =
     docTokens(s, d).withColumn("wins",
       when(size(col("toks")) >= winK,
@@ -399,10 +402,16 @@ object TextOps {
     // row per side, ~50 longs each) and a JVM hash-probe counts |A∩B| — the
     // verify cost is candidates × set size, NOT candidates × a re-exploded
     // join (5.6× fewer rows than the direct shh self-join on the plain
-    // corpus, and independent of shingle hotness). cand broadcasts (it is
-    // near-dup-proportional); the second hop is an AQE-sized join.
+    // corpus, and independent of shingle hotness). cand is near-dup-
+    // proportional — small on a clean corpus but corpus-order on a dup-heavy
+    // one — so it's materialized once (scoped checkpoint, freed after the
+    // pair table is staged) and broadcast only under the measured-size gate;
+    // past the threshold the equi-join stands and AQE plans it. The second
+    // hop is an AQE-sized join either way.
+    val candM = graft.Checkpoints.localCheckpoint(
+      cand.repartition(col("ra")))
     val repPairs = repArr.select(col("doc_id").as("ra"), col("shs").as("sa"))
-      .join(broadcast(cand), Seq("ra"))
+      .join(broadcastIfSmall(candM), Seq("ra"))
       .join(repArr.select(col("doc_id").as("rb"), col("shs").as("sb")), Seq("rb"))
       .withColumn("inter", interCount(col("sa"), col("sb")))
       .withColumn("na", size(col("sa")).cast("long"))
@@ -644,9 +653,13 @@ object TextOps {
           .select(col("doc_a"), col("doc_b")).distinct()
         // verify ONLY the candidate pairs (the LSH payoff), against the
         // per-doc shingle arrays with the hash-probe kernel — same
-        // candidate-bounded verify shape as q35
+        // candidate-bounded verify shape as q35, same size-gated broadcast:
+        // cand scales with the dup rate, so it's checkpointed (scoped,
+        // freed between queries) and hinted only under the measured bound
+        val candM = graft.Checkpoints.localCheckpoint(
+          cand.repartition(col("doc_a")))
         arr.select(col("doc_id").as("doc_a"), col("shs").as("sa"))
-          .join(broadcast(cand), Seq("doc_a"))
+          .join(broadcastIfSmall(candM), Seq("doc_a"))
           .join(arr.select(col("doc_id").as("doc_b"), col("shs").as("sb")), Seq("doc_b"))
           .withColumn("inter", interCount(col("sa"), col("sb")))
           .withColumn("uni",
@@ -975,14 +988,21 @@ object TextOps {
     // Canonical selection — the dedup funnel's last step: within each
     // near-dup cluster keep ONE representative (longest doc wins, doc_id
     // breaks ties) and mark the rest for removal; unclustered docs are their
-    // own canonical. Shape at scale: the label table is dup-graph-sized so
-    // it rides a broadcast into the corpus join (the corpus itself never
-    // reshuffles), and the winner window partitions by cluster root.
+    // own canonical. Shape at scale: the label table is dup-graph-sized —
+    // small on a clean corpus, corpus-order on a dup-heavy one — so it rides
+    // a SIZE-GATED broadcast into the corpus join (under the measured bound
+    // the corpus never reshuffles; past it the gate falls back to the AQE-
+    // planned equi-join), and the winner window partitions by cluster root.
     "q94_canonical_selection" -> Q(
       run = (s, d) => {
-        val labels = clusterLabels(s, d).withColumnRenamed("doc", "doc_id")
+        // the staged label table is dup-graph-sized: broadcast under the
+        // measured gate (it's a checkpoint root — the gate reads its actual
+        // block bytes), shuffle-join past it. The rename is applied OUTSIDE
+        // the gate so the size probe sees the checkpoint root.
+        val labels = broadcastIfSmall(clusterLabels(s, d))
+          .withColumnRenamed("doc", "doc_id")
         val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
-        val lbl = docs.join(broadcast(labels), Seq("doc_id"), "left")
+        val lbl = docs.join(labels, Seq("doc_id"), "left")
           .withColumn("cluster_root", coalesce(col("root"), col("doc_id")))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("cluster_root"))
@@ -1455,9 +1475,12 @@ object TextOps {
           .withColumn("dup2_milli",
             expr("1000 * (n_bigrams - n_unique) div greatest(n_bigrams, 1)"))
         val canon = sig.groupBy(col("h")).agg(min(col("doc_id")).as("canonical_id"))
-        val labels = clusterLabels(s, d).withColumnRenamed("doc", "doc_id")
+        // dup-graph-sized label table: size-gated broadcast (gate probes the
+        // checkpoint root's measured bytes; rename applied after)
+        val labels = broadcastIfSmall(clusterLabels(s, d))
+          .withColumnRenamed("doc", "doc_id")
         sig.join(canon, Seq("h"))
-          .join(broadcast(labels), Seq("doc_id"), "left")
+          .join(labels, Seq("doc_id"), "left")
           .withColumn("stage",
             when(col("lang") =!= "en", "1_lang")
               .when(!(col("n_tok") >= 30 && col("n_tok") <= 5000 &&

@@ -384,4 +384,44 @@ class PlanSpec extends SparkSpec {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }.nonEmpty, "expected the bucket-local rank window in the q61 plan")
   }
+
+  test("broadcastIfSmall: hints under the threshold, falls back past it") {
+    // the 100-TB seam this gates: candidate-pair / cluster-label tables
+    // scale with the corpus's dup rate, and a bare broadcast() hint is
+    // obeyed regardless of size — driver OOM. The gate must (a) keep the
+    // broadcast fast-path for a genuinely small table, (b) leave the frame
+    // UNHINTED once its measured bytes exceed autoBroadcastJoinThreshold,
+    // so the shuffle join stands and AQE plans from runtime stats.
+    import spark.implicits._
+    val dim = Checkpoints.localCheckpoint(
+      (1L to 1000L).toDF("k").withColumn("pad", lpad(lit("x"), 100, "x")))
+    val fact = (1L to 10000L).toDF("k").withColumn("v", col("k") * 2)
+    def joined = fact.join(graft.operators.Operators.broadcastIfSmall(dim), Seq("k"))
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // small case: ~1000 × ~120 B ≪ 10 MB default → hint applies
+      val pSmall = joined.queryExecution.executedPlan.toString
+      assert(pSmall.contains("BroadcastHashJoin"),
+        s"small checkpointed dim not broadcast:\n$pSmall")
+      // large case: shrink the threshold below the table's MEASURED size —
+      // the same physical table must now come back unhinted. AQE still owns
+      // the final strategy, so assert on the pre-AQE hint decision: the
+      // logical plan must carry no broadcast hint.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+      val hinted = joined.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      assert(hinted.isEmpty,
+        s"gate still hinted a table larger than the threshold")
+      // disabled case: threshold -1 must never hint (broadcast is off)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hintedOff = joined.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      assert(hintedOff.isEmpty, "gate hinted with broadcast disabled")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      Checkpoints.release(dim)
+    }
+  }
 }
