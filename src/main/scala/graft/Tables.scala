@@ -24,15 +24,40 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. Read nanos as LONG (legacy conf) and truncate to
-    * microseconds — exactly what DuckDB does on read, so oracle values align.
-    */
+  /** events.parquet has shipped `ts` in two physical forms across driver
+    * fixture generations: TIMESTAMP(NANOS) (through round 8) and
+    * TIMESTAMP(MICROS, not-UTC-adjusted) (round 9+). Normalize BOTH to the
+    * session-TZ TIMESTAMP the query surface was written against, with the
+    * same values DuckDB sees on the same file:
+    *  - NANOS: Spark's reader rejects it outright, so read nanos as LONG
+    *    (legacy conf) and truncate to micros — DuckDB's own read behavior;
+    *  - MICROS ntz: arrives as TIMESTAMP_NTZ; reinterpret in the session
+    *    zone (pinned UTC), value-identical to DuckDB's naive TIMESTAMP.
+    * Keyed on the OBSERVED schema, not the fixture generation, so either
+    * form keeps working if the driver regenerates again. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventsTs(load(s, d, "events"))
+  }
+
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => // nanos-as-long fixture
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df // already session-TZ timestamp
+    }
+  }
+
+  /** The raw (pre-normalization) type `ts` resolves to for this fixture —
+    * what a user-specified streaming schema must declare (streaming reads
+    * don't infer). Footer-only probe; no job. */
+  private[graft] def eventsRawTsType(
+      s: SparkSession, d: String): org.apache.spark.sql.types.DataType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events").schema("ts").dataType
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

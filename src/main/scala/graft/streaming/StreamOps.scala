@@ -25,27 +25,31 @@ import graft.Q
   */
 object StreamOps {
 
-  /** events.parquet schema under nanosAsLong (ts arrives as LONG nanos). */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events.parquet schema for the streaming source. Streaming reads don't
+    * infer, so `ts` must be declared at the fixture's RAW type (LONG under
+    * nanosAsLong for nanos fixtures, TIMESTAMP_NTZ for micros fixtures —
+    * see Tables.events); a one-time batch footer probe supplies it. */
+  private def eventsRawSchema(tsType: org.apache.spark.sql.types.DataType) =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
   private val runSeq = new AtomicInteger(0)
 
   /** Streaming read of the events fixture: micro-batch parquet source with
-    * the same nanos→micros normalization as the batch path (Tables.events). */
+    * the same ts normalization as the batch path (Tables.events). */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val rawTs = graft.Tables.eventsRawTsType(s, dir)
+    graft.Tables.normalizeEventsTs(
+      s.readStream
+        .schema(eventsRawSchema(rawTs))
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir))
   }
 
   /** Drain a streaming DataFrame into a memory sink with AvailableNow and
