@@ -1,0 +1,76 @@
+package graft
+
+/** Long-session storage-leak contract (the round-6 regression, as a test).
+  *
+  * The engine's production shape is many queries against one SparkSession.
+  * Round 6's bench degraded q35's pair build 3.9s → 67.3s across passes of
+  * the same session because `localCheckpoint` blocks are NOT CacheManager
+  * entries: `Dataset.unpersist` is a no-op on them and reclamation waits on
+  * driver GC, so every query-scoped checkpoint leaked until block-manager
+  * eviction thrashed the live caches. The fix (graft.Checkpoints) is a
+  * registry + deterministic release, but until this spec it was convention:
+  * nothing in `sbt test` failed if a new query called `df.localCheckpoint()`
+  * directly or a release path was dropped.
+  *
+  * Contract enforced here, over the checkpoint-using query family run with
+  * Bench's exact release discipline (releaseShingles + releaseScoped at
+  * pass boundaries):
+  *   1. after each pass's release sweep, zero scoped checkpoints remain
+  *      registered, and
+  *   2. the session's persistent-RDD registry returns to its pre-soak size
+  *      — flat across passes, not growing. `SparkContext.unpersistRDD`
+  *      removes the registry entry synchronously even with
+  *      `blocking = false` (only block deletion is async), so this count is
+  *      deterministic — no sleeps or polling. A leaked persist/checkpoint
+  *      of ANY kind (localCheckpoint, cache, persist) stays in that
+  *      registry forever and fails pass 1; growth limited to later passes
+  *      (a cache keyed on something that never hits) fails pass 2+.
+  */
+class SessionSoakSpec extends SparkSpec {
+
+  // The localCheckpoint-using family: q35/q36 (candidate-pair scoped
+  // checkpoint), q81 (label-propagation rounds + staged label table),
+  // q61/q96/q103/q108 (totalRank frozen-pid scratch, salt-width probe).
+  private val soak = Seq(
+    "q35_jaccard_pairs", "q36_minhash_lsh", "q81_dedup_clusters",
+    "q61_ntile_deciles", "q96_salted_cooccur", "q103_skew_profile",
+    "q108_sequence_packing")
+
+  private def flush(): Unit = {
+    graft.queries.TextOps.releaseShingles()
+    Checkpoints.releaseScoped()
+  }
+
+  test("3-pass soak: release discipline returns storage registry to baseline") {
+    val reg = SparkEntry.queries
+    soak.foreach(n => assert(reg.contains(n), s"soak query $n not registered"))
+    flush()
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    (1 to 3).foreach { pass =>
+      soak.foreach(n => reg(n)(spark, sf).count())
+      flush()
+      assert(Checkpoints.scopedCount == 0,
+        s"pass $pass: ${Checkpoints.scopedCount} scoped checkpoints survived releaseScoped()")
+      val now = spark.sparkContext.getPersistentRDDs.size
+      assert(now == baseline,
+        s"pass $pass: persistent-RDD registry grew $baseline -> $now — " +
+          "a query persists/checkpoints outside the Checkpoints/staged-cache " +
+          "release paths (see graft.Checkpoints scaladoc for the contract)")
+    }
+  }
+
+  test("a bypassing localCheckpoint would be caught (detector sensitivity)") {
+    // Negative control: prove the probe actually detects the failure mode
+    // the soak guards against — a raw df.localCheckpoint() with no release.
+    import spark.implicits._
+    flush()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val leaked = Seq(1, 2, 3).toDF("x").localCheckpoint()
+    leaked.count()
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "probe failed to observe an unreleased localCheckpoint")
+    // clean up so later suites inherit a clean session
+    Checkpoints.release(leaked)
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
+}
