@@ -17,6 +17,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // spike attribution (GC vs spill vs host): every timed region below also
+    // records task-metric deltas, written per pass into BENCH_DETAIL
+    MetricsTap.install(spark.sparkContext)
     // untimed warmup at the smallest fixture: every query shape runs once so
     // whole-stage codegen compilation + JIT warm up off the clock (generated
     // code is schema-dependent, not path-dependent, so it carries over to the
@@ -50,6 +53,10 @@ object Bench {
     // caches thrashed, and nothing measured it. Bounded counts across
     // passes = the leak stays fixed.
     val storageLog = scala.collection.mutable.ArrayBuffer.empty[String]
+    // name -> per-pass task-metric deltas, in pass order (parallel to the
+    // per-pass wall times min() erases)
+    val qMetrics =
+      scala.collection.mutable.LinkedHashMap[String, List[MetricsTap.Snap]]()
     def logStorage(label: String): Unit = {
       val sc = spark.sparkContext
       val mb = sc.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum / (1 << 20)
@@ -79,9 +86,18 @@ object Bench {
         // previous query's scoped checkpoint scratch dies OFF the clock —
         // the timed region measures the query, not the session's garbage
         Checkpoints.releaseScoped()
+        val m0 = MetricsTap.snapshot() // flushes the bus — off the clock
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // per-pass GC/spill attribution for THIS query's tasks (snapshot
+        // flush happens after the timer stops; see MetricsTap). Recorded
+        // per pass — min-of-passes timing must not hide a pass-2 spike.
+        val dm = MetricsTap.snapshot() - m0
+        qMetrics.synchronized {
+          qMetrics(name) = qMetrics.getOrElse(name, Nil) :+ dm
+        }
+        name -> dt
       }
     }
     val p1 = pass(_ => true); logStorage("pass1")
@@ -112,7 +128,11 @@ object Bench {
     val onlyMark = only.map(names =>
       s""","only":[${names.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]""")
       .getOrElse("")
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"stages":$stages,"storage":[${storageLog.mkString(",")}]$onlyMark,"sf":"$sfDir"}"""
+    val metricsJson = qMetrics.toSeq.sortBy(_._1)
+      .map { case (k, snaps) =>
+        "\"" + k + "\":[" + snaps.map(_.json).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"stages":$stages,"query_metrics":$metricsJson,"storage":[${storageLog.mkString(",")}]$onlyMark,"sf":"$sfDir"}"""
     // subset runs go to their own file: the full-suite BENCH_DETAIL.json is
     // the graded record and a debugging subset must never clobber it
     val detailFile =

@@ -122,6 +122,13 @@ object TextOps {
 
   private val frameChildNs = scala.collection.mutable.Stack[Long]()
   private def timedStage[T](name: String)(f: => T): T = {
+    // Bench runs also attribute WHY per stage (GC vs spill — see MetricsTap
+    // scaladoc): deltas are INCLUSIVE of nested builds (no exclusive-time
+    // subtraction as for wall time — a child's spill is still this build's
+    // spill for diagnosis), and the snapshot's bus flush sits outside no
+    // timer here because stage wall time is measured around the whole build
+    // anyway — the flush cost (ms) is noise against a multi-second build.
+    val m0 = if (graft.MetricsTap.enabled) Some(graft.MetricsTap.snapshot()) else None
     val t0 = System.nanoTime()
     frameChildNs.push(0L)
     try {
@@ -132,6 +139,12 @@ object TextOps {
         frameChildNs.push(frameChildNs.pop() + elapsed)
       stageTimes(name) =
         stageTimes.getOrElse(name, Nil) :+ (elapsed - childNs) / 1e9
+      m0.foreach { before =>
+        val d = graft.MetricsTap.snapshot() - before
+        recordStat(s"${name}_gc_ms", d.gcMs.toDouble)
+        recordStat(s"${name}_spill_mb",
+          (d.spillMemBytes + d.spillDiskBytes).toDouble / (1 << 20))
+      }
       r
     } catch { // pop the frame on failure too, or the orphan entry corrupts
       case t: Throwable => frameChildNs.pop(); throw t // later attributions

@@ -20,6 +20,17 @@ object GraftColumnBridge {
   * object. The checkpointed RDD sits behind the plan's `LogicalRDD` leaf
   * (package-scoped in Spark 4), so the explicit-release path
   * (graft.Checkpoints) reaches it through this shim. */
+/** Listener-bus flush for metric snapshots. Task-metric listener events are
+  * delivered async; a reader that snapshots counters right after an action
+  * returns can miss the tail of its own tasks. `waitUntilEmpty` is
+  * `private[spark]` (Spark uses it for exactly this in its own tests), so
+  * the bench's off-the-clock metric attribution reaches it through here. */
+object GraftListenerBridge {
+  def flush(sc: org.apache.spark.SparkContext, timeoutMs: Long = 10000L): Unit =
+    try sc.listenerBus.waitUntilEmpty(timeoutMs)
+    catch { case _: java.util.concurrent.TimeoutException => () }
+}
+
 object GraftRddBridge {
   /** The materialized RDD behind a localCheckpoint'd Dataset; None for any
     * other plan shape. ROOT-only match, deliberately: a derived frame
