@@ -147,26 +147,41 @@ object Bpe {
         scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
       var idx = 0
       var overlapped = false
+      var firstSkipN = -1L // count of the first overlap-skipped entry
       while (!overlapped && idx < entries.length && accepted.length < want) {
         val (a, b, n) = entries(idx)
         if (accepted.nonEmpty && (used(a) || used(b) || used(a + b))) {
-          if (exact) overlapped = true else idx += 1
+          if (exact) overlapped = true
+          else { if (firstSkipN < 0) firstSkipN = n; idx += 1 }
         } else {
           accepted += ((a, b, n))
           used += a; used += b; used += (a + b)
           idx += 1
         }
       }
-      // exact mode only: largest count sequential training could see
-      // OUTSIDE the accepted prefix — the stopper / first unvisited entry,
-      // or, when the head was cut at topN, the collection boundary
+      // Largest count sequential training could see OUTSIDE the accepted
+      // set: the first skipped/stopper entry (counts are DESC, so the first
+      // is the max), else the first unvisited entry, else — when the head
+      // was cut at topN — the collection boundary.
       val nBound =
-        if (!exact) 1L
+        if (firstSkipN >= 0) firstSkipN
         else if (idx < entries.length) entries(idx)._3
         else if (entries.length == topN) entries.last._3
         else 1L
+      // exact: keep only members ranking STRICTLY above nBound — batched ==
+      // sequential, tie-breaks included (see scaladoc). approximate: keep
+      // members down TO nBound (ties at the boundary allowed) — a merge-
+      // created pair's count is bounded by an overlapping (hence skipped)
+      // old count ≤ nBound, so sequential order can deviate only inside the
+      // boundary tie plateau, never across a count level. Without this
+      // truncation the batch committed tail merges whole count-levels below
+      // anything skipped, and the learned vocab drifted to 0.61 set-overlap
+      // vs exact on the fixture; with it, drift is plateau-reordering only
+      // (0.85 overlap at the same pass cut — BpeSpec pins the bound).
+      val keepInBatch: Long => Boolean =
+        if (exact) _ > nBound else _ >= nBound
       val batch = (accepted.headOption.toSeq ++
-        accepted.drop(1).takeWhile(!exact || _._3 > nBound))
+        accepted.drop(1).takeWhile(t => keepInBatch(t._3)))
         .filter(_._3 >= 2).map(t => (t._1, t._2))
       if (batch.isEmpty) continue = false
       else {

@@ -167,6 +167,42 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.encodeWord("customer", rank).mkString == "customer" + Bpe.Eow)
   }
 
+  test("approximate batching is CLOSE to exact: measured vocab + token bounds") {
+    // "approximate" was a mode with no measured distance from the truth —
+    // every property held (valid disjoint merges, deterministic, big pass
+    // cut) but nothing bounded how far the learned vocab could drift from
+    // the sequential trainer's. Two bounds, both on the full learnable
+    // vocab of the fixture corpus:
+    //  1. vocab membership: the approximate merge list may legally REORDER
+    //     (a merge-created pair can outrank a later batch member), so
+    //     closeness is set overlap of learned subwords, not list equality;
+    //  2. downstream effect: corpus-total subword token counts under the
+    //     two vocabs — what a token-budget user actually consumes.
+    // Measured at 256 merges / batchK=16 on this fixture: 0.848 vocab
+    // overlap (89/105; drift is tie-plateau reordering only — the batch
+    // rule truncates at the first-skipped count level, so nothing below a
+    // skipped count level is ever committed) and sub-1% token drift.
+    // Bounds pinned under the measurement so real drift regressions fail
+    // while fixture noise doesn't. The earlier unbounded batch rule
+    // measured 0.61 here — this test is what exposed it.
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val exact = Bpe.train(docs, nMerges = 256, batchK = 16)
+    val approx = Bpe.train(docs, nMerges = 256, batchK = 16, exact = false)
+    val ev = exact.map { case (a, b) => a + b }.toSet
+    val av = approx.map { case (a, b) => a + b }.toSet
+    val overlap = (ev intersect av).size.toDouble / ev.size
+    info(f"vocab overlap: $overlap%.3f (${(ev intersect av).size}/${ev.size}); " +
+      s"exact=${exact.length} approx=${approx.length} merges")
+    assert(overlap >= 0.80, f"approximate vocab drifted: overlap $overlap%.3f")
+    val en = Bpe.tokenCounts(docs, exact)
+      .agg(org.apache.spark.sql.functions.sum("n_subword_tokens")).as[Long].head()
+    val an = Bpe.tokenCounts(docs, approx)
+      .agg(org.apache.spark.sql.functions.sum("n_subword_tokens")).as[Long].head()
+    val drift = math.abs(en - an).toDouble / en
+    info(f"corpus tokens: exact=$en approx=$an drift=$drift%.4f")
+    assert(drift <= 0.02, f"token-count drift $drift%.4f exceeds 2%%")
+  }
+
   test("pinnedMerges is exactly what train() learns from the sf0.01 fixture") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
       .select("doc_id", "text")
