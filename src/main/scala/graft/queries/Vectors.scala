@@ -437,6 +437,127 @@ object Vectors {
                CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_x1e6
         FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
         GROUP BY label, i ORDER BY label, dim"""),
-      doc = "typed Aggregator centroid over Array[Float] (map-side combinable)")
+      doc = "typed Aggregator centroid over Array[Float] (map-side combinable)"),
+
+    // SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    // web-scale through semantic deduplication" — public literature): the
+    // training-pipeline step ABOVE near-dup pair listing (q38/q40) — decide
+    // which documents to KEEP. Cluster embeddings, call within-cluster
+    // pairs with cosine >= tau semantic duplicates, and per duplicate
+    // relation keep the example LEAST similar to its centroid (the paper's
+    // retention rule: low-cos_c items are the cluster's diverse edge, and
+    // keeping them measurably beats keeping random or central members).
+    //
+    // Deterministic law (the paper leaves group resolution to
+    // implementation; this form is pairwise and engine-replayable): within
+    // a cluster, x is DROPPED iff some y with cos(x,y) >= 0.4 precedes it
+    // in (cos_c ASC, vec_id ASC) order. Precedence compares the SAME
+    // bit-identical doubles both engines computed for assignment, so the
+    // tie-break replays exactly.
+    //
+    // 100 TB shape: identical to q40's scale path — 16 broadcast centroids
+    // (a trained k-means/IVF codebook in production), assignment + cos_c in
+    // one narrow JVM kernel pass, then ONE shuffle on cluster id for the
+    // precedence join; pair work is within-cluster only, never corpus-
+    // quadratic, and the kept/dropped marking is a left join on the
+    // (duplicate-proportional) dropped set. No driver state beyond the
+    // centroid matrix.
+    "q109_semdedup" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        val centRows = vecs(s, d).filter(col("vec_id") < 16)
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])].collect().sortBy(_._1)
+        val centIds = centRows.map(_._1)
+        val centMat = centRows.map(_._2)
+        val centN2 = centMat.map { v =>
+          var acc = 0.0; var i = 0
+          while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+          acc
+        }
+        val bc = s.sparkContext.broadcast((centIds, centMat, centN2))
+        // one kernel pass: nearest centroid id AND the cosine to it (q40's
+        // assignment, extended to also emit cos_c for the retention order)
+        val assignWithCos = udf { (emb: Seq[Float]) =>
+          val (cids, cm, cn2) = bc.value
+          val va = emb.toArray
+          var n2 = 0.0; var i = 0
+          while (i < va.length) { n2 += va(i).toDouble * va(i).toDouble; i += 1 }
+          var best = -1; var bestCos = Double.NegativeInfinity
+          var c = 0
+          while (c < cm.length) {
+            val vc = cm(c)
+            var acc = 0.0; var j = 0
+            while (j < va.length) { acc += va(j).toDouble * vc(j).toDouble; j += 1 }
+            val cos = acc / (math.sqrt(n2) * math.sqrt(cn2(c)))
+            if (cos > bestCos) { bestCos = cos; best = c } // first (asc id) wins ties
+            c += 1
+          }
+          (cids(best), bestCos)
+        }
+        val cosPair = udf { (a: Seq[Float], b: Seq[Float]) =>
+          val va = a.toArray; val vb = b.toArray
+          var acc = 0.0; var n2a = 0.0; var n2b = 0.0; var i = 0
+          while (i < va.length) {
+            acc += va(i).toDouble * vb(i).toDouble
+            n2a += va(i).toDouble * va(i).toDouble
+            n2b += vb(i).toDouble * vb(i).toDouble
+            i += 1
+          }
+          acc / (math.sqrt(n2a) * math.sqrt(n2b))
+        }
+        val clustered = vecs(s, d)
+          .withColumn("ac", assignWithCos(col("embedding")))
+          .select(col("vec_id"), col("ac._1").as("cl"), col("ac._2").as("cos_c"),
+            col("embedding"))
+        val x = clustered.select(col("cl"), col("vec_id"), col("cos_c"),
+          col("embedding").as("emb_x"))
+        val y = clustered.select(col("cl"), col("vec_id").as("y_id"),
+          col("cos_c").as("y_cos_c"), col("embedding").as("emb_y"))
+        // dropped = has a tau-duplicate that precedes it in retention order
+        val dropped = x.join(y,
+            x("cl") === y("cl") &&
+              (col("y_cos_c") < col("cos_c") ||
+                (col("y_cos_c") === col("cos_c") && col("y_id") < col("vec_id"))),
+            "inner")
+          .filter(cosPair(col("emb_x"), col("emb_y")) >= 0.4)
+          .select(col("vec_id")).distinct()
+          .withColumn("is_dropped", lit(true))
+        clustered
+          .join(dropped, Seq("vec_id"), "left")
+          .select(col("cl").as("cluster"), col("vec_id"),
+            col("is_dropped").isNull.as("kept"))
+          .orderBy("cluster", "vec_id")
+      },
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT * FROM (
+            SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2
+            FROM embeddings) WHERE n2 > 0),
+        cents AS (
+          SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2
+          FROM v WHERE vec_id < 16),
+        assigned AS (
+          SELECT v.vec_id, v.embedding, v.n2, c.cent_id,
+                 ${sqlDot("v.embedding", "c.c_emb")} / (sqrt(v.n2) * sqrt(c.c_n2)) AS cos_c
+          FROM v CROSS JOIN cents c),
+        clustered AS (
+          SELECT vec_id, cent_id AS cl, embedding, n2, cos_c FROM (
+            SELECT vec_id, cent_id, embedding, n2, cos_c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+            FROM assigned) t
+          WHERE rn = 1),
+        dropped AS (
+          SELECT DISTINCT x.vec_id
+          FROM clustered x JOIN clustered y
+            ON x.cl = y.cl
+           AND (y.cos_c < x.cos_c OR (y.cos_c = x.cos_c AND y.vec_id < x.vec_id))
+          WHERE ${sqlDot("x.embedding", "y.embedding")} / (sqrt(x.n2) * sqrt(y.n2)) >= 0.4)
+        SELECT c.cl AS cluster, c.vec_id AS vec_id,
+               (d.vec_id IS NULL) AS kept
+        FROM clustered c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+        ORDER BY cluster, c.vec_id"""),
+      doc = "SemDeDup keep/drop decision (cluster + within-cluster cosine, " +
+        "keep the least-central duplicate; Abbas et al. 2023)")
   )
 }

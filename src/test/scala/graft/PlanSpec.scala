@@ -424,4 +424,21 @@ class PlanSpec extends SparkSpec {
       Checkpoints.release(dim)
     }
   }
+
+  test("q109: semdedup precedence join is cluster-keyed, never corpus-quadratic") {
+    val p = plan("q109_semdedup", execute = true)
+    assert(!p.contains("CartesianProduct"), s"precedence join degenerated:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"precedence join degenerated to nested-loop:\n$p")
+    // the pairwise stage must key on the cluster id — that's the IVF
+    // pruning that keeps the pair work within-cluster at 100 TB; the
+    // cos_c/vec_id precedence is a residual condition on that equi-join.
+    // (The plan has TWO joins — the kept-marking left join keys on vec_id;
+    // scan all join lines for the cluster-keyed one.)
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")).toSeq
+    assert(joinLines.exists(_.contains("cl#")),
+      s"no join keyed on cluster id among:\n${joinLines.mkString("\n")}\n$p")
+  }
 }
