@@ -57,6 +57,8 @@ object Bench {
     // per-pass wall times min() erases)
     val qMetrics =
       scala.collection.mutable.LinkedHashMap[String, List[MetricsTap.Snap]]()
+    // query -> exception class of its most recent failure (any pass)
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     def logStorage(label: String): Unit = {
       val sc = spark.sparkContext
       val mb = sc.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum / (1 << 20)
@@ -88,7 +90,13 @@ object Bench {
         Checkpoints.releaseScoped()
         val m0 = MetricsTap.snapshot() // flushes the bus — off the clock
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // a failing query must be VISIBLE, not a fast -1: its wall time is
+        // fail-fast-small, so min() would otherwise make a broken suite
+        // look like a speedup (exactly the round-9 fixture-regen shape —
+        // every events query analysis-failing in milliseconds)
+        try { fn(spark, sfDir).count() }
+        catch { case t: Throwable => failed.synchronized {
+          failed(name) = t.getClass.getSimpleName } }
         val dt = (System.nanoTime() - t0) / 1e9
         // per-pass GC/spill attribution for THIS query's tasks (snapshot
         // flush happens after the timer stops; see MetricsTap). Recorded
@@ -132,7 +140,12 @@ object Bench {
       .map { case (k, snaps) =>
         "\"" + k + "\":[" + snaps.map(_.json).mkString(",") + "]" }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"stages":$stages,"query_metrics":$metricsJson,"storage":[${storageLog.mkString(",")}]$onlyMark,"sf":"$sfDir"}"""
+    // failures surface in BOTH records: the driver's tail parser sees
+    // n_failed on the compact line, the judge sees names in the detail
+    val failedJson = failed.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    val failMark = if (failed.isEmpty) "" else s""","n_failed":${failed.size}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"stages":$stages,"query_metrics":$metricsJson,"failed":$failedJson$failMark,"storage":[${storageLog.mkString(",")}]$onlyMark,"sf":"$sfDir"}"""
     // subset runs go to their own file: the full-suite BENCH_DETAIL.json is
     // the graded record and a debugging subset must never clobber it
     val detailFile =
@@ -141,7 +154,7 @@ object Bench {
       java.nio.file.Paths.get(detailFile), full + "\n")
     catch { case _: Throwable => () }
     val slow = results.sortBy(-_._2).take(25).sortBy(_._1)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(slow)},"sf":"$sfDir","n_queries":${results.size}$onlyMark,"detail":"$detailFile"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(slow)},"sf":"$sfDir","n_queries":${results.size}$failMark$onlyMark,"detail":"$detailFile"}""")
     graft.queries.TextOps.releaseShingles()
     Checkpoints.releaseScoped()
     spark.stop()
