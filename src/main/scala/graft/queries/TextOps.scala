@@ -397,18 +397,35 @@ object TextOps {
       .join(classes.select(col("rep").as("doc_id"), col("n")), Seq("doc_id"))
       .withColumn("rn", row_number().over(wPrefix))
       .filter(col("rn") <= expr("n - ((7 * n + 9) div 10) + 1"))
-      .select(col("doc_id"), col("shh"))
-    // length filter (the other PPJoin screen): J ≥ 0.7 forces
-    // 7·max(nA,nB) ≤ 10·min(nA,nB), so size-mismatched candidates drop
-    // before the verify join ever sees them
+      .select(col("doc_id"), col("shh"), col("rn"))
+    // Two further PPJoin screens before any array is touched:
+    //  - length filter: J ≥ 0.7 forces 7·max(nA,nB) ≤ 10·min(nA,nB);
+    //  - POSITIONAL filter (Xiao et al.'s ppjoin refinement over plain
+    //    SSJoin): the globally-FIRST shared shingle of a pair — which, by
+    //    monotonicity of prefix positions in the common (dfreq, shh) order,
+    //    is exactly the match with the minimum rn on BOTH sides, and is
+    //    always an in-prefix match for a qualifying pair — bounds the
+    //    overlap: inter ≤ min(nA − pa, nB − pb) + 1 (nothing before it is
+    //    shared, everything after it might be). J ≥ 0.7 needs
+    //    inter ≥ ⌈7(nA+nB)/17⌉, so a pair whose earliest shared shingle
+    //    sits too deep is disqualified by arithmetic alone. On ~50-shingle
+    //    docs the prefix is ~16 wide but only matches in the first ~9
+    //    positions can qualify — on a shared-vocabulary corpus (candidates
+    //    from hot-ish shingles, few true dups) this halves the candidates
+    //    reaching the array-verify joins. The groupBy replaces the old
+    //    .distinct() — same shuffle, strictly more pruning.
     val sizes = classes.select(col("rep"), col("n"))
-    val cand = prefix.select(col("doc_id").as("ra"), col("shh"))
-      .join(prefix.select(col("doc_id").as("rb"), col("shh")), Seq("shh"))
+    val cand = prefix.select(col("doc_id").as("ra"), col("shh"), col("rn").as("pa"))
+      .join(prefix.select(col("doc_id").as("rb"), col("shh"), col("rn").as("pb")),
+        Seq("shh"))
       .filter(col("ra") < col("rb"))
-      .select(col("ra"), col("rb")).distinct()
+      .groupBy(col("ra"), col("rb"))
+      .agg(min(col("pa")).as("pa"), min(col("pb")).as("pb"))
       .join(sizes.select(col("rep").as("ra"), col("n").as("la")), Seq("ra"))
       .join(sizes.select(col("rep").as("rb"), col("n").as("lb")), Seq("rb"))
       .filter(col("la") * 10 >= col("lb") * 7 && col("lb") * 10 >= col("la") * 7)
+      // α = ⌈7(la+lb)/17⌉ in exact integer arithmetic
+      .filter(expr("least(la - pa, lb - pb) + 1 >= (7 * (la + lb) + 16) div 17"))
       .select(col("ra"), col("rb"))
 
     // Exact verification: candidates join to the per-doc shingle ARRAYS (one
