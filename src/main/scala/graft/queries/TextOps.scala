@@ -358,13 +358,18 @@ object TextOps {
   }
 
   /** |A∩B| over two per-doc-distinct shingle arrays (q35/q36 verify).
-    * Composed from built-ins rather than a UDF: the inputs are distinct per
-    * doc (kernel output), so size(array_intersect) IS the exact overlap
-    * count, and the built-in's specialized codegen (primitive long hash set,
-    * no catalyst↔JVM boxing) measured ~25% faster than the equivalent JVM
-    * hash-probe UDF on the 200k-candidate verify shape. */
+    * Native codegen expression (graft.plans.InterSize): counts without
+    * materializing the intersection. History of this hot spot: a JVM
+    * hash-probe UDF lost ~25% to `size(array_intersect)` (boxing through
+    * the catalyst↔JVM boundary); the built-in in turn loses 1.54× to the
+    * native count (measured, 200k × 50-element pairs, same JVM) because it
+    * builds hash set + output array + GenericArrayData per row just to be
+    * counted and discarded — allocation the full-suite bench attributed to
+    * the pair build's GC pressure. */
   private def interCount(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("long")
+    org.apache.spark.sql.GraftColumnBridge.column(graft.plans.InterSize(
+      org.apache.spark.sql.GraftColumnBridge.expression(a),
+      org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = docShingles(s, d)
