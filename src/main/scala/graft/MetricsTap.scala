@@ -31,10 +31,11 @@ object MetricsTap {
     def -(o: Snap): Snap =
       Snap(gcMs - o.gcMs, spillMemBytes - o.spillMemBytes,
         spillDiskBytes - o.spillDiskBytes)
-    def json: String = {
-      val mb = 1 << 20
-      s"""{"gc_ms":$gcMs,"spill_mem_mb":${spillMemBytes / mb},"spill_disk_mb":${spillDiskBytes / mb}}"""
-    }
+    // raw byte counts: integer MiB division truncated sub-MiB spill to 0 —
+    // the exact "spill > 0" red flag this tap exists to surface, invisible
+    // for small-fixture runs
+    def json: String =
+      s"""{"gc_ms":$gcMs,"spill_mem_bytes":$spillMemBytes,"spill_disk_bytes":$spillDiskBytes}"""
   }
 
   private val gcMs = new AtomicLong
