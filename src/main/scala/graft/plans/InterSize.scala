@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.GraftExpectsLongArrayInputs
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -23,7 +24,10 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * precondition the count equals multiset-intersection size exactly.
   */
 case class InterSize(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with GraftExpectsLongArrayInputs {
+  // analysis-time input contract: applied to anything but long arrays, the
+  // kernel's getLong would miscount or throw inside codegen — the mixed-in
+  // inputTypes (array<bigint>, array<bigint>) fails analysis instead
 
   override def dataType: DataType = LongType
   override def prettyName: String = "inter_size"

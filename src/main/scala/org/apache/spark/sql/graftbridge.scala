@@ -13,6 +13,25 @@ object GraftColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** `ExpectsInputTypes.inputTypes` contract for graft's long-array kernels
+  * (InterSize). `AbstractDataType` is `private[sql]` in Spark 4, so an
+  * extension expression can't name it in an override outside this package —
+  * the trait carries the override here and the expression just mixes it in.
+  * Gets analysis-time rejection of wrong input types (DATATYPE_MISMATCH)
+  * plus the standard implicit coercions (e.g. array<int> → array<bigint>). */
+trait GraftExpectsLongArrayInputs
+    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[types.AbstractDataType] =
+    Seq(types.ArrayType(types.LongType), types.ArrayType(types.LongType))
+}
+
+/** Same contract for the float-array kernels (CosineSim). */
+trait GraftExpectsFloatArrayInputs
+    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[types.AbstractDataType] =
+    Seq(types.ArrayType(types.FloatType), types.ArrayType(types.FloatType))
+}
+
 /** Block-level access to a `localCheckpoint()`ed Dataset's storage.
   * localCheckpoint materializes into block-manager storage OUTSIDE the SQL
   * cache manager — `Dataset.unpersist` frees nothing, and the async

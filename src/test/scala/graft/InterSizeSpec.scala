@@ -46,4 +46,26 @@ class InterSizeSpec extends SparkSpec {
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
+
+  test("misuse fails at analysis, not inside codegen") {
+    // string arrays: no implicit cast to array<bigint> exists, so the
+    // ExpectsInputTypes contract must reject the plan at analysis time
+    val df = Seq((Array("x", "y"), Array("y"))).toDF("a", "b")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(native).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("inter_size") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"))
+    // element-type coercion doesn't reach inside arrays (Spark's implicit
+    // casts are scalar-level), so array<int> is rejected too — callers must
+    // produce array<bigint>, which every hash-kernel call site does; an
+    // explicit cast satisfies the contract
+    val ints = Seq((Array(1, 2, 3), Array(3, 1))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(native).collect()
+    }
+    val casted = ints.select(col("a").cast("array<bigint>").as("a"),
+      col("b").cast("array<bigint>").as("b"))
+    assert(casted.select(native).as[Long].head() == 2L)
+  }
 }
