@@ -51,32 +51,62 @@ object TextOps {
     * a plain val interpolated eagerly at object init would silently become
     * 0 if ever moved below the registry. */
   private[graft] final val packShardDocs = 32L
-  private def docWindows(s: SparkSession, d: String): DataFrame =
+
+  /** Window-hash kernel selector for the substring-dedup family (q106/q107).
+    *
+    * "md5" (default): 32-hex-char strings, bit-compatible with the DuckDB
+    * oracle — the correctness-gate form. "xxh64": 8-byte longs — the
+    * production form. The window table is the dominant intermediate of
+    * substring dedup at 100 TB (every token position emits a value), and
+    * the md5 string is ~40+ bytes on the wire vs xxhash64's 8: the flag
+    * cuts that shuffle ~4-5× with zero plan change, because every consumer
+    * treats window values opaquely (equality/distinct/group only — q106
+    * counts, q107 counts; no query ever exposes the hash itself).
+    * WindowHashSpec asserts both modes produce identical dup stats on the
+    * fixture. Read per call, not cached at init, so tests can flip it. */
+  private[graft] def windowHashMode: String =
+    sys.props.get("graft.windowHash")
+      .orElse(sys.env.get("SPARK_GRAFT_WINDOW_HASH")).getOrElse("md5")
+
+  private def docWindows(s: SparkSession, d: String): DataFrame = {
+    val (winExpr, emptyType) = windowHashMode match {
+      case "xxh64" =>
+        (s"transform(sequence(1, size(toks) - ${winK - 1}), " +
+          s"i -> xxhash64(array_join(slice(toks, i, $winK), ' ')))",
+          "array<bigint>")
+      case "md5" =>
+        (s"transform(sequence(1, size(toks) - ${winK - 1}), " +
+          s"i -> md5(array_join(slice(toks, i, $winK), ' ')))",
+          "array<string>")
+      case other => throw new IllegalArgumentException(
+        s"graft.windowHash must be md5 or xxh64, got: $other")
+    }
     docTokens(s, d).withColumn("wins",
-      when(size(col("toks")) >= winK,
-        expr(s"transform(sequence(1, size(toks) - ${winK - 1}), " +
-          s"i -> md5(array_join(slice(toks, i, $winK), ' ')))"))
-        .otherwise(array().cast("array<string>")))
+      when(size(col("toks")) >= winK, expr(winExpr))
+        .otherwise(array().cast(emptyType)))
+  }
 
   // The per-doc window table is shared by the substring-dedup family
   // (q106 per-doc stats, q107 source matrix) — the tokenize+hash kernel is
-  // the expensive narrow stage, so it materializes once per (session, dir)
-  // under the same single-slot policy as the shingle caches. One row per
-  // doc: (doc_id, source, n_windows incl. in-doc repeats, distinct hashes).
-  private var windowCache: Option[(SparkSession, String, DataFrame)] = None
+  // the expensive narrow stage, so it materializes once per (session, dir,
+  // hash-mode) under the same single-slot policy as the shingle caches
+  // (mode in the key: a test flipping md5→xxh64 must rebuild, not reuse).
+  // One row per doc: (doc_id, source, n_windows incl. repeats, distinct).
+  private var windowCache: Option[(SparkSession, String, String, DataFrame)] = None
 
   private def docWindowArrays(s: SparkSession, d: String): DataFrame = synchronized {
+    val mode = windowHashMode
     windowCache match {
-      case Some((sess, dir, df)) if (sess eq s) && dir == d => df
+      case Some((sess, dir, m, df)) if (sess eq s) && dir == d && m == mode => df
       case prev => timedStage("window_arrays_build") {
-        prev.foreach(_._3.unpersist(blocking = false))
+        prev.foreach(_._4.unpersist(blocking = false))
         val wa = docWindows(s, d)
           .select(col("doc_id"), col("source"),
             size(col("wins")).cast("long").as("n_windows"),
             array_distinct(col("wins")).as("dwins"))
           .persist()
         wa.count()
-        windowCache = Some((s, d, wa))
+        windowCache = Some((s, d, mode, wa))
         wa
       }
     }
@@ -140,10 +170,19 @@ object TextOps {
       stageTimes(name) =
         stageTimes.getOrElse(name, Nil) :+ (elapsed - childNs) / 1e9
       m0.foreach { before =>
+        // the snapshot's bus flush (bounded 10 s) runs after THIS stage's
+        // elapsed is taken, but inside any enclosing stage's timed region —
+        // credit it to the parent's child-time so a pathological bus stall
+        // can't masquerade as parent stage time, and record it for audit
+        val f0 = System.nanoTime()
         val d = graft.MetricsTap.snapshot() - before
+        val flushNs = System.nanoTime() - f0
+        if (frameChildNs.nonEmpty)
+          frameChildNs.push(frameChildNs.pop() + flushNs)
         recordStat(s"${name}_gc_ms", d.gcMs.toDouble)
         recordStat(s"${name}_spill_mb",
           (d.spillMemBytes + d.spillDiskBytes).toDouble / (1 << 20))
+        recordStat(s"${name}_flush_ms", flushNs / 1e6)
       }
       r
     } catch { // pop the frame on failure too, or the orphan entry corrupts
@@ -195,7 +234,7 @@ object TextOps {
     shingleCache = None
     pairsCache.foreach(_._3.unpersist(blocking = false))
     pairsCache = None
-    windowCache.foreach(_._3.unpersist(blocking = false))
+    windowCache.foreach(_._4.unpersist(blocking = false))
     windowCache = None
     labelsCache.foreach(p => graft.Checkpoints.release(p._3))
     labelsCache = None
