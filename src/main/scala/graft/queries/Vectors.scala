@@ -33,13 +33,17 @@ object Vectors {
     aggregate(transform(v, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Sequential-fold dot product in double. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-
-  private def cosine(dotC: Column, n2a: Column, n2b: Column): Column =
-    dotC / (sqrt(n2a) * sqrt(n2b))
+  /** Native codegen pairwise cosine ([[graft.plans.CosineSim]]) — replaces
+    * both the interpreted Catalyst-HOF fold (per-element closure dispatch)
+    * and the `Seq[Float]`-boxing UDF form on pair-join hot paths.
+    * Bit-identical to `cosine(dot(a,b), norm2(a), norm2(b))`: each
+    * accumulator (dot, n2a, n2b) sees the same ascending-index double adds
+    * whether the loops are fused or separate, so thresholds and rankings
+    * decide identically and the oracle hash is unchanged. */
+  private def cosSim(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(graft.plans.CosineSim(
+      org.apache.spark.sql.GraftColumnBridge.expression(a),
+      org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
   /** Vectors with their squared norm, zero vectors excluded: a zero vector
     * has no direction, and its NaN cosine is ordered/compared differently
@@ -154,10 +158,11 @@ object Vectors {
       run = (s, d) => {
         val v = vecs(s, d)
         val q = v.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-            col("n2").as("q_n2"))
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        // native kernel score: the HOF fold ran interpreted per element and
+        // was the q39 hot spot; CosineSim fuses dot+norms in one codegen pass
         val scored = broadcast(q).join(v, col("query_id") =!= col("vec_id"))
-          .withColumn("cos", cosine(dot(col("q_emb"), col("embedding")), col("q_n2"), col("n2")))
+          .withColumn("cos", cosSim(col("q_emb"), col("embedding")))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("vec_id"))
         scored.withColumn("rank", row_number().over(w))
@@ -210,46 +215,38 @@ object Vectors {
           acc
         }
         val bc = s.sparkContext.broadcast((centIds, centMat, centN2))
-        val assignCluster = udf { (emb: Seq[Float]) =>
-          val (cids, cm, cn2) = bc.value
-          val va = emb.toArray
-          var n2 = 0.0; var i = 0
-          while (i < va.length) { n2 += va(i).toDouble * va(i).toDouble; i += 1 }
-          var best = -1; var bestCos = Double.NegativeInfinity
-          var c = 0
-          while (c < cm.length) {
-            val vc = cm(c)
-            var acc = 0.0; var j = 0
-            while (j < va.length) { acc += va(j).toDouble * vc(j).toDouble; j += 1 }
-            val cos = acc / (math.sqrt(n2) * math.sqrt(cn2(c)))
-            if (cos > bestCos) { bestCos = cos; best = c } // first (asc id) wins ties
-            c += 1
-          }
-          cids(best)
-        }
-        val cosPair = udf { (a: Seq[Float], b: Seq[Float]) =>
-          val va = a.toArray; val vb = b.toArray
-          var acc = 0.0; var n2a = 0.0; var n2b = 0.0; var i = 0
-          while (i < va.length) {
-            acc += va(i).toDouble * vb(i).toDouble
-            n2a += va(i).toDouble * va(i).toDouble
-            n2b += vb(i).toDouble * vb(i).toDouble
-            i += 1
-          }
-          acc / (math.sqrt(n2a) * math.sqrt(n2b))
-        }
         // vecs() excludes zero vectors — their NaN cosine diverges across
-        // engines (see vecs scaladoc); the oracle's v CTE filters the same
+        // engines (see vecs scaladoc); the oracle's v CTE filters the same.
+        // Assignment runs as a typed-Dataset map over primitive Array[Float]
+        // (the Seq[Float] UDF form boxed every element of every row); the
+        // pair filter is the native codegen CosineSim kernel.
         val clustered = vecs(s, d)
-          .select(col("vec_id"), assignCluster(col("embedding")).as("cluster"),
-            col("embedding"))
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])]
+          .map { case (id, va) =>
+            val (cids, cm, cn2) = bc.value
+            var n2 = 0.0; var i = 0
+            while (i < va.length) { n2 += va(i).toDouble * va(i).toDouble; i += 1 }
+            var best = -1; var bestCos = Double.NegativeInfinity
+            var c = 0
+            while (c < cm.length) {
+              val vc = cm(c)
+              var acc = 0.0; var j = 0
+              while (j < va.length) { acc += va(j).toDouble * vc(j).toDouble; j += 1 }
+              val cos = acc / (math.sqrt(n2) * math.sqrt(cn2(c)))
+              if (cos > bestCos) { bestCos = cos; best = c } // first (asc id) wins ties
+              c += 1
+            }
+            (id, cids(best), va)
+          }
+          .toDF("vec_id", "cluster", "embedding")
         val a = clustered.select(col("cluster"), col("vec_id").as("vec_a"),
           col("embedding").as("emb_a"))
         val b = clustered.select(col("cluster"), col("vec_id").as("vec_b"),
           col("embedding").as("emb_b"))
         a.join(b, Seq("cluster"))
           .filter(col("vec_a") < col("vec_b"))
-          .filter(cosPair(col("emb_a"), col("emb_b")) >= 0.4)
+          .filter(cosSim(col("emb_a"), col("emb_b")) >= 0.4)
           .select(col("cluster"), col("vec_a"), col("vec_b"))
           .orderBy("cluster", "vec_a", "vec_b")
       },
@@ -463,72 +460,16 @@ object Vectors {
     // (duplicate-proportional) dropped set. No driver state beyond the
     // centroid matrix.
     "q109_semdedup" -> Q(
-      run = (s, d) => {
-        import s.implicits._
-        val centRows = vecs(s, d).filter(col("vec_id") < 16)
-          .select(col("vec_id"), col("embedding"))
-          .as[(Long, Array[Float])].collect().sortBy(_._1)
-        val centIds = centRows.map(_._1)
-        val centMat = centRows.map(_._2)
-        val centN2 = centMat.map { v =>
-          var acc = 0.0; var i = 0
-          while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
-          acc
-        }
-        val bc = s.sparkContext.broadcast((centIds, centMat, centN2))
-        // one kernel pass: nearest centroid id AND the cosine to it (q40's
-        // assignment, extended to also emit cos_c for the retention order)
-        val assignWithCos = udf { (emb: Seq[Float]) =>
-          val (cids, cm, cn2) = bc.value
-          val va = emb.toArray
-          var n2 = 0.0; var i = 0
-          while (i < va.length) { n2 += va(i).toDouble * va(i).toDouble; i += 1 }
-          var best = -1; var bestCos = Double.NegativeInfinity
-          var c = 0
-          while (c < cm.length) {
-            val vc = cm(c)
-            var acc = 0.0; var j = 0
-            while (j < va.length) { acc += va(j).toDouble * vc(j).toDouble; j += 1 }
-            val cos = acc / (math.sqrt(n2) * math.sqrt(cn2(c)))
-            if (cos > bestCos) { bestCos = cos; best = c } // first (asc id) wins ties
-            c += 1
-          }
-          (cids(best), bestCos)
-        }
-        val cosPair = udf { (a: Seq[Float], b: Seq[Float]) =>
-          val va = a.toArray; val vb = b.toArray
-          var acc = 0.0; var n2a = 0.0; var n2b = 0.0; var i = 0
-          while (i < va.length) {
-            acc += va(i).toDouble * vb(i).toDouble
-            n2a += va(i).toDouble * va(i).toDouble
-            n2b += vb(i).toDouble * vb(i).toDouble
-            i += 1
-          }
-          acc / (math.sqrt(n2a) * math.sqrt(n2b))
-        }
-        val clustered = vecs(s, d)
-          .withColumn("ac", assignWithCos(col("embedding")))
-          .select(col("vec_id"), col("ac._1").as("cl"), col("ac._2").as("cos_c"),
-            col("embedding"))
-        val x = clustered.select(col("cl"), col("vec_id"), col("cos_c"),
-          col("embedding").as("emb_x"))
-        val y = clustered.select(col("cl"), col("vec_id").as("y_id"),
-          col("cos_c").as("y_cos_c"), col("embedding").as("emb_y"))
-        // dropped = has a tau-duplicate that precedes it in retention order
-        val dropped = x.join(y,
-            x("cl") === y("cl") &&
-              (col("y_cos_c") < col("cos_c") ||
-                (col("y_cos_c") === col("cos_c") && col("y_id") < col("vec_id"))),
-            "inner")
-          .filter(cosPair(col("emb_x"), col("emb_y")) >= 0.4)
-          .select(col("vec_id")).distinct()
-          .withColumn("is_dropped", lit(true))
-        clustered
-          .join(dropped, Seq("vec_id"), "left")
-          .select(col("cl").as("cluster"), col("vec_id"),
-            col("is_dropped").isNull.as("kept"))
-          .orderBy("cluster", "vec_id")
-      },
+      run = (s, d) =>
+        // the fixture codebook is the first 16 vectors — the same
+        // deterministic stand-in q40 uses for a trained k-means/IVF
+        // codebook. The law itself is codebook-agnostic: see [[semDeDup]]
+        // (SemDeDupSpec runs it under a different K and checks the
+        // retention law against a brute-force replay).
+        semDeDup(s, vecs(s, d),
+          vecs(s, d).filter(col("vec_id") < 16)
+            .select(col("vec_id").as("cent_id"), col("embedding")),
+          tau = 0.4),
       oracle = Some(s"""
         WITH v AS (
           SELECT * FROM (
@@ -560,4 +501,92 @@ object Vectors {
       doc = "SemDeDup keep/drop decision (cluster + within-cluster cosine, " +
         "keep the least-central duplicate; Abbas et al. 2023)")
   )
+
+  /** SemDeDup keep/drop curation (Abbas et al. 2023) over an arbitrary
+    * codebook — the q109 law with the centroid source lifted to a
+    * parameter.
+    *
+    * @param vectors  (vec_id: long, embedding: array&lt;float&gt;, ...) —
+    *                 zero vectors must already be excluded (see [[vecs]]).
+    * @param codebook (cent_id: long, embedding: array&lt;float&gt;) — the
+    *                 cluster centroids. Collected to the driver and
+    *                 broadcast: centroids are model metadata, bounded by K,
+    *                 never by corpus size.
+    * @param tau      within-cluster cosine at/above which two examples are
+    *                 semantic duplicates (paper's epsilon-dedup knob).
+    *
+    * Sizing K at scale: within-cluster pair work is Σ cluster_size², so K
+    * must GROW with the corpus to bound it — the paper ran ~100k clusters
+    * on web scale; with even cluster sizes, expected pair work is n²/K per
+    * se, i.e. hold n/K (the mean cluster size) roughly constant as n grows.
+    * The fixture's K=16 stand-in exercises the identical plan shape: ONE
+    * shuffle on cluster id, pairs within cluster only, never corpus-
+    * quadratic (PlanSpec asserts no cartesian for the registry form).
+    *
+    * Kernels are primitive end-to-end: assignment + cos-to-centroid run in
+    * one typed-Dataset map over Array[Float] (no boxed elements — the
+    * Seq[Float] UDF form boxed every float of every row), and the pair
+    * filter is the native codegen [[graft.plans.CosineSim]] expression.
+    * Both reproduce the oracle's fold bit-for-bit (ascending-index double
+    * accumulation), so threshold/tie decisions replay exactly.
+    */
+  def semDeDup(s: SparkSession, vectors: DataFrame, codebook: DataFrame,
+      tau: Double): DataFrame = {
+    import s.implicits._
+    val centRows = codebook
+      .select(col("cent_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(centRows.nonEmpty, "semDeDup: empty codebook")
+    val centIds = centRows.map(_._1)
+    val centMat = centRows.map(_._2)
+    val centN2 = centMat.map { v =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+      acc
+    }
+    val bc = s.sparkContext.broadcast((centIds, centMat, centN2))
+    // one kernel pass: nearest centroid id AND the cosine to it (q40's
+    // assignment, extended to also emit cos_c for the retention order)
+    val clustered = vectors.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, va) =>
+        val (cids, cm, cn2) = bc.value
+        var n2 = 0.0; var i = 0
+        while (i < va.length) { n2 += va(i).toDouble * va(i).toDouble; i += 1 }
+        var best = -1; var bestCos = Double.NegativeInfinity
+        var c = 0
+        while (c < cm.length) {
+          val vc = cm(c)
+          var acc = 0.0; var j = 0
+          while (j < va.length) { acc += va(j).toDouble * vc(j).toDouble; j += 1 }
+          val cos = acc / (math.sqrt(n2) * math.sqrt(cn2(c)))
+          if (cos > bestCos) { bestCos = cos; best = c } // first (asc id) wins ties
+          c += 1
+        }
+        (id, cids(best), bestCos, va)
+      }
+      .toDF("vec_id", "cl", "cos_c", "embedding")
+    val x = clustered.select(col("cl"), col("vec_id"), col("cos_c"),
+      col("embedding").as("emb_x"))
+    val y = clustered.select(col("cl"), col("vec_id").as("y_id"),
+      col("cos_c").as("y_cos_c"), col("embedding").as("emb_y"))
+    val cosPair = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.CosineSim(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("emb_x")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("emb_y"))))
+    // dropped = has a tau-duplicate that precedes it in retention order
+    val dropped = x.join(y,
+        x("cl") === y("cl") &&
+          (col("y_cos_c") < col("cos_c") ||
+            (col("y_cos_c") === col("cos_c") && col("y_id") < col("vec_id"))),
+        "inner")
+      .filter(cosPair >= tau)
+      .select(col("vec_id")).distinct()
+      .withColumn("is_dropped", lit(true))
+    clustered
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("cl").as("cluster"), col("vec_id"),
+        col("is_dropped").isNull.as("kept"))
+      .orderBy("cluster", "vec_id")
+  }
 }
