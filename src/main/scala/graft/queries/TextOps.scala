@@ -1783,7 +1783,114 @@ object TextOps {
                              AND sh.idx = p.idx + 1)
         SELECT source, doc_id, n_tok, shard_id, seq_id, offset_in_seq
         FROM pack ORDER BY source, doc_id"""),
-      doc = "greedy sub-shard sequence packing into 128-token training rows")
+      doc = "greedy sub-shard sequence packing into 128-token training rows"),
+
+    // Exact-substring span REMOVAL — the completion of the q106/q107 family:
+    // Lee et al. 2021 don't just report duplicated spans, they delete them
+    // from the training text. Law: token position p is removed iff some
+    // corpus-duplicated 8-token window (hash in >= 2 docs — q106's freq
+    // definition exactly) covers it; output is the rewritten token text plus
+    // removal stats (n_spans = maximal removed runs).
+    // 100 TB shape: the freq/dup stages shuffle only fixed-width window
+    // hashes (the md5/xxh64 flag applies here too); the one corpus-sized
+    // shuffle is the doc_id-keyed rebuild join, which is inherent — the
+    // output IS the rewritten corpus — and even that is skipped when the
+    // dup-start table fits the broadcast threshold (duplication-
+    // proportional, measured via the localCheckpoint block size, same
+    // broadcastIfSmall gate as the dedup family).
+    "q110_substring_removal" -> Q(
+      run = (s, d) => {
+        // corpus-duplicated window hashes, from the shared cached window
+        // table (q106/q107's freq law: distinct-per-doc, n_docs >= 2)
+        val dupW = docWindowArrays(s, d)
+          .select(col("doc_id"), explode(col("dwins")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= 2)
+          .select(col("w"))
+        // positional windows (0-based start) joined to the dup set -> the
+        // per-doc removed-span start list. collect_list is bounded by
+        // windows-per-doc; the table itself is duplication-proportional.
+        val dupStarts = graft.Checkpoints.localCheckpoint(
+          docWindows(s, d)
+            .select(col("doc_id"), posexplode(col("wins")).as(Seq("pos", "w")))
+            .join(dupW, Seq("w"))
+            .groupBy(col("doc_id"))
+            .agg(collect_list(col("pos")).as("starts")))
+        // rebuild kernel: one pass over the token array with a boolean
+        // cover mask — counts removed tokens and maximal removed runs,
+        // emits the kept tokens re-joined on single space (both engines
+        // rebuild with the same join, so reconstruction is byte-identical)
+        val removeSpans = udf { (toks: Seq[String], starts: Seq[Int]) =>
+          val n = toks.length
+          val cov = new Array[Boolean](n)
+          starts.foreach { s0 =>
+            var p = s0; val end = math.min(s0 + winK - 1, n - 1)
+            while (p <= end) { cov(p) = true; p += 1 }
+          }
+          val kept = new StringBuilder
+          var nRem = 0L; var nSpans = 0L; var i = 0
+          while (i < n) {
+            if (cov(i)) {
+              nRem += 1L
+              if (i == 0 || !cov(i - 1)) nSpans += 1L
+            } else {
+              if (kept.nonEmpty) kept.append(' ')
+              kept.append(toks(i))
+            }
+            i += 1
+          }
+          (kept.toString, n.toLong, nRem, nSpans)
+        }
+        docTokens(s, d).select(col("doc_id"), col("toks"))
+          .join(broadcastIfSmall(dupStarts), Seq("doc_id"), "left")
+          .withColumn("res", removeSpans(col("toks"),
+            coalesce(col("starts"), array().cast("array<int>"))))
+          .select(col("doc_id"),
+            col("res._2").as("n_tok"), col("res._3").as("n_removed"),
+            col("res._4").as("n_spans"), col("res._1").as("cleaned_text"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        w AS (
+          SELECT doc_id, i, array_to_string(list_slice(toks, i, i+7), ' ') AS win
+          FROM t, unnest(range(1, len(toks)-7+1)) AS u(i)
+          WHERE len(toks) >= 8),
+        freq AS (
+          SELECT win FROM (
+            SELECT win, count(DISTINCT doc_id) AS nd FROM w GROUP BY win) f
+          WHERE nd >= 2),
+        dup AS (SELECT w.doc_id, w.i FROM w JOIN freq USING (win)),
+        cov AS (
+          SELECT DISTINCT d.doc_id, d.i + o AS p
+          FROM dup d, unnest(range(0, 8)) AS oo(o)),
+        pos AS (
+          SELECT t.doc_id, p, toks[p] AS tok
+          FROM t, unnest(range(1, len(toks) + 1)) AS pu(p)),
+        keptagg AS (
+          SELECT pos.doc_id,
+                 count(*) AS n_tok,
+                 count(*) FILTER (WHERE cov.p IS NOT NULL) AS n_removed,
+                 coalesce(string_agg(tok, ' ' ORDER BY pos.p)
+                          FILTER (WHERE cov.p IS NULL), '') AS cleaned_text
+          FROM pos LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.p = pos.p
+          GROUP BY pos.doc_id),
+        spans AS (
+          SELECT doc_id,
+                 count(*) FILTER (WHERE prev IS DISTINCT FROM p - 1) AS n_spans
+          FROM (SELECT doc_id, p,
+                       lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+                FROM cov) sq
+          GROUP BY doc_id)
+        SELECT k.doc_id,
+               CAST(k.n_tok AS BIGINT) AS n_tok,
+               CAST(k.n_removed AS BIGINT) AS n_removed,
+               CAST(coalesce(sp.n_spans, 0) AS BIGINT) AS n_spans,
+               k.cleaned_text
+        FROM keptagg k LEFT JOIN spans sp ON sp.doc_id = k.doc_id
+        ORDER BY k.doc_id"""),
+      doc = "exact-substring span removal: rewrite docs with corpus-" +
+        "duplicated 8-token windows cut (Lee et al. 2021 deletion step)")
   )
 
   /** Greedy in-order sequence packing, subshard-parallel. Input: one row

@@ -323,7 +323,8 @@ class PlanSpec extends SparkSpec {
     // frequency join (q106) and the source self-join (q107) key on the
     // window hash, and the raw text column must not survive past the scan
     // projection into any exchange
-    for (name <- Seq("q106_window_dedup", "q107_source_overlap")) {
+    for (name <- Seq("q106_window_dedup", "q107_source_overlap",
+        "q110_substring_removal")) {
       val p = plan(name, execute = true)
       assert(!p.contains("CartesianProduct"), s"$name degenerated:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name degenerated:\n$p")

@@ -10,19 +10,18 @@ class WindowHashSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def results(mode: String): (Seq[String], Seq[String]) = {
+  private val family =
+    Seq("q106_window_dedup", "q107_source_overlap", "q110_substring_removal")
+
+  private def results(mode: String): Seq[Seq[String]] = {
     // cache key includes the mode, but release anyway: the spec must not
     // depend on slot-eviction order when other suites share the session
     graft.queries.TextOps.releaseShingles()
     val prev = sys.props.get("graft.windowHash")
     sys.props("graft.windowHash") = mode
-    try {
-      val q106 = SparkEntry.queries("q106_window_dedup")(spark, dir)
-        .collect().map(_.toString).toSeq
-      val q107 = SparkEntry.queries("q107_source_overlap")(spark, dir)
-        .collect().map(_.toString).toSeq
-      (q106, q107)
-    } finally {
+    try family.map(q =>
+      SparkEntry.queries(q)(spark, dir).collect().map(_.toString).toSeq)
+    finally {
       prev match {
         case Some(v) => sys.props("graft.windowHash") = v
         case None => sys.props.remove("graft.windowHash")
@@ -31,14 +30,15 @@ class WindowHashSpec extends SparkSpec {
     }
   }
 
-  test("xxh64 window hash reproduces the md5 path's dup stats exactly") {
-    val (md106, md107) = results("md5")
-    val (xx106, xx107) = results("xxh64")
+  test("xxh64 window hash reproduces the md5 path's results exactly") {
+    val md = results("md5")
+    val xx = results("xxh64")
     // non-trivial fixture: dup windows must actually exist or the test
     // proves nothing about the hash kernel
-    assert(md106.nonEmpty && md107.nonEmpty)
-    assert(md106 == xx106, "q106 per-doc stats diverged across hash kernels")
-    assert(md107 == xx107, "q107 overlap matrix diverged across hash kernels")
+    assert(md.forall(_.nonEmpty))
+    family.indices.foreach { i =>
+      assert(md(i) == xx(i), s"${family(i)} diverged across hash kernels")
+    }
   }
 
   test("unknown mode is rejected") {
