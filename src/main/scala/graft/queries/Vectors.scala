@@ -275,6 +275,140 @@ object Vectors {
         ORDER BY cluster, vec_a, vec_b"""),
       doc = "IVF cluster assignment + within-cluster near-dup (scale path)"),
 
+    // IVF-bucketed top-k SEARCH — the ANN serving path q39/q40 between them
+    // left uncovered: q39 is exact brute-force top-k (scores the whole
+    // corpus per query), q40 is IVF near-dup PAIRS. This is the production
+    // shape real vector search runs at scale: rank the codebook per query,
+    // probe only the nprobe=2 nearest clusters, score candidates inside
+    // them. Candidate work drops from |corpus| to the probed clusters'
+    // population (~nprobe/K of the corpus with a balanced codebook);
+    // recall is explicitly approximate (a neighbor assigned to an
+    // unprobed cluster is missed) and deterministic, so the oracle
+    // replays it exactly.
+    // 100 TB shape: centroids broadcast (model metadata, bounded by K);
+    // assignment + query-probe ranking are narrow kernel maps; the ONE
+    // join is probe-to-cluster — broadcast (query-batch-proportional
+    // probes vs corpus-sized clustered side), never a corpus shuffle; the
+    // per-query top-5 is a bounded window over probed candidates only.
+    "q111_ivf_topk" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        val nprobe = 2
+        val centRows = vecs(s, d).filter(col("vec_id") < 16)
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])].collect().sortBy(_._1)
+        val centIds = centRows.map(_._1)
+        val centMat = centRows.map(_._2)
+        val centN2 = centMat.map { v =>
+          var acc = 0.0; var i = 0
+          while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+          acc
+        }
+        val bc = s.sparkContext.broadcast((centIds, centMat, centN2))
+        // corpus assignment: same typed-map kernel law as q40 (first
+        // ascending cent_id wins cosine ties), carrying the label through
+        val clustered = vecs(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"))
+          .as[(Long, Int, Array[Float])]
+          .map { case (id, lb, va) =>
+            val (cids, cm, cn2) = bc.value
+            var n2 = 0.0; var i = 0
+            while (i < va.length) { n2 += va(i).toDouble * va(i).toDouble; i += 1 }
+            var best = -1; var bestCos = Double.NegativeInfinity
+            var c = 0
+            while (c < cm.length) {
+              val vc = cm(c)
+              var acc = 0.0; var j = 0
+              while (j < va.length) { acc += va(j).toDouble * vc(j).toDouble; j += 1 }
+              val cos = acc / (math.sqrt(n2) * math.sqrt(cn2(c)))
+              if (cos > bestCos) { bestCos = cos; best = c }
+              c += 1
+            }
+            (id, lb, cids(best), va)
+          }
+          .toDF("vec_id", "label", "cluster", "embedding")
+        // per-query probe list: rank the (broadcast) codebook by the same
+        // fold, keep the nprobe nearest — a narrow map over the query
+        // batch, exploded to (query_id, cluster) rows
+        val probes = vecs(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])]
+          .map { case (qid, va) =>
+            val (cids, cm, cn2) = bc.value
+            var n2 = 0.0; var i = 0
+            while (i < va.length) { n2 += va(i).toDouble * va(i).toDouble; i += 1 }
+            val scored = Array.tabulate(cm.length) { c =>
+              val vc = cm(c)
+              var acc = 0.0; var j = 0
+              while (j < va.length) { acc += va(j).toDouble * vc(j).toDouble; j += 1 }
+              (acc / (math.sqrt(n2) * math.sqrt(cn2(c))), cids(c))
+            }
+            // (cos DESC, cent_id ASC) — same precedence law as assignment
+            val top = scored.sortBy { case (cos, cid) => (-cos, cid) }
+              .take(nprobe).map(_._2)
+            (qid, va, top)
+          }
+          .toDF("query_id", "q_emb", "probe_cls")
+          .select(col("query_id"), col("q_emb"),
+            explode(col("probe_cls")).as("cluster"))
+        // candidates = members of probed clusters only; probes side is
+        // query-batch-proportional, so broadcast — the corpus never shuffles
+        val cand = clustered.join(broadcast(probes), Seq("cluster"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cos", cosSim(col("q_emb"), col("embedding")))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        cand.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+            col("label").as("neighbor_label"))
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT * FROM (
+            SELECT vec_id, label, embedding, ${sqlNorm2("embedding")} AS n2
+            FROM embeddings) WHERE n2 > 0),
+        cents AS (
+          SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2
+          FROM v WHERE vec_id < 16),
+        assigned AS (
+          SELECT v.vec_id, v.label, v.embedding, v.n2, c.cent_id,
+                 ${sqlDot("v.embedding", "c.c_emb")} / (sqrt(v.n2) * sqrt(c.c_n2)) AS cos_c
+          FROM v CROSS JOIN cents c),
+        clustered AS (
+          SELECT vec_id, label, embedding, n2, cent_id AS cluster FROM (
+            SELECT vec_id, label, embedding, n2, cent_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+            FROM assigned) t
+          WHERE rn = 1),
+        q AS (
+          SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2
+          FROM v WHERE vec_id < 10),
+        probe AS (
+          SELECT query_id, cent_id AS cluster FROM (
+            SELECT q.query_id, c.cent_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY ${sqlDot("q.q_emb", "c.c_emb")} / (sqrt(q.q_n2) * sqrt(c.c_n2)) DESC,
+                              c.cent_id) AS pr
+            FROM q CROSS JOIN cents c) t
+          WHERE pr <= 2),
+        cand AS (
+          SELECT p.query_id, cl.vec_id, cl.label,
+                 ${sqlDot("q.q_emb", "cl.embedding")} / (sqrt(q.q_n2) * sqrt(cl.n2)) AS cos
+          FROM probe p
+          JOIN clustered cl ON cl.cluster = p.cluster
+          JOIN q ON q.query_id = p.query_id
+          WHERE cl.vec_id <> p.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, label,
+                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+          FROM cand)
+        SELECT query_id, rank, vec_id AS neighbor_id, label AS neighbor_label
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""),
+      doc = "IVF-bucketed approximate top-k search (nprobe=2 probed " +
+        "clusters per query — the ANN serving path at scale)"),
+
     // Int8-quantized cosine near-dup: the 4x-memory-cut representation real
     // vector pipelines run ANN over (scalar quantization: per-vector scale
     // 127/max|x|, round-away-from-zero to [-127,127]). Same block-
