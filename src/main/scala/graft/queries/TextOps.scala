@@ -87,11 +87,16 @@ object TextOps {
   }
 
   // The per-doc window table is shared by the substring-dedup family
-  // (q106 per-doc stats, q107 source matrix) — the tokenize+hash kernel is
-  // the expensive narrow stage, so it materializes once per (session, dir,
-  // hash-mode) under the same single-slot policy as the shingle caches
-  // (mode in the key: a test flipping md5→xxh64 must rebuild, not reuse).
-  // One row per doc: (doc_id, source, n_windows incl. repeats, distinct).
+  // (q106 per-doc stats, q107 source matrix, q110 span removal) — the
+  // tokenize+hash kernel is the expensive narrow stage, so it materializes
+  // once per (session, dir, hash-mode) under the same single-slot policy as
+  // the shingle caches (mode in the key: a test flipping md5→xxh64 must
+  // rebuild, not reuse). One row per doc: (doc_id, source, n_windows incl.
+  // repeats, POSITIONAL wins — index = 0-based window start, q110's span
+  // coordinates — and distinct dwins). Keeping wins roughly doubles the
+  // cached width but saves q110 a full second tokenize+hash pass over the
+  // corpus (measured 5.1 s → expected ~1.5 s at sf0.1); at 100 TB this
+  // cache is the staged window table either way.
   private var windowCache: Option[(SparkSession, String, String, DataFrame)] = None
 
   private def docWindowArrays(s: SparkSession, d: String): DataFrame = synchronized {
@@ -103,7 +108,7 @@ object TextOps {
         val wa = docWindows(s, d)
           .select(col("doc_id"), col("source"),
             size(col("wins")).cast("long").as("n_windows"),
-            array_distinct(col("wins")).as("dwins"))
+            col("wins"), array_distinct(col("wins")).as("dwins"))
           .persist()
         wa.count()
         windowCache = Some((s, d, mode, wa))
@@ -1801,19 +1806,25 @@ object TextOps {
     "q110_substring_removal" -> Q(
       run = (s, d) => {
         // corpus-duplicated window hashes, from the shared cached window
-        // table (q106/q107's freq law: distinct-per-doc, n_docs >= 2)
-        val dupW = docWindowArrays(s, d)
-          .select(col("doc_id"), explode(col("dwins")).as("w"))
-          .groupBy(col("w")).agg(count(lit(1)).as("n_docs"))
-          .filter(col("n_docs") >= 2)
-          .select(col("w"))
-        // positional windows (0-based start) joined to the dup set -> the
-        // per-doc removed-span start list. collect_list is bounded by
-        // windows-per-doc; the table itself is duplication-proportional.
+        // table (q106/q107's freq law: distinct-per-doc, n_docs >= 2).
+        // Materialized + size-gated broadcast: the dup set is duplication-
+        // proportional (tiny on a clean corpus, bounded by distinct dup
+        // hashes on a dirty one), and broadcasting it keeps the corpus-
+        // sized positional side from shuffling in the join below.
+        val dupW = graft.Checkpoints.localCheckpoint(
+          docWindowArrays(s, d)
+            .select(col("doc_id"), explode(col("dwins")).as("w"))
+            .groupBy(col("w")).agg(count(lit(1)).as("n_docs"))
+            .filter(col("n_docs") >= 2)
+            .select(col("w")))
+        // positional windows (0-based start, straight off the shared cache —
+        // no second tokenize+hash pass) joined to the dup set -> the per-doc
+        // removed-span start list. Only dup-matched rows reach the groupBy
+        // shuffle; collect_list is bounded by windows-per-doc.
         val dupStarts = graft.Checkpoints.localCheckpoint(
-          docWindows(s, d)
+          docWindowArrays(s, d)
             .select(col("doc_id"), posexplode(col("wins")).as(Seq("pos", "w")))
-            .join(dupW, Seq("w"))
+            .join(broadcastIfSmall(dupW), Seq("w"))
             .groupBy(col("doc_id"))
             .agg(collect_list(col("pos")).as("starts")))
         // rebuild kernel: one pass over the token array with a boolean

@@ -33,6 +33,54 @@ object Vectors {
     aggregate(transform(v, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Collected codebook, ready to broadcast: ascending-id centroid ids,
+    * matrix, and squared norms. Centroids are model metadata — bounded by
+    * K, never by corpus size — so the driver collect is safe by contract.
+    * Shared by every IVF-family query (q40/q109/q111). */
+  private def collectCodebook(s: SparkSession, codebook: DataFrame)
+      : (Array[Long], Array[Array[Float]], Array[Double]) = {
+    import s.implicits._
+    val rows = codebook.as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(rows.nonEmpty, "empty codebook")
+    val mat = rows.map(_._2)
+    val n2 = mat.map { v =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+      acc
+    }
+    (rows.map(_._1), mat, n2)
+  }
+
+  /** Cosine of `va` to every centroid, ascending centroid index — the
+    * assignment fold all IVF kernels share. Bit-exact contract: per
+    * centroid, one ascending-dimension double fold then a single divide —
+    * the identical IEEE op sequence as the oracle's sqlDot/sqlNorm2
+    * fragments, so argmax/rank decisions replay exactly. */
+  private def centroidCos(va: Array[Float],
+      cm: Array[Array[Float]], cn2: Array[Double]): Array[Double] = {
+    var n2 = 0.0; var i = 0
+    while (i < va.length) { n2 += va(i).toDouble * va(i).toDouble; i += 1 }
+    val out = new Array[Double](cm.length)
+    var c = 0
+    while (c < cm.length) {
+      val vc = cm(c)
+      var acc = 0.0; var j = 0
+      while (j < va.length) { acc += va(j).toDouble * vc(j).toDouble; j += 1 }
+      out(c) = acc / (math.sqrt(n2) * math.sqrt(cn2(c)))
+      c += 1
+    }
+    out
+  }
+
+  /** Index of the nearest centroid: (cos DESC, index ASC) — strict `>`
+    * scan, so the first (ascending id) wins ties, the oracle's
+    * row_number(ORDER BY cos_c DESC, cent_id) law. */
+  private def nearestIdx(cos: Array[Double]): Int = {
+    var best = 0; var c = 1
+    while (c < cos.length) { if (cos(c) > cos(best)) best = c; c += 1 }
+    best
+  }
+
   /** Native codegen pairwise cosine ([[graft.plans.CosineSim]]) — replaces
     * both the interpreted Catalyst-HOF fold (per-element closure dispatch)
     * and the `Seq[Float]`-boxing UDF form on pair-join hot paths.
@@ -204,17 +252,9 @@ object Vectors {
         // centroid ids ride along so the emitted cluster id is the
         // centroid's vec_id (the oracle's cent_id), not an array index —
         // they only coincide while the centroid ids are contiguous
-        val centRows = vecs(s, d).filter(col("vec_id") < 16)
-          .select(col("vec_id"), col("embedding"))
-          .as[(Long, Array[Float])].collect().sortBy(_._1)
-        val centIds = centRows.map(_._1)
-        val centMat = centRows.map(_._2)
-        val centN2 = centMat.map { v =>
-          var acc = 0.0; var i = 0
-          while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
-          acc
-        }
-        val bc = s.sparkContext.broadcast((centIds, centMat, centN2))
+        val bc = s.sparkContext.broadcast(collectCodebook(s,
+          vecs(s, d).filter(col("vec_id") < 16)
+            .select(col("vec_id"), col("embedding"))))
         // vecs() excludes zero vectors — their NaN cosine diverges across
         // engines (see vecs scaladoc); the oracle's v CTE filters the same.
         // Assignment runs as a typed-Dataset map over primitive Array[Float]
@@ -225,19 +265,7 @@ object Vectors {
           .as[(Long, Array[Float])]
           .map { case (id, va) =>
             val (cids, cm, cn2) = bc.value
-            var n2 = 0.0; var i = 0
-            while (i < va.length) { n2 += va(i).toDouble * va(i).toDouble; i += 1 }
-            var best = -1; var bestCos = Double.NegativeInfinity
-            var c = 0
-            while (c < cm.length) {
-              val vc = cm(c)
-              var acc = 0.0; var j = 0
-              while (j < va.length) { acc += va(j).toDouble * vc(j).toDouble; j += 1 }
-              val cos = acc / (math.sqrt(n2) * math.sqrt(cn2(c)))
-              if (cos > bestCos) { bestCos = cos; best = c } // first (asc id) wins ties
-              c += 1
-            }
-            (id, cids(best), va)
+            (id, cids(nearestIdx(centroidCos(va, cm, cn2))), va)
           }
           .toDF("vec_id", "cluster", "embedding")
         val a = clustered.select(col("cluster"), col("vec_id").as("vec_a"),
@@ -294,17 +322,9 @@ object Vectors {
       run = (s, d) => {
         import s.implicits._
         val nprobe = 2
-        val centRows = vecs(s, d).filter(col("vec_id") < 16)
-          .select(col("vec_id"), col("embedding"))
-          .as[(Long, Array[Float])].collect().sortBy(_._1)
-        val centIds = centRows.map(_._1)
-        val centMat = centRows.map(_._2)
-        val centN2 = centMat.map { v =>
-          var acc = 0.0; var i = 0
-          while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
-          acc
-        }
-        val bc = s.sparkContext.broadcast((centIds, centMat, centN2))
+        val bc = s.sparkContext.broadcast(collectCodebook(s,
+          vecs(s, d).filter(col("vec_id") < 16)
+            .select(col("vec_id"), col("embedding"))))
         // corpus assignment: same typed-map kernel law as q40 (first
         // ascending cent_id wins cosine ties), carrying the label through
         val clustered = vecs(s, d)
@@ -312,19 +332,7 @@ object Vectors {
           .as[(Long, Int, Array[Float])]
           .map { case (id, lb, va) =>
             val (cids, cm, cn2) = bc.value
-            var n2 = 0.0; var i = 0
-            while (i < va.length) { n2 += va(i).toDouble * va(i).toDouble; i += 1 }
-            var best = -1; var bestCos = Double.NegativeInfinity
-            var c = 0
-            while (c < cm.length) {
-              val vc = cm(c)
-              var acc = 0.0; var j = 0
-              while (j < va.length) { acc += va(j).toDouble * vc(j).toDouble; j += 1 }
-              val cos = acc / (math.sqrt(n2) * math.sqrt(cn2(c)))
-              if (cos > bestCos) { bestCos = cos; best = c }
-              c += 1
-            }
-            (id, lb, cids(best), va)
+            (id, lb, cids(nearestIdx(centroidCos(va, cm, cn2))), va)
           }
           .toDF("vec_id", "label", "cluster", "embedding")
         // per-query probe list: rank the (broadcast) codebook by the same
@@ -335,17 +343,10 @@ object Vectors {
           .as[(Long, Array[Float])]
           .map { case (qid, va) =>
             val (cids, cm, cn2) = bc.value
-            var n2 = 0.0; var i = 0
-            while (i < va.length) { n2 += va(i).toDouble * va(i).toDouble; i += 1 }
-            val scored = Array.tabulate(cm.length) { c =>
-              val vc = cm(c)
-              var acc = 0.0; var j = 0
-              while (j < va.length) { acc += va(j).toDouble * vc(j).toDouble; j += 1 }
-              (acc / (math.sqrt(n2) * math.sqrt(cn2(c))), cids(c))
-            }
+            val cos = centroidCos(va, cm, cn2)
             // (cos DESC, cent_id ASC) — same precedence law as assignment
-            val top = scored.sortBy { case (cos, cid) => (-cos, cid) }
-              .take(nprobe).map(_._2)
+            val top = cids.indices.sortBy(c => (-cos(c), cids(c)))
+              .take(nprobe).map(cids(_)).toArray
             (qid, va, top)
           }
           .toDF("query_id", "q_emb", "probe_cls")
@@ -667,37 +668,17 @@ object Vectors {
   def semDeDup(s: SparkSession, vectors: DataFrame, codebook: DataFrame,
       tau: Double): DataFrame = {
     import s.implicits._
-    val centRows = codebook
-      .select(col("cent_id"), col("embedding"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    require(centRows.nonEmpty, "semDeDup: empty codebook")
-    val centIds = centRows.map(_._1)
-    val centMat = centRows.map(_._2)
-    val centN2 = centMat.map { v =>
-      var acc = 0.0; var i = 0
-      while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
-      acc
-    }
-    val bc = s.sparkContext.broadcast((centIds, centMat, centN2))
+    val bc = s.sparkContext.broadcast(collectCodebook(s,
+      codebook.select(col("cent_id"), col("embedding"))))
     // one kernel pass: nearest centroid id AND the cosine to it (q40's
     // assignment, extended to also emit cos_c for the retention order)
     val clustered = vectors.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, va) =>
         val (cids, cm, cn2) = bc.value
-        var n2 = 0.0; var i = 0
-        while (i < va.length) { n2 += va(i).toDouble * va(i).toDouble; i += 1 }
-        var best = -1; var bestCos = Double.NegativeInfinity
-        var c = 0
-        while (c < cm.length) {
-          val vc = cm(c)
-          var acc = 0.0; var j = 0
-          while (j < va.length) { acc += va(j).toDouble * vc(j).toDouble; j += 1 }
-          val cos = acc / (math.sqrt(n2) * math.sqrt(cn2(c)))
-          if (cos > bestCos) { bestCos = cos; best = c } // first (asc id) wins ties
-          c += 1
-        }
-        (id, cids(best), bestCos, va)
+        val cos = centroidCos(va, cm, cn2)
+        val best = nearestIdx(cos)
+        (id, cids(best), cos(best), va)
       }
       .toDF("vec_id", "cl", "cos_c", "embedding")
     val x = clustered.select(col("cl"), col("vec_id"), col("cos_c"),
