@@ -552,6 +552,44 @@ object TextOps {
   private val mhA = Seq(761863L, 967811L, 583421L, 124907L, 341273L, 879143L, 450899L, 220151L)
   private val mhB = Seq(98867L, 401717L, 752609L, 563467L, 130531L, 917681L, 37199L, 660217L)
 
+  /** 4 LSH band signatures (2 minhashes each) off a doc's shingle-hash set —
+    * the banding unit q36 (corpus self-join) and q112 (cross-set
+    * decontamination) share. One JVM pass per doc: min() is
+    * order-independent, so the values equal the oracle's 8×-unnest
+    * formulation exactly. */
+  private def minhashBandSigs = {
+    val a = mhA.toArray
+    val b = mhB.toArray
+    udf { (shingles: Seq[Long]) =>
+      val mh = Array.fill(8)(Long.MaxValue)
+      shingles.foreach { x =>
+        var i = 0
+        while (i < 8) {
+          val hv = (a(i) * x + b(i)) % P
+          if (hv < mh(i)) mh(i) = hv
+          i += 1
+        }
+      }
+      (0 until 4).map(band => mh(2 * band) * P + mh(2 * band + 1))
+    }
+  }
+
+  /** DuckDB replay of [[minhashBandSigs]]: CTEs `params`→`sigs`→`bands`
+    * (expects `sh` from [[jaccardCtes]] in scope). */
+  private val minhashBandCtes = s"""params AS (
+      SELECT i, a, b FROM (VALUES
+        (0, ${mhA(0)}, ${mhB(0)}), (1, ${mhA(1)}, ${mhB(1)}),
+        (2, ${mhA(2)}, ${mhB(2)}), (3, ${mhA(3)}, ${mhB(3)}),
+        (4, ${mhA(4)}, ${mhB(4)}), (5, ${mhA(5)}, ${mhB(5)}),
+        (6, ${mhA(6)}, ${mhB(6)}), (7, ${mhA(7)}, ${mhB(7)})) AS v(i, a, b)),
+    sigs AS (
+      SELECT doc_id, i, min((a * shh + b) % 1000000007) AS mh
+      FROM sh CROSS JOIN params GROUP BY doc_id, i),
+    bands AS (
+      SELECT doc_id, i // 2 AS band,
+             sum(CASE WHEN i % 2 = 0 THEN mh * 1000000007 ELSE mh END) AS sig
+      FROM sigs GROUP BY doc_id, i // 2)"""
+
   val qs: Map[String, Q] = Map(
 
     // Token counting + quality scoring: length/stopword/alpha ratios as
@@ -700,20 +738,7 @@ object TextOps {
     "q36_minhash_lsh" -> Q(
       run = (s, d) => {
         val arr = docShingleArrays(s, d)
-        val a = mhA.toArray
-        val b = mhB.toArray
-        val bandSigs = udf { (shingles: Seq[Long]) =>
-          val mh = Array.fill(8)(Long.MaxValue)
-          shingles.foreach { x =>
-            var i = 0
-            while (i < 8) {
-              val hv = (a(i) * x + b(i)) % P
-              if (hv < mh(i)) mh(i) = hv
-              i += 1
-            }
-          }
-          (0 until 4).map(band => mh(2 * band) * P + mh(2 * band + 1))
-        }
+        val bandSigs = minhashBandSigs
         // signatures straight off the cached per-doc arrays — a narrow
         // projection, no groupBy/collect re-aggregation shuffle. Docs with
         // NO shingles (< 3 tokens) are excluded up front: their MinHash
@@ -749,43 +774,11 @@ object TextOps {
           .orderBy("doc_a", "doc_b")
       },
       oracle = Some(s"""
-        WITH t AS (
-          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        sh AS (
-          SELECT DISTINCT doc_id,
-                 list_reduce(list_prepend(CAST(0 AS BIGINT),
-                   list_transform(string_split(sh, ''), c -> CAST(ascii(c) AS BIGINT))),
-                   (acc, c) -> (acc * 31 + c) % 1000000007) AS shh
-          FROM (SELECT doc_id,
-                  unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
-                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-                FROM t)),
-        counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        params AS (
-          SELECT i, a, b FROM (VALUES
-            (0, ${mhA(0)}, ${mhB(0)}), (1, ${mhA(1)}, ${mhB(1)}),
-            (2, ${mhA(2)}, ${mhB(2)}), (3, ${mhA(3)}, ${mhB(3)}),
-            (4, ${mhA(4)}, ${mhB(4)}), (5, ${mhA(5)}, ${mhB(5)}),
-            (6, ${mhA(6)}, ${mhB(6)}), (7, ${mhA(7)}, ${mhB(7)})) AS v(i, a, b)),
-        sigs AS (
-          SELECT doc_id, i, min((a * shh + b) % 1000000007) AS mh
-          FROM sh CROSS JOIN params GROUP BY doc_id, i),
-        bands AS (
-          SELECT doc_id, i // 2 AS band,
-                 sum(CASE WHEN i % 2 = 0 THEN mh * 1000000007 ELSE mh END) AS sig
-          FROM sigs GROUP BY doc_id, i // 2),
+        WITH $jaccardCtes,
+        $minhashBandCtes,
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-        pairs AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-          FROM sh a JOIN sh b ON a.shh = b.shh AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id),
-        jac AS (
-          SELECT doc_a, doc_b, inter, ca.n + cb.n - inter AS uni
-          FROM pairs JOIN counts ca ON ca.doc_id = doc_a
-                     JOIN counts cb ON cb.doc_id = doc_b
-          WHERE inter * 10 >= (ca.n + cb.n - inter) * 7)
+          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
         SELECT jac.* FROM jac SEMI JOIN cand ON jac.doc_a = cand.doc_a AND jac.doc_b = cand.doc_b
         ORDER BY doc_a, doc_b"""),
       doc = "MinHash signatures + LSH banding + exact-Jaccard verification"),
@@ -1901,7 +1894,141 @@ object TextOps {
         FROM keptagg k LEFT JOIN spans sp ON sp.doc_id = k.doc_id
         ORDER BY k.doc_id"""),
       doc = "exact-substring span removal: rewrite docs with corpus-" +
-        "duplicated 8-token windows cut (Lee et al. 2021 deletion step)")
+        "duplicated 8-token windows cut (Lee et al. 2021 deletion step)"),
+
+    // Fuzzy eval-set decontamination — the CROSS-SET MinHash serving shape.
+    // q87 flags verbatim shingle containment; real decontamination (the
+    // GPT-3 appendix-C / Pile hygiene step) must also catch NEAR-duplicate
+    // eval leakage, and at 100 TB it cannot run q36's corpus self-join just
+    // to find corpus×eval matches. The asymmetry is the design: the eval
+    // suite is fixed-size by contract (thousands of docs, not corpus-
+    // proportional), so its band signatures and shingle arrays BROADCAST;
+    // candidate generation is corpus-scan × broadcast-band equi-join (the
+    // corpus never shuffles), and exact-Jaccard verification touches
+    // candidates only, with the same size-gated checkpoint as q35/q36 on
+    // the duplication-proportional candidate table. Recall is the LSH law
+    // (deterministic given the pinned hash params), replayed exactly by the
+    // oracle. Threshold J >= 1/2, cross-multiplied — integer-exact.
+    "q112_fuzzy_decontam" -> Q(
+      run = (s, d) => {
+        val evalMax = 100L // fixture eval suite: doc_id < 100
+        val arr = docShingleArrays(s, d).filter(size(col("shs")) > 0)
+        val bands = arr
+          .select(col("doc_id"), posexplode(minhashBandSigs(col("shs"))))
+          .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
+        val evalBands = bands.filter(col("doc_id") < evalMax)
+          .select(col("doc_id").as("eval_id"), col("band"), col("sig"))
+        val cand = bands.filter(col("doc_id") >= evalMax)
+          .join(broadcast(evalBands), Seq("band", "sig"))
+          .select(col("doc_id"), col("eval_id")).distinct()
+        val candM = graft.Checkpoints.localCheckpoint(
+          cand.repartition(col("doc_id")))
+        val evalArr = arr.filter(col("doc_id") < evalMax)
+          .select(col("doc_id").as("eval_id"), col("shs").as("se"))
+        arr.filter(col("doc_id") >= evalMax)
+          .select(col("doc_id"), col("shs").as("sc"))
+          .join(broadcastIfSmall(candM), Seq("doc_id"))
+          .join(broadcast(evalArr), Seq("eval_id"))
+          .withColumn("inter", interCount(col("sc"), col("se")))
+          .withColumn("uni",
+            size(col("sc")).cast("long") + size(col("se")).cast("long") - col("inter"))
+          .filter(col("inter") * 2 >= col("uni"))
+          .select(col("doc_id"), col("eval_id"), col("inter"), col("uni"))
+          .orderBy("doc_id", "eval_id")
+      },
+      oracle = Some(s"""
+        WITH $jaccardCtes,
+        $minhashBandCtes,
+        cand AS (
+          SELECT DISTINCT c.doc_id, e.doc_id AS eval_id
+          FROM bands c JOIN bands e ON c.band = e.band AND c.sig = e.sig
+          WHERE c.doc_id >= 100 AND e.doc_id < 100),
+        ver AS (
+          SELECT cand.doc_id, cand.eval_id, count(*) AS inter
+          FROM cand
+          JOIN sh a ON a.doc_id = cand.doc_id
+          JOIN sh e ON e.doc_id = cand.eval_id AND e.shh = a.shh
+          GROUP BY cand.doc_id, cand.eval_id)
+        SELECT v.doc_id, v.eval_id, v.inter,
+               cc.n + ce.n - v.inter AS uni
+        FROM ver v JOIN counts cc ON cc.doc_id = v.doc_id
+                   JOIN counts ce ON ce.doc_id = v.eval_id
+        WHERE v.inter * 2 >= cc.n + ce.n - v.inter
+        ORDER BY v.doc_id, v.eval_id"""),
+      doc = "fuzzy eval-set decontamination: MinHash-LSH corpus×eval " +
+        "candidate join (eval side broadcast) + exact-Jaccard verify"),
+
+    // Character-bigram LM familiarity scoring — the integer-exact analogue
+    // of perplexity-based quality filtering (CCNet / Gopher run a KenLM;
+    // the curation DECISION only needs a monotone familiarity score, and an
+    // integer score replays bit-for-bit in the oracle where a float log-
+    // likelihood never would). Model = corpus char-bigram counts; a doc's
+    // score = its mean bigram corpus-count, in milli-units of the hottest
+    // bigram; gibberish/unnatural text scores low and is dropped.
+    // 100 TB shape: the model aggregation is the ONLY corpus shuffle and it
+    // is map-side combined down to <= |charset|² rows (bounded model
+    // metadata, like the IVF centroids — safe to collect by contract);
+    // scoring is then a single narrow kernel pass over the broadcast map —
+    // the corpus text never shuffles. Overflow-safe law: mean first
+    // (s DIV n <= cmax), then scale to milli (1000·cmax < 2^63 for any
+    // corpus whose hottest bigram count stays under 9.2e15).
+    "q113_bigram_lm" -> Q(
+      run = (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val bg = docs.select(explode(
+          when(length(col("text")) >= 2,
+            expr("transform(sequence(1, length(text) - 1), " +
+              "i -> substring(text, i, 2))"))
+            .otherwise(array().cast("array<string>"))).as("bg"))
+        val modelRows = bg.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+        val model = modelRows.toMap
+        val cmax = modelRows.map(_._2).max
+        val bc = docs.sparkSession.sparkContext.broadcast(model)
+        val sumCounts = udf { (text: String) =>
+          val m = bc.value
+          var i = 0
+          var acc = 0L
+          while (i < text.length - 1) { // every bigram is in the model by
+            acc += m(text.substring(i, i + 2)) // construction (same corpus)
+            i += 1
+          }
+          acc
+        }
+        docs
+          .withColumn("n_bigrams",
+            greatest(length(col("text")).cast("long") - 1L, lit(0L)))
+          .withColumn("s", sumCounts(col("text")))
+          .withColumn("avg_count",
+            when(col("n_bigrams") > 0, expr("s DIV n_bigrams")).otherwise(0L))
+          .withColumn("familiarity_milli",
+            expr(s"(avg_count * 1000) DIV ${cmax}L"))
+          .select(col("doc_id"), col("n_bigrams"), col("avg_count"),
+            col("familiarity_milli"),
+            (col("familiarity_milli") >= 320).as("kept"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH bg AS (
+          SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bg
+          FROM documents,
+               unnest(range(1, greatest(length(text), 1))) AS u(i)),
+        model AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
+        mx AS (SELECT max(c) AS cmax FROM model),
+        ds AS (
+          SELECT b.doc_id, count(*) AS n, sum(m.c) AS s
+          FROM bg b JOIN model m USING (bg) GROUP BY b.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(ds.n, 0) AS BIGINT) AS n_bigrams,
+               CAST(coalesce(ds.s // ds.n, 0) AS BIGINT) AS avg_count,
+               CAST(coalesce((ds.s // ds.n) * 1000 // mx.cmax, 0) AS BIGINT)
+                 AS familiarity_milli,
+               CAST(coalesce((ds.s // ds.n) * 1000 // mx.cmax, 0) AS BIGINT)
+                 >= 320 AS kept
+        FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id CROSS JOIN mx
+        ORDER BY d.doc_id"""),
+      doc = "char-bigram LM familiarity score + keep gate (integer-exact " +
+        "perplexity-filter analogue; broadcast model, zero corpus shuffle)")
   )
 
   /** Greedy in-order sequence packing, subshard-parallel. Input: one row

@@ -634,7 +634,224 @@ object Vectors {
         FROM clustered c LEFT JOIN dropped d ON c.vec_id = d.vec_id
         ORDER BY cluster, c.vec_id"""),
       doc = "SemDeDup keep/drop decision (cluster + within-cluster cosine, " +
-        "keep the least-central duplicate; Abbas et al. 2023)")
+        "keep the least-central duplicate; Abbas et al. 2023)"),
+
+    // Product-quantization ANN (Jégou et al. 2011, "Product Quantization
+    // for Nearest Neighbor Search" — public literature): the MEMORY axis of
+    // approximate search, complementing q111's IVF (the candidate-count
+    // axis). Vectors are encoded once into M=4 subspace codes (argmin-L2
+    // against a per-subspace codebook); the full-corpus scan then never
+    // touches raw embeddings — each query builds an M×K distance table and
+    // scores a vector as the sum of 4 table lookups (ADC, asymmetric
+    // distance computation). A coarse 4×16 quantizer alone ranks poorly
+    // (measured recall@5 ≈ 0.2 on the fixture), so the serving shape is
+    // the production two-stage form (FAISS's IVFPQ + refine): ADC
+    // SHORTLIST of R=50 per query off the codes scan, then an exact
+    // rerank that reads raw embeddings for the candidate set only.
+    //
+    // 100 TB shape: the codes table is 4 small ints per vector — a ~32×
+    // compression of the full-scan serving data, which is the entire point
+    // (the raw 64-float corpus stops fitting executor memory long before
+    // the codes do). Encoding is one narrow kernel pass under a broadcast
+    // codebook (model metadata, bounded by M×K); the query batch's
+    // distance tables are query-proportional driver metadata (bounded by
+    // contract, like the IVF centroid collect), broadcast so ADC scoring
+    // is a shuffle-free flatMap over the codes scan; the shortlist window
+    // shuffles batch-proportional rows only, and the rerank join
+    // broadcasts the (queries×R)-bounded shortlist against the embedding
+    // scan — the raw corpus streams, it never shuffles. Approximation
+    // error is the PQ shortlist law — deterministic, so the oracle replays
+    // rank-for-rank: every d² is the same ascending-index double fold in
+    // both engines, and both ADC and rerank sum their 4 subspace terms in
+    // ascending-m left-fold order on both sides. Fixture codebook = first
+    // 16 vectors' subvectors (the q40/q109/q111 deterministic stand-in for
+    // a trained product codebook).
+    "q114_pq_topk" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        val M = 4
+        val subDim = 16
+        val bc = s.sparkContext.broadcast(collectCodebook(s,
+          vecs(s, d).filter(col("vec_id") < 16)
+            .select(col("vec_id"), col("embedding"))))
+        // sub-distance law shared by encode and the query tables: L2² of
+        // subspace m, ascending-dim double fold — the oracle's subd fold
+        def subD2(va: Array[Float], cv: Array[Float], m: Int): Double = {
+          var acc = 0.0
+          var j = 0
+          while (j < subDim) {
+            val dd = va(m * subDim + j).toDouble - cv(m * subDim + j).toDouble
+            acc += dd * dd
+            j += 1
+          }
+          acc
+        }
+        // encode: one kernel pass → the persistent codes table (at scale
+        // this is the materialized serving index; raw embeddings are not
+        // read again below). Tie → lowest centroid index (strict <), the
+        // oracle's (d2 ASC, cent_id ASC) row_number law.
+        val codes = vecs(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"))
+          .as[(Long, Int, Array[Float])]
+          .map { case (id, lb, va) =>
+            val (_, cm, _) = bc.value
+            val ks = new Array[Int](M)
+            var m = 0
+            while (m < M) {
+              var best = 0
+              var bestD = Double.MaxValue
+              var c = 0
+              while (c < cm.length) {
+                val d2 = subD2(va, cm(c), m)
+                if (d2 < bestD) { bestD = d2; best = c }
+                c += 1
+              }
+              ks(m) = best
+              m += 1
+            }
+            (id, lb, ks)
+          }
+        // query batch: raw embedding + M×K distance table per query,
+        // computed once on the driver (query-proportional model metadata —
+        // bounded by contract, like the centroid collect) and broadcast
+        val qtab: Array[(Long, Array[Float], Array[Array[Double]])] =
+          vecs(s, d).filter(col("vec_id") < 10)
+            .select(col("vec_id"), col("embedding"))
+            .as[(Long, Array[Float])].collect().sortBy(_._1)
+            .map { case (qid, qe) =>
+              val (_, cm, _) = bc.value
+              val tab = Array.ofDim[Double](M, cm.length)
+              var m = 0
+              while (m < M) {
+                var c = 0
+                while (c < cm.length) {
+                  tab(m)(c) = subD2(qe, cm(c), m)
+                  c += 1
+                }
+                m += 1
+              }
+              (qid, qe, tab)
+            }
+        val bq = s.sparkContext.broadcast(qtab)
+        // stage 1, ADC shortlist: shuffle-free flatMap over the codes scan
+        // — 4 table lookups per (vector, query), summed in ascending
+        // subspace order (the oracle's list(d2 ORDER BY m) left fold) —
+        // then a batch-proportional window keeps R=50 per query
+        val scored = codes.flatMap { case (vid, lb, ks) =>
+          bq.value.iterator.filter(_._1 != vid).map { case (qid, _, tab) =>
+            var acc = 0.0
+            var m = 0
+            while (m < M) { acc += tab(m)(ks(m)); m += 1 }
+            (qid, vid, lb, acc)
+          }
+        }.toDF("query_id", "vec_id", "label", "adc")
+        val wAdc = Window.partitionBy(col("query_id"))
+          .orderBy(col("adc").asc, col("vec_id"))
+        val shortlist = scored.withColumn("adc_rank", row_number().over(wAdc))
+          .filter(col("adc_rank") <= 50)
+          .select(col("query_id"), col("vec_id"), col("label"))
+        // stage 2, exact rerank: raw embeddings for the candidate set only
+        // — the (queries×R)-bounded shortlist broadcasts against the
+        // embedding scan; exact d² folds the 4 subspace distances in the
+        // same ascending-m order as ADC (the oracle's rerank grouping)
+        val reranked = vecs(s, d).select(col("vec_id"), col("embedding"))
+          .join(broadcast(shortlist), Seq("vec_id"))
+          .select(col("query_id"), col("vec_id"), col("label"), col("embedding"))
+          .as[(Long, Long, Int, Array[Float])]
+          .map { case (qid, vid, lb, ve) =>
+            val qs = bq.value
+            var qi = 0 // linear probe of the <=|batch| broadcast — no alloc
+            while (qs(qi)._1 != qid) qi += 1
+            val qe = qs(qi)._2
+            var acc = 0.0
+            var m = 0
+            while (m < M) { acc += subD2(qe, ve, m); m += 1 }
+            (qid, vid, lb, acc)
+          }
+          .toDF("query_id", "vec_id", "label", "d2")
+        val wEx = Window.partitionBy(col("query_id"))
+          .orderBy(col("d2").asc, col("vec_id"))
+        reranked.withColumn("rank", row_number().over(wEx))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"),
+            col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"))
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some {
+        def sqlSubD2(a: String, b: String) = s"""list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, 17), j ->
+                   (CAST($a[ms.m * 16 + j] AS DOUBLE) -
+                    CAST($b[ms.m * 16 + j] AS DOUBLE)) *
+                   (CAST($a[ms.m * 16 + j] AS DOUBLE) -
+                    CAST($b[ms.m * 16 + j] AS DOUBLE)))),
+               (acc, z) -> acc + z)"""
+        s"""
+        WITH v AS (
+          SELECT * FROM (
+            SELECT vec_id, label, embedding, ${sqlNorm2("embedding")} AS n2
+            FROM embeddings) WHERE n2 > 0),
+        cents AS (
+          SELECT vec_id AS cent_id, embedding AS c_emb
+          FROM v WHERE vec_id < 16),
+        ms AS (SELECT unnest(range(0, 4)) AS m),
+        subd AS (
+          SELECT x.vec_id, ms.m, c.cent_id,
+                 ${sqlSubD2("x.embedding", "c.c_emb")} AS d2
+          FROM v x CROSS JOIN ms CROSS JOIN cents c),
+        codes AS (
+          SELECT vec_id, m, cent_id FROM (
+            SELECT vec_id, m, cent_id,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d2, cent_id) AS rn
+            FROM subd) t
+          WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS q_emb
+              FROM v WHERE vec_id < 10),
+        qtab AS (
+          SELECT q.query_id, ms.m, c.cent_id,
+                 ${sqlSubD2("q.q_emb", "c.c_emb")} AS d2
+          FROM q CROSS JOIN ms CROSS JOIN cents c),
+        adc AS (
+          SELECT k.vec_id, qt.query_id,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(qt.d2 ORDER BY qt.m)), (a, b) -> a + b) AS adc
+          FROM codes k
+          JOIN qtab qt ON qt.m = k.m AND qt.cent_id = k.cent_id
+          WHERE k.vec_id <> qt.query_id
+          GROUP BY k.vec_id, qt.query_id),
+        short AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc, vec_id) AS adc_rank
+            FROM adc) t
+          WHERE adc_rank <= 50),
+        rsub AS (
+          SELECT s.query_id, s.vec_id, ms.m,
+                 ${sqlSubD2("q.q_emb", "x.embedding")} AS d2m
+          FROM short s
+          JOIN q ON q.query_id = s.query_id
+          JOIN v x ON x.vec_id = s.vec_id
+          CROSS JOIN ms),
+        rer AS (
+          SELECT query_id, vec_id,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(d2m ORDER BY m)), (a, b) -> a + b) AS d2
+          FROM rsub GROUP BY query_id, vec_id),
+        ranked AS (
+          SELECT query_id, vec_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                         ORDER BY d2, vec_id) AS INT) AS rank
+          FROM rer)
+        SELECT r.query_id, r.rank, r.vec_id AS neighbor_id,
+               v.label AS neighbor_label
+        FROM ranked r JOIN v ON v.vec_id = r.vec_id
+        WHERE r.rank <= 5 ORDER BY query_id, rank"""
+      },
+      doc = "product-quantization ANN top-k: 4-subspace codes (~32× " +
+        "full-scan compression), ADC table-lookup shortlist, exact rerank " +
+        "on the candidate set (Jégou et al. 2011; IVFPQ+refine shape)")
   )
 
   /** SemDeDup keep/drop curation (Abbas et al. 2023) over an arbitrary

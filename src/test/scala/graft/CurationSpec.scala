@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Laws of the curation additions (q112 fuzzy decontamination, q113
+  * bigram-LM gate, q114 PQ ANN) that the DuckDB oracle replay can't see:
+  * approximation quality against brute-force truth, and thresholds that
+  * actually split the fixture instead of passing vacuously. */
+class CurationSpec extends SparkSpec {
+
+  test("q112: finds the strong cross-set near-dups q35 proves exist") {
+    // truth: q35's exact J>=0.7 pairs that cross the eval boundary are all
+    // J>=0.5 cross-set contamination; LSH recall for them is the band law
+    // (P[collide] = 1-(1-J^2)^4 >= 0.93 at J=0.7), deterministic given the
+    // pinned hash params — measured 13/13 on the fixture, floor with slack
+    val cross = SparkEntry.queries("q35_jaccard_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < 100 && b >= 100 }.toSet
+    assert(cross.nonEmpty, "fixture lost its cross-boundary near-dups")
+    val found = SparkEntry.queries("q112_fuzzy_decontam")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toSet // (eval_id, doc_id)
+    val recall = (cross & found).size.toDouble / cross.size
+    assert(recall >= 0.8, f"LSH cross-set recall collapsed to $recall%.2f")
+    // every emitted pair really clears the J>=1/2 cross-multiplied gate
+    SparkEntry.queries("q112_fuzzy_decontam")(spark, sf).collect().foreach {
+      r => assert(r.getLong(2) * 2 >= r.getLong(3),
+        s"emitted pair below threshold: $r")
+    }
+  }
+
+  test("q113: the familiarity gate splits the corpus, and kept is the gate") {
+    val rows = SparkEntry.queries("q113_bigram_lm")(spark, sf).collect()
+    val dropped = rows.count(!_.getBoolean(4))
+    assert(dropped > 0, "threshold flags nothing — gate is vacuous")
+    assert(dropped < rows.length, "threshold drops everything — gate is broken")
+    rows.foreach { r =>
+      assert(r.getBoolean(4) == (r.getLong(3) >= 320),
+        s"kept disagrees with familiarity_milli: $r")
+    }
+  }
+
+  test("q114: PQ-ADC top-k approximates exact-L2 top-k with bounded loss") {
+    import spark.implicits._
+    // brute-force exact truth, same candidate universe as q114 (zero-norm
+    // vectors excluded on both sides)
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .filter { case (_, v) => v.exists(_ != 0f) }
+    val exact = all.filter(_._1 < 10).flatMap { case (qid, q) =>
+      all.filter(_._1 != qid).map { case (vid, v) =>
+        var acc = 0.0; var i = 0
+        while (i < q.length) {
+          val dd = q(i).toDouble - v(i).toDouble; acc += dd * dd; i += 1
+        }
+        (qid, vid, acc)
+      }.sortBy(t => (t._3, t._2)).take(5).map(t => (qid, t._2))
+    }.toSet
+    val pq = SparkEntry.queries("q114_pq_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(exact.nonEmpty && pq.nonEmpty)
+    val recall = (exact & pq).size.toDouble / exact.size
+    // the raw 4×16 ADC ranking measured 0.2 recall@5 on this fixture — the
+    // R=50 shortlist + exact rerank is what buys the quality back; a floor
+    // guards the two-stage law (1.0 is not forced: a true neighbor outside
+    // the ADC shortlist is legitimately missed)
+    assert(recall >= 0.6, f"PQ shortlist+rerank recall@5 collapsed to $recall%.2f")
+    val perQuery = SparkEntry.queries("q114_pq_topk")(spark, sf).collect()
+      .groupBy(_.getLong(0)).map(_._2.length)
+    assert(perQuery.forall(_ <= 5))
+  }
+
+  test("q114: ADC scan is joinless; the rerank join broadcasts the shortlist") {
+    val df = SparkEntry.queries("q114_pq_topk")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"degenerated:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"degenerated:\n$p")
+    // exactly one join in the serving plan — the candidate-bounded rerank —
+    // and it must broadcast the shortlist side, never shuffle the corpus
+    assert(p.contains("BroadcastHashJoin"), s"shortlist not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"rerank degenerated to a corpus shuffle join:\n$p")
+  }
+}

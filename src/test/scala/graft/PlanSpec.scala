@@ -442,4 +442,28 @@ class PlanSpec extends SparkSpec {
     assert(joinLines.exists(_.contains("cl#")),
       s"no join keyed on cluster id among:\n${joinLines.mkString("\n")}\n$p")
   }
+
+  test("q112: decontamination never shuffles the corpus for a join — " +
+    "every join side that isn't the corpus scan is broadcast") {
+    val p = plan("q112_fuzzy_decontam", execute = true)
+    assert(!p.contains("CartesianProduct"), s"degenerated:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"degenerated:\n$p")
+    // the asymmetry is the design: eval bands, eval arrays, and the
+    // dup-proportional candidate set broadcast; a SortMergeJoin would mean
+    // a corpus-sized shuffle snuck into the serving path
+    assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side join degenerated to a shuffle join:\n$p")
+  }
+
+  test("q113: LM scoring is a narrow kernel pass — the returned plan has " +
+    "no join and no aggregate") {
+    // the model aggregation runs eagerly at plan-build (bounded-metadata
+    // collect, like the IVF centroids); the SERVING plan the query returns
+    // must be scan → projection → total-order sort, nothing else
+    val p = plan("q113_bigram_lm")
+    assert(!p.contains("Join"), s"scoring should be joinless:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"scoring should not re-aggregate — model is pre-collected:\n$p")
+  }
 }
