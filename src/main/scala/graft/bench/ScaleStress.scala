@@ -223,6 +223,51 @@ object ScaleStress {
     t("q111 IVF top-k (nprobe=2) on the same 8k vectors") {
       println("  rows=" + graft.SparkEntry.queries("q111_ivf_topk")(spark, vecDir).count())
     }
+
+    // Cross-set decontamination (q112) under the duplication and hot-
+    // shingle adversaries. The structural bound: candidate generation is
+    // corpus-scan × broadcast(eval bands), so candidates per corpus doc
+    // are capped by the EVAL side (100 docs here) — corpus duplication
+    // grows total work dup-proportionally, and a universal viral preamble
+    // can inflate band collisions only toward that same per-doc cap,
+    // never toward the 5k² a corpus self-join would risk. The 10×-copy
+    // corpus also plants real verbatim eval leaks (9 copies of every
+    // eval doc sit in the corpus at shifted ids) — the J=1 matches the
+    // operator exists to catch.
+    t("q112 decontam, 50k docs with 10x copies (900 planted verbatim leaks)") {
+      println("  pairs=" + graft.SparkEntry.queries("q112_fuzzy_decontam")(spark, dir).count())
+    }
+    t("q112 decontam, 5k docs sharing a viral preamble (hot LSH bands)") {
+      println("  pairs=" + graft.SparkEntry.queries("q112_fuzzy_decontam")(spark, skewDir).count())
+    }
+    t("q112 decontam on the plain corpus (reference)") {
+      println("  pairs=" + graft.SparkEntry.queries("q112_fuzzy_decontam")(spark, "/root/testdata/sf0.1").count())
+    }
+    graft.queries.TextOps.releaseShingles()
+
+    // Bigram-LM gate (q113): the model aggregation output is bounded by
+    // |charset|² whatever the corpus size (a 10× corpus changes counts,
+    // not cardinality), and scoring is a narrow kernel pass — wall time
+    // must stay ~linear in rows scanned with zero new shuffle volume.
+    t("q113 bigram-LM gate on 50k docs (model stays charset-bounded)") {
+      println("  rows=" + graft.SparkEntry.queries("q113_bigram_lm")(spark, dir).count())
+    }
+    t("q113 bigram-LM gate on the plain corpus (reference)") {
+      println("  rows=" + graft.SparkEntry.queries("q113_bigram_lm")(spark, "/root/testdata/sf0.1").count())
+    }
+
+    // PQ serving (q114) on the 4× vector corpus: the full-corpus stage
+    // scans CODES (4 ints/vector) against broadcast distance tables —
+    // linear, joinless; the shortlist window moves batch-proportional
+    // rows and the exact rerank touches raw embeddings only for the
+    // (queries × R) broadcast candidate set, so raw-vector work does NOT
+    // grow with the corpus.
+    t("q114 PQ ADC+rerank top-k on 8k vectors") {
+      println("  rows=" + graft.SparkEntry.queries("q114_pq_topk")(spark, vecDir).count())
+    }
+    t("q114 PQ ADC+rerank top-k on 2k vectors (reference)") {
+      println("  rows=" + graft.SparkEntry.queries("q114_pq_topk")(spark, "/root/testdata/sf0.1").count())
+    }
     anchor("end")
     spark.stop()
   }

@@ -1982,6 +1982,13 @@ object TextOps {
             .otherwise(array().cast("array<string>"))).as("bg"))
         val modelRows = bg.groupBy(col("bg")).agg(count(lit(1)).as("c"))
           .collect().map(r => r.getString(0) -> r.getLong(1))
+        // bounded-metadata contract, enforced: the collect is safe because
+        // bigram cardinality is |charset|², not corpus-sized — text that
+        // violates that (binary junk inflating the charset) should fail
+        // loudly here, not OOM the driver
+        require(modelRows.length <= (1 << 20),
+          s"bigram model cardinality ${modelRows.length} exceeds the " +
+            "bounded-metadata contract — charset is not natural text")
         val model = modelRows.toMap
         val cmax = modelRows.map(_._2).max
         val bc = docs.sparkSession.sparkContext.broadcast(model)
