@@ -31,12 +31,15 @@ class SessionSoakSpec extends SparkSpec {
   // The localCheckpoint-using family: q35/q36 (candidate-pair scoped
   // checkpoint), q81 (label-propagation rounds + staged label table),
   // q61/q96/q103/q108 (totalRank frozen-pid scratch, salt-width probe),
-  // plus q106/q107 (staged per-doc window cache) so every entry in
-  // TextOps.releaseShingles' registry is exercised by the contract.
+  // q106/q107 (staged per-doc window cache) so every entry in
+  // TextOps.releaseShingles' registry is exercised by the contract,
+  // plus q112 (cross-set candidate scoped checkpoint over the shared
+  // shingle-array cache).
   private val soak = Seq(
     "q35_jaccard_pairs", "q36_minhash_lsh", "q81_dedup_clusters",
     "q61_ntile_deciles", "q96_salted_cooccur", "q103_skew_profile",
-    "q106_window_dedup", "q107_source_overlap", "q108_sequence_packing")
+    "q106_window_dedup", "q107_source_overlap", "q108_sequence_packing",
+    "q112_fuzzy_decontam")
 
   private def flush(): Unit = {
     graft.queries.TextOps.releaseShingles()
