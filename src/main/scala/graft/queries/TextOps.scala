@@ -2035,7 +2035,90 @@ object TextOps {
         FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id CROSS JOIN mx
         ORDER BY d.doc_id"""),
       doc = "char-bigram LM familiarity score + keep gate (integer-exact " +
-        "perplexity-filter analogue; broadcast model, zero corpus shuffle)")
+        "perplexity-filter analogue; broadcast model, zero corpus shuffle)"),
+
+    // Heaps'-law vocabulary-growth curve — the corpus-analysis statistic
+    // behind "is more data still adding new types?" (diminishing vocabulary
+    // growth is the classic saturation signal for corpus collection).
+    // Deciles are doc_id ranges (a deterministic stand-in for collection
+    // order); a token's decile of FIRST occurrence is min(decile), so the
+    // cumulative type count per decile is an exact distributed first-seen
+    // aggregation — no sequential scan, no sketch.
+    // 100 TB shape: ONE corpus shuffle (token → min(decile), map-side
+    // combined so each partition contributes ≤|vocab| rows), a tiny
+    // per-decile occurrence agg sharing the same explode, and a 10-row
+    // cumulative window (single-partition but bounded by the decile count,
+    // like the q90 totals broadcast). The max(doc_id) scalar is a 1-row
+    // driver collect (same contract as saltWidth's probe).
+    "q115_vocab_growth" -> Q(
+      run = (s, d) => {
+        val maxId = Tables.documents(s, d)
+          .agg(max(col("doc_id"))).head().getLong(0)
+        val dec = docTokens(s, d)
+          .select(col("doc_id"), explode(col("toks")).as("tok"))
+          .withColumn("dec", expr(s"doc_id * 10 DIV ${maxId + 1}L"))
+        val occ = dec.groupBy(col("dec")).agg(count(lit(1)).as("n_tok"))
+        val nu = dec.groupBy(col("tok")).agg(min(col("dec")).as("first_dec"))
+          .groupBy(col("first_dec")).agg(count(lit(1)).as("new_types"))
+          .withColumnRenamed("first_dec", "dec")
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("dec"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        occ.join(nu, Seq("dec"), "left")
+          .select(col("dec"),
+            coalesce(col("new_types"), lit(0L)).as("new_types"),
+            col("n_tok"))
+          .withColumn("vocab_cum", sum(col("new_types")).over(w))
+          .withColumn("n_tok_cum", sum(col("n_tok")).over(w))
+          .select(col("dec"), col("new_types"), col("vocab_cum"), col("n_tok_cum"))
+          .orderBy("dec")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        mx AS (SELECT max(doc_id) AS m FROM documents),
+        dec AS (SELECT doc_id * 10 // (mx.m + 1) AS dec, tok
+                FROM t CROSS JOIN mx),
+        occ AS (SELECT dec, count(*) AS n_tok FROM dec GROUP BY dec),
+        ft AS (SELECT tok, min(dec) AS first_dec FROM dec GROUP BY tok),
+        nu AS (SELECT first_dec AS dec, count(*) AS new_types
+               FROM ft GROUP BY first_dec)
+        SELECT o.dec,
+               CAST(coalesce(nu.new_types, 0) AS BIGINT) AS new_types,
+               CAST(sum(coalesce(nu.new_types, 0)) OVER (ORDER BY o.dec)
+                 AS BIGINT) AS vocab_cum,
+               CAST(sum(o.n_tok) OVER (ORDER BY o.dec) AS BIGINT) AS n_tok_cum
+        FROM occ o LEFT JOIN nu ON nu.dec = o.dec
+        ORDER BY o.dec"""),
+      doc = "Heaps'-law vocabulary growth by collection decile (exact " +
+        "distributed first-seen aggregation, one token shuffle)"),
+
+    // Zipf frequency profile: log2-bucketed token-frequency histogram —
+    // bucket b holds the types whose corpus count c satisfies 2^b <= c <
+    // 2^(b+1). The heavy-tail shape (many rare types, few hot ones) is the
+    // statistic that sizes vocabulary cutoffs and predicts hot-key skew for
+    // every token-keyed shuffle in this file. Integer-exact bucket law on
+    // both engines: bucket = len(binary(c)) - 1 (Spark conv / DuckDB bin),
+    // no floating log anywhere near the gate.
+    // 100 TB shape: the token count is ONE map-side-combined shuffle; the
+    // histogram re-agg moves <=64 rows per partition.
+    "q116_zipf_histogram" -> Q(
+      run = (s, d) => docTokens(s, d)
+        .select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .withColumn("bucket", (length(expr("conv(c, 10, 2)")) - 1).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_occurrences"))
+        .orderBy("bucket"),
+      oracle = Some("""
+        WITH t AS (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok)
+        SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS bucket,
+               count(*) AS n_types,
+               CAST(sum(c) AS BIGINT) AS n_occurrences
+        FROM c GROUP BY bucket ORDER BY bucket"""),
+      doc = "Zipf profile: log2-bucketed token-frequency histogram " +
+        "(integer-exact bucket law; one map-side-combined shuffle)")
   )
 
   /** Greedy in-order sequence packing, subshard-parallel. Input: one row
