@@ -6,7 +6,8 @@ object Bench {
   // driver run: q64 5.6s vs 1.9s same code) — these get a third timed pass.
   private val streamingQueries = Set(
     "q42_stream_tumbling", "q43_stream_dedup", "q44_session_window",
-    "q64_stream_stream_join", "q91_stateful_sessions", "q100_stream_enrich")
+    "q64_stream_stream_join", "q91_stateful_sessions", "q100_stream_enrich",
+    "q117_stream_decontam")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

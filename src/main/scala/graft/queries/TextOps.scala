@@ -553,25 +553,52 @@ object TextOps {
   private val mhB = Seq(98867L, 401717L, 752609L, 563467L, 130531L, 917681L, 37199L, 660217L)
 
   /** 4 LSH band signatures (2 minhashes each) off a doc's shingle-hash set —
-    * the banding unit q36 (corpus self-join) and q112 (cross-set
-    * decontamination) share. One JVM pass per doc: min() is
-    * order-independent, so the values equal the oracle's 8×-unnest
-    * formulation exactly. */
-  private def minhashBandSigs = {
-    val a = mhA.toArray
-    val b = mhB.toArray
-    udf { (shingles: Seq[Long]) =>
-      val mh = Array.fill(8)(Long.MaxValue)
-      shingles.foreach { x =>
-        var i = 0
-        while (i < 8) {
-          val hv = (a(i) * x + b(i)) % P
-          if (hv < mh(i)) mh(i) = hv
-          i += 1
-        }
+    * the banding unit q36 (corpus self-join), q112 (cross-set
+    * decontamination), and q117 (streaming ingest decontamination) share.
+    * One JVM pass per doc: min() is order-independent, so the values equal
+    * the oracle's 8×-unnest formulation exactly. */
+  private val mhAArr = mhA.toArray
+  private val mhBArr = mhB.toArray
+
+  private[graft] def bandSigsOf(shingles: Seq[Long]): Array[Long] = {
+    val a = mhAArr
+    val b = mhBArr
+    val mh = Array.fill(8)(Long.MaxValue)
+    shingles.foreach { x =>
+      var i = 0
+      while (i < 8) {
+        val hv = (a(i) * x + b(i)) % P
+        if (hv < mh(i)) mh(i) = hv
+        i += 1
       }
-      (0 until 4).map(band => mh(2 * band) * P + mh(2 * band + 1))
     }
+    Array.tabulate(4)(band => mh(2 * band) * P + mh(2 * band + 1))
+  }
+
+  private def minhashBandSigs =
+    udf { (shingles: Seq[Long]) => bandSigsOf(shingles).toSeq }
+
+  /** The broadcastable eval-side LSH index q117 serves against: band
+    * signature → ascending eval ids, and eval id → shingle-hash set.
+    * Built off the staged shingle-array cache; the collect is bounded by
+    * the eval-suite contract (same as q112's broadcast of the eval side —
+    * eval suites are fixed-size, never corpus-proportional). */
+  private[graft] def evalIndex(s: SparkSession, d: String, evalMax: Long)
+      : (Map[(Int, Long), Array[Long]], Map[Long, Array[Long]]) = {
+    import s.implicits._
+    val rows = docShingleArrays(s, d)
+      .filter(col("doc_id") < evalMax && size(col("shs")) > 0)
+      .select(col("doc_id"), col("shs"))
+      .as[(Long, Array[Long])].collect()
+    val bands = scala.collection.mutable.HashMap
+      .empty[(Int, Long), List[Long]]
+    rows.foreach { case (id, shs) =>
+      bandSigsOf(shs).zipWithIndex.foreach { case (sig, band) =>
+        bands((band, sig)) = id :: bands.getOrElse((band, sig), Nil)
+      }
+    }
+    (bands.view.mapValues(_.sorted.toArray).toMap,
+      rows.map { case (id, shs) => id -> shs }.toMap)
   }
 
   /** DuckDB replay of [[minhashBandSigs]]: CTEs `params`→`sigs`→`bands`
@@ -589,6 +616,30 @@ object TextOps {
       SELECT doc_id, i // 2 AS band,
              sum(CASE WHEN i % 2 = 0 THEN mh * 1000000007 ELSE mh END) AS sig
       FROM sigs GROUP BY doc_id, i // 2)"""
+
+  /** Oracle for the fuzzy decontamination LAW — shared verbatim by q112
+    * (batch) and q117 (streaming ingest): same LSH candidates, same exact-
+    * Jaccard verify, same J >= 1/2 gate, so the two execution modes are
+    * pinned to one result. */
+  private[graft] val fuzzyDecontamOracleSql = s"""
+    WITH $jaccardCtes,
+    $minhashBandCtes,
+    cand AS (
+      SELECT DISTINCT c.doc_id, e.doc_id AS eval_id
+      FROM bands c JOIN bands e ON c.band = e.band AND c.sig = e.sig
+      WHERE c.doc_id >= 100 AND e.doc_id < 100),
+    ver AS (
+      SELECT cand.doc_id, cand.eval_id, count(*) AS inter
+      FROM cand
+      JOIN sh a ON a.doc_id = cand.doc_id
+      JOIN sh e ON e.doc_id = cand.eval_id AND e.shh = a.shh
+      GROUP BY cand.doc_id, cand.eval_id)
+    SELECT v.doc_id, v.eval_id, v.inter,
+           cc.n + ce.n - v.inter AS uni
+    FROM ver v JOIN counts cc ON cc.doc_id = v.doc_id
+               JOIN counts ce ON ce.doc_id = v.eval_id
+    WHERE v.inter * 2 >= cc.n + ce.n - v.inter
+    ORDER BY v.doc_id, v.eval_id"""
 
   val qs: Map[String, Q] = Map(
 
@@ -1936,25 +1987,7 @@ object TextOps {
           .select(col("doc_id"), col("eval_id"), col("inter"), col("uni"))
           .orderBy("doc_id", "eval_id")
       },
-      oracle = Some(s"""
-        WITH $jaccardCtes,
-        $minhashBandCtes,
-        cand AS (
-          SELECT DISTINCT c.doc_id, e.doc_id AS eval_id
-          FROM bands c JOIN bands e ON c.band = e.band AND c.sig = e.sig
-          WHERE c.doc_id >= 100 AND e.doc_id < 100),
-        ver AS (
-          SELECT cand.doc_id, cand.eval_id, count(*) AS inter
-          FROM cand
-          JOIN sh a ON a.doc_id = cand.doc_id
-          JOIN sh e ON e.doc_id = cand.eval_id AND e.shh = a.shh
-          GROUP BY cand.doc_id, cand.eval_id)
-        SELECT v.doc_id, v.eval_id, v.inter,
-               cc.n + ce.n - v.inter AS uni
-        FROM ver v JOIN counts cc ON cc.doc_id = v.doc_id
-                   JOIN counts ce ON ce.doc_id = v.eval_id
-        WHERE v.inter * 2 >= cc.n + ce.n - v.inter
-        ORDER BY v.doc_id, v.eval_id"""),
+      oracle = Some(fuzzyDecontamOracleSql),
       doc = "fuzzy eval-set decontamination: MinHash-LSH corpus×eval " +
         "candidate join (eval side broadcast) + exact-Jaccard verify"),
 

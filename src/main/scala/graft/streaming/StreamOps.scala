@@ -296,6 +296,79 @@ object StreamOps {
                (CAST(CAST(ROUND(sum(CAST(e.value AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS value_sum
         FROM events e JOIN customer c ON c.c_custkey = e.user_id
         GROUP BY 1, 2 ORDER BY c_mktsegment, event_type"""),
-      doc = "stream-static broadcast enrichment + streaming agg (dims broadcast, facts stream)")
+      doc = "stream-static broadcast enrichment + streaming agg (dims broadcast, facts stream)"),
+
+    // Decontaminate ON INGEST — q112's law as a streaming query. The eval
+    // suite is a fixed artifact, so its entire LSH index (band signature →
+    // eval ids, eval id → shingle set) broadcasts; each arriving document
+    // is flagged in ONE STATELESS kernel pass: shingle → band signatures →
+    // index lookup (local candidate dedup) → exact-Jaccard verify against
+    // candidate eval sets only. No stateful operator, no state store, no
+    // watermark — the streaming plan is a narrow projection, so state
+    // never grows however long the ingest stream runs, and append-mode
+    // output keeps exactly-once flags under the checkpoint contract. At
+    // 100 TB/day this is the serving shape: the eval index is a pinned
+    // broadcast artifact, each micro-batch pays only its own scan.
+    // Same oracle SQL as q112: one law, two execution modes.
+    "q117_stream_decontam" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        val (bandIdx, evalSets) = graft.queries.TextOps.evalIndex(s, d, 100L)
+        val bcB = s.sparkContext.broadcast(bandIdx)
+        val bcS = s.sparkContext.broadcast(evalSets)
+        val flagged = documentsStream(s, d)
+          .select(col("doc_id"),
+            graft.functions.TextHash.shingleHashes(
+              graft.functions.TextHash.tokens(col("text"))).as("shs"))
+          .filter(col("doc_id") >= 100L && size(col("shs")) > 0)
+          .as[(Long, Array[Long])]
+          .flatMap { case (docId, shs) =>
+            val sigs = graft.queries.TextOps.bandSigsOf(shs)
+            val cands = scala.collection.mutable.SortedSet.empty[Long]
+            var band = 0
+            while (band < sigs.length) {
+              bcB.value.get((band, sigs(band))).foreach(ids => cands ++= ids)
+              band += 1
+            }
+            if (cands.isEmpty) Iterator.empty
+            else {
+              val mine = new java.util.HashSet[java.lang.Long](shs.length * 2)
+              shs.foreach(x => mine.add(x))
+              cands.iterator.flatMap { evalId =>
+                val es = bcS.value(evalId)
+                var inter = 0L
+                var i = 0
+                while (i < es.length) {
+                  if (mine.contains(es(i))) inter += 1
+                  i += 1
+                }
+                val uni = shs.length.toLong + es.length.toLong - inter
+                if (inter * 2 >= uni) Iterator.single((docId, evalId, inter, uni))
+                else Iterator.empty
+              }
+            }
+          }
+          .toDF("doc_id", "eval_id", "inter", "uni")
+        drain(s, flagged, "append").orderBy("doc_id", "eval_id")
+      },
+      oracle = Some(graft.queries.TextOps.fuzzyDecontamOracleSql),
+      doc = "streaming ingest decontamination: stateless per-doc kernel " +
+        "against the broadcast eval LSH index (q112's law, streaming mode)")
   )
+
+  /** documents.parquet schema for the streaming ingest source (streaming
+    * reads don't infer; matches FixtureSchemaSpec's contract). */
+  private val documentsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def documentsStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
 }

@@ -28,6 +28,18 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q117: streaming ingest decontamination equals the q112 batch law") {
+    // one law, two execution modes — the broadcast-index kernel flags
+    // exactly the pairs the batch LSH join + verify flags, row for row
+    val batch = SparkEntry.queries("q112_fuzzy_decontam")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val stream = SparkEntry.queries("q117_stream_decontam")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch.nonEmpty, "fixture lost its cross-set matches")
+    assert(stream == batch,
+      s"stream/batch divergence: only-stream=${stream -- batch} only-batch=${batch -- stream}")
+  }
+
   test("q113: the familiarity gate splits the corpus, and kept is the gate") {
     val rows = SparkEntry.queries("q113_bigram_lm")(spark, sf).collect()
     val dropped = rows.count(!_.getBoolean(4))
