@@ -2151,7 +2151,74 @@ object TextOps {
                CAST(sum(c) AS BIGINT) AS n_occurrences
         FROM c GROUP BY bucket ORDER BY bucket"""),
       doc = "Zipf profile: log2-bucketed token-frequency histogram " +
-        "(integer-exact bucket law; one map-side-combined shuffle)")
+        "(integer-exact bucket law; one map-side-combined shuffle)"),
+
+    // Per-source data card — the operational report a curation pipeline
+    // publishes with every corpus release (docs, tokens, vocabulary,
+    // language mix, corpus-wide exact-dup membership, dup rate in milli).
+    // Reuses q34's exact-dup law verbatim (normalized-text hash, min-id
+    // canonical) so the card's dup numbers agree with the dedup operator
+    // it summarizes.
+    // 100 TB shape: two corpus shuffles — the dup-hash groupBy+join (the
+    // same shape q34 already carries) and the (source, token) distinct for
+    // vocabulary — then a |sources|-row agg and join; all counters are
+    // map-side combined, the card itself is sources-proportional.
+    "q118_source_datacard" -> Q(
+      run = (s, d) => {
+        val hashed = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+            charHash(normalizeText(col("text"))).as("h"),
+            size(tokens(col("text"))).cast("long").as("n_toks"))
+        val groups = hashed.groupBy(col("h"))
+          .agg(min(col("doc_id")).as("canonical_id"))
+        val flagged = hashed.join(groups, Seq("h"))
+          .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+        val base = flagged.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars_sum"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"))
+        val vocab = Tables.documents(s, d)
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("source"))
+          .agg(countDistinct(col("tok")).as("vocab"))
+        base.join(vocab, Seq("source"))
+          .withColumn("dup_milli", expr("1000 * n_dup_docs DIV n_docs"))
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("vocab"),
+            col("n_chars_sum"), col("n_en"), col("n_dup_docs"), col("dup_milli"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH hashed AS (
+          SELECT doc_id, source, lang, n_chars,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),''),
+                c -> CAST(ascii(c) AS BIGINT))),
+              (acc, c) -> (acc * 31 + c) % 1000000007) AS h,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+          FROM documents),
+        groups AS (SELECT h, min(doc_id) AS canonical_id FROM hashed GROUP BY h),
+        f AS (SELECT hashed.*, doc_id <> canonical_id AS is_dup
+              FROM hashed JOIN groups USING (h)),
+        base AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                 CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+                 CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en,
+                 CAST(count(*) FILTER (WHERE is_dup) AS BIGINT) AS n_dup_docs
+          FROM f GROUP BY source),
+        vocab AS (
+          SELECT source, count(DISTINCT tok) AS vocab
+          FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                FROM documents) GROUP BY source)
+        SELECT b.source, b.n_docs, b.n_tokens, v.vocab, b.n_chars_sum,
+               b.n_en, b.n_dup_docs,
+               1000 * b.n_dup_docs // b.n_docs AS dup_milli
+        FROM base b JOIN vocab v USING (source)
+        ORDER BY b.source"""),
+      doc = "per-source data card: docs/tokens/vocab/lang-mix/exact-dup " +
+        "rate (q34's dup law; the corpus-release report)")
   )
 
   /** Greedy in-order sequence packing, subshard-parallel. Input: one row
