@@ -598,7 +598,9 @@ object TextOps {
       }
     }
     (bands.view.mapValues(_.sorted.toArray).toMap,
-      rows.map { case (id, shs) => id -> shs }.toMap)
+      // shingle sets ship ASCENDING-SORTED so the serving kernel can
+      // intersect with a primitive two-pointer merge (no boxing)
+      rows.map { case (id, shs) => id -> shs.sorted }.toMap)
   }
 
   /** DuckDB replay of [[minhashBandSigs]]: CTEs `params`→`sigs`→`bands`

@@ -332,15 +332,20 @@ object StreamOps {
             }
             if (cands.isEmpty) Iterator.empty
             else {
-              val mine = new java.util.HashSet[java.lang.Long](shs.length * 2)
-              shs.foreach(x => mine.add(x))
+              // primitive two-pointer set intersection (eval sets ship
+              // pre-sorted from evalIndex; sort ours once per CANDIDATE
+              // doc — non-candidate docs never reach this branch)
+              val mine = shs.clone()
+              java.util.Arrays.sort(mine)
               cands.iterator.flatMap { evalId =>
                 val es = bcS.value(evalId)
                 var inter = 0L
                 var i = 0
-                while (i < es.length) {
-                  if (mine.contains(es(i))) inter += 1
-                  i += 1
+                var j = 0
+                while (i < mine.length && j < es.length) {
+                  if (mine(i) < es(j)) i += 1
+                  else if (mine(i) > es(j)) j += 1
+                  else { inter += 1; i += 1; j += 1 }
                 }
                 val uni = shs.length.toLong + es.length.toLong - inter
                 if (inter * 2 >= uni) Iterator.single((docId, evalId, inter, uni))
