@@ -127,6 +127,43 @@ object MultimodalOps {
       bos.toByteArray
     }
 
+    /** Deterministic gradient PNG encoder (the fixture's image CONTENT
+      * law): 8-bit gray, a linear brightness plane in NORMALIZED
+      * coordinates u(x) = x·256 div w —
+      *   pixel(x, y) = (u(x)·a + u(y)·b) div (a + b),
+      *   a = 1 + v mod 7,  b = 1 + (v div 7) mod 7
+      * so the content seed v picks the plane's DIRECTION. Two properties
+      * q122's perceptual hash must witness end-to-end: the pattern lives
+      * in normalized coordinates (the same v at different dims is the same
+      * image resampled — hashes within rounding bits of each other), and
+      * it is SMOOTH (a mod-wraparound pattern would flip ~half the hash
+      * bits under ±1 coordinate rounding, destroying the locality a
+      * perceptual hash exists to preserve — measured 38-bit drift before
+      * this form). Raster writes (no Graphics/Color path) keep the stored
+      * sample bytes bit-equal to the law; PNG gray is lossless, so decoded
+      * samples replay it too. */
+    def encodePngGrad(w: Int, h: Int, v: Int): Array[Byte] = {
+      val a = 1 + v % 7
+      val b = 1 + (v / 7) % 7
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      var y = 0
+      while (y < h) {
+        val uy = y * 256 / h
+        var x = 0
+        while (x < w) {
+          val ux = x * 256 / w
+          r.setSample(x, y, 0, (ux * a + uy * b) / (a + b))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
     /** Deterministic 8-bit mono PCM WAV encoder (tests): `frames` silent
       * frames at `sampleRate` Hz. */
     def encodeWav(frames: Int, sampleRate: Int): Array[Byte] = {
@@ -169,7 +206,13 @@ object MultimodalOps {
             val cp0 = if (text.isEmpty) 0 else text.codePointAt(0)
             val o = if (text.isEmpty) 0 else Character.charCount(text.codePointAt(0))
             val cp1 = if (text.length > o) text.codePointAt(o) else 0
-            if (cp0 > 0 && cp1 > 0) MediaCodec.encodePng(4 * cp0, 4 * cp1, id)
+            // image CONTENT = the third codepoint (the gradient seed v):
+            // docs sharing it carry the same pattern at possibly different
+            // dims — the near-dup structure q122's perceptual hash detects
+            val o2 = if (text.length > o) o + Character.charCount(cp1) else o
+            val cp2 = if (text.length > o2) text.codePointAt(o2) else 0
+            if (cp0 > 0 && cp1 > 0)
+              MediaCodec.encodePngGrad(4 * cp0, 4 * cp1, (cp2 * 97) % 251)
             // degenerate (< 2 codepoints): keep the text payload so decode
             // falls to the header parse — (4*cp0, 0), exactly the oracle's
             // ascii-law value; an empty-bytes sentinel would report (0,0)
@@ -209,6 +252,63 @@ object MultimodalOps {
           height = (f.height * s / 1000L).toInt)
       }
     }
+  }
+
+  /** Perceptual average-hash (aHash) stage: REAL `javax.imageio` decode →
+    * nearest-neighbor 8×8 downscale (the fast-aHash resize: point-sample
+    * the center pixel of each grid cell) → threshold each sample against
+    * the integer mean → 64 bits packed as FOUR 16-bit blocks (bit k of the
+    * hash lives in block k div 16 at position k mod 16). Blocks instead of
+    * one 64-bit value keep the arithmetic inside safely-signed BIGINT on
+    * every engine (bit 63 would overflow DuckDB's checked sum) and are
+    * exactly the pigeonhole join keys q122 needs. Only PNG rows qualify
+    * (isPng) — header-parse stand-ins have no pixels to hash; a corrupt
+    * body degrades to no-row, never a task failure. */
+  def aHashBlocks(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (!MediaCodec.isPng(r.bytes)) Iterator.empty
+        else {
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.bytes))
+            if (img == null) Iterator.empty
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              val ras = img.getRaster
+              val sm = new Array[Int](64)
+              var sum = 0L
+              var j = 0
+              while (j < 8) {
+                val py = (2 * j + 1) * h / 16
+                var i = 0
+                while (i < 8) {
+                  val px = (2 * i + 1) * w / 16
+                  val v = ras.getSample(px, py, 0)
+                  sm(j * 8 + i) = v
+                  sum += v
+                  i += 1
+                }
+                j += 1
+              }
+              val mean = sum / 64
+              val blocks = new Array[Int](4)
+              var k = 0
+              while (k < 64) {
+                if (sm(k) > mean) blocks(k / 16) |= 1 << (k % 16)
+                k += 1
+              }
+              Iterator.single(
+                (r.media_id, blocks(0), blocks(1), blocks(2), blocks(3)))
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => Iterator.empty
+          }
+        }
+      }
+    }.toDF("media_id", "b0", "b1", "b2", "b3")
   }
 
   /** Frame sampling: every k-th frame index (video/audio), as exploded rows —
@@ -307,6 +407,100 @@ object MultimodalOps {
                max(width) AS max_w, min(width) AS min_w,
                max(height) AS max_h, min(height) AS min_h
         FROM resized GROUP BY media_type ORDER BY media_type"""),
-      doc = "aspect-preserving resize stage (integer milli-scale, typed map)")
+      doc = "aspect-preserving resize stage (integer milli-scale, typed map)"),
+
+    // Image perceptual-hash near-dup — the multimodal arm of the dedup
+    // family (web-scale image pipelines dedup by pHash/aHash before any
+    // model sees a pixel). End-to-end REAL: the fixture's PNGs are encoded
+    // by the gradient CONTENT law (normalized-coordinate pattern keyed by
+    // the doc's third codepoint), decoded back through javax.imageio, and
+    // hashed from the DECODED raster — so two docs sharing content at
+    // DIFFERENT dims land within a few bits of each other (the resize
+    // invariance perceptual hashing exists for), while different content
+    // lands ~32 bits apart. The oracle replays the pixel law arithmetically
+    // (PNG gray is lossless), which makes the whole decode→hash→join path
+    // hash-gateable without DuckDB decoding a single byte.
+    //
+    // Candidate generation is q37's pigeonhole: hamming <= 3 across 4
+    // blocks of 16 bits forces >= 1 identical block, so pairs sharing any
+    // (block-index, block-value) key are the complete candidate set — an
+    // equi-join, never a cross join. 100 TB shape: media bytes never
+    // shuffle (the hash is extracted in the narrow mapPartitions decode
+    // stage; only 4 small ints move); the block join shuffles 4 rows per
+    // image; a hot (blk, value) key — millions of near-identical thumbnails
+    // — is the same structural skew q35/q96 handle (salt or AQE skew-join),
+    // and the verify step is O(1) integer ops per candidate.
+    "q122_image_ahash_neardup" -> Q(
+      run = (s, d) => {
+        // decode+hash once; the block join reads it twice (query-scoped
+        // checkpoint — driver sweeps it)
+        val blocks = graft.Checkpoints.localCheckpoint(
+          aHashBlocks(mediaTable(s, d)))
+        val ex = blocks.select(col("media_id"), col("b0"), col("b1"),
+            col("b2"), col("b3"),
+            posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+          .withColumnRenamed("pos", "blk")
+          .withColumnRenamed("col", "bv")
+        val a = ex.select(col("media_id").as("media_a"), col("b0").as("a0"),
+          col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"),
+          col("blk"), col("bv"))
+        val b = ex.select(col("media_id").as("media_b"), col("b0").as("c0"),
+          col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"),
+          col("blk"), col("bv"))
+        a.join(b, Seq("blk", "bv"))
+          .filter(col("media_a") < col("media_b"))
+          .select(col("media_a"), col("media_b"), col("a0"), col("a1"),
+            col("a2"), col("a3"), col("c0"), col("c1"), col("c2"), col("c3"))
+          .distinct()
+          .withColumn("hamming", expr(
+            "CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+              "bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)"))
+          .filter(col("hamming") <= 3)
+          .select(col("media_a"), col("media_b"), col("hamming"),
+            (col("hamming") === 0).as("is_exact"))
+          .orderBy("media_a", "media_b")
+      },
+      oracle = Some("""
+        WITH img AS (
+          SELECT doc_id AS media_id,
+                 4 * ascii(substr(text, 1, 1)) AS w,
+                 4 * ascii(substr(text, 2, 1)) AS h,
+                 1 + ((ascii(substr(text, 3, 1)) * 97) % 251) % 7 AS ca,
+                 1 + (((ascii(substr(text, 3, 1)) * 97) % 251) // 7) % 7 AS cb
+          FROM documents
+          WHERE doc_id % 3 = 0
+            AND ascii(substr(text, 1, 1)) > 0
+            AND ascii(substr(text, 2, 1)) > 0),
+        cells AS (
+          SELECT media_id, CAST(j * 8 + i AS INT) AS k,
+                 (((((2*i+1) * w // 16) * 256) // w) * ca +
+                  ((((2*j+1) * h // 16) * 256) // h) * cb) // (ca + cb) AS px
+          FROM img,
+               unnest(range(0, 8)) AS u(i),
+               unnest(range(0, 8)) AS uu(j)),
+        m AS (SELECT media_id, sum(px) // 64 AS mean
+              FROM cells GROUP BY media_id),
+        bits AS (
+          SELECT c.media_id, c.k,
+                 CASE WHEN c.px > m.mean THEN 1 ELSE 0 END AS bit
+          FROM cells c JOIN m USING (media_id)),
+        blocks AS (
+          SELECT media_id,
+                 CAST(sum(CASE WHEN k // 16 = 0 THEN bit << (k % 16) ELSE 0 END) AS BIGINT) AS b0,
+                 CAST(sum(CASE WHEN k // 16 = 1 THEN bit << (k % 16) ELSE 0 END) AS BIGINT) AS b1,
+                 CAST(sum(CASE WHEN k // 16 = 2 THEN bit << (k % 16) ELSE 0 END) AS BIGINT) AS b2,
+                 CAST(sum(CASE WHEN k // 16 = 3 THEN bit << (k % 16) ELSE 0 END) AS BIGINT) AS b3
+          FROM bits GROUP BY media_id),
+        pairs AS (
+          SELECT a.media_id AS media_a, b.media_id AS media_b,
+                 bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+                 bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hamming
+          FROM blocks a JOIN blocks b ON a.media_id < b.media_id)
+        SELECT media_a, media_b, CAST(hamming AS BIGINT) AS hamming,
+               hamming = 0 AS is_exact
+        FROM pairs WHERE hamming <= 3
+        ORDER BY media_a, media_b"""),
+      doc = "image perceptual-hash (aHash) near-dup: real PNG decode → " +
+        "8×8 point-sample hash → 4×16-bit pigeonhole block join")
   )
 }

@@ -2220,7 +2220,224 @@ object TextOps {
         FROM base b JOIN vocab v USING (source)
         ORDER BY b.source"""),
       doc = "per-source data card: docs/tokens/vocab/lang-mix/exact-dup " +
-        "rate (q34's dup law; the corpus-release report)")
+        "rate (q34's dup law; the corpus-release report)"),
+
+    // DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling" — public literature):
+    // score every document by how target-like its hashed-feature counts
+    // are under a target-vs-raw bucket model (target = source 'src0', the
+    // fixture's stand-in for a trusted corpus like Wikipedia). The paper's
+    // hashed-feature trick IS the scale design: tokens feature-hash into a
+    // FIXED bucket space (V=1024 here), so the model is bounded metadata —
+    // like q113's ≤|charset|² bigram model — no matter how large the
+    // corpus vocabulary grows. The model fit is ONE map-side-combined
+    // shuffle of (bucket, is-target) counts; the fitted per-bucket
+    // affinity table broadcasts, and serving is a single narrow kernel
+    // pass — the corpus text never shuffles.
+    //
+    // Integer-exact law (the hash-gate analogue of the paper's
+    // log-likelihood-ratio; same monotone keep decision): with ct/cr a
+    // bucket's token count in target/raw and Nt/Nr the totals,
+    //   pt_ppm(b) = max(1, (ct+1) * 1e6 DIV (Nt + V))   (add-one smoothed)
+    //   pr_ppm(b) = max(1, (cr+1) * 1e6 DIV (Nr + V))
+    //   r_milli(b) = pt_ppm(b) * 1000 DIV pr_ppm(b)
+    // and a doc scores the MEAN affinity of its tokens:
+    //   score_milli = sum(r_milli(b(tok))) DIV n_tok.
+    // The keep gate is SELF-CALIBRATING, like the paper's resampling:
+    // kept = target docs, plus raw docs scoring strictly above the raw
+    // pool's own mean score (an absolute cut like ">= 1000" sits exactly
+    // on the raw expectation E[r] ≈ Σ_b pr_b·(pt_b/pr_b) ≈ 1 and the
+    // integer truncations bias every raw doc just under it — measured
+    // 0/475 raw docs kept; the mean-relative cut is the distribution-free
+    // form). The threshold is ONE aggregated scalar (map-side-combined
+    // sum/count — bounded driver metadata, the saltWidth contract), so
+    // serving is two narrow corpus passes and still zero corpus shuffles.
+    // ppm-first ordering bounds every intermediate under 2^63 for any
+    // corpus whose per-bucket count stays below 9.2e12 tokens (shard the
+    // model fit per epoch beyond that); max(1,·) floors the ppm of
+    // near-empty buckets once corpus totals pass 1e6 tokens, so the ratio
+    // never divides by zero. Bucket = charHash(tok) mod V — the
+    // cross-engine polynomial hash, so the oracle replays the identical
+    // feature space fold-for-fold.
+    "q119_dsir_weights" -> Q(
+      run = (s, d) => {
+        val V = 1024
+        val target = "src0"
+        val model = docTokens(s, d)
+          .select(col("source"), explode(col("toks")).as("tok"))
+          .withColumn("b", charHash(col("tok")) % V)
+          .groupBy(col("b")).agg(
+            sum(when(col("source") === target, 1L).otherwise(0L)).as("ct"),
+            sum(when(col("source") =!= target, 1L).otherwise(0L)).as("cr"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        // bounded-metadata contract, enforced (q113's convention): the
+        // collect is ≤V rows by construction of the bucket space
+        require(model.length <= V,
+          s"feature-hash model has ${model.length} buckets > V=$V")
+        val nt = model.map(_._2).sum
+        val nr = model.map(_._3).sum
+        val rTab = new Array[Long](V)
+        model.foreach { case (b, ct, cr) =>
+          val pt = math.max(1L, (ct + 1L) * 1000000L / (nt + V))
+          val pr = math.max(1L, (cr + 1L) * 1000000L / (nr + V))
+          rTab(b.toInt) = pt * 1000L / pr
+        }
+        val bc = s.sparkContext.broadcast(rTab)
+        // serving kernel: split + polyHash + table lookup in one primitive
+        // loop (String.split(" ", -1) ≡ the tokens() column law; polyHash
+        // ≡ charHash — TextHashSpec's equivalence property)
+        val score = udf { (text: String) =>
+          val rr = bc.value
+          val toks = text.split(" ", -1)
+          var acc = 0L
+          var i = 0
+          while (i < toks.length) {
+            acc += rr((graft.functions.TextHash.polyHash(toks(i)) % V).toInt)
+            i += 1
+          }
+          acc
+        }
+        val scored = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"))
+          .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+          .withColumn("ssum", score(col("text")))
+          .withColumn("score_milli", expr("ssum DIV n_tok"))
+        val t0 = scored.filter(col("source") =!= target)
+          .agg(sum(col("score_milli")).as("s"), count(lit(1)).as("n")).head()
+        val thr = t0.getLong(0) / t0.getLong(1) // raw-pool mean, 1-row collect
+        scored
+          .select(col("doc_id"), col("source"), col("n_tok"),
+            col("score_milli"),
+            (col("source") === target).as("is_target"),
+            (col("source") === target || col("score_milli") > thr).as("kept"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        b AS (
+          SELECT doc_id, source,
+            (list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))),
+              (acc, c) -> (acc * 31 + c) % 1000000007)) % 1024 AS b
+          FROM tok),
+        model AS (
+          SELECT b,
+                 count(*) FILTER (WHERE source = 'src0') AS ct,
+                 count(*) FILTER (WHERE source <> 'src0') AS cr
+          FROM b GROUP BY b),
+        tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM model),
+        r AS (
+          SELECT b,
+                 greatest((ct + 1) * 1000000 // (nt + 1024), 1) * 1000
+                   // greatest((cr + 1) * 1000000 // (nr + 1024), 1)
+                   AS r_milli
+          FROM model CROSS JOIN tot),
+        ds AS (
+          SELECT b.doc_id, count(*) AS n_tok, sum(r.r_milli) AS ssum
+          FROM b JOIN r USING (b) GROUP BY b.doc_id),
+        sc AS (
+          SELECT d.doc_id, d.source,
+                 CAST(ds.n_tok AS BIGINT) AS n_tok,
+                 CAST(ds.ssum // ds.n_tok AS BIGINT) AS score_milli
+          FROM documents d JOIN ds USING (doc_id)),
+        thr AS (
+          SELECT CAST(sum(score_milli) // count(*) AS BIGINT) AS t
+          FROM sc WHERE source <> 'src0')
+        SELECT doc_id, source, n_tok, score_milli,
+               source = 'src0' AS is_target,
+               (source = 'src0' OR score_milli > thr.t) AS kept
+        FROM sc CROSS JOIN thr
+        ORDER BY doc_id"""),
+      doc = "DSIR-style hashed-feature importance weights (target-vs-raw " +
+        "bucket model, broadcast serving; Xie et al. 2023)"),
+
+    // Per-source novelty selection over the q106 window table: novelty =
+    // the milli fraction of a doc's distinct 8-token windows that appear
+    // in NO other document, and each source keeps its top-10%-most-novel
+    // docs (novelty DESC, doc_id ASC) — the budgeted "prefer unseen
+    // content" sampling step of a curation funnel (the inverse view of
+    // q106's dup stats: q106 measures how much of a doc is boilerplate,
+    // this ranks and SELECTS by how much is fresh).
+    // 100 TB shape: shares the staged window cache with q106/q107/q110
+    // (tokenize+hash runs once); the frequency agg shuffles fixed-width
+    // window hashes only (md5/xxh64 flag applies); the per-source top-k is
+    // a window rank partitioned BY SOURCE — parallel across sources, and
+    // within a mega-source the rank input is one doc-level row each, not
+    // window-level.
+    "q121_novelty_select" -> Q(
+      run = (s, d) => {
+        val base = docWindowArrays(s, d)
+        // distinct windows per doc, exploded — consumed by the frequency
+        // agg AND the per-doc rollup (query-scoped, driver sweeps it)
+        val wd = graft.Checkpoints.localCheckpoint(
+          base.select(col("doc_id"), explode(col("dwins")).as("w")))
+        val freq = wd.groupBy(col("w")).agg(count(lit(1)).as("n_docs"))
+        val perDoc = wd.join(freq, Seq("w"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_distinct_windows"),
+            sum(when(col("n_docs") === 1, 1L).otherwise(0L))
+              .as("n_unique_windows"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+        val wRank = w.orderBy(col("novelty_milli").desc, col("doc_id"))
+        base.select(col("doc_id"), col("source"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .withColumn("n_distinct_windows",
+            coalesce(col("n_distinct_windows"), lit(0L)))
+          .withColumn("n_unique_windows",
+            coalesce(col("n_unique_windows"), lit(0L)))
+          // windowless docs (< 8 tokens) are wholly unseen by the window
+          // law: novelty 1000, competing on doc_id like everyone else
+          .withColumn("novelty_milli",
+            when(col("n_distinct_windows") === 0, 1000L)
+              .otherwise(expr(
+                "1000 * n_unique_windows div n_distinct_windows")))
+          .withColumn("nov_rank", row_number().over(wRank).cast("long"))
+          .withColumn("n_src_docs", count(lit(1)).over(w))
+          .select(col("doc_id"), col("source"), col("n_distinct_windows"),
+            col("n_unique_windows"), col("novelty_milli"), col("nov_rank"),
+            (col("nov_rank") * 10 <= col("n_src_docs")).as("kept"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, source, string_split(text,' ') AS toks
+                   FROM documents),
+        w AS (
+          SELECT doc_id, array_to_string(list_slice(toks, i, i+7), ' ') AS win
+          FROM t, unnest(range(1, len(toks)-7+1)) AS u(i)
+          WHERE len(toks) >= 8),
+        wd AS (SELECT DISTINCT doc_id, win FROM w),
+        freq AS (SELECT win, count(*) AS n_docs FROM wd GROUP BY win),
+        per_doc AS (
+          SELECT wd.doc_id,
+                 count(*) AS n_distinct_windows,
+                 count(*) FILTER (WHERE freq.n_docs = 1) AS n_unique_windows
+          FROM wd JOIN freq USING (win) GROUP BY wd.doc_id),
+        nov AS (
+          SELECT t.doc_id, t.source,
+                 coalesce(p.n_distinct_windows, 0) AS n_distinct_windows,
+                 coalesce(p.n_unique_windows, 0) AS n_unique_windows,
+                 CASE WHEN coalesce(p.n_distinct_windows, 0) = 0 THEN 1000
+                      ELSE 1000 * p.n_unique_windows // p.n_distinct_windows
+                 END AS novelty_milli
+          FROM t LEFT JOIN per_doc p ON t.doc_id = p.doc_id),
+        ranked AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY novelty_milli DESC, doc_id) AS nov_rank,
+                 count(*) OVER (PARTITION BY source) AS n_src_docs
+          FROM nov)
+        SELECT doc_id, source,
+               CAST(n_distinct_windows AS BIGINT) AS n_distinct_windows,
+               CAST(n_unique_windows AS BIGINT) AS n_unique_windows,
+               CAST(novelty_milli AS BIGINT) AS novelty_milli,
+               CAST(nov_rank AS BIGINT) AS nov_rank,
+               nov_rank * 10 <= n_src_docs AS kept
+        FROM ranked ORDER BY doc_id"""),
+      doc = "per-source top-10% novelty selection (unique-window milli " +
+        "fraction over the staged q106 window table)")
   )
 
   /** Greedy in-order sequence packing, subshard-parallel. Input: one row

@@ -851,8 +851,106 @@ object Vectors {
       },
       doc = "product-quantization ANN top-k: 4-subspace codes (~32× " +
         "full-scan compression), ADC table-lookup shortlist, exact rerank " +
-        "on the candidate set (Jégou et al. 2011; IVFPQ+refine shape)")
+        "on the candidate set (Jégou et al. 2011; IVFPQ+refine shape)"),
+
+    // Prototype-based data pruning (Sorscher et al. 2022, "Beyond neural
+    // scaling laws: beating power law scaling via data pruning" — public
+    // literature): the abundant-data regime keeps the HARD examples —
+    // per cluster, the members least similar to their centroid — and
+    // prunes the most prototypical ones, which carry the least marginal
+    // training signal. This is the curation decision COMPLEMENTING q109:
+    // SemDeDup removes semantic duplicates pairwise; prototype pruning
+    // thins every cluster's redundant core by a fixed fraction (25% here).
+    //
+    // Deterministic law: assign each vector to its nearest centroid
+    // (q40/q109's shared kernel, bit-identical cosine folds), rank cluster
+    // members by prototypicality (cos_c DESC, vec_id ASC), and keep x iff
+    // 4·rank > n_cluster — dropping the floor(n/4) most prototypical.
+    // Integer rank arithmetic, so the decision replays exactly; the only
+    // doubles are the same assignment cosines both engines already compute
+    // bit-identically for q109.
+    //
+    // 100 TB shape: centroids broadcast (model metadata, K-bounded);
+    // assignment + cos_c is one narrow primitive-kernel pass; then ONE
+    // shuffle on cluster id for the per-cluster rank — no pair join at
+    // all (cheaper than q109: pruning needs only the ORDER, not pairwise
+    // cosines). K must scale with the corpus exactly as q109 documents,
+    // which also bounds every rank partition.
+    "q120_proto_prune" -> Q(
+      run = (s, d) =>
+        prototypePrune(s, vecs(s, d),
+          vecs(s, d).filter(col("vec_id") < 16)
+            .select(col("vec_id").as("cent_id"), col("embedding"))),
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT * FROM (
+            SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2
+            FROM embeddings) WHERE n2 > 0),
+        cents AS (
+          SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2
+          FROM v WHERE vec_id < 16),
+        assigned AS (
+          SELECT v.vec_id, c.cent_id,
+                 ${sqlDot("v.embedding", "c.c_emb")} / (sqrt(v.n2) * sqrt(c.c_n2)) AS cos_c
+          FROM v CROSS JOIN cents c),
+        clustered AS (
+          SELECT vec_id, cent_id AS cl, cos_c FROM (
+            SELECT vec_id, cent_id, cos_c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+            FROM assigned) t
+          WHERE rn = 1),
+        ranked AS (
+          SELECT cl, vec_id,
+                 row_number() OVER (PARTITION BY cl
+                   ORDER BY cos_c DESC, vec_id) AS proto_rank,
+                 count(*) OVER (PARTITION BY cl) AS n_cluster
+          FROM clustered)
+        SELECT cl AS cluster, vec_id,
+               CAST(proto_rank AS BIGINT) AS proto_rank,
+               CAST(n_cluster AS BIGINT) AS n_cluster,
+               proto_rank * 4 > n_cluster AS kept
+        FROM ranked ORDER BY cluster, vec_id"""),
+      doc = "prototype-based data pruning: drop each cluster's most-" +
+        "prototypical quarter (Sorscher et al. 2022; rank-integer law)")
   )
+
+  /** Prototype-based data pruning (Sorscher et al. 2022) over an arbitrary
+    * codebook — see q120 for the law. Shares [[collectCodebook]] /
+    * [[centroidCos]] / [[nearestIdx]] with the IVF family, so assignment
+    * cosines are bit-identical to q40/q109/q111's and the oracle's.
+    *
+    * @param vectors  (vec_id: long, embedding: array&lt;float&gt;, ...) —
+    *                 zero vectors must already be excluded (see [[vecs]]).
+    * @param codebook (cent_id: long, embedding: array&lt;float&gt;).
+    *
+    * Scale: no pair join — ONE shuffle on cluster id for the per-cluster
+    * rank; K grows with the corpus (q109's sizing note) which also bounds
+    * each rank partition at the mean cluster size.
+    */
+  def prototypePrune(s: SparkSession, vectors: DataFrame,
+      codebook: DataFrame): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(collectCodebook(s,
+      codebook.select(col("cent_id"), col("embedding"))))
+    val clustered = vectors.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, va) =>
+        val (cids, cm, cn2) = bc.value
+        val cos = centroidCos(va, cm, cn2)
+        val best = nearestIdx(cos)
+        (id, cids(best), cos(best))
+      }
+      .toDF("vec_id", "cluster", "cos_c")
+    val wAll = Window.partitionBy(col("cluster"))
+    val wRank = wAll.orderBy(col("cos_c").desc, col("vec_id"))
+    clustered
+      .withColumn("proto_rank", row_number().over(wRank).cast("long"))
+      .withColumn("n_cluster", count(lit(1)).over(wAll))
+      .select(col("cluster"), col("vec_id"), col("proto_rank"),
+        col("n_cluster"),
+        (col("proto_rank") * 4 > col("n_cluster")).as("kept"))
+      .orderBy("cluster", "vec_id")
+  }
 
   /** SemDeDup keep/drop curation (Abbas et al. 2023) over an arbitrary
     * codebook — the q109 law with the centroid source lifted to a

@@ -82,6 +82,65 @@ class CurationSpec extends SparkSpec {
     assert(perQuery.forall(_ <= 5))
   }
 
+  test("q119: importance weights separate target from raw; kept is the gate") {
+    val rows = SparkEntry.queries("q119_dsir_weights")(spark, sf).collect()
+    val (tgt, raw) = rows.partition(_.getBoolean(4))
+    assert(tgt.nonEmpty && raw.nonEmpty, "fixture lost its target source")
+    // the whole point of importance weighting: docs FROM the target
+    // distribution must score higher under it than the raw pool does
+    def meanScore(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getLong(3)).sum.toDouble / rs.length
+    assert(meanScore(tgt) > meanScore(raw),
+      f"target mean ${meanScore(tgt)}%.0f not above raw ${meanScore(raw)}%.0f")
+    // the gate actually splits the raw pool (not vacuous either way) and
+    // kept is exactly the self-calibrating law: target, or raw strictly
+    // above the raw pool's mean score
+    val rawKept = raw.count(_.getBoolean(5))
+    assert(rawKept > 0 && rawKept < raw.length,
+      s"gate is vacuous on the raw pool: $rawKept of ${raw.length}")
+    val thr = raw.map(_.getLong(3)).sum / raw.length
+    rows.foreach { r =>
+      assert(r.getBoolean(5) == (r.getBoolean(4) || r.getLong(3) > thr),
+        s"kept disagrees with the mean-relative law (thr=$thr): $r")
+    }
+  }
+
+  test("q119: serving plan is joinless after the broadcast model fit") {
+    // like q113: the model is driver metadata by the hashed-feature
+    // contract; the SERVED query (scoring pass) must not join or shuffle
+    // the corpus
+    val df = SparkEntry.queries("q119_dsir_weights")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"scoring pass joins:\n$p")
+    assert(!p.contains("HashAggregate"), s"scoring pass aggregates:\n$p")
+  }
+
+  test("q121: per-source novelty budget keeps exactly floor(n/10) docs") {
+    val rows = SparkEntry.queries("q121_novelty_select")(spark, sf).collect()
+    val bySrc = rows.groupBy(_.getString(1))
+    assert(bySrc.size > 1)
+    bySrc.foreach { case (src, rs) =>
+      val kept = rs.count(_.getBoolean(6))
+      assert(kept == rs.length / 10,
+        s"$src kept $kept of ${rs.length}, expected ${rs.length / 10}")
+    }
+    // novelty law: milli fraction of corpus-unique distinct windows
+    rows.foreach { r =>
+      val (nd, nu, nov) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nu <= nd, s"unique > distinct: $r")
+      assert(nov == (if (nd == 0) 1000L else 1000L * nu / nd),
+        s"novelty law violated: $r")
+    }
+    // and the budget selects BY novelty: every kept doc's novelty is >=
+    // every dropped doc's within its source, up to the doc_id tie-break
+    bySrc.foreach { case (_, rs) =>
+      val (kept, dropped) = rs.partition(_.getBoolean(6))
+      if (kept.nonEmpty && dropped.nonEmpty)
+        assert(kept.map(_.getLong(4)).min >= dropped.map(_.getLong(4)).max,
+          "a dropped doc out-novels a kept one")
+    }
+  }
+
   test("q114: ADC scan is joinless; the rerank join broadcasts the shortlist") {
     val df = SparkEntry.queries("q114_pq_topk")(spark, sf)
     df.collect()

@@ -100,6 +100,55 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(f => f.width <= 224 && f.height <= 224))
   }
 
+  test("q122 aHash: resize-invariant for same content, distant otherwise") {
+    // the perceptual-hash claim, exercised through REAL encode→decode:
+    // the same gradient content (v) rendered at different dims must hash
+    // within the q122 near-dup threshold; different content must not
+    def hashOf(rows: Seq[MediaRow]): Map[Long, (Int, Int, Int, Int)] =
+      MultimodalOps.aHashBlocks(rows.toDS())
+        .collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+        .toMap
+    def hamming(a: (Int, Int, Int, Int), b: (Int, Int, Int, Int)): Int =
+      Integer.bitCount(a._1 ^ b._1) + Integer.bitCount(a._2 ^ b._2) +
+        Integer.bitCount(a._3 ^ b._3) + Integer.bitCount(a._4 ^ b._4)
+    val rows = Seq(
+      MediaRow(1L, "image", MediaCodec.encodePngGrad(200, 120, 77), "s", 0L),
+      MediaRow(2L, "image", MediaCodec.encodePngGrad(400, 240, 77), "s", 0L), // 2× resize
+      MediaRow(3L, "image", MediaCodec.encodePngGrad(172, 96, 77), "s", 0L),  // odd resize
+      MediaRow(4L, "image", MediaCodec.encodePngGrad(200, 120, 13), "s", 0L)) // other content
+    val h = hashOf(rows)
+    assert(h.size == 4, "a PNG row failed to decode")
+    assert(hamming(h(1L), h(2L)) <= 3, s"2x resize drifted ${hamming(h(1L), h(2L))} bits")
+    assert(hamming(h(1L), h(3L)) <= 3, s"odd resize drifted ${hamming(h(1L), h(3L))} bits")
+    assert(hamming(h(1L), h(4L)) > 10,
+      s"different content landed ${hamming(h(1L), h(4L))} bits away")
+    // non-PNG rows contribute no hash (header-parse stand-ins have no pixels)
+    val mixed = rows :+ MediaRow(5L, "audio", "not a png".getBytes("UTF-8"), "s", 0L)
+    assert(hashOf(mixed).size == 4)
+  }
+
+  test("q122: fixture pairs are complete under the pigeonhole block join") {
+    // every emitted pair clears the threshold, and the candidate join loses
+    // nothing: a brute-force all-pairs replay over the hashes agrees
+    val rows = SparkEntry.queries("q122_image_ahash_neardup")(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture has no image near-dups — law degenerated")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= 3 && (r.getBoolean(3) == (r.getLong(2) == 0L)))
+    }
+    val hs = MultimodalOps.aHashBlocks(MultimodalOps.mediaTable(spark, sf))
+      .collect().map(r =>
+        (r.getLong(0), Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))))
+    val brute = (for {
+      (ia, ba) <- hs; (ib, bb) <- hs if ia < ib
+      hd = ba.zip(bb).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      if hd <= 3
+    } yield (ia, ib, hd.toLong)).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute,
+      s"pigeonhole candidates diverge from brute force: missing=${brute -- got}")
+  }
+
   test("features stay small: binary column dropped before any wide op") {
     val media = MultimodalOps.mediaTable(spark, sf)
     val feats = MultimodalOps.extractFeatures(media)

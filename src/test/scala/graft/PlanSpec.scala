@@ -58,6 +58,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"shingle join degenerated:\n$p")
   }
 
+  test("q122: aHash block join is an equi join, never a cartesian") {
+    val p = plan("q122_image_ahash_neardup")
+    assert(!p.contains("CartesianProduct"), s"block join degenerated:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"block join degenerated:\n$p")
+  }
+
   test("q27: whole-stage codegen covers the aggregation pipeline") {
     val p = plan("q27_tumbling_window", execute = true)
     // codegen stages print as "*(n) Operator" in the final adaptive plan

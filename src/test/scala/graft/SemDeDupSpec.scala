@@ -68,4 +68,52 @@ class SemDeDupSpec extends SparkSpec {
     // non-trivial: some drops must actually occur or tau never fired
     assert(got.exists(!_._3))
   }
+
+  test("q120 prototype pruning: K=8 codebook matches a brute-force replay") {
+    import spark.implicits._
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .filter { case (_, v) => v.exists(_ != 0.0f) }
+      .sortBy(_._1)
+    val cents = all.filter(_._1 < 8)
+    assert(cents.length == 8 && all.length > 100)
+
+    // brute-force replay of the law: assign, rank (cos DESC, id ASC)
+    // within cluster, keep iff 4·rank > n
+    val assigned = all.map { case (id, v) =>
+      val (cl, cosC) = cents.map { case (cid, cv) => (cid, cosFold(v, cv)) }
+        .maxBy { case (cid, c) => (c, -cid) }
+      (id, cl, cosC)
+    }
+    val expected = assigned.groupBy(_._2).toSeq.flatMap { case (cl, members) =>
+      val ranked = members.sortBy { case (id, _, cosC) => (-cosC, id) }
+      val n = ranked.length
+      ranked.zipWithIndex.map { case ((id, _, _), i) =>
+        (cl, id, (i + 1).toLong, n.toLong, 4L * (i + 1) > n)
+      }
+    }.sortBy(t => (t._1, t._2))
+
+    val vectors = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .filter(aggregate(transform(col("embedding"),
+        x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x) > 0.0)
+    val codebook = vectors.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding"))
+    val result = graft.queries.Vectors.prototypePrune(spark, vectors, codebook)
+    val plan = result.queryExecution.executedPlan.toString
+    // no pair join at all in this operator — rank only, never cartesian
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      s"prototypePrune planned a join:\n$plan")
+    val got = result.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got == expected)
+    // the law's shape: every cluster drops exactly floor(n/4) members —
+    // never all of them — and drops are the TOP-prototypicality ranks
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      val n = rs.head._4
+      assert(rs.count(!_._5) == n / 4)
+      assert(rs.filter(!_._5).forall(_._3 <= n / 4))
+    }
+  }
 }
