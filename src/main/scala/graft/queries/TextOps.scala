@@ -2437,7 +2437,160 @@ object TextOps {
                nov_rank * 10 <= n_src_docs AS kept
         FROM ranked ORDER BY doc_id"""),
       doc = "per-source top-10% novelty selection (unique-window milli " +
-        "fraction over the staged q106 window table)")
+        "fraction over the staged q106 window table)"),
+
+    // Token-budget apportionment across sources — the mixture-construction
+    // step that turns "sample sources proportionally" into an EXACT integer
+    // allocation (training mixtures are specified in tokens, and a float
+    // share times a budget never sums back to the budget). Law: largest-
+    // remainder (Hamilton) apportionment — quota_i = B·n_i div N, then the
+    // B − Σquota leftover tokens go to the sources with the largest
+    // remainders (rem DESC, source ASC). Σ alloc == B exactly, by
+    // construction. 100 TB shape: per-source token counts are ONE
+    // map-side-combined shuffle; everything after operates on the
+    // |sources|-row table (the q115 bounded-window convention — the rank
+    // window is unpartitioned but its input is sources-proportional
+    // metadata, never docs). Overflow bound: B·n_i < 2^63 — at B=1e5 a
+    // source may hold up to 9.2e13 tokens.
+    "q125_token_budget" -> Q(
+      run = (s, d) => {
+        val budget = 100000L
+        val counts = docTokens(s, d)
+          .select(col("source"), explode(col("toks")).as("tok"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n_tok"))
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))
+        val wRank = wAll.orderBy(col("rem").desc, col("source"))
+        counts
+          .withColumn("n_total", sum(col("n_tok")).over(wAll))
+          .withColumn("quota", expr(s"($budget * n_tok) DIV n_total"))
+          .withColumn("rem", expr(s"($budget * n_tok) % n_total"))
+          .withColumn("rem_rank", row_number().over(wRank).cast("long"))
+          .withColumn("leftover", lit(budget) - sum(col("quota")).over(wAll))
+          .withColumn("alloc",
+            col("quota") + when(col("rem_rank") <= col("leftover"), 1L)
+              .otherwise(0L))
+          .select(col("source"), col("n_tok"), col("quota"), col("rem"),
+            col("rem_rank"), col("alloc"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT source, count(*) AS n_tok
+          FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+          GROUP BY source),
+        q AS (
+          SELECT source, n_tok,
+                 sum(n_tok) OVER () AS n_total,
+                 (100000 * n_tok) // sum(n_tok) OVER () AS quota,
+                 (100000 * n_tok) % sum(n_tok) OVER () AS rem
+          FROM c),
+        r AS (
+          SELECT *,
+                 row_number() OVER (ORDER BY rem DESC, source) AS rem_rank,
+                 100000 - sum(quota) OVER () AS leftover
+          FROM q)
+        SELECT source,
+               CAST(n_tok AS BIGINT) AS n_tok,
+               CAST(quota AS BIGINT) AS quota,
+               CAST(rem AS BIGINT) AS rem,
+               CAST(rem_rank AS BIGINT) AS rem_rank,
+               CAST(quota + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                 AS BIGINT) AS alloc
+        FROM r ORDER BY source"""),
+      doc = "largest-remainder token-budget apportionment across sources " +
+        "(exact integer mixture allocation; sums to the budget)"),
+
+    // Per-source MinHash sketch + pairwise vocabulary-overlap estimate —
+    // the catalog-level "which sources duplicate each other wholesale?"
+    // triage that decides WHERE to point the expensive document-level
+    // dedup family (q35/q106/q107 answer it per doc/window; this answers
+    // it per source from a 64-long sketch). Sketch law: 64 affine min-
+    // hashes a_k·h+b_k mod P over the source's token-hash set, with
+    // a_k = 104729·(k+1) mod P, b_k = 15485863·(k+1) mod P — engine-
+    // replayable, and E[match_k/64] = vocab Jaccard (the classic MinHash
+    // estimator; ±1σ ≈ 0.06 at 64 hashes, floored in CurationSpec).
+    // 100 TB shape: the sketch build is ONE map-side-combined shuffle to
+    // |sources| rows of 64 longs (the typed Aggregator path, like q63 —
+    // duplicate tokens never shuffle because min() combines map-side); the
+    // pair matrix is |sources|² by definition, computed off the broadcast
+    // sketch table (bounded metadata: a million sources = 512 MB of
+    // sketches... so by then you shard the matrix; the corpus itself never
+    // re-enters).
+    "q126_source_sketch" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        val nH = 64
+        val sketch = new org.apache.spark.sql.expressions.Aggregator[
+            (String, Long), Array[Long], Array[Long]] {
+          def zero: Array[Long] = Array.fill(nH)(Long.MaxValue)
+          def reduce(b: Array[Long], row: (String, Long)): Array[Long] = {
+            val x = row._2
+            var k = 0
+            while (k < nH) {
+              val a = (104729L * (k + 1)) % P
+              val bb = (15485863L * (k + 1)) % P
+              val hv = (a * x + bb) % P
+              if (hv < b(k)) b(k) = hv
+              k += 1
+            }
+            b
+          }
+          def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+            var k = 0
+            while (k < nH) { if (b(k) < a(k)) a(k) = b(k); k += 1 }
+            a
+          }
+          def finish(b: Array[Long]): Array[Long] = b
+          def bufferEncoder = implicitly[org.apache.spark.sql.Encoder[Array[Long]]]
+          def outputEncoder = implicitly[org.apache.spark.sql.Encoder[Array[Long]]]
+        }
+        val sketches = docTokens(s, d)
+          .select(col("source"), explode(col("toks")).as("tok"))
+          .select(col("source"), charHash(col("tok")).as("h"))
+          .as[(String, Long)]
+          .groupByKey(_._1)
+          .agg(sketch.toColumn.name("mhs"))
+          .toDF("source", "mhs")
+        // sources-bounded matrix: broadcast one side; the inequality join
+        // over sketch METADATA is the intended shape (the output itself is
+        // |sources|² — there is no sub-quadratic matrix)
+        val a = sketches.select(col("source").as("source_a"), col("mhs").as("ma"))
+        val b = sketches.select(col("source").as("source_b"), col("mhs").as("mb"))
+        a.join(broadcast(b), col("source_a") < col("source_b"))
+          .withColumn("match_k", expr(
+            "CAST(size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v)) AS BIGINT)"))
+          .select(col("source_a"), col("source_b"), col("match_k"),
+            expr("1000 * match_k DIV 64").as("est_jaccard_milli"))
+          .orderBy("source_a", "source_b")
+      },
+      oracle = Some("""
+        WITH st AS (
+          SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        h AS (
+          SELECT source,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))),
+              (acc, c) -> (acc * 31 + c) % 1000000007) AS sh
+          FROM st),
+        sigs AS (
+          SELECT source, k,
+                 min((((104729 * (k + 1)) % 1000000007) * sh
+                      + (15485863 * (k + 1)) % 1000000007) % 1000000007) AS mh
+          FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS k)
+          GROUP BY source, k),
+        m AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 count(*) FILTER (WHERE a.mh = b.mh) AS match_k
+          FROM sigs a JOIN sigs b ON a.k = b.k AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT source_a, source_b,
+               CAST(match_k AS BIGINT) AS match_k,
+               CAST(1000 * match_k // 64 AS BIGINT) AS est_jaccard_milli
+        FROM m ORDER BY source_a, source_b"""),
+      doc = "per-source 64-hash MinHash sketch + pairwise vocabulary-" +
+        "Jaccard estimate matrix (catalog-level dedup triage)")
   )
 
   /** Greedy in-order sequence packing, subshard-parallel. Input: one row

@@ -911,7 +911,115 @@ object Vectors {
                proto_rank * 4 > n_cluster AS kept
         FROM ranked ORDER BY cluster, vec_id"""),
       doc = "prototype-based data pruning: drop each cluster's most-" +
-        "prototypical quarter (Sorscher et al. 2022; rank-integer law)")
+        "prototypical quarter (Sorscher et al. 2022; rank-integer law)"),
+
+    // One Lloyd iteration of distributed k-means — the TRAINING step that
+    // turns the IVF family's deterministic stand-in codebook into a real
+    // one (q40/q109/q111/q114/q120 all consume a codebook and document
+    // "trained k-means in production"; this is that operator, one step of
+    // it). Assign every vector to its nearest current centroid (the shared
+    // bit-exact kernel), then emit the per-cluster integer-scaled
+    // coordinate sums + member counts — exactly q63's order-independent
+    // x1e6 law, so the new centroid means (sum div n) replay on any
+    // engine. Production loops this: codebook_{t+1} = means(assign(codebook_t)),
+    // each iteration ONE narrow assignment pass + ONE map-side-combined
+    // shuffle keyed (cluster, dim) — never corpus-quadratic, no driver
+    // state beyond the K×64 codebook itself.
+    "q123_kmeans_step" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        val bc = s.sparkContext.broadcast(collectCodebook(s,
+          vecs(s, d).filter(col("vec_id") < 16)
+            .select(col("vec_id"), col("embedding"))))
+        val assigned = vecs(s, d)
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])]
+          .map { case (_, va) =>
+            val (cids, cm, cn2) = bc.value
+            (cids(nearestIdx(centroidCos(va, cm, cn2))), va)
+          }
+          .toDF("cent_id", "embedding")
+        assigned
+          .select(col("cent_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy(col("cent_id"), col("dim"))
+          .agg(
+            sum(floor(col("x").cast("double") * 1000000.0).cast("bigint"))
+              .as("sum_x1e6"),
+            count(lit(1)).as("n_members"))
+          .orderBy("cent_id", "dim")
+      },
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT * FROM (
+            SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2
+            FROM embeddings) WHERE n2 > 0),
+        cents AS (
+          SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2
+          FROM v WHERE vec_id < 16),
+        assigned AS (
+          SELECT v.vec_id, v.embedding, c.cent_id,
+                 ${sqlDot("v.embedding", "c.c_emb")} / (sqrt(v.n2) * sqrt(c.c_n2)) AS cos_c
+          FROM v CROSS JOIN cents c),
+        clustered AS (
+          SELECT vec_id, cent_id AS cl, embedding FROM (
+            SELECT vec_id, cent_id, embedding, cos_c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+            FROM assigned) t
+          WHERE rn = 1)
+        SELECT cl AS cent_id, CAST(i - 1 AS INT) AS dim,
+               CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_x1e6,
+               count(*) AS n_members
+        FROM clustered CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+        GROUP BY cl, i ORDER BY cent_id, dim"""),
+      doc = "one distributed k-means (Lloyd) iteration: nearest-centroid " +
+        "assignment + integer-scaled new-centroid sums (codebook training)"),
+
+    // Hard-negative mining — the contrastive-training data-prep step
+    // (retrieval/embedding training wants, per anchor, the most-similar
+    // examples of a DIFFERENT class: negatives the current representation
+    // confuses most). Same serving shape as q39's exact top-k (broadcast
+    // query batch, corpus streams, per-query window rank) with the label
+    // constraint pushed into the join, so candidates of the anchor's own
+    // class never reach the kernel. At 100 TB the anchor batch is bounded
+    // by contract (like q39/q114's query side); for full-corpus mining
+    // you'd run it batched under q111's IVF probe to bound candidates.
+    "q124_hard_negatives" -> Q(
+      run = (s, d) => {
+        val v = vecs(s, d)
+        val q = v.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+            col("embedding").as("q_emb"))
+        val scored = broadcast(q)
+          .join(v, col("query_id") =!= col("vec_id") &&
+            col("query_label") =!= col("label"))
+          .withColumn("cos", cosSim(col("q_emb"), col("embedding")))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("query_label"), col("rank"),
+            col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"))
+          .orderBy("query_id", "rank")
+      },
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT * FROM (
+            SELECT vec_id, label, embedding, ${sqlNorm2("embedding")} AS n2
+            FROM embeddings) WHERE n2 > 0),
+        scored AS (
+          SELECT q.vec_id AS query_id, q.label AS query_label,
+                 n.vec_id AS neighbor_id, n.label AS neighbor_label,
+                 ${sqlDot("q.embedding", "n.embedding")} / (sqrt(q.n2) * sqrt(n.n2)) AS cos
+          FROM v q JOIN v n
+            ON q.vec_id < 10 AND n.vec_id <> q.vec_id AND n.label <> q.label),
+        ranked AS (
+          SELECT query_id, query_label, neighbor_id, neighbor_label,
+                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+          FROM scored)
+        SELECT query_id, query_label, rank, neighbor_id, neighbor_label
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""),
+      doc = "hard-negative mining: per-anchor top-5 most-similar " +
+        "different-label examples (broadcast anchors, label filter in join)")
   )
 
   /** Prototype-based data pruning (Sorscher et al. 2022) over an arbitrary

@@ -141,6 +141,45 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q125: apportionment sums exactly to the budget, off-by-one per source") {
+    val rows = SparkEntry.queries("q125_token_budget")(spark, sf).collect()
+    assert(rows.length > 1)
+    // the whole point of largest-remainder: allocations sum EXACTLY to B
+    assert(rows.map(_.getLong(5)).sum == 100000L,
+      s"allocs sum to ${rows.map(_.getLong(5)).sum}, not the budget")
+    // each source gets its floor quota plus at most one remainder token
+    rows.foreach { r =>
+      val bump = r.getLong(5) - r.getLong(2)
+      assert(bump == 0L || bump == 1L, s"alloc - quota out of {0,1}: $r")
+    }
+    // remainder tokens go to the LARGEST remainders: every bumped source's
+    // remainder >= every unbumped source's (ties broken by source name)
+    val (bumped, flat) = rows.partition(r => r.getLong(5) > r.getLong(2))
+    if (bumped.nonEmpty && flat.nonEmpty)
+      assert(bumped.map(_.getLong(3)).min >= flat.map(_.getLong(3)).max,
+        "a smaller remainder was bumped over a larger one")
+  }
+
+  test("q126: sketch estimate tracks true vocabulary Jaccard") {
+    import spark.implicits._
+    val vocab = Tables.documents(spark, sf)
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
+      .distinct().as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = SparkEntry.queries("q126_source_sketch")(spark, sf).collect()
+    assert(rows.length == vocab.size * (vocab.size - 1) / 2,
+      "matrix is not the full source-pair triangle")
+    val errs = rows.map { r =>
+      val (a, b) = (vocab(r.getString(0)), vocab(r.getString(1)))
+      val truth = 1000.0 * (a & b).size / (a | b).size
+      math.abs(r.getLong(3) - truth)
+    }
+    // 64 hashes -> sigma ~ 60 milli near J=0.5; the MEAN error over 190
+    // pairs must sit well inside it or the hash family is broken
+    val mae = errs.sum / errs.length
+    assert(mae <= 80.0, f"sketch MAE $mae%.0f milli — estimator broken")
+  }
+
   test("q114: ADC scan is joinless; the rerank join broadcasts the shortlist") {
     val df = SparkEntry.queries("q114_pq_topk")(spark, sf)
     df.collect()

@@ -31,4 +31,75 @@ class IvfTopkSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"probe side should broadcast (query-batch-proportional):\n$p")
   }
+
+  test("q123: a Lloyd step improves (or holds) the k-means objective") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .filter { case (_, v) => v.exists(_ != 0.0f) }
+    def cos(a: Array[Float], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i).toDouble * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def objective(cents: Map[Long, Array[Double]]): Double =
+      all.map { case (_, v) =>
+        cents.values.map(c => cos(v, c)).max
+      }.sum
+    val cb0 = all.filter(_._1 < 16).map { case (id, v) =>
+      id -> v.map(_.toDouble)
+    }.toMap
+    // the step's output IS the next codebook: mean = sum_x1e6 / 1e6 / n
+    val rows = SparkEntry.queries("q123_kmeans_step")(spark, sf).collect()
+    assert(rows.length == 16 * 64, "a cluster lost all members or a dim vanished")
+    val cb1 = rows.groupBy(_.getLong(0)).map { case (cid, rs) =>
+      val dims = rs.sortBy(_.getInt(1))
+      cid -> dims.map(r => r.getLong(2).toDouble / 1e6 / r.getLong(3)).toArray
+    }
+    // every cluster's member count is consistent across dims and sums to n
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(3)).distinct.length == 1)
+    }
+    assert(rows.filter(_.getInt(1) == 0).map(_.getLong(3)).sum == all.length)
+    // Lloyd monotonicity (in the assignment similarity): re-centering
+    // cannot make the best-centroid cosine sum worse on this fixture
+    assert(objective(cb1) >= objective(cb0) - 1e-9,
+      s"objective regressed: ${objective(cb0)} -> ${objective(cb1)}")
+  }
+
+  test("q124: negatives never share the anchor's label and are the hardest") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = SparkEntry.queries("q124_hard_negatives")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) != r.getInt(4), s"negative shares the anchor label: $r")
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 5)
+    }
+    // brute-force the hardest negative for anchor 0: the rank-1 row must
+    // match (cos DESC, vec_id ASC) over all different-label candidates
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Array[Float])].collect()
+      .filter { case (_, _, v) => v.exists(_ != 0.0f) }
+    def cosF(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val (qid, qlb, qv) = all.find(_._1 == 0L).get
+    val expect = all.filter(t => t._1 != qid && t._2 != qlb)
+      .map { case (id, _, v) => (id, cosF(qv, v)) }
+      .minBy { case (id, c) => (-c, id) }._1
+    val got = rows.filter(r => r.getLong(0) == 0L && r.getInt(2) == 1)
+      .head.getLong(3)
+    assert(got == expect, s"rank-1 negative $got != brute-force $expect")
+  }
 }
