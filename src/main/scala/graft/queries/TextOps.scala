@@ -2590,7 +2590,122 @@ object TextOps {
                CAST(1000 * match_k // 64 AS BIGINT) AS est_jaccard_milli
         FROM m ORDER BY source_a, source_b"""),
       doc = "per-source 64-hash MinHash sketch + pairwise vocabulary-" +
-        "Jaccard estimate matrix (catalog-level dedup triage)")
+        "Jaccard estimate matrix (catalog-level dedup triage)"),
+
+    // Incremental ingest dedup — the operational "should this batch's doc
+    // enter the corpus?" decision, one verdict per arrival: 'exact' (a
+    // byte-identical-after-normalization copy exists, q34's hash law),
+    // 'near' (an existing doc shares Jaccard >= 1/2 of its 3-gram
+    // shingles, q35/q112's law), or 'new'. Complements q95's bloom
+    // pre-filter (which only answers "definitely new vs maybe seen" for
+    // EXACT hashes) with the near-dup layer and the best-match id the
+    // audit trail wants.
+    //
+    // 100 TB shape is q112's asymmetry with the roles swapped: the ARRIVAL
+    // batch is the bounded-by-contract side (an ingest batch is thousands
+    // of docs, never corpus-sized), so its hash set, band signatures, and
+    // shingle arrays broadcast; the existing corpus streams through
+    // scan-side equi-joins and never shuffles for candidate generation.
+    // Verification touches LSH candidates only (size-gated checkpoint,
+    // q35's convention); the per-arrival rollup is arrival-proportional.
+    "q128_ingest_dedup" -> Q(
+      run = (s, d) => {
+        val arrivalMin = 400L
+        // exact layer — q34's normalized-text hash, arrivals broadcast
+        val hashed = Tables.documents(s, d)
+          .select(col("doc_id"), charHash(normalizeText(col("text"))).as("h"))
+        val exact = hashed.filter(col("doc_id") < arrivalMin)
+          .join(broadcast(hashed.filter(col("doc_id") >= arrivalMin)
+            .select(col("doc_id").as("a_id"), col("h"))), Seq("h"))
+          .groupBy(col("a_id"))
+          .agg(min(col("doc_id")).as("exact_match"),
+            count(lit(1)).as("exact_n"))
+        // near layer — q112's LSH band join, arrival side broadcast
+        val arr = docShingleArrays(s, d).filter(size(col("shs")) > 0)
+        val bands = arr
+          .select(col("doc_id"), posexplode(minhashBandSigs(col("shs"))))
+          .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
+        val arrBands = bands.filter(col("doc_id") >= arrivalMin)
+          .select(col("doc_id").as("a_id"), col("band"), col("sig"))
+        val cand = bands.filter(col("doc_id") < arrivalMin)
+          .join(broadcast(arrBands), Seq("band", "sig"))
+          .select(col("doc_id"), col("a_id")).distinct()
+        val candM = graft.Checkpoints.localCheckpoint(
+          cand.repartition(col("doc_id")))
+        val arrShs = arr.filter(col("doc_id") >= arrivalMin)
+          .select(col("doc_id").as("a_id"), col("shs").as("sa"))
+        val near = arr.filter(col("doc_id") < arrivalMin)
+          .select(col("doc_id"), col("shs").as("se"))
+          .join(broadcastIfSmall(candM), Seq("doc_id"))
+          .join(broadcast(arrShs), Seq("a_id"))
+          .withColumn("inter", interCount(col("se"), col("sa")))
+          .withColumn("uni",
+            size(col("se")).cast("long") + size(col("sa")).cast("long")
+              - col("inter"))
+          .filter(col("inter") * 2 >= col("uni"))
+          .groupBy(col("a_id"))
+          .agg(min(col("doc_id")).as("near_match"),
+            count(lit(1)).as("near_n"))
+        Tables.documents(s, d).filter(col("doc_id") >= arrivalMin)
+          .select(col("doc_id").as("a_id"))
+          .join(exact, Seq("a_id"), "left")
+          .join(near, Seq("a_id"), "left")
+          .select(col("a_id").as("doc_id"),
+            when(col("exact_match").isNotNull, "exact")
+              .when(col("near_match").isNotNull, "near")
+              .otherwise("new").as("verdict"),
+            coalesce(col("exact_match"), col("near_match")).as("best_match"),
+            coalesce(when(col("exact_match").isNotNull, col("exact_n")),
+              col("near_n"), lit(0L)).as("n_matches"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH $jaccardCtes,
+        $minhashBandCtes,
+        hx AS (
+          SELECT doc_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),''),
+                c -> CAST(ascii(c) AS BIGINT))),
+              (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+          FROM documents),
+        exact AS (
+          SELECT a.doc_id AS a_id, min(o.doc_id) AS exact_match,
+                 count(*) AS exact_n
+          FROM hx a JOIN hx o ON o.h = a.h
+          WHERE a.doc_id >= 400 AND o.doc_id < 400
+          GROUP BY a.doc_id),
+        cand AS (
+          SELECT DISTINCT o.doc_id, a.doc_id AS a_id
+          FROM bands o JOIN bands a ON o.band = a.band AND o.sig = a.sig
+          WHERE o.doc_id < 400 AND a.doc_id >= 400),
+        ver AS (
+          SELECT cand.a_id, cand.doc_id, count(*) AS inter
+          FROM cand
+          JOIN sh o ON o.doc_id = cand.doc_id
+          JOIN sh a ON a.doc_id = cand.a_id AND a.shh = o.shh
+          GROUP BY cand.a_id, cand.doc_id),
+        near AS (
+          SELECT v.a_id, min(v.doc_id) AS near_match, count(*) AS near_n
+          FROM ver v JOIN counts co ON co.doc_id = v.doc_id
+                     JOIN counts ca ON ca.doc_id = v.a_id
+          WHERE v.inter * 2 >= co.n + ca.n - v.inter
+          GROUP BY v.a_id)
+        SELECT d.doc_id,
+               CASE WHEN e.exact_match IS NOT NULL THEN 'exact'
+                    WHEN n.near_match IS NOT NULL THEN 'near'
+                    ELSE 'new' END AS verdict,
+               coalesce(e.exact_match, n.near_match) AS best_match,
+               CAST(coalesce(
+                 CASE WHEN e.exact_match IS NOT NULL THEN e.exact_n END,
+                 n.near_n, 0) AS BIGINT) AS n_matches
+        FROM documents d
+        LEFT JOIN exact e ON e.a_id = d.doc_id
+        LEFT JOIN near n ON n.a_id = d.doc_id
+        WHERE d.doc_id >= 400
+        ORDER BY d.doc_id"""),
+      doc = "incremental ingest dedup: per-arrival exact/near/new verdict " +
+        "vs the existing corpus (broadcast arrival batch, corpus streams)")
   )
 
   /** Greedy in-order sequence packing, subshard-parallel. Input: one row

@@ -1019,7 +1019,110 @@ object Vectors {
         SELECT query_id, query_label, rank, neighbor_id, neighbor_label
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""),
       doc = "hard-negative mining: per-anchor top-5 most-similar " +
-        "different-label examples (broadcast anchors, label filter in join)")
+        "different-label examples (broadcast anchors, label filter in join)"),
+
+    // TWO chained Lloyd iterations — the iterative-training control loop
+    // (q123 is one step; real codebook training loops assign → recenter
+    // until movement stops). The interesting engineering is keeping an
+    // ITERATED float computation bit-replayable across engines: the new
+    // centroids are means computed as CAST(sum_x1e6 AS DOUBLE) /
+    // (1000000.0 · n) then rounded to FLOAT — int64→double conversion,
+    // double multiply/divide, and double→float rounding are all IEEE
+    // correctly-rounded single ops, so both engines enter iteration 2 with
+    // bit-identical centroid coordinates and every downstream cosine/
+    // argmax/tie decision replays (the q41/MoneyOut determinism playbook
+    // applied to a training loop). Output = iteration-2 sums/counts, i.e.
+    // the codebook_2 ingredients.
+    //
+    // 100 TB shape per iteration: one narrow assignment pass under a
+    // broadcast codebook + one map-side-combined (cluster, dim) shuffle;
+    // between iterations only K×64 rows of model metadata visit the
+    // driver (the collectCodebook contract). Iterations serialize by
+    // nature — the loop is the driver program, each round a fresh Spark
+    // job over the same scan (production caches the vector projection).
+    // Bounds: sum_x1e6 stays double-exact while cluster Σ|x|·1e6 < 2^53
+    // (~9e9 unit-scale vectors per cluster per dim — shard the recenter
+    // past that); empty clusters drop out deterministically on both sides.
+    "q129_kmeans_train" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        def step(cb: DataFrame): DataFrame = {
+          val bc = s.sparkContext.broadcast(collectCodebook(s, cb))
+          vecs(s, d).select(col("vec_id"), col("embedding"))
+            .as[(Long, Array[Float])]
+            .map { case (_, va) =>
+              val (cids, cm, cn2) = bc.value
+              (cids(nearestIdx(centroidCos(va, cm, cn2))), va)
+            }
+            .toDF("cent_id", "embedding")
+            .select(col("cent_id"),
+              posexplode(col("embedding")).as(Seq("dim", "x")))
+            .groupBy(col("cent_id"), col("dim"))
+            .agg(
+              sum(floor(col("x").cast("double") * 1000000.0).cast("bigint"))
+                .as("sum_x1e6"),
+              count(lit(1)).as("n_members"))
+        }
+        def toCodebook(stepOut: DataFrame): DataFrame =
+          stepOut.groupBy(col("cent_id"))
+            .agg(sort_array(collect_list(struct(col("dim"),
+              (col("sum_x1e6").cast("double")
+                / (lit(1000000.0) * col("n_members")))
+                .cast("float").as("c")))).as("sd"))
+            .select(col("cent_id"), expr("transform(sd, p -> p.c)").as("embedding"))
+        val cb0 = vecs(s, d).filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding"))
+        step(toCodebook(step(cb0)))
+          .orderBy("cent_id", "dim")
+      },
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT * FROM (
+            SELECT vec_id, embedding, ${sqlNorm2("embedding")} AS n2
+            FROM embeddings) WHERE n2 > 0),
+        cents0 AS (
+          SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2
+          FROM v WHERE vec_id < 16),
+        a1 AS (
+          SELECT v.vec_id, v.embedding, c.cent_id,
+                 ${sqlDot("v.embedding", "c.c_emb")} / (sqrt(v.n2) * sqrt(c.c_n2)) AS cos_c
+          FROM v CROSS JOIN cents0 c),
+        cl1 AS (
+          SELECT vec_id, cent_id AS cl, embedding FROM (
+            SELECT vec_id, cent_id, embedding, cos_c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+            FROM a1) t
+          WHERE rn = 1),
+        s1 AS (
+          SELECT cl, i,
+                 sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS sx,
+                 count(*) AS n
+          FROM cl1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+          GROUP BY cl, i),
+        cents1 AS (
+          SELECT cl AS cent_id,
+                 list(CAST(CAST(sx AS DOUBLE) / (1000000.0 * n) AS FLOAT)
+                      ORDER BY i) AS c_emb
+          FROM s1 GROUP BY cl),
+        cents1n AS (
+          SELECT cent_id, c_emb, ${sqlNorm2("c_emb")} AS c_n2 FROM cents1),
+        a2 AS (
+          SELECT v.vec_id, v.embedding, c.cent_id,
+                 ${sqlDot("v.embedding", "c.c_emb")} / (sqrt(v.n2) * sqrt(c.c_n2)) AS cos_c
+          FROM v CROSS JOIN cents1n c),
+        cl2 AS (
+          SELECT vec_id, cent_id AS cl, embedding FROM (
+            SELECT vec_id, cent_id, embedding, cos_c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+            FROM a2) t
+          WHERE rn = 1)
+        SELECT cl AS cent_id, CAST(i - 1 AS INT) AS dim,
+               CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_x1e6,
+               count(*) AS n_members
+        FROM cl2 CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+        GROUP BY cl, i ORDER BY cent_id, dim"""),
+      doc = "two chained Lloyd iterations with bit-replayable float " +
+        "centroids (iterative codebook training; q123 is one step)")
   )
 
   /** Prototype-based data pruning (Sorscher et al. 2022) over an arbitrary

@@ -180,6 +180,88 @@ class CurationSpec extends SparkSpec {
     assert(mae <= 80.0, f"sketch MAE $mae%.0f milli — estimator broken")
   }
 
+  test("q128: constructed corpus exercises all three verdicts + precedence") {
+    import spark.implicits._
+    // the fixture has near+new arrivals but (below sf0.1) no exact copy
+    // crossing the 400 boundary, so the exact arm and its precedence over
+    // near are pinned here on a constructed corpus
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six"
+    val variant = base.split(" ").updated(14, "CHANGED").mkString(" ")
+    val docs = Seq(
+      (0L, base, "en", "srcA", base.length.toLong),
+      (1L, "totally different text about completely other things entirely " +
+        "with many words that never repeat anywhere else at all", "en",
+        "srcA", 100L),
+      (400L, base.toUpperCase, "en", "srcB", base.length.toLong), // exact after lower()
+      (401L, variant, "en", "srcB", variant.length.toLong),       // near of 0
+      (402L, "and now for something utterly unlike any existing document " +
+        "in this tiny corpus of ours today", "en", "srcB", 90L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("ingest_dedup").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q128_ingest_dedup")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))).toMap
+    // 400 is BOTH an exact copy and a trivial near-dup of 0: exact wins
+    assert(out(400L) == (("exact", 0L, 1L)), s"got ${out(400L)}")
+    assert(out(401L)._1 == "near" && out(401L)._2 == 0L, s"got ${out(401L)}")
+    assert(out(402L) == (("new", -1L, 0L)), s"got ${out(402L)}")
+  }
+
+  test("q129: two-iteration training strictly improves the objective") {
+    import spark.implicits._
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .filter { case (_, v) => v.exists(_ != 0.0f) }
+    def cos(a: Array[Float], c: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nc = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * c(i); na += a(i).toDouble * a(i)
+        nc += c(i).toDouble * c(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nc))
+    }
+    // driver replay of the full two-step law, float rounding included
+    def step(cents: Map[Long, Array[Float]]): Map[Long, (Array[Long], Long)] = {
+      val ids = cents.keys.toArray.sorted
+      val agg = scala.collection.mutable.Map.empty[Long, (Array[Long], Long)]
+      all.foreach { case (_, v) =>
+        val best = ids.maxBy(id => (cos(v, cents(id)), -id))
+        val (sums, n) = agg.getOrElseUpdate(best, (new Array[Long](64), 0L))
+        var i = 0
+        while (i < 64) {
+          sums(i) += math.floor(v(i).toDouble * 1000000.0).toLong; i += 1
+        }
+        agg(best) = (sums, n + 1)
+      }
+      agg.toMap
+    }
+    def means(s: Map[Long, (Array[Long], Long)]): Map[Long, Array[Float]] =
+      s.map { case (id, (sums, n)) =>
+        id -> sums.map(x => (x.toDouble / (1000000.0 * n)).toFloat)
+      }
+    val cb0 = all.filter(_._1 < 16).map { case (id, v) => id -> v }.toMap
+    val expect = step(means(step(cb0)))
+    val got = SparkEntry.queries("q129_kmeans_train")(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (cid, rs) =>
+        val dims = rs.sortBy(_.getInt(1))
+        cid -> (dims.map(_.getLong(2)), dims.head.getLong(3))
+      }
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (cid, (sums, n)) =>
+      assert(n == expect(cid)._2, s"cluster $cid member count")
+      assert(sums.sameElements(expect(cid)._1), s"cluster $cid sums diverge")
+    }
+    // and the training LOOP helps: objective after two steps beats the seed
+    def objective(cents: Map[Long, Array[Float]]): Double =
+      all.map { case (_, v) => cents.values.map(c => cos(v, c)).max }.sum
+    assert(objective(means(expect)) > objective(cb0),
+      "two Lloyd steps did not improve the assignment objective")
+  }
+
   test("q114: ADC scan is joinless; the rerank join broadcasts the shortlist") {
     val df = SparkEntry.queries("q114_pq_topk")(spark, sf)
     df.collect()

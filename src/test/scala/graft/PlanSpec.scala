@@ -58,6 +58,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"shingle join degenerated:\n$p")
   }
 
+  test("q128: ingest-dedup candidate joins stay equi, never cartesian") {
+    val p = plan("q128_ingest_dedup")
+    assert(!p.contains("CartesianProduct"), s"degenerated:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"degenerated:\n$p")
+  }
+
   test("q122: aHash block join is an equi join, never a cartesian") {
     val p = plan("q122_image_ahash_neardup")
     assert(!p.contains("CartesianProduct"), s"block join degenerated:\n$p")
