@@ -268,6 +268,76 @@ object ScaleStress {
     t("q114 PQ ADC+rerank top-k on 2k vectors (reference)") {
       println("  rows=" + graft.SparkEntry.queries("q114_pq_topk")(spark, "/root/testdata/sf0.1").count())
     }
+
+    // DSIR weighting (q119): the hashed-feature contract — a 10× corpus
+    // changes bucket COUNTS, never model cardinality (≤1024 rows whatever
+    // the vocabulary does), so the fit shuffle stays map-side-combined to
+    // ~1024 rows and serving stays two narrow passes. Wall time must be
+    // ~linear in rows scanned.
+    t("q119 DSIR weights on 50k docs (model stays 1024-bounded)") {
+      println("  rows=" + graft.SparkEntry.queries("q119_dsir_weights")(spark, dir).count())
+    }
+    t("q119 DSIR weights on the plain corpus (reference)") {
+      println("  rows=" + graft.SparkEntry.queries("q119_dsir_weights")(spark, "/root/testdata/sf0.1").count())
+    }
+
+    // Source sketches (q126): the sketch table is |sources|×64 longs at ANY
+    // corpus size — the min() aggregator combines map-side, so the 10×
+    // corpus moves 10× map input through the SAME |sources|-row shuffle.
+    t("q126 source sketches on 50k docs (sketch stays |sources|x64)") {
+      println("  rows=" + graft.SparkEntry.queries("q126_source_sketch")(spark, dir).count())
+    }
+    t("q126 source sketches on the plain corpus (reference)") {
+      println("  rows=" + graft.SparkEntry.queries("q126_source_sketch")(spark, "/root/testdata/sf0.1").count())
+    }
+
+    // Ingest dedup (q128) on the 10× corpus: the arrival batch is the 100
+    // highest ids BY CONTRACT, so a 10× corpus grows the scan side only —
+    // candidate generation stays capped per corpus doc by the broadcast
+    // arrival side, and here every arrival is a planted copy (the k=9
+    // replica block holds the top ids), so the dup-heavy verify path is
+    // exercised at its worst: every arrival must come back exact.
+    t("q128 ingest dedup, 50k-doc corpus, all 100 arrivals planted copies") {
+      val out = graft.SparkEntry.queries("q128_ingest_dedup")(spark, dir)
+      val byVerdict = out.groupBy(col("verdict")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(s"  verdicts=$byVerdict")
+      assert(byVerdict.getOrElse("exact", 0L) == 100L,
+        "planted copies not all flagged exact")
+    }
+    t("q128 ingest dedup on the plain corpus (reference)") {
+      println("  rows=" + graft.SparkEntry.queries("q128_ingest_dedup")(spark, "/root/testdata/sf0.1").count())
+    }
+    graft.queries.TextOps.releaseShingles()
+
+    // Image aHash (q122) under the identical-content flood: every doc gets
+    // the same leading 3 chars, so every PNG has identical dims AND content
+    // — ONE maximally hot (block, value) key and a fully quadratic TRUE
+    // pair set. The structural claim: work is output-proportional (the
+    // ~n²/2 pairs ARE the answer), the join stays equi-keyed, and decode/
+    // hash cost stays one narrow pass per image; a plan that were worse
+    // than output-bound would explode beyond the pair count here.
+    val imgDir = "/tmp/stress_img"
+    docs.withColumn("text", concat(lit("zz "), col("text")))
+      .write.mode("overwrite").parquet(s"$imgDir/documents.parquet")
+    t("q122 aHash flood: all images identical content+dims (1 hot block key)") {
+      println("  pairs=" + graft.SparkEntry.queries("q122_image_ahash_neardup")(spark, imgDir).count())
+    }
+    t("q122 aHash on the plain corpus (reference)") {
+      println("  pairs=" + graft.SparkEntry.queries("q122_image_ahash_neardup")(spark, "/root/testdata/sf0.1").count())
+    }
+
+    // Codebook training (q123 one step / q129 two chained steps) on the 4×
+    // vector corpus: each iteration is one narrow assignment pass + one
+    // map-side-combined (cluster, dim) shuffle whose output is K×64 rows
+    // whatever the corpus size; 4× vectors ⇒ ~4× kernel work, flat shuffle.
+    t("q123 Lloyd step on 8k vectors (K x 64 shuffle output)") {
+      println("  rows=" + graft.SparkEntry.queries("q123_kmeans_step")(spark, vecDir).count())
+    }
+    t("q129 two-iteration training on 8k vectors") {
+      println("  rows=" + graft.SparkEntry.queries("q129_kmeans_train")(spark, vecDir).count())
+    }
+
     anchor("end")
     spark.stop()
   }

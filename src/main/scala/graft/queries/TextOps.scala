@@ -623,6 +623,65 @@ object TextOps {
     * (batch) and q117 (streaming ingest): same LSH candidates, same exact-
     * Jaccard verify, same J >= 1/2 gate, so the two execution modes are
     * pinned to one result. */
+  /** Corpus char-bigram model: (bigram → count, hottest count). The q113
+    * fit, shared with q133's streaming serving mode. Bounded-metadata
+    * contract, enforced: the collect is safe because bigram cardinality is
+    * |charset|², not corpus-sized — text that violates that (binary junk
+    * inflating the charset) should fail loudly here, not OOM the driver. */
+  private[graft] def bigramModel(s: SparkSession, d: String)
+      : (Map[String, Long], Long) = {
+    val bg = Tables.documents(s, d).select(explode(
+      when(length(col("text")) >= 2,
+        expr("transform(sequence(1, length(text) - 1), " +
+          "i -> substring(text, i, 2))"))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+    val modelRows = bg.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(modelRows.length <= (1 << 20),
+      s"bigram model cardinality ${modelRows.length} exceeds the " +
+        "bounded-metadata contract — charset is not natural text")
+    (modelRows.toMap, modelRows.map(_._2).max)
+  }
+
+  /** q113's familiarity law as a pure kernel — (n_bigrams, avg_count,
+    * familiarity_milli) for one text. Integer-for-integer identical to the
+    * q113 column expressions (same DIVs on the same longs), so the batch
+    * and streaming modes emit the same rows. */
+  private[graft] def bigramScore(model: Map[String, Long], cmax: Long,
+      text: String): (Long, Long, Long) = {
+    val n = math.max(text.length.toLong - 1L, 0L)
+    var acc = 0L
+    var i = 0
+    while (i < text.length - 1) {
+      acc += model(text.substring(i, i + 2))
+      i += 1
+    }
+    val avg = if (n > 0) acc / n else 0L
+    (n, avg, avg * 1000L / cmax)
+  }
+
+  /** q113's oracle; q133 (the streaming serving mode) replays the SAME
+    * SQL — one law, two execution modes. */
+  private[graft] val bigramLmOracleSql: String = """
+        WITH bg AS (
+          SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bg
+          FROM documents,
+               unnest(range(1, greatest(length(text), 1))) AS u(i)),
+        model AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
+        mx AS (SELECT max(c) AS cmax FROM model),
+        ds AS (
+          SELECT b.doc_id, count(*) AS n, sum(m.c) AS s
+          FROM bg b JOIN model m USING (bg) GROUP BY b.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(ds.n, 0) AS BIGINT) AS n_bigrams,
+               CAST(coalesce(ds.s // ds.n, 0) AS BIGINT) AS avg_count,
+               CAST(coalesce((ds.s // ds.n) * 1000 // mx.cmax, 0) AS BIGINT)
+                 AS familiarity_milli,
+               CAST(coalesce((ds.s // ds.n) * 1000 // mx.cmax, 0) AS BIGINT)
+                 >= 320 AS kept
+        FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id CROSS JOIN mx
+        ORDER BY d.doc_id"""
+
   private[graft] val fuzzyDecontamOracleSql = s"""
     WITH $jaccardCtes,
     $minhashBandCtes,
@@ -2010,22 +2069,7 @@ object TextOps {
     "q113_bigram_lm" -> Q(
       run = (s, d) => {
         val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-        val bg = docs.select(explode(
-          when(length(col("text")) >= 2,
-            expr("transform(sequence(1, length(text) - 1), " +
-              "i -> substring(text, i, 2))"))
-            .otherwise(array().cast("array<string>"))).as("bg"))
-        val modelRows = bg.groupBy(col("bg")).agg(count(lit(1)).as("c"))
-          .collect().map(r => r.getString(0) -> r.getLong(1))
-        // bounded-metadata contract, enforced: the collect is safe because
-        // bigram cardinality is |charset|², not corpus-sized — text that
-        // violates that (binary junk inflating the charset) should fail
-        // loudly here, not OOM the driver
-        require(modelRows.length <= (1 << 20),
-          s"bigram model cardinality ${modelRows.length} exceeds the " +
-            "bounded-metadata contract — charset is not natural text")
-        val model = modelRows.toMap
-        val cmax = modelRows.map(_._2).max
+        val (model, cmax) = bigramModel(s, d)
         val bc = docs.sparkSession.sparkContext.broadcast(model)
         val sumCounts = udf { (text: String) =>
           val m = bc.value
@@ -2050,25 +2094,7 @@ object TextOps {
             (col("familiarity_milli") >= 320).as("kept"))
           .orderBy("doc_id")
       },
-      oracle = Some("""
-        WITH bg AS (
-          SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bg
-          FROM documents,
-               unnest(range(1, greatest(length(text), 1))) AS u(i)),
-        model AS (SELECT bg, count(*) AS c FROM bg GROUP BY bg),
-        mx AS (SELECT max(c) AS cmax FROM model),
-        ds AS (
-          SELECT b.doc_id, count(*) AS n, sum(m.c) AS s
-          FROM bg b JOIN model m USING (bg) GROUP BY b.doc_id)
-        SELECT d.doc_id,
-               CAST(coalesce(ds.n, 0) AS BIGINT) AS n_bigrams,
-               CAST(coalesce(ds.s // ds.n, 0) AS BIGINT) AS avg_count,
-               CAST(coalesce((ds.s // ds.n) * 1000 // mx.cmax, 0) AS BIGINT)
-                 AS familiarity_milli,
-               CAST(coalesce((ds.s // ds.n) * 1000 // mx.cmax, 0) AS BIGINT)
-                 >= 320 AS kept
-        FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id CROSS JOIN mx
-        ORDER BY d.doc_id"""),
+      oracle = Some(bigramLmOracleSql),
       doc = "char-bigram LM familiarity score + keep gate (integer-exact " +
         "perplexity-filter analogue; broadcast model, zero corpus shuffle)"),
 
@@ -2610,7 +2636,13 @@ object TextOps {
     // q35's convention); the per-arrival rollup is arrival-proportional.
     "q128_ingest_dedup" -> Q(
       run = (s, d) => {
-        val arrivalMin = 400L
+        // the arrival batch = the 100 highest doc ids, at EVERY corpus
+        // size — a fixed-size ingest batch is the contract that makes the
+        // arrival side broadcastable (a fixed id cut would let the batch
+        // grow corpus-proportional and silently invert the asymmetry).
+        // 1-row driver collect, the q115 maxId convention.
+        val arrivalMin = Tables.documents(s, d)
+          .agg(max(col("doc_id"))).head().getLong(0) - 99L
         // exact layer — q34's normalized-text hash, arrivals broadcast
         val hashed = Tables.documents(s, d)
           .select(col("doc_id"), charHash(normalizeText(col("text"))).as("h"))
@@ -2662,6 +2694,7 @@ object TextOps {
       oracle = Some(s"""
         WITH $jaccardCtes,
         $minhashBandCtes,
+        mx AS (SELECT max(doc_id) - 99 AS amin FROM documents),
         hx AS (
           SELECT doc_id,
             list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -2672,13 +2705,14 @@ object TextOps {
         exact AS (
           SELECT a.doc_id AS a_id, min(o.doc_id) AS exact_match,
                  count(*) AS exact_n
-          FROM hx a JOIN hx o ON o.h = a.h
-          WHERE a.doc_id >= 400 AND o.doc_id < 400
+          FROM hx a JOIN hx o ON o.h = a.h CROSS JOIN mx
+          WHERE a.doc_id >= mx.amin AND o.doc_id < mx.amin
           GROUP BY a.doc_id),
         cand AS (
           SELECT DISTINCT o.doc_id, a.doc_id AS a_id
           FROM bands o JOIN bands a ON o.band = a.band AND o.sig = a.sig
-          WHERE o.doc_id < 400 AND a.doc_id >= 400),
+               CROSS JOIN mx
+          WHERE o.doc_id < mx.amin AND a.doc_id >= mx.amin),
         ver AS (
           SELECT cand.a_id, cand.doc_id, count(*) AS inter
           FROM cand
@@ -2700,12 +2734,110 @@ object TextOps {
                  CASE WHEN e.exact_match IS NOT NULL THEN e.exact_n END,
                  n.near_n, 0) AS BIGINT) AS n_matches
         FROM documents d
+        CROSS JOIN mx
         LEFT JOIN exact e ON e.a_id = d.doc_id
         LEFT JOIN near n ON n.a_id = d.doc_id
-        WHERE d.doc_id >= 400
+        WHERE d.doc_id >= mx.amin
         ORDER BY d.doc_id"""),
       doc = "incremental ingest dedup: per-arrival exact/near/new verdict " +
-        "vs the existing corpus (broadcast arrival batch, corpus streams)")
+        "vs the existing corpus (broadcast arrival batch, corpus streams)"),
+
+    // Tokenizer fertility per source — subwords emitted per whitespace
+    // word under the pinned BPE vocabulary (q104's tokenizer). Fertility
+    // is THE tokenizer-fit statistic: a source whose text fragments into
+    // many subwords per word (fertility >> 1000 milli) is out-of-domain
+    // for the vocabulary and will pay more compute per effective token —
+    // the number that decides whether to retrain the tokenizer before a
+    // big ingest. 100 TB shape: encoding is q104's narrow broadcast-rank
+    // kernel pass (zero shuffle), then ONE source-keyed map-side-combined
+    // agg; output is |sources| rows.
+    "q130_tokenizer_fertility" -> Q(
+      run = (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sub = graft.functions.Bpe.tokenCounts(
+          docs.select(col("doc_id"), col("text")),
+          graft.functions.Bpe.pinnedMerges)
+        docs.select(col("doc_id"), col("source"),
+            size(filter(graft.functions.Bpe.words(col("text")),
+              w => w =!= "")).cast("long").as("n_words"))
+          .join(sub, Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(sum(col("n_words")).as("n_words"),
+            sum(col("n_subword_tokens")).as("n_subwords"))
+          .withColumn("fertility_milli",
+            expr("1000 * n_subwords DIV n_words"))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $bpeCtes,
+        wc AS (
+          SELECT doc_id, count(*) AS n_words
+          FROM wordsx WHERE w <> '' GROUP BY doc_id),
+        j AS (
+          SELECT d.source,
+                 COALESCE(wc.n_words, 0) AS n_words,
+                 COALESCE(p.n, 0) AS n_sub
+          FROM documents d
+          LEFT JOIN per_doc p USING (doc_id)
+          LEFT JOIN wc USING (doc_id))
+        SELECT source,
+               CAST(sum(n_words) AS BIGINT) AS n_words,
+               CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+               CAST(1000 * sum(n_sub) // sum(n_words) AS BIGINT)
+                 AS fertility_milli
+        FROM j GROUP BY source ORDER BY source"""),
+      doc = "per-source tokenizer fertility (subwords per word, milli) " +
+        "under the pinned BPE vocabulary — tokenizer-fit monitoring"),
+
+    // Per-source length-outlier trim — the curation step that drops each
+    // source's extreme-length tails (truncated fragments and concatenation
+    // accidents both poison training batches). EXACT percentile law, no
+    // sketch: within a source, rank docs by (n_tok, doc_id); the bottom
+    // n div 20 ranks are 'short', the top n div 20 are 'long', the rest
+    // kept — rank-integer arithmetic, replayed exactly by the oracle
+    // (a percentile_approx would neither replay nor bound its error).
+    // 100 TB shape: one doc-level projection, one rank window PARTITIONED
+    // BY SOURCE (parallel across sources; within a mega-source the input
+    // is one row per doc, not tokens).
+    "q131_length_trim" -> Q(
+      run = (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+        val wRank = w.orderBy(col("n_tok"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast("long").as("n_tok"))
+          .withColumn("len_rank", row_number().over(wRank).cast("long"))
+          .withColumn("n_src", count(lit(1)).over(w))
+          .withColumn("verdict",
+            when(col("len_rank") <= expr("n_src DIV 20"), "short")
+              .when(col("len_rank") > col("n_src") - expr("n_src DIV 20"),
+                "long")
+              .otherwise("kept"))
+          .select(col("doc_id"), col("source"), col("n_tok"),
+            col("len_rank"), col("n_src"), col("verdict"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        r AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY n_tok, doc_id) AS len_rank,
+                 count(*) OVER (PARTITION BY source) AS n_src
+          FROM t)
+        SELECT doc_id, source, n_tok,
+               CAST(len_rank AS BIGINT) AS len_rank,
+               CAST(n_src AS BIGINT) AS n_src,
+               CASE WHEN len_rank <= n_src // 20 THEN 'short'
+                    WHEN len_rank > n_src - n_src // 20 THEN 'long'
+                    ELSE 'kept' END AS verdict
+        FROM r ORDER BY doc_id"""),
+      doc = "per-source exact length-percentile trim: bottom/top 5% by " +
+        "rank-integer law (no sketch, fully replayable)")
   )
 
   /** Greedy in-order sequence packing, subshard-parallel. Input: one row
@@ -2775,7 +2907,12 @@ object TextOps {
 
   /** q104's oracle, generated from the SAME pinned merge list the Spark
     * side encodes with — one source of truth for the tokenizer. */
-  private def bpeOracle: String = {
+  /** The recursive-CTE encode chain (wordsx → init → enc → per_doc),
+    * generated from the SAME pinned merge list the Spark side encodes
+    * with — one source of truth for the tokenizer. Shared by q104 (per-doc
+    * counts) and q130 (per-source fertility); callers prepend
+    * `WITH RECURSIVE`. */
+  private def bpeCtes: String = {
     val eow = graft.functions.Bpe.Eow
     // merge symbols land inside SQL string literals: escape quotes (a
     // learned merge over text containing ' would otherwise corrupt the
@@ -2786,8 +2923,7 @@ object TextOps {
       case ((a, b), r) =>
         s"WHEN syms[i] = ${lit(a)} AND syms[i + 1] = ${lit(b)} THEN $r"
     }.mkString("CASE ", " ", " ELSE 999 END")
-    s"""
-      WITH RECURSIVE wordsx AS (
+    s"""wordsx AS (
         SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
         FROM documents),
       init AS (
@@ -2811,9 +2947,13 @@ object TextOps {
           FROM enc WHERE NOT done) t),
       per_doc AS (
         SELECT doc_id, CAST(sum(len(syms)) AS BIGINT) AS n
-        FROM enc WHERE done GROUP BY doc_id)
+        FROM enc WHERE done GROUP BY doc_id)"""
+  }
+
+  /** q104's oracle: per-doc subword counts off [[bpeCtes]]. */
+  private def bpeOracle: String = s"""
+      WITH RECURSIVE $bpeCtes
       SELECT d.doc_id, COALESCE(p.n, 0) AS n_subword_tokens
       FROM documents d LEFT JOIN per_doc p USING (doc_id)
       ORDER BY doc_id"""
-  }
 }

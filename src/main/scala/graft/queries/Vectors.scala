@@ -1122,7 +1122,123 @@ object Vectors {
         FROM cl2 CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
         GROUP BY cl, i ORDER BY cent_id, dim"""),
       doc = "two chained Lloyd iterations with bit-replayable float " +
-        "centroids (iterative codebook training; q123 is one step)")
+        "centroids (iterative codebook training; q123 is one step)"),
+
+    // Embedding drift monitor — the operational check between two
+    // embedding snapshots ("did the re-embedding run move the space?"):
+    // per label, TWO channels comparing run A (even vec_ids) vs run B
+    // (odd vec_ids — the deterministic stand-in for two ingest runs):
+    //   mean_cos_milli   — cosine of the centroid-sum vectors. Sensitive
+    //     but NOISE for labels whose true mean ≈ 0 (isotropic regions):
+    //     measured on this fixture's same-distribution halves it reads
+    //     -209..+302 milli — pure sampling noise, which is exactly why a
+    //     monitor cannot rely on it alone;
+    //   energy_cos_milli — cosine of the per-dim SQUARED-sum (energy
+    //     profile) vectors. Strictly positive coordinates, so identical
+    //     distributions read ≈ 1000 regardless of mean structure, and an
+    //     encoder that re-weights dimensions moves it — the robust alarm
+    //     channel (CurationSpec floors it at 900 on the fixture halves).
+    // Determinism: per-(label, half, dim) sums use q63's order-independent
+    // floor(·1e6) integers (x and x² respectively); each cosine folds the
+    // int64s ascending-dim after EXACT int64→double conversion (sums stay
+    // under 2^53 while a label-half holds < ~9e9 unit-scale rows), and
+    // floor(1000·cos) is one correctly-rounded op — bit-identical on both
+    // engines. 100 TB shape: ONE map-side-combined (label, dim) shuffle
+    // (64 rows per label per partition), then labels-proportional work.
+    "q132_embedding_drift" -> Q(
+      run = (s, d) => {
+        val sums = Tables.embeddings(s, d)
+          .select(col("label"), (col("vec_id") % 2 === 0).as("is_a"),
+            posexplode(col("embedding")).as(Seq("dim", "x")))
+          .withColumn("xi",
+            floor(col("x").cast("double") * 1000000.0).cast("bigint"))
+          .withColumn("ei",
+            floor(col("x").cast("double") * col("x").cast("double")
+              * 1000000.0).cast("bigint"))
+          .groupBy(col("label"), col("dim"))
+          .agg(
+            sum(when(col("is_a"), col("xi")).otherwise(0L)).as("sa"),
+            sum(when(!col("is_a"), col("xi")).otherwise(0L)).as("sb"),
+            sum(when(col("is_a"), col("ei")).otherwise(0L)).as("ea"),
+            sum(when(!col("is_a"), col("ei")).otherwise(0L)).as("eb"),
+            sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+            sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+        val perLabel = sums
+          .groupBy(col("label"))
+          .agg(
+            sort_array(collect_list(struct(col("dim"), col("sa")))).as("la"),
+            sort_array(collect_list(struct(col("dim"), col("sb")))).as("lb"),
+            sort_array(collect_list(struct(col("dim"), col("ea")))).as("lea"),
+            sort_array(collect_list(struct(col("dim"), col("eb")))).as("leb"),
+            max(col("na")).as("n_a"), max(col("nb")).as("n_b"))
+        val cosMilli = udf { (la: Seq[org.apache.spark.sql.Row],
+            lb: Seq[org.apache.spark.sql.Row]) =>
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < la.length) {
+            val a = la(i).getLong(1).toDouble
+            val b = lb(i).getLong(1).toDouble
+            dot += a * b; na += a * a; nb += b * b
+            i += 1
+          }
+          math.floor(1000.0 * (dot / (math.sqrt(na) * math.sqrt(nb)))).toLong
+        }
+        perLabel
+          .filter(col("n_a") > 0 && col("n_b") > 0)
+          .select(col("label"), col("n_a"), col("n_b"),
+            cosMilli(col("la"), col("lb")).as("mean_cos_milli"),
+            cosMilli(col("lea"), col("leb")).as("energy_cos_milli"))
+          .orderBy("label")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT label, vec_id % 2 = 0 AS is_a, embedding FROM embeddings),
+        sums AS (
+          SELECT label, i AS dim,
+                 sum(CASE WHEN is_a THEN CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) ELSE 0 END) AS sa,
+                 sum(CASE WHEN NOT is_a THEN CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) ELSE 0 END) AS sb,
+                 sum(CASE WHEN is_a THEN CAST(floor(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) ELSE 0 END) AS ea,
+                 sum(CASE WHEN NOT is_a THEN CAST(floor(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) ELSE 0 END) AS eb,
+                 count(*) FILTER (WHERE is_a) AS na,
+                 count(*) FILTER (WHERE NOT is_a) AS nb
+          FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+          GROUP BY label, i),
+        vecs_l AS (
+          SELECT label,
+                 list(CAST(sa AS DOUBLE) ORDER BY dim) AS la,
+                 list(CAST(sb AS DOUBLE) ORDER BY dim) AS lb,
+                 list(CAST(ea AS DOUBLE) ORDER BY dim) AS lea,
+                 list(CAST(eb AS DOUBLE) ORDER BY dim) AS leb,
+                 max(na) AS n_a, max(nb) AS n_b
+          FROM sums GROUP BY label),
+        m AS (
+          SELECT label, n_a, n_b,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, 65), i -> la[i] * lb[i])),
+                   (acc, x) -> acc + x)
+                 / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(range(1, 65), i -> la[i] * la[i])),
+                     (acc, x) -> acc + x))
+                  * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(range(1, 65), i -> lb[i] * lb[i])),
+                     (acc, x) -> acc + x))) AS mean_cos,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, 65), i -> lea[i] * leb[i])),
+                   (acc, x) -> acc + x)
+                 / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(range(1, 65), i -> lea[i] * lea[i])),
+                     (acc, x) -> acc + x))
+                  * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(range(1, 65), i -> leb[i] * leb[i])),
+                     (acc, x) -> acc + x))) AS energy_cos
+          FROM vecs_l WHERE n_a > 0 AND n_b > 0)
+        SELECT label,
+               CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               CAST(floor(1000.0 * mean_cos) AS BIGINT) AS mean_cos_milli,
+               CAST(floor(1000.0 * energy_cos) AS BIGINT) AS energy_cos_milli
+        FROM m ORDER BY label"""),
+      doc = "embedding drift monitor: per-label mean-centroid and energy-" +
+        "profile cosines between two snapshots (exact integer-sum replay)")
   )
 
   /** Prototype-based data pruning (Sorscher et al. 2022) over an arbitrary

@@ -358,7 +358,38 @@ object StreamOps {
       },
       oracle = Some(graft.queries.TextOps.fuzzyDecontamOracleSql),
       doc = "streaming ingest decontamination: stateless per-doc kernel " +
-        "against the broadcast eval LSH index (q112's law, streaming mode)")
+        "against the broadcast eval LSH index (q112's law, streaming mode)"),
+
+    // Streaming quality gate — q113's char-bigram familiarity law in
+    // ingest-time serving mode, the q117 pattern applied to MODEL-BASED
+    // filtering: the corpus-fit model (≤|charset|² entries, the q113
+    // bounded-metadata contract) is a pinned broadcast artifact; each
+    // arriving doc is scored in one stateless kernel pass — no state
+    // stores, no shuffle, append-mode exactly-once. SAME oracle SQL as
+    // q113 (one law, two execution modes; CurationSpec asserts row-level
+    // batch ≡ stream equality). At 100 TB ingest this is the shape that
+    // gates documents BEFORE they are ever written to the lake, with the
+    // model refreshed by the batch fit on whatever cadence drift demands.
+    "q133_stream_quality" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        val (model, cmax) = graft.queries.TextOps.bigramModel(s, d)
+        val bc = s.sparkContext.broadcast(model)
+        val scored = documentsStream(s, d)
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .map { case (docId, text) =>
+            val (n, avg, fam) = graft.queries.TextOps
+              .bigramScore(bc.value, cmax, text)
+            (docId, n, avg, fam, fam >= 320L)
+          }
+          .toDF("doc_id", "n_bigrams", "avg_count", "familiarity_milli",
+            "kept")
+        drain(s, scored, "append").orderBy("doc_id")
+      },
+      oracle = Some(graft.queries.TextOps.bigramLmOracleSql),
+      doc = "streaming quality gate: q113's familiarity law served " +
+        "against arriving docs from a pinned broadcast model")
   )
 
   /** documents.parquet schema for the streaming ingest source (streaming

@@ -40,6 +40,19 @@ class CurationSpec extends SparkSpec {
       s"stream/batch divergence: only-stream=${stream -- batch} only-batch=${batch -- stream}")
   }
 
+  test("q133: streaming quality gate equals the q113 batch law row-for-row") {
+    val batch = SparkEntry.queries("q113_bigram_lm")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    val stream = SparkEntry.queries("q133_stream_quality")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(batch.nonEmpty)
+    assert(stream == batch,
+      s"stream/batch divergence: only-stream=${(stream -- batch).take(3)} " +
+        s"only-batch=${(batch -- stream).take(3)}")
+  }
+
   test("q113: the familiarity gate splits the corpus, and kept is the gate") {
     val rows = SparkEntry.queries("q113_bigram_lm")(spark, sf).collect()
     val dropped = rows.count(!_.getBoolean(4))
@@ -260,6 +273,62 @@ class CurationSpec extends SparkSpec {
       all.map { case (_, v) => cents.values.map(c => cos(v, c)).max }.sum
     assert(objective(means(expect)) > objective(cb0),
       "two Lloyd steps did not improve the assignment objective")
+  }
+
+  test("q130: fertility is >= 1000 milli and consistent with q104 totals") {
+    val rows = SparkEntry.queries("q130_tokenizer_fertility")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // a word is never fewer than one subword, so fertility >= 1000
+      assert(r.getLong(3) >= 1000L, s"fertility under 1000 milli: $r")
+      assert(r.getLong(2) >= r.getLong(1), s"fewer subwords than words: $r")
+    }
+    // the per-source totals must re-aggregate q104's per-doc counts
+    val q104Total = SparkEntry.queries("q104_bpe_tokens")(spark, sf).collect()
+      .map(_.getLong(1)).sum
+    assert(rows.map(_.getLong(2)).sum == q104Total,
+      "fertility subword totals diverge from q104's per-doc counts")
+  }
+
+  test("q131: each source trims exactly n/20 short and n/20 long docs") {
+    val rows = SparkEntry.queries("q131_length_trim")(spark, sf).collect()
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val n = rs.length
+      val short = rs.filter(_.getString(5) == "short")
+      val long = rs.filter(_.getString(5) == "long")
+      assert(short.length == n / 20, s"$src short count ${short.length} != ${n / 20}")
+      assert(long.length == n / 20, s"$src long count ${long.length} != ${n / 20}")
+      // the trim is BY LENGTH: every short doc <= every kept doc <= every
+      // long doc in token count
+      val kept = rs.filter(_.getString(5) == "kept").map(_.getLong(2))
+      if (short.nonEmpty) assert(short.map(_.getLong(2)).max <= kept.min)
+      if (long.nonEmpty) assert(long.map(_.getLong(2)).min >= kept.max)
+    }
+  }
+
+  test("q132: the energy channel reads same-distribution halves as stable") {
+    val rows = SparkEntry.queries("q132_embedding_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mean = r.getLong(3)
+      val energy = r.getLong(4)
+      assert(mean <= 1000L && mean >= -1000L, s"mean cosine out of range: $r")
+      assert(energy <= 1000L && energy >= -1000L, s"energy cosine out of range: $r")
+      // the ALARM channel: even/odd halves of one run are the same
+      // distribution, so the energy profile must read near 1 for every
+      // label — ~850+ at these half-sizes (~25 vectors: per-dim energy
+      // noise ~sqrt(2/n) puts the cosine at 0.89-0.94; it → 1000 as n
+      // grows). The mean channel is legitimately noisy on zero-mean
+      // labels — that asymmetry is the reason the monitor carries both.
+      assert(energy >= 850L,
+        s"same-distribution halves read as drifted ($energy milli): $r")
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+    }
+    // and the channels are genuinely different statistics: on this
+    // zero-mean fixture every label's energy reading must dominate the
+    // noisiest mean reading
+    assert(rows.map(_.getLong(4)).min > rows.map(_.getLong(3)).max,
+      "energy channel does not dominate the mean channel on zero-mean data")
   }
 
   test("q114: ADC scan is joinless; the rerank join broadcasts the shortlist") {

@@ -291,4 +291,39 @@ class PropertySpec extends SparkSpec {
     assert(packed.sortBy(_._2).map(t => (t._2, t._3, t._4, t._5, t._6)).toSeq
       == expect, "packed output diverges from the sequential greedy replay")
   }
+
+  test("q122 aHash: randomized resize invariance through real encode→decode") {
+    import graft.multimodal.MultimodalOps
+    import graft.multimodal.MultimodalOps.{MediaCodec, MediaRow}
+    // random content seeds with DISTINCT slope pairs (v mod 49 equal ⇒ the
+    // same plane ⇒ legitimately identical hashes), each rendered at two
+    // random dims ≥ 100 (below ~64 px the 8×8 point-sample grid rounds too
+    // coarsely for the ≤3-bit claim — the fixture's dims are ≥ 388)
+    val vs = samples(Gen.choose(0, 250), 40).distinctBy(v => (v % 7, v / 7 % 7)).take(8)
+    val dims = samples(Gen.zip(Gen.choose(100, 500), Gen.choose(100, 500)), vs.length * 2)
+    val rows = vs.zipWithIndex.flatMap { case (v, i) =>
+      val (w1, h1) = dims(2 * i)
+      val (w2, h2) = dims(2 * i + 1)
+      Seq(
+        MediaRow(2L * i, "image", MediaCodec.encodePngGrad(w1, h1, v), "s", 0L),
+        MediaRow(2L * i + 1, "image", MediaCodec.encodePngGrad(w2, h2, v), "s", 0L))
+    }
+    val h = MultimodalOps.aHashBlocks(rows.toDS()).collect()
+      .map(r => r.getLong(0) ->
+        Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    def ham(a: Seq[Int], b: Seq[Int]): Int =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    vs.indices.foreach { i =>
+      val d = ham(h(2L * i), h(2L * i + 1))
+      assert(d <= 3, s"same content v=${vs(i)} drifted $d bits across dims")
+    }
+    // distinct contents spread out IN AGGREGATE (two ADJACENT slope pairs
+    // may legitimately land near each other — that is perceptual-hash
+    // semantics, not a bug — but most cross-content pairs must be far)
+    val cross = for (i <- vs.indices; j <- vs.indices if i < j)
+      yield ham(h(2L * i), h(2L * j))
+    assert(cross.count(_ <= 3) * 5 < cross.length,
+      s"over 20% of distinct-content pairs within 3 bits: $cross")
+    assert(cross.max > 10, s"no distinct-content pair is far apart: $cross")
+  }
 }
