@@ -116,6 +116,73 @@ object Vectors {
        list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
        (acc, x) -> acc + x)"""
 
+  /** Exact brute-force top-5 (q39's law), shared with the q134 recall
+    * harness: first-10-ids query batch, every corpus vector scored with the
+    * native cosine kernel, (cos DESC, vec_id ASC) window rank. */
+  private def exactTopK(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // native kernel score: the HOF fold ran interpreted per element and
+    // was the q39 hot spot; CosineSim fuses dot+norms in one codegen pass
+    val scored = broadcast(q).join(v, col("query_id") =!= col("vec_id"))
+      .withColumn("cos", cosSim(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("label").as("neighbor_label"))
+  }
+
+  /** IVF nprobe=2 approximate top-5 (q111's law), shared with the q134
+    * recall harness. See q111's scaladoc for the scale shape. */
+  private def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nprobe = 2
+    val bc = s.sparkContext.broadcast(collectCodebook(s,
+      vecs(s, d).filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding"))))
+    // corpus assignment: same typed-map kernel law as q40 (first
+    // ascending cent_id wins cosine ties), carrying the label through
+    val clustered = vecs(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Array[Float])]
+      .map { case (id, lb, va) =>
+        val (cids, cm, cn2) = bc.value
+        (id, lb, cids(nearestIdx(centroidCos(va, cm, cn2))), va)
+      }
+      .toDF("vec_id", "label", "cluster", "embedding")
+    // per-query probe list: rank the (broadcast) codebook by the same
+    // fold, keep the nprobe nearest — a narrow map over the query
+    // batch, exploded to (query_id, cluster) rows
+    val probes = vecs(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (qid, va) =>
+        val (cids, cm, cn2) = bc.value
+        val cos = centroidCos(va, cm, cn2)
+        // (cos DESC, cent_id ASC) — same precedence law as assignment
+        val top = cids.indices.sortBy(c => (-cos(c), cids(c)))
+          .take(nprobe).map(cids(_)).toArray
+        (qid, va, top)
+      }
+      .toDF("query_id", "q_emb", "probe_cls")
+      .select(col("query_id"), col("q_emb"),
+        explode(col("probe_cls")).as("cluster"))
+    // candidates = members of probed clusters only; probes side is
+    // query-batch-proportional, so broadcast — the corpus never shuffles
+    val cand = clustered.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosSim(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("label").as("neighbor_label"))
+  }
+
   val qs: Map[String, Q] = Map(
 
     // Embedding-cosine near-dup: all pairs with cosine >= 0.45, ids only.
@@ -203,22 +270,7 @@ object Vectors {
     // Brute-force cosine top-k: first 10 vec_ids as queries, top-5 neighbors
     // each by (cosine desc, id asc). TakeOrdered per query via window rank.
     "q39_ann_topk" -> Q(
-      run = (s, d) => {
-        val v = vecs(s, d)
-        val q = v.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-        // native kernel score: the HOF fold ran interpreted per element and
-        // was the q39 hot spot; CosineSim fuses dot+norms in one codegen pass
-        val scored = broadcast(q).join(v, col("query_id") =!= col("vec_id"))
-          .withColumn("cos", cosSim(col("q_emb"), col("embedding")))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-            col("label").as("neighbor_label"))
-          .orderBy("query_id", "rank")
-      },
+      run = (s, d) => exactTopK(s, d).orderBy("query_id", "rank"),
       oracle = Some(s"""
         WITH v AS (
           SELECT * FROM (
@@ -319,52 +371,7 @@ object Vectors {
     // probes vs corpus-sized clustered side), never a corpus shuffle; the
     // per-query top-5 is a bounded window over probed candidates only.
     "q111_ivf_topk" -> Q(
-      run = (s, d) => {
-        import s.implicits._
-        val nprobe = 2
-        val bc = s.sparkContext.broadcast(collectCodebook(s,
-          vecs(s, d).filter(col("vec_id") < 16)
-            .select(col("vec_id"), col("embedding"))))
-        // corpus assignment: same typed-map kernel law as q40 (first
-        // ascending cent_id wins cosine ties), carrying the label through
-        val clustered = vecs(s, d)
-          .select(col("vec_id"), col("label"), col("embedding"))
-          .as[(Long, Int, Array[Float])]
-          .map { case (id, lb, va) =>
-            val (cids, cm, cn2) = bc.value
-            (id, lb, cids(nearestIdx(centroidCos(va, cm, cn2))), va)
-          }
-          .toDF("vec_id", "label", "cluster", "embedding")
-        // per-query probe list: rank the (broadcast) codebook by the same
-        // fold, keep the nprobe nearest — a narrow map over the query
-        // batch, exploded to (query_id, cluster) rows
-        val probes = vecs(s, d).filter(col("vec_id") < 10)
-          .select(col("vec_id"), col("embedding"))
-          .as[(Long, Array[Float])]
-          .map { case (qid, va) =>
-            val (cids, cm, cn2) = bc.value
-            val cos = centroidCos(va, cm, cn2)
-            // (cos DESC, cent_id ASC) — same precedence law as assignment
-            val top = cids.indices.sortBy(c => (-cos(c), cids(c)))
-              .take(nprobe).map(cids(_)).toArray
-            (qid, va, top)
-          }
-          .toDF("query_id", "q_emb", "probe_cls")
-          .select(col("query_id"), col("q_emb"),
-            explode(col("probe_cls")).as("cluster"))
-        // candidates = members of probed clusters only; probes side is
-        // query-batch-proportional, so broadcast — the corpus never shuffles
-        val cand = clustered.join(broadcast(probes), Seq("cluster"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .withColumn("cos", cosSim(col("q_emb"), col("embedding")))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        cand.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-            col("label").as("neighbor_label"))
-          .orderBy("query_id", "rank")
-      },
+      run = (s, d) => ivfTopK(s, d).orderBy("query_id", "rank"),
       oracle = Some(s"""
         WITH v AS (
           SELECT * FROM (
@@ -409,6 +416,93 @@ object Vectors {
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""),
       doc = "IVF-bucketed approximate top-k search (nprobe=2 probed " +
         "clusters per query — the ANN serving path at scale)"),
+
+    // ANN recall harness — the measurement every approximate-search
+    // deployment ships alongside the index: recall@5 of the IVF serving
+    // path (q111's law, nprobe=2) against the exact brute-force top-5
+    // (q39's law), per query. Both sides are the SHARED ranked-result
+    // builders, so the harness grades exactly what q39/q111 serve — a
+    // drift between harness and serving path is structurally impossible.
+    // 100 TB shape: this is how recall is measured at scale — the exact
+    // side runs over a bounded QUERY SAMPLE (here the fixed 10-query
+    // batch), never corpus×corpus; the join is (sample×5)-row-sized and
+    // the whole harness costs one extra brute-force pass over the corpus
+    // for the sample, amortized across index rebuilds. Integer-exact
+    // recall (milli units, floor division) so both engines agree.
+    "q134_ann_recall" -> Q(
+      run = (s, d) => {
+        val exact = exactTopK(s, d).select(col("query_id"), col("neighbor_id"))
+        val approx = ivfTopK(s, d)
+          .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_found"))
+          .withColumn("recall_milli", expr("(n_found * 1000) div n_exact"))
+          .orderBy("query_id")
+      },
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT * FROM (
+            SELECT vec_id, label, embedding, ${sqlNorm2("embedding")} AS n2
+            FROM embeddings) WHERE n2 > 0),
+        exact_scored AS (
+          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                 ${sqlDot("q.embedding", "n.embedding")} / (sqrt(q.n2) * sqrt(n.n2)) AS cos
+          FROM v q JOIN v n ON q.vec_id < 10 AND n.vec_id <> q.vec_id),
+        exact_top AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+            FROM exact_scored) t
+          WHERE rnk <= 5),
+        cents AS (
+          SELECT vec_id AS cent_id, embedding AS c_emb, n2 AS c_n2
+          FROM v WHERE vec_id < 16),
+        assigned AS (
+          SELECT v.vec_id, v.embedding, v.n2, c.cent_id,
+                 ${sqlDot("v.embedding", "c.c_emb")} / (sqrt(v.n2) * sqrt(c.c_n2)) AS cos_c
+          FROM v CROSS JOIN cents c),
+        clustered AS (
+          SELECT vec_id, embedding, n2, cent_id AS cluster FROM (
+            SELECT vec_id, embedding, n2, cent_id,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+            FROM assigned) t
+          WHERE rn = 1),
+        qb AS (
+          SELECT vec_id AS query_id, embedding AS q_emb, n2 AS q_n2
+          FROM v WHERE vec_id < 10),
+        probe AS (
+          SELECT query_id, cent_id AS cluster FROM (
+            SELECT qb.query_id, c.cent_id,
+                   row_number() OVER (PARTITION BY qb.query_id
+                     ORDER BY ${sqlDot("qb.q_emb", "c.c_emb")} / (sqrt(qb.q_n2) * sqrt(c.c_n2)) DESC,
+                              c.cent_id) AS pr
+            FROM qb CROSS JOIN cents c) t
+          WHERE pr <= 2),
+        ivf_cand AS (
+          SELECT p.query_id, cl.vec_id,
+                 ${sqlDot("qb.q_emb", "cl.embedding")} / (sqrt(qb.q_n2) * sqrt(cl.n2)) AS cos
+          FROM probe p
+          JOIN clustered cl ON cl.cluster = p.cluster
+          JOIN qb ON qb.query_id = p.query_id
+          WHERE cl.vec_id <> p.query_id),
+        ivf_top AS (
+          SELECT query_id, vec_id AS neighbor_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+            FROM ivf_cand) t
+          WHERE rnk <= 5)
+        SELECT e.query_id,
+               count(*) AS n_exact,
+               count(i.neighbor_id) AS n_found,
+               (count(i.neighbor_id) * 1000) // count(*) AS recall_milli
+        FROM exact_top e
+        LEFT JOIN ivf_top i
+          ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+        ORDER BY e.query_id"""),
+      doc = "ANN recall harness: recall@5 of the IVF serving path vs the " +
+        "exact brute-force top-k over a bounded query sample"),
 
     // Int8-quantized cosine near-dup: the 4x-memory-cut representation real
     // vector pipelines run ANN over (scalar quantization: per-vector scale

@@ -23,6 +23,27 @@ class IvfTopkSpec extends SparkSpec {
     assert(perQuery.forall(_ <= 5))
   }
 
+  test("q134: harness recall equals independently recomputed recall@5") {
+    // recompute recall from the two serving queries' own outputs — the
+    // harness must grade exactly what q39/q111 serve, per query
+    val exact = SparkEntry.queries("q39_ann_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val ivf = SparkEntry.queries("q111_ivf_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val want = exact.groupBy(_._1).map { case (q, ns) =>
+      val found = ns.count(ivf.contains)
+      q -> (ns.length.toLong, found.toLong, found.toLong * 1000 / ns.length)
+    }
+    val rows = SparkEntry.queries("q134_ann_recall")(spark, sf).collect()
+    assert(rows.length == want.size, "one row per sampled query")
+    rows.foreach { r =>
+      val (ne, nf, rec) = want(r.getLong(0))
+      assert(r.getLong(1) == ne && r.getLong(2) == nf && r.getLong(3) == rec,
+        s"harness row $r != recomputed ($ne, $nf, $rec)")
+      assert(rec >= 0L && rec <= 1000L)
+    }
+  }
+
   test("probe join is broadcast and cluster-keyed, never a corpus shuffle") {
     val df = SparkEntry.queries("q111_ivf_topk")(spark, sf)
     df.collect() // AQE-final plan
