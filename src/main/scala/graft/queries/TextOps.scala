@@ -895,6 +895,59 @@ object TextOps {
         ORDER BY doc_a, doc_b"""),
       doc = "MinHash signatures + LSH banding + exact-Jaccard verification"),
 
+    // LSH recall S-curve harness — the measurement that tunes band/row
+    // geometry before trusting q36 at scale: for every TRUE near-dup pair
+    // (q35's exact law, the shared staged pair cache), was it reachable by
+    // the 4-band/2-row LSH candidate rule (∃ band i: sig_a[i] = sig_b[i] —
+    // exactly q36's join condition, evaluated per-pair)? Bucketed by true-
+    // Jaccard decile because LSH recall is a function of J (expected
+    // 1-(1-J²)⁴ for this geometry): the per-decile table is what says
+    // "recall at J≈0.7 is the weak end — add bands or lower rows" the way
+    // a single corpus-wide number cannot. 100 TB shape: the truth side is
+    // the dup-proportional staged q35 pair table (size-gated broadcast);
+    // signatures are a narrow 4-long projection off the cached shingle
+    // arrays; BOTH hops broadcast the pair side, so the corpus never
+    // shuffles and no band self-join runs — the harness is strictly
+    // cheaper than the q36 candidate stage it grades. Integer milli
+    // recall, floor division, so DuckDB replays it bit-exactly.
+    "q135_lsh_recall" -> Q(
+      run = (s, d) => {
+        val truth = jaccardPairsCached(s, d)
+        val sigs = docShingleArrays(s, d)
+          .filter(size(col("shs")) > 0)
+          .select(col("doc_id"), minhashBandSigs(col("shs")).as("sigs"))
+        // every q35 pair's docs have ≥1 shingle (the shingle join excludes
+        // empty docs structurally), so inner joins to sigs lose nothing
+        val flagged = sigs.select(col("doc_id").as("doc_a"), col("sigs").as("siga"))
+          .join(broadcastIfSmall(truth), Seq("doc_a"))
+          .join(sigs.select(col("doc_id").as("doc_b"), col("sigs").as("sigb")), Seq("doc_b"))
+          .withColumn("found",
+            expr("exists(zip_with(siga, sigb, (x, y) -> x = y), b -> b)"))
+        flagged
+          .withColumn("jac_decile", expr("(inter * 1000 div uni) div 100"))
+          .groupBy(col("jac_decile"))
+          .agg(count(lit(1)).as("n_true"),
+            sum(when(col("found"), 1L).otherwise(0L)).as("n_found"))
+          .withColumn("recall_milli", expr("n_found * 1000 div n_true"))
+          .orderBy("jac_decile")
+      },
+      oracle = Some(s"""
+        WITH $jaccardCtes,
+        $minhashBandCtes,
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        flags AS (
+          SELECT j.inter, j.uni, (c.doc_a IS NOT NULL) AS found
+          FROM jac j LEFT JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b)
+        SELECT (inter * 1000 // uni) // 100 AS jac_decile,
+               count(*) AS n_true,
+               CAST(sum(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+               CAST(sum(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT) * 1000 // count(*) AS recall_milli
+        FROM flags GROUP BY 1 ORDER BY jac_decile"""),
+      doc = "LSH recall S-curve: per-Jaccard-decile recall of the 4x2 band " +
+        "candidate rule against the exact q35 truth pairs"),
+
     // SimHash near-dup: 48-bit signature from weighted token-hash bit votes
     // (two 30/18-bit affine-independent hashes per token — 32 bits is too
     // coarse on a shared-vocabulary corpus); pigeonhole blocking on 4 12-bit

@@ -108,6 +108,60 @@ class PropertySpec extends SparkSpec {
     assert(expect.nonEmpty, "generator produced no qualifying pairs — test is vacuous")
   }
 
+  test("q135 LSH recall curve == brute-force replay across Jaccard deciles") {
+    // the fixture corpus lands every true pair in one decile, so construct
+    // a corpus that exercises the whole S-curve: for m=30-token docs with
+    // pair-unique vocabularies, sharing a p-token prefix yields
+    // J = (p-2)/(2(m-2)-(p-2)) — p=26→0.750 (decile 7), p=27→0.806 and
+    // p=28→0.867 (decile 8), p=29→0.931 (decile 9), exact copy → decile 10.
+    // Cross-pair J is 0 (disjoint vocabularies), so the truth set is
+    // exactly the constructed pairs.
+    val m = 30
+    val specs = Seq.tabulate(12)(i => (i, Seq(26, 27, 28, 29, 30)(i % 5)))
+    val docs = specs.flatMap { case (g, p) =>
+      val toksA = (0 until m).map(j => s"t${g}_$j")
+      val toksB = toksA.take(p) ++ (0 until (m - p)).map(j => s"u${g}_$j")
+      Seq((2L * g, toksA.mkString(" ")), (2L * g + 1, toksB.mkString(" ")))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_prop").toString
+    docs.map { case (id, t) => (id, t, "en", "srcL", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // brute-force truth + band-match with the SAME laws (polyHash 3-gram
+    // sets; bandSigsOf is order-independent, so Seq order doesn't matter)
+    val sets: Map[Long, Set[Long]] = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).sliding(3).filter(_.length == 3)
+        .map(g => TextHash.polyHash(g.mkString(" "))).toSet
+    }.toMap
+    val expectRows = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a < b && sa.nonEmpty && sb.nonEmpty
+      inter = (sa & sb).size.toLong
+      uni = sa.size + sb.size - inter
+      if inter * 10 >= uni * 7
+    } yield {
+      val found = queries.TextOps.bandSigsOf(sa.toSeq)
+        .zip(queries.TextOps.bandSigsOf(sb.toSeq)).exists(x => x._1 == x._2)
+      ((inter * 1000 / uni) / 100, found)
+    }).groupBy(_._1).toSeq.map { case (dec, fs) =>
+      val nf = fs.count(_._2).toLong
+      (dec, fs.length.toLong, nf, nf * 1000 / fs.length)
+    }.sortBy(_._1)
+    assert(expectRows.map(_._1).toSet.size >= 4,
+      s"generator must span >=4 deciles, got ${expectRows.map(_._1)}")
+
+    val got = SparkEntry.queries("q135_lsh_recall")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expectRows, s"got=$got expect=$expectRows")
+    // the curve must be informative: decile 10 (exact copies — identical
+    // signatures) is always found; SOME lower-decile miss should exist or
+    // the S-curve story is vacuous at this geometry. 1-(1-J^2)^4 at J=0.75
+    // is ~0.91, so with 3+ pairs at decile 7 a miss is likely but not
+    // guaranteed — assert only the sure half.
+    assert(got.find(_._1 == 10L).exists(_._4 == 1000L))
+  }
+
   test("block-partitioned cosine pairs == brute-force all-pairs (boundary shapes)") {
     // adversarial shape for the q38 block decomposition: identical-vector
     // clusters (cos = 1, intra- AND cross-block), sign-flipped copies
