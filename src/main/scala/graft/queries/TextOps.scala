@@ -660,10 +660,40 @@ object TextOps {
     (n, avg, avg * 1000L / cmax)
   }
 
+  /** Per-doc familiarity scoring — q113's law as a shared builder (q113
+    * gates on it, q136 sweeps the gate threshold over it). One narrow
+    * kernel pass under the broadcast bigram model: (doc_id, n_tok,
+    * n_bigrams, avg_count, familiarity_milli), zero corpus shuffle. */
+  private def familiarityScored(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val (model, cmax) = bigramModel(s, d)
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    val sumCounts = udf { (text: String) =>
+      val m = bc.value
+      var i = 0
+      var acc = 0L
+      while (i < text.length - 1) { // every bigram is in the model by
+        acc += m(text.substring(i, i + 2)) // construction (same corpus)
+        i += 1
+      }
+      acc
+    }
+    docs
+      .withColumn("n_tok", size(split(col("text"), " ", -1)).cast("long"))
+      .withColumn("n_bigrams",
+        greatest(length(col("text")).cast("long") - 1L, lit(0L)))
+      .withColumn("s", sumCounts(col("text")))
+      .withColumn("avg_count",
+        when(col("n_bigrams") > 0, expr("s DIV n_bigrams")).otherwise(0L))
+      .withColumn("familiarity_milli",
+        expr(s"(avg_count * 1000) DIV ${cmax}L"))
+  }
+
   /** q113's oracle; q133 (the streaming serving mode) replays the SAME
     * SQL — one law, two execution modes. */
-  private[graft] val bigramLmOracleSql: String = """
-        WITH bg AS (
+  /** The bigram-model CTEs (bg → model → mx → ds) shared by q113's oracle
+    * and q136's threshold sweep. */
+  private val bigramModelCtes: String = """bg AS (
           SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bg
           FROM documents,
                unnest(range(1, greatest(length(text), 1))) AS u(i)),
@@ -671,7 +701,10 @@ object TextOps {
         mx AS (SELECT max(c) AS cmax FROM model),
         ds AS (
           SELECT b.doc_id, count(*) AS n, sum(m.c) AS s
-          FROM bg b JOIN model m USING (bg) GROUP BY b.doc_id)
+          FROM bg b JOIN model m USING (bg) GROUP BY b.doc_id)"""
+
+  private[graft] val bigramLmOracleSql: String = s"""
+        WITH $bigramModelCtes
         SELECT d.doc_id,
                CAST(coalesce(ds.n, 0) AS BIGINT) AS n_bigrams,
                CAST(coalesce(ds.s // ds.n, 0) AS BIGINT) AS avg_count,
@@ -2120,36 +2153,65 @@ object TextOps {
     // (s DIV n <= cmax), then scale to milli (1000·cmax < 2^63 for any
     // corpus whose hottest bigram count stays under 9.2e15).
     "q113_bigram_lm" -> Q(
-      run = (s, d) => {
-        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-        val (model, cmax) = bigramModel(s, d)
-        val bc = docs.sparkSession.sparkContext.broadcast(model)
-        val sumCounts = udf { (text: String) =>
-          val m = bc.value
-          var i = 0
-          var acc = 0L
-          while (i < text.length - 1) { // every bigram is in the model by
-            acc += m(text.substring(i, i + 2)) // construction (same corpus)
-            i += 1
-          }
-          acc
-        }
-        docs
-          .withColumn("n_bigrams",
-            greatest(length(col("text")).cast("long") - 1L, lit(0L)))
-          .withColumn("s", sumCounts(col("text")))
-          .withColumn("avg_count",
-            when(col("n_bigrams") > 0, expr("s DIV n_bigrams")).otherwise(0L))
-          .withColumn("familiarity_milli",
-            expr(s"(avg_count * 1000) DIV ${cmax}L"))
-          .select(col("doc_id"), col("n_bigrams"), col("avg_count"),
-            col("familiarity_milli"),
-            (col("familiarity_milli") >= 320).as("kept"))
-          .orderBy("doc_id")
-      },
+      run = (s, d) => familiarityScored(s, d)
+        .select(col("doc_id"), col("n_bigrams"), col("avg_count"),
+          col("familiarity_milli"),
+          (col("familiarity_milli") >= 320).as("kept"))
+        .orderBy("doc_id"),
       oracle = Some(bigramLmOracleSql),
       doc = "char-bigram LM familiarity score + keep gate (integer-exact " +
         "perplexity-filter analogue; broadcast model, zero corpus shuffle)"),
+
+    // Quality-threshold sweep — the calibration curve behind q113's
+    // hardcoded 320 gate: docs/tokens retained at every candidate threshold
+    // (0..1000 step 100). This is the table a data engineer reads before
+    // picking a filter constant ("how much of the corpus does each setting
+    // cost?"), the same reason training pipelines sweep classifier
+    // thresholds before committing to one. 100 TB shape: the corpus is
+    // touched ONCE by the shared q113 scoring pass (broadcast model, narrow
+    // kernel), then collapses to ≤11 familiarity-decile buckets via one
+    // map-side-combined agg; the sweep itself is an 11×11 theta join on
+    // BOUNDED METADATA (decile table × threshold table), never on docs —
+    // adding thresholds costs nothing corpus-sized. Integer milli
+    // fractions, floor division, replayed exactly by the oracle.
+    "q136_quality_sweep" -> Q(
+      run = (s, d) => {
+        val scored = familiarityScored(s, d)
+        val buckets = scored
+          .groupBy(expr("familiarity_milli DIV 100").as("bucket"))
+          .agg(count(lit(1)).as("nd"), sum(col("n_tok")).as("nt"))
+        val tot = scored.agg(count(lit(1)).as("total"))
+        val th = s.range(0, 11).select(col("id").as("k"))
+        th.join(broadcast(buckets), col("bucket") >= col("k"), "left")
+          .groupBy(col("k"))
+          .agg(coalesce(sum(col("nd")), lit(0L)).as("n_docs_kept"),
+            coalesce(sum(col("nt")), lit(0L)).as("n_tokens_kept"))
+          .crossJoin(broadcast(tot))
+          .select((col("k") * 100).as("threshold_milli"),
+            col("n_docs_kept"), col("n_tokens_kept"),
+            expr("n_docs_kept * 1000 DIV total").as("kept_docs_milli"))
+          .orderBy("threshold_milli")
+      },
+      oracle = Some(s"""
+        WITH $bigramModelCtes,
+        scored AS (
+          SELECT d.doc_id,
+                 CAST(coalesce((ds.s // ds.n) * 1000 // mx.cmax, 0) AS BIGINT) AS fam,
+                 CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+          FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id CROSS JOIN mx),
+        b AS (
+          SELECT fam // 100 AS bucket, count(*) AS nd, sum(n_tok) AS nt
+          FROM scored GROUP BY 1),
+        tot AS (SELECT count(*) AS total FROM scored),
+        th AS (SELECT unnest(range(0, 11)) AS k)
+        SELECT th.k * 100 AS threshold_milli,
+               CAST(coalesce(sum(b.nd), 0) AS BIGINT) AS n_docs_kept,
+               CAST(coalesce(sum(b.nt), 0) AS BIGINT) AS n_tokens_kept,
+               CAST(coalesce(sum(b.nd), 0) AS BIGINT) * 1000 // max(tot.total) AS kept_docs_milli
+        FROM th LEFT JOIN b ON b.bucket >= th.k CROSS JOIN tot
+        GROUP BY th.k ORDER BY threshold_milli"""),
+      doc = "quality-gate threshold sweep: docs/tokens retained per " +
+        "candidate familiarity threshold (the q113 gate calibration curve)"),
 
     // Heaps'-law vocabulary-growth curve — the corpus-analysis statistic
     // behind "is more data still adding new types?" (diminishing vocabulary

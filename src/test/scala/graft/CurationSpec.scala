@@ -64,6 +64,29 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q136: sweep is monotone, anchored at the full corpus, brackets q113") {
+    val rows = SparkEntry.queries("q136_quality_sweep")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L to 1000L by 100L).toSeq)
+    // threshold 0 keeps everything
+    val q113 = SparkEntry.queries("q113_bigram_lm")(spark, sf).collect()
+    assert(rows.head._2 == q113.length.toLong)
+    assert(rows.head._4 == 1000L)
+    // retained docs AND tokens are non-increasing in the threshold
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3, s"sweep not monotone: $a -> $b")
+      case _ => }
+    // the q113 gate (320) is bracketed by the 300 and 400 sweep points
+    val kept113 = q113.count(_.getBoolean(4)).toLong
+    val at300 = rows.find(_._1 == 300L).get._2
+    val at400 = rows.find(_._1 == 400L).get._2
+    assert(at400 <= kept113 && kept113 <= at300,
+      s"q113 kept=$kept113 outside sweep bracket [$at400, $at300]")
+    // the curve is informative on the fixture: it actually decreases
+    assert(rows.last._2 < rows.head._2, "sweep is flat — fixture vacuous")
+  }
+
   test("q114: PQ-ADC top-k approximates exact-L2 top-k with bounded loss") {
     import spark.implicits._
     // brute-force exact truth, same candidate universe as q114 (zero-norm
