@@ -282,4 +282,62 @@ object Operators {
       8L * df.schema.length + 16L
     df.count() * rowWidth
   }
+
+  /** Per-group INCLUSIVE running sum of `valueCol` (LONG) ordered by
+    * `orderCols` within each `groupCol` (STRING) — WITHOUT a per-group
+    * single-task window. The naive `Window.partitionBy(group)` serializes
+    * every group onto one task, which is exactly the q108 mega-source
+    * failure at 100 TB. Same mechanics as [[totalRank]], generalized to
+    * grouped sums:
+    *
+    *   1. range-partition on (group, orderCols…) — each partition holds a
+    *      contiguous slice of the composite order, so a group spans a
+    *      contiguous RUN of partitions;
+    *   2. freeze the partition id (scoped localCheckpoint: boundaries are
+    *      sampled per execution, so the id must be data before two jobs
+    *      consume it);
+    *   3. one tiny job collects per-(partition, group) sums — bounded by
+    *      P + |groups| − 1 rows of driver metadata (contiguity: each extra
+    *      group adds at most one straddled boundary); a loud contract
+    *      failure past 100k rows rather than a silent driver OOM;
+    *   4. cum = per-(pid, group) running window + the group's prefix
+    *      offset from earlier partitions, looked up via a broadcast map
+    *      literal. No single-partition stage anywhere.
+    *
+    * Rows sharing the complete (group, orderCols…) key sum in arbitrary
+    * order among themselves — pass a tie-breaking column for determinism. */
+  def groupedPrefixSum(df: DataFrame, groupCol: String, valueCol: String,
+      orderCols: Seq[Column], cumCol: String = "cum"): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sortCols = col(groupCol) +: orderCols
+    val ranged = graft.Checkpoints.localCheckpoint(
+      df.repartitionByRange(p, sortCols: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val slices = ranged.groupBy(col("__pid"), col(groupCol))
+      .agg(sum(col(valueCol)).as("s")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    if (slices.isEmpty) return ranged.drop("__pid").withColumn(cumCol, lit(0L))
+    require(slices.length <= 100000,
+      s"groupedPrefixSum contract: ${slices.length} (partition, group) " +
+        "slices exceed the bounded-metadata bar — groups are not metadata")
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var curG: String = null
+    var acc = 0L
+    slices.sortBy(t => (t._2, t._1)).foreach { case (pid, g, sv) =>
+      if (g != curG) { curG = g; acc = 0L }
+      offsets += ((s"$pid $g", acc))
+      acc += sv
+    }
+    val offMap = map(offsets.toIndexedSeq.flatMap(kv =>
+      Seq(lit(kv._1), lit(kv._2))): _*)
+    val w = Window.partitionBy(col("__pid"), col(groupCol))
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn(cumCol,
+        sum(col(valueCol)).over(w) + element_at(offMap,
+          concat_ws(" ", col("__pid").cast("string"), col(groupCol))))
+      .drop("__pid")
+  }
 }

@@ -660,6 +660,53 @@ object TextOps {
     (n, avg, avg * 1000L / cmax)
   }
 
+  /** Largest-remainder token-budget apportionment — q125's law as a shared
+    * builder (q125 reports it, q137 executes it as a subsample). One
+    * map-side-combined shuffle to |sources| rows; every window below runs
+    * on that bounded metadata. */
+  private def tokenAlloc(s: SparkSession, d: String,
+      budget: Long = 100000L): DataFrame = {
+    val counts = docTokens(s, d)
+      .select(col("source"), explode(col("toks")).as("tok"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_tok"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val wRank = wAll.orderBy(col("rem").desc, col("source"))
+    counts
+      .withColumn("n_total", sum(col("n_tok")).over(wAll))
+      .withColumn("quota", expr(s"($budget * n_tok) DIV n_total"))
+      .withColumn("rem", expr(s"($budget * n_tok) % n_total"))
+      .withColumn("rem_rank", row_number().over(wRank).cast("long"))
+      .withColumn("leftover", lit(budget) - sum(col("quota")).over(wAll))
+      .withColumn("alloc",
+        col("quota") + when(col("rem_rank") <= col("leftover"), 1L)
+          .otherwise(0L))
+  }
+
+  /** The apportionment CTEs (c → q → r, plus `a` with the final alloc)
+    * shared by q125's oracle and q137's subsample oracle. */
+  private val allocCtes: String = """c AS (
+          SELECT source, count(*) AS n_tok
+          FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+          GROUP BY source),
+        q AS (
+          SELECT source, n_tok,
+                 sum(n_tok) OVER () AS n_total,
+                 (100000 * n_tok) // sum(n_tok) OVER () AS quota,
+                 (100000 * n_tok) % sum(n_tok) OVER () AS rem
+          FROM c),
+        r AS (
+          SELECT *,
+                 row_number() OVER (ORDER BY rem DESC, source) AS rem_rank,
+                 100000 - sum(quota) OVER () AS leftover
+          FROM q),
+        a AS (
+          SELECT source,
+                 CAST(quota + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                   AS BIGINT) AS alloc
+          FROM r)"""
+
   /** Per-doc familiarity scoring — q113's law as a shared builder (q113
     * gates on it, q136 sweeps the gate threshold over it). One narrow
     * kernel pass under the broadcast bigram model: (doc_id, n_tok,
@@ -2594,44 +2641,12 @@ object TextOps {
     // metadata, never docs). Overflow bound: B·n_i < 2^63 — at B=1e5 a
     // source may hold up to 9.2e13 tokens.
     "q125_token_budget" -> Q(
-      run = (s, d) => {
-        val budget = 100000L
-        val counts = docTokens(s, d)
-          .select(col("source"), explode(col("toks")).as("tok"))
-          .groupBy(col("source")).agg(count(lit(1)).as("n_tok"))
-        val wAll = org.apache.spark.sql.expressions.Window
-          .partitionBy(lit(1))
-        val wRank = wAll.orderBy(col("rem").desc, col("source"))
-        counts
-          .withColumn("n_total", sum(col("n_tok")).over(wAll))
-          .withColumn("quota", expr(s"($budget * n_tok) DIV n_total"))
-          .withColumn("rem", expr(s"($budget * n_tok) % n_total"))
-          .withColumn("rem_rank", row_number().over(wRank).cast("long"))
-          .withColumn("leftover", lit(budget) - sum(col("quota")).over(wAll))
-          .withColumn("alloc",
-            col("quota") + when(col("rem_rank") <= col("leftover"), 1L)
-              .otherwise(0L))
-          .select(col("source"), col("n_tok"), col("quota"), col("rem"),
-            col("rem_rank"), col("alloc"))
-          .orderBy("source")
-      },
-      oracle = Some("""
-        WITH c AS (
-          SELECT source, count(*) AS n_tok
-          FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
-                FROM documents)
-          GROUP BY source),
-        q AS (
-          SELECT source, n_tok,
-                 sum(n_tok) OVER () AS n_total,
-                 (100000 * n_tok) // sum(n_tok) OVER () AS quota,
-                 (100000 * n_tok) % sum(n_tok) OVER () AS rem
-          FROM c),
-        r AS (
-          SELECT *,
-                 row_number() OVER (ORDER BY rem DESC, source) AS rem_rank,
-                 100000 - sum(quota) OVER () AS leftover
-          FROM q)
+      run = (s, d) => tokenAlloc(s, d)
+        .select(col("source"), col("n_tok"), col("quota"), col("rem"),
+          col("rem_rank"), col("alloc"))
+        .orderBy("source"),
+      oracle = Some(s"""
+        WITH $allocCtes
         SELECT source,
                CAST(n_tok AS BIGINT) AS n_tok,
                CAST(quota AS BIGINT) AS quota,
@@ -2642,6 +2657,55 @@ object TextOps {
         FROM r ORDER BY source"""),
       doc = "largest-remainder token-budget apportionment across sources " +
         "(exact integer mixture allocation; sums to the budget)"),
+
+    // Budget-sample materialization — q125 decides how many tokens each
+    // source gets; this query picks WHICH documents fill that allocation:
+    // per source, docs are ordered by content hash (reproducible, engine-
+    // agnostic, resharding-proof — the q85 rationale) and the prefix whose
+    // running token total fits the source's allocation is kept. The running
+    // sum is [[Operators.groupedPrefixSum]] — range-partitioned grouped
+    // prefix sums with driver-side offsets, NOT a per-source window, so a
+    // mega-source fills its budget across many tasks (the q108 lesson
+    // applied to sampling). 100 TB shape: one range shuffle of the narrow
+    // (source, hash, n_tok) projection + one bounded-metadata collect;
+    // the alloc table is |sources| rows, broadcast.
+    "q137_budget_sample" -> Q(
+      run = (s, d) => {
+        val alloc = tokenAlloc(s, d).select(col("source"), col("alloc"))
+        val docs = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ", -1)).cast("long").as("n_tok"),
+            graft.functions.TextHash.charHash(col("text")).as("h"))
+        graft.operators.Operators
+          .groupedPrefixSum(docs, "source", "n_tok",
+            Seq(col("h"), col("doc_id")), "cum_tok")
+          .join(broadcast(alloc), Seq("source"))
+          .filter(col("cum_tok") <= col("alloc"))
+          .select(col("source"), col("doc_id"), col("n_tok"), col("cum_tok"))
+          .orderBy("source", "cum_tok")
+      },
+      oracle = Some(s"""
+        WITH $allocCtes,
+        h AS (
+          SELECT source, doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ''),
+                     ch -> CAST(ascii(ch) AS BIGINT))),
+                   (acc, ch) -> (acc * 31 + ch) % 1000000007) AS hsh
+          FROM documents),
+        cum AS (
+          SELECT source, doc_id, n_tok,
+                 sum(n_tok) OVER (PARTITION BY source ORDER BY hsh, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+          FROM h)
+        SELECT cum.source, cum.doc_id, cum.n_tok,
+               CAST(cum.cum_tok AS BIGINT) AS cum_tok
+        FROM cum JOIN a USING (source)
+        WHERE cum.cum_tok <= a.alloc
+        ORDER BY source, cum_tok"""),
+      doc = "budget-sample materialization: deterministic hash-ordered " +
+        "per-source doc selection filling the q125 token allocation"),
 
     // Per-source MinHash sketch + pairwise vocabulary-overlap estimate —
     // the catalog-level "which sources duplicate each other wholesale?"

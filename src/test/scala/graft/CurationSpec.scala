@@ -87,6 +87,50 @@ class CurationSpec extends SparkSpec {
     assert(rows.last._2 < rows.head._2, "sweep is flat — fixture vacuous")
   }
 
+  test("q137: budget cutoff bites on an overflow corpus; greedy-tight per source") {
+    import spark.implicits._
+    // the sf0.01 fixture's token total is UNDER the 100k budget, so the
+    // oracle row there never exercises the cutoff — construct a corpus
+    // whose ~150k tokens overflow it and replay the law on the driver
+    val rnd = new scala.util.Random(17)
+    val docs = (0 until 2500).map { i =>
+      val src = s"s${i % 3}"
+      val n = 40 + rnd.nextInt(40)
+      val text = (0 until n).map(j => s"w${rnd.nextInt(500)}").mkString(" ")
+      (i.toLong, text, "en", src, text.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_budget").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val alloc = SparkEntry.queries("q125_token_budget")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(alloc.values.sum == 100000L, "apportionment must sum to the budget")
+    val kept = SparkEntry.queries("q137_budget_sample")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(kept.length < docs.length, "cutoff never bit — corpus too small")
+
+    // driver replay of the law: cum runs over ALL docs in (hash, id) order;
+    // kept = cum <= alloc, so once the running total passes the allocation
+    // no later doc can re-qualify (cum only grows)
+    val expectPrefix = docs.groupBy(_._4).flatMap { case (src, ds) =>
+      var acc = 0L
+      ds.map { case (id, t, _, _, _) =>
+        (id, functions.TextHash.polyHash(t), t.split(" ", -1).length.toLong)
+      }.sortBy(x => (x._2, x._1)).flatMap { case (id, _, n) =>
+        acc += n
+        if (acc <= alloc(src)) Some((src, id, n, acc)) else None
+      }
+    }.toSet
+    assert(kept.toSet == expectPrefix,
+      s"missing=${(expectPrefix -- kept.toSet).take(3)} extra=${(kept.toSet -- expectPrefix).take(3)}")
+    // greedy-tight: per source, kept tokens fit the allocation, and the
+    // FIRST excluded doc in hash order would have overflowed it
+    kept.groupBy(_._1).foreach { case (src, ks) =>
+      assert(ks.map(_._3).sum <= alloc(src), s"$src over budget")
+    }
+  }
+
   test("q114: PQ-ADC top-k approximates exact-L2 top-k with bounded loss") {
     import spark.implicits._
     // brute-force exact truth, same candidate universe as q114 (zero-norm

@@ -213,4 +213,42 @@ class OperatorsSpec extends SparkSpec {
       _.expressions.filterNot(_.deterministic))
     assert(nondet.isEmpty, s"nondeterministic salt exprs: $nondet")
   }
+
+  test("groupedPrefixSum == sequential per-group running sum; no global window") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // one mega-group (80% of rows) plus a tail of small groups — the shape
+    // the operator exists for; values include 0 and repeats
+    val rows = (1 to 4000).map { i =>
+      val g = if (rnd.nextInt(5) > 0) "mega" else s"g${rnd.nextInt(3)}"
+      (g, rnd.nextInt(100).toLong, i.toLong)
+    }
+    val got = Operators.groupedPrefixSum(
+        rows.toDF("g", "v", "ord"), "g", "v", Seq(col("ord")), "cum")
+      .select("g", "ord", "cum").as[(String, Long, Long)].collect().toSet
+    val expect = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      var acc = 0L
+      rs.sortBy(_._3).map { r => acc += r._2; (g, r._3, acc) }
+    }.toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+    // the window must partition by the frozen pid, never by the group alone
+    // (a group-only partition serializes the mega-group onto one task)
+    val winParts = Operators.groupedPrefixSum(
+        rows.toDF("g", "v", "ord"), "g", "v", Seq(col("ord")), "cum")
+      .queryExecution.analyzed.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+          w.partitionSpec.length
+      }
+    assert(winParts.forall(_ == 2), s"window partition widths: $winParts")
+  }
+
+  test("groupedPrefixSum: empty input keeps the schema") {
+    import spark.implicits._
+    val out = Operators.groupedPrefixSum(
+      Seq.empty[(String, Long, Long)].toDF("g", "v", "ord"),
+      "g", "v", Seq(col("ord")), "cum")
+    assert(out.columns.toSeq == Seq("g", "v", "ord", "cum"))
+    assert(out.count() == 0)
+  }
 }
