@@ -82,6 +82,12 @@ object TextHash {
   def shingleHashes(toks: Column): Column = shingleHashesUdf(toks)
 
   private[graft] def shingleHashKernel(toks: Seq[String]): Array[Long] =
+    shingleHashSeqKernel(toks).distinct
+
+  /** POSITIONAL 3-gram shingle hashes (index i = the gram starting at
+    * token i, 0-based) — the non-distinct core of [[shingleHashKernel]];
+    * winnowing needs positions, the set consumers dedup on top. */
+  private[graft] def shingleHashSeqKernel(toks: Seq[String]): Array[Long] =
     if (toks == null || toks.length < 3) Array.empty[Long]
     else {
       val n = toks.length
@@ -111,8 +117,40 @@ object TextHash {
         out(i) = h
         i += 1
       }
-      out.distinct
+      out
     }
+
+  /** Winnowing fingerprint selection (Schleimer et al. SIGMOD 2003,
+    * "robust winnowing"): slide a window of `w` consecutive 3-gram hashes;
+    * in each window select the minimum, breaking ties RIGHTMOST (the `<=`
+    * in the scan) — the robust variant that re-selects the same position
+    * across overlapping windows, minimizing fingerprint density. Returns
+    * the doc's DISTINCT selected hashes, ascending (deterministic egress).
+    * Guarantee: two docs sharing a token run of length ≥ w + 2 (w grams)
+    * share at least one fingerprint. Docs with fewer than w grams yield
+    * none. Density ~ 2/(w+1) of grams in expectation. */
+  private[graft] def winnowKernel(toks: Seq[String], w: Int): Array[Long] = {
+    val hs = shingleHashSeqKernel(toks)
+    if (hs.length < w) return Array.empty[Long]
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    var s = 0
+    while (s + w <= hs.length) {
+      var best = s
+      var i = s + 1
+      while (i < s + w) { if (hs(i) <= hs(best)) best = i; i += 1 }
+      sel.add(hs(best))
+      s += 1
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+
+  /** [[winnowKernel]] as a column function. */
+  def winnowFingerprints(toks: Column, w: Int): Column =
+    udf((ts: Seq[String]) => winnowKernel(ts, w)).apply(toks)
 
   private val shingleHashesUdf =
     udf((toks: Seq[String]) => shingleHashKernel(toks))

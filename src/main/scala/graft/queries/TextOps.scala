@@ -1028,6 +1028,66 @@ object TextOps {
       doc = "LSH recall S-curve: per-Jaccard-decile recall of the 4x2 band " +
         "candidate rule against the exact q35 truth pairs"),
 
+    // Winnowing fingerprints (Schleimer et al. SIGMOD 2003 — the MOSS
+    // algorithm): per doc, slide a w=4 window over the POSITIONAL 3-gram
+    // hashes and select each window's minimum, ties rightmost ("robust
+    // winnowing"). The selected set is a ~2/(w+1)-density fingerprint with
+    // a hard GUARANTEE the probabilistic families (q36 LSH, q37 SimHash)
+    // don't have: any shared token run of ≥ w+2 tokens forces a shared
+    // fingerprint — the local-plagiarism/partial-overlap detector, where
+    // Jaccard (global similarity) goes blind. Candidates = docs sharing a
+    // fingerprint, with the shared count as evidence weight. 100 TB shape:
+    // the kernel is a narrow zero-shuffle projection; the fingerprint
+    // table is ~n/2.5 smaller than the gram table; the pair join is the
+    // q107 shape — equi-join on the fingerprint hash, fanout bounded by
+    // docs-per-fingerprint (winnowing selects LOCAL minima, so corpus-hot
+    // grams are structurally underselected vs a raw gram join).
+    "q138_winnowing" -> Q(
+      run = (s, d) => {
+        val fp = docTokens(s, d)
+          .select(col("doc_id"),
+            explode(graft.functions.TextHash.winnowFingerprints(
+              col("toks"), 4)).as("h"))
+        fp.select(col("doc_id").as("doc_a"), col("h"))
+          .join(fp.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        g AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(
+                     toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2], ''),
+                     ch -> CAST(ascii(ch) AS BIGINT))),
+                   (acc, ch) -> (acc * 31 + ch) % 1000000007) AS h
+          FROM t, unnest(range(1, greatest(len(toks) - 1, 1))) AS u(i)),
+        mx AS (SELECT doc_id, max(pos) AS npos FROM g GROUP BY doc_id),
+        wins AS (
+          SELECT doc_id, pos AS ws,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+          FROM g),
+        vw AS (
+          SELECT w.doc_id, w.ws, w.m FROM wins w JOIN mx USING (doc_id)
+          WHERE w.ws <= mx.npos - 3),
+        sel AS (
+          SELECT v.doc_id, v.ws, max(g2.pos) AS selpos
+          FROM vw v JOIN g g2 ON g2.doc_id = v.doc_id
+            AND g2.pos BETWEEN v.ws AND v.ws + 3 AND g2.h = v.m
+          GROUP BY v.doc_id, v.ws),
+        fp AS (
+          SELECT DISTINCT s.doc_id, g3.h
+          FROM sel s JOIN g g3 ON g3.doc_id = s.doc_id AND g3.pos = s.selpos)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 ORDER BY doc_a, doc_b"""),
+      doc = "winnowing fingerprint candidates (robust winnowing, w=4): " +
+        "doc pairs sharing selected local-minimum gram hashes"),
+
     // SimHash near-dup: 48-bit signature from weighted token-hash bit votes
     // (two 30/18-bit affine-independent hashes per token — 32 bits is too
     // coarse on a shared-vocabulary corpus); pigeonhole blocking on 4 12-bit

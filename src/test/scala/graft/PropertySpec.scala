@@ -162,6 +162,62 @@ class PropertySpec extends SparkSpec {
     assert(got.find(_._1 == 10L).exists(_._4 == 1000L))
   }
 
+  test("q138 winnowing == naive replay; shared-run guarantee holds") {
+    // naive driver replay with an INDEPENDENT formulation: hash each 3-gram
+    // STRING with polyHash (the kernel composes per-token hashes via the
+    // polynomial identity instead), explicit windows, rightmost-min scan
+    val rnd = new scala.util.Random(23)
+    val run = (0 until 6).map(j => s"shared$j") // 6 tokens = w+2: the bound
+    val docs = (0 until 30).map { i =>
+      val own = (0 until 10 + rnd.nextInt(25)).map(j => s"t${i}_$j")
+      // half the docs embed the SAME 6-token run at a random offset
+      val toks = if (i % 2 == 0) {
+        val cut = rnd.nextInt(own.length)
+        own.take(cut) ++ run ++ own.drop(cut)
+      } else own
+      (i.toLong, toks)
+    }
+    def naiveFps(toks: Seq[String], w: Int): Set[Long] = {
+      val hs = toks.sliding(3).filter(_.length == 3)
+        .map(g => TextHash.polyHash(g.mkString(" "))).toArray
+      (0 to hs.length - w).map { s =>
+        val win = hs.slice(s, s + w)
+        var best = 0
+        win.indices.foreach(i => if (win(i) <= win(best)) best = i)
+        win(best)
+      }.toSet
+    }
+    docs.foreach { case (_, toks) =>
+      assert(TextHash.winnowKernel(toks, 4).toSet == naiveFps(toks, 4))
+    }
+    // end-to-end query vs the naive pair law on a written corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft_winnow").toString
+    docs.map { case (id, ts) =>
+      (id, ts.mkString(" "), "en", "srcW", ts.mkString(" ").length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fps = docs.map { case (id, ts) => id -> naiveFps(ts, 4) }.toMap
+    val expect = (for {
+      (a, fa) <- fps.toSeq; (b, fb) <- fps.toSeq
+      if a < b
+      shared = (fa & fb).size.toLong
+      if shared > 0
+    } yield (a, b, shared)).toSet
+    val got = SparkEntry.queries("q138_winnowing")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+    // the winnowing guarantee: every pair of run-carrying docs was emitted
+    val carriers = docs.filter(_._1 % 2 == 0).map(_._1)
+    for (a <- carriers; b <- carriers if a < b)
+      assert(got.exists(p => p._1 == a && p._2 == b),
+        s"guarantee violated: docs $a/$b share a ${run.length}-token run")
+    // density sanity: fingerprints ~ 2/(w+1) of grams (loose 3x bounds)
+    val dens = docs.map { case (_, ts) =>
+      naiveFps(ts, 4).size.toDouble / math.max(ts.length - 2, 1) }
+    assert(dens.sum / dens.length > 0.1 && dens.sum / dens.length < 0.9)
+  }
+
   test("block-partitioned cosine pairs == brute-force all-pairs (boundary shapes)") {
     // adversarial shape for the q38 block decomposition: identical-vector
     // clusters (cos = 1, intra- AND cross-block), sign-flipped copies
