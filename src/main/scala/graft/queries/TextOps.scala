@@ -1088,6 +1088,55 @@ object TextOps {
       doc = "winnowing fingerprint candidates (robust winnowing, w=4): " +
         "doc pairs sharing selected local-minimum gram hashes"),
 
+    // Token-frequency drift between two corpus snapshots (even/odd doc ids
+    // as the deterministic stand-in for before/after, the q132 convention)
+    // — the text-side ingest-drift monitor: which TOKENS changed share the
+    // most, in exact ppm. Catches what the embedding channel (q132)
+    // summarizes away: a new boilerplate string, a language shift, a
+    // spam-词 burst show up as named tokens with before/after rates. 100 TB
+    // shape: ONE token-keyed map-side-combined agg (conditional sums fold
+    // both snapshots in a single pass — no per-snapshot scan, no join of
+    // two agg tables), totals off the |vocab|-row agg, TakeOrdered top-20;
+    // the corpus shuffles once, by token.
+    "q139_token_drift" -> Q(
+      run = (s, d) => {
+        val tk = docTokens(s, d)
+          .select((col("doc_id") % 2 === 0).as("ea"), explode(col("toks")).as("tok"))
+        val cnt = tk.groupBy(col("tok")).agg(
+          sum(when(col("ea"), 1L).otherwise(0L)).as("cnt_a"),
+          sum(when(!col("ea"), 1L).otherwise(0L)).as("cnt_b"))
+        val tot = cnt.agg(sum(col("cnt_a")).as("ta"), sum(col("cnt_b")).as("tb"))
+        cnt.crossJoin(broadcast(tot))
+          .withColumn("ppm_a", expr("cnt_a * 1000000 DIV ta"))
+          .withColumn("ppm_b", expr("cnt_b * 1000000 DIV tb"))
+          .withColumn("delta_ppm", abs(col("ppm_a") - col("ppm_b")))
+          .select(col("tok"), col("cnt_a"), col("cnt_b"),
+            col("ppm_a"), col("ppm_b"), col("delta_ppm"))
+          .orderBy(col("delta_ppm").desc, col("tok"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id % 2 = 0 AS ea, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        cnt AS (
+          SELECT tok,
+                 sum(CASE WHEN ea THEN 1 ELSE 0 END) AS cnt_a,
+                 sum(CASE WHEN ea THEN 0 ELSE 1 END) AS cnt_b
+          FROM tk GROUP BY tok),
+        tot AS (SELECT sum(cnt_a) AS ta, sum(cnt_b) AS tb FROM cnt)
+        SELECT tok,
+               CAST(cnt_a AS BIGINT) AS cnt_a,
+               CAST(cnt_b AS BIGINT) AS cnt_b,
+               CAST(cnt_a * 1000000 // ta AS BIGINT) AS ppm_a,
+               CAST(cnt_b * 1000000 // tb AS BIGINT) AS ppm_b,
+               CAST(abs(cnt_a * 1000000 // ta - cnt_b * 1000000 // tb) AS BIGINT)
+                 AS delta_ppm
+        FROM cnt CROSS JOIN tot
+        ORDER BY delta_ppm DESC, tok LIMIT 20"""),
+      doc = "token-frequency drift monitor: top-20 tokens by exact ppm " +
+        "share change between two corpus snapshots"),
+
     // SimHash near-dup: 48-bit signature from weighted token-hash bit votes
     // (two 30/18-bit affine-independent hashes per token — 32 bits is too
     // coarse on a shared-vocabulary corpus); pigeonhole blocking on 4 12-bit

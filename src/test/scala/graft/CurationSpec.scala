@@ -131,6 +131,33 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q139: a planted burst token tops the drift report with exact ppm") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // background tokens spread evenly; "burstword" appears ONLY in odd
+    // (snapshot-B) docs, many times — must rank first by delta_ppm
+    val docs = (0 until 200).map { i =>
+      val base = (0 until 50).map(_ => s"w${rnd.nextInt(80)}")
+      val toks = if (i % 2 == 1) base ++ Seq.fill(10)("burstword") else base
+      (i.toLong, toks.mkString(" "), "en", "srcD", 0L)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q139_token_drift")(spark, dir).collect()
+    assert(rows.length == 20)
+    val top = rows.head
+    assert(top.getString(0) == "burstword", s"top drift token: $top")
+    assert(top.getLong(1) == 0L && top.getLong(2) == 1000L) // 100 docs x 10
+    val totB = docs.filter(_._1 % 2 == 1)
+      .map(_._2.split(" ", -1).length.toLong).sum
+    assert(top.getLong(4) == 1000L * 1000000L / totB, s"ppm_b wrong: $top")
+    assert(top.getLong(3) == 0L)
+    // report is sorted by delta desc then token
+    val deltas = rows.map(_.getLong(5)).toSeq
+    assert(deltas == deltas.sorted.reverse)
+  }
+
   test("q114: PQ-ADC top-k approximates exact-L2 top-k with bounded loss") {
     import spark.implicits._
     // brute-force exact truth, same candidate universe as q114 (zero-norm
