@@ -338,6 +338,37 @@ object ScaleStress {
       println("  rows=" + graft.SparkEntry.queries("q129_kmeans_train")(spark, vecDir).count())
     }
 
+    // Budget sampling (q137) on a MEGA-SOURCE corpus: 50k docs all in ONE
+    // source — the shape that serializes a per-source window onto a single
+    // task. groupedPrefixSum must spread the source across the range
+    // partitions (its per-(pid, group) metadata stays ≤ P + 1 rows) and
+    // wall time must stay in line with the even-sources reference below.
+    val megaDir = "/tmp/stress_mega"
+    (0 until 10).map(k => docs.withColumn("doc_id", col("doc_id") + lit(k * 1000000L)))
+      .reduce(_ union _)
+      .withColumn("source", lit("megasource"))
+      .write.mode("overwrite").parquet(s"$megaDir/documents.parquet")
+    t("q137 budget sample, 50k docs in ONE source (grouped prefix sum)") {
+      println("  kept=" + graft.SparkEntry.queries("q137_budget_sample")(spark, megaDir).count())
+    }
+    t("q137 budget sample, 50k docs across the normal sources") {
+      println("  kept=" + graft.SparkEntry.queries("q137_budget_sample")(spark, dir).count())
+    }
+
+    // Winnowing (q138) under the boilerplate flood: every doc shares the
+    // 8-token preamble, which is ≥ w+2 tokens — so by the winnowing
+    // GUARANTEE every doc pair shares a fingerprint and the ~n²/2 pair
+    // rows are the true answer (output-proportional, like q122's flood).
+    // The structural claim under test: the candidate join stays equi-keyed
+    // on the fingerprint hash and never goes quadratic in WORK beyond the
+    // output itself, and the plain-corpus reference stays near-linear.
+    t("q138 winnowing, 5k docs sharing a boilerplate preamble (guarantee flood)") {
+      println("  pairs=" + graft.SparkEntry.queries("q138_winnowing")(spark, skewDir).count())
+    }
+    t("q138 winnowing on the plain corpus (reference)") {
+      println("  pairs=" + graft.SparkEntry.queries("q138_winnowing")(spark, "/root/testdata/sf0.1").count())
+    }
+
     anchor("end")
     spark.stop()
   }

@@ -152,6 +152,12 @@ object TextHash {
   def winnowFingerprints(toks: Column, w: Int): Column =
     udf((ts: Seq[String]) => winnowKernel(ts, w)).apply(toks)
 
+  /** [[shingleHashSeqKernel]] as a column function: POSITIONAL (non-
+    * distinct) 3-gram hashes — for consumers that count occurrences
+    * (q140 diversity) rather than set-intersect. */
+  def shingleSeqHashes(toks: Column): Column =
+    udf((ts: Seq[String]) => shingleHashSeqKernel(ts)).apply(toks)
+
   private val shingleHashesUdf =
     udf((toks: Seq[String]) => shingleHashKernel(toks))
 

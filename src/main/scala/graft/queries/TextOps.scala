@@ -1137,6 +1137,57 @@ object TextOps {
       doc = "token-frequency drift monitor: top-20 tokens by exact ppm " +
         "share change between two corpus snapshots"),
 
+    // Per-source n-gram diversity — the mode-collapse detector for
+    // synthetic/model-generated data (low distinct-trigram mass is the
+    // classic signature of a generator looping on its favorite phrasings;
+    // self-BLEU's cheap exact cousin). Reports, per source: total trigram
+    // occurrences, distinct trigrams, type/token diversity in milli, and
+    // the singleton fraction (trigrams seen exactly once — the sharpest
+    // collapse signal: fresh text keeps minting new trigrams, looped text
+    // stops). 100 TB shape: ONE (source, gram)-keyed map-side-combined agg
+    // off the shared positional-shingle kernel (duplicate grams collapse
+    // before the exchange), then a |sources × grams|→|sources| rollup;
+    // the corpus shuffles once, by (source, gram hash).
+    "q140_ngram_diversity" -> Q(
+      run = (s, d) => {
+        val grams = docTokens(s, d)
+          .select(col("source"),
+            explode(graft.functions.TextHash.shingleSeqHashes(
+              col("toks"))).as("g"))
+        grams.groupBy(col("source"), col("g"))
+          .agg(count(lit(1)).as("occ"))
+          .groupBy(col("source"))
+          .agg(sum(col("occ")).as("n_grams"),
+            count(lit(1)).as("n_distinct"),
+            sum(when(col("occ") === 1L, 1L).otherwise(0L)).as("n_singleton"))
+          .withColumn("diversity_milli", expr("n_distinct * 1000 DIV n_grams"))
+          .withColumn("singleton_milli", expr("n_singleton * 1000 DIV n_distinct"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+        g AS (
+          SELECT source,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(sh, ''),
+                     ch -> CAST(ascii(ch) AS BIGINT))),
+                   (acc, ch) -> (acc * 31 + ch) % 1000000007) AS g
+          FROM (SELECT source,
+                  unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+                FROM t)),
+        occ AS (SELECT source, g, count(*) AS occ FROM g GROUP BY source, g)
+        SELECT source,
+               CAST(sum(occ) AS BIGINT) AS n_grams,
+               count(*) AS n_distinct,
+               CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton,
+               CAST(count(*) * 1000 // sum(occ) AS BIGINT) AS diversity_milli,
+               CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) * 1000 // count(*)
+                 AS BIGINT) AS singleton_milli
+        FROM occ GROUP BY source ORDER BY source"""),
+      doc = "per-source trigram diversity + singleton fraction (exact " +
+        "type/token stats — the synthetic-data mode-collapse detector)"),
+
     // SimHash near-dup: 48-bit signature from weighted token-hash bit votes
     // (two 30/18-bit affine-independent hashes per token — 32 bits is too
     // coarse on a shared-vocabulary corpus); pigeonhole blocking on 4 12-bit

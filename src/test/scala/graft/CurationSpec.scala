@@ -158,6 +158,39 @@ class CurationSpec extends SparkSpec {
     assert(deltas == deltas.sorted.reverse)
   }
 
+  test("q140: looped source scores collapsed diversity; fresh source near 1000") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val loopSentence = (0 until 30).map(j => s"loop$j").mkString(" ")
+    val docs =
+      (0 until 50).map(i => (i.toLong, loopSentence, "en", "looped", 0L)) ++
+      (50 until 100).map { i =>
+        val t = (0 until 30).map(j => s"f${i}_$j").mkString(" ")
+        (i.toLong, t, "en", "fresh", 0L)
+      }
+    val dir = java.nio.file.Files.createTempDirectory("graft_div").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q140_ngram_diversity")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // driver replay with the string-hash formulation
+    def replay(src: String) = {
+      val grams = docs.filter(_._4 == src).flatMap(_._2.split(" ", -1)
+        .sliding(3).filter(_.length == 3).map(g => functions.TextHash.polyHash(g.mkString(" "))))
+      val occ = grams.groupBy(identity).view.mapValues(_.size.toLong)
+      val (ng, nd) = (grams.size.toLong, occ.size.toLong)
+      val ns = occ.values.count(_ == 1L).toLong
+      (ng, nd, ns, nd * 1000 / ng, ns * 1000 / nd)
+    }
+    assert(rows("looped") == replay("looped"), s"looped: ${rows("looped")}")
+    assert(rows("fresh") == replay("fresh"))
+    // the signal: 50 identical docs collapse to 28 distinct trigrams
+    // (diversity 20 milli, zero singletons); fresh text is all singletons
+    assert(rows("looped")._4 < 50L && rows("looped")._5 == 0L)
+    assert(rows("fresh")._4 == 1000L && rows("fresh")._5 == 1000L)
+  }
+
   test("q114: PQ-ADC top-k approximates exact-L2 top-k with bounded loss") {
     import spark.implicits._
     // brute-force exact truth, same candidate universe as q114 (zero-norm
