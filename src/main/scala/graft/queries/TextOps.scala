@@ -243,6 +243,7 @@ object TextOps {
     windowCache = None
     labelsCache.foreach(p => graft.Checkpoints.release(p._3))
     labelsCache = None
+    bigramCache = None // driver-side metadata; dropping the ref suffices
   }
 
   // The thresholded pair table is ALSO a shared intermediate: q35 emits it
@@ -628,7 +629,26 @@ object TextOps {
     * contract, enforced: the collect is safe because bigram cardinality is
     * |charset|², not corpus-sized — text that violates that (binary junk
     * inflating the charset) should fail loudly here, not OOM the driver. */
+  // The fitted bigram model is a shared artifact: q113 (batch gate), q133
+  // (streaming serving mode), and q136 (threshold sweep) all score under
+  // the SAME corpus fit — in a real pipeline the model is materialized
+  // once and every consumer loads it. Same single-slot (session, dir)
+  // policy as the staged pair/window caches; released with them so each
+  // bench pass re-pays the fit exactly once (honest attribution).
+  private var bigramCache: Option[(SparkSession, String, (Map[String, Long], Long))] = None
+
   private[graft] def bigramModel(s: SparkSession, d: String)
+      : (Map[String, Long], Long) = synchronized {
+    bigramCache match {
+      case Some((sess, dir, m)) if (sess eq s) && dir == d => m
+      case _ =>
+        val m = bigramModelFit(s, d)
+        bigramCache = Some((s, d, m))
+        m
+    }
+  }
+
+  private def bigramModelFit(s: SparkSession, d: String)
       : (Map[String, Long], Long) = {
     val bg = Tables.documents(s, d).select(explode(
       when(length(col("text")) >= 2,
