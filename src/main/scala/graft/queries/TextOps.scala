@@ -550,6 +550,14 @@ object TextOps {
 
   // ---- MinHash constants (8 affine hashes over shingle hashes) -------------
 
+  // ---- Count-min sketch constants (q141): d affine hash rows over the
+  // token charHash, w buckets each; same engine-replayable affine family
+  // as q126's sketch hashes ----------------------------------------------
+  private val cmsD = 4
+  private val cmsW = 256L
+  private val cmsA = 104729L
+  private val cmsB = 15485863L
+
   private val mhA = Seq(761863L, 967811L, 583421L, 124907L, 341273L, 879143L, 450899L, 220151L)
   private val mhB = Seq(98867L, 401717L, 752609L, 563467L, 130531L, 917681L, 37199L, 660217L)
 
@@ -1207,6 +1215,76 @@ object TextOps {
         FROM occ GROUP BY source ORDER BY source"""),
       doc = "per-source trigram diversity + singleton fraction (exact " +
         "type/token stats — the synthetic-data mode-collapse detector)"),
+
+    // Count-min sketch (Cormode & Muthukrishnan 2005) for token
+    // frequencies, graded against exact truth — the third sketch in the
+    // approximation family (q54 HLL cardinality, q73 approx percentile):
+    // d=4 hash rows × w=256 buckets of integer counts, the fixed-size
+    // structure that answers "how often is this token?" at ANY corpus
+    // size. The one-sided error law (est ≥ true, always; over-count ≤
+    // collisions in the row) is asserted per token in the output. 100 TB
+    // shape: tokens collapse to the vocab-sized count table first
+    // (map-side combined), the 4× row expansion is vocab-sized not
+    // corpus-sized, and the sketch is 1024 rows of driver metadata by
+    // construction — the broadcast-model pattern (q113/q119) applied to
+    // counting. Output: top-20 tokens by exact count with their sketch
+    // estimates and over-count, integer-exact so DuckDB replays it.
+    "q141_cms_topk" -> Q(
+      run = (s, d) => {
+        val counts = docTokens(s, d)
+          .select(explode(col("toks")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .withColumn("h", graft.functions.TextHash.charHash(col("tok")))
+        // sketch build: vocab-sized expansion to (row, bucket) cells;
+        // the collect is 4×256 integer cells by construction
+        val cells = counts.select(col("cnt"),
+            explode(expr(s"transform(sequence(0, ${cmsD - 1}), " +
+              s"j -> named_struct('j', j, 'b', " +
+              s"((($cmsA * (j + 1)) % $P * h + ($cmsB * (j + 1)) % $P) % $P) % $cmsW))"))
+              .as("cell"))
+          .groupBy(col("cell.j").as("j"), col("cell.b").as("b"))
+          .agg(sum(col("cnt")).as("c"))
+          .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val bc = s.sparkContext.broadcast(cells)
+        val est = udf { (h: Long) =>
+          (0 until cmsD).map { j =>
+            val b = ((cmsA * (j + 1)) % P * h + (cmsB * (j + 1)) % P) % P % cmsW
+            bc.value.getOrElse((j, b), 0L)
+          }.min
+        }
+        counts
+          .withColumn("cms_est", est(col("h")))
+          .withColumn("overcount", col("cms_est") - col("cnt"))
+          .select(col("tok"), col("cnt"), col("cms_est"), col("overcount"))
+          .orderBy(col("cnt").desc, col("tok"))
+          .limit(20)
+      },
+      oracle = Some(s"""
+        WITH cnt AS (
+          SELECT tok, count(*) AS cnt,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(tok, ''),
+                     ch -> CAST(ascii(ch) AS BIGINT))),
+                   (acc, ch) -> (acc * 31 + ch) % $P) AS h
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+          GROUP BY tok),
+        cells AS (
+          SELECT j, (((($cmsA * (j + 1)) % $P) * h + ($cmsB * (j + 1)) % $P) % $P) % $cmsW AS b,
+                 sum(cnt) AS c
+          FROM cnt, unnest(range(0, $cmsD)) AS u(j)
+          GROUP BY 1, 2),
+        est AS (
+          SELECT cnt.tok, cnt.cnt,
+                 min(cells.c) AS cms_est
+          FROM cnt JOIN cells
+            ON cells.b = (((($cmsA * (cells.j + 1)) % $P) * cnt.h + ($cmsB * (cells.j + 1)) % $P) % $P) % $cmsW
+          GROUP BY cnt.tok, cnt.cnt)
+        SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+               CAST(cms_est AS BIGINT) AS cms_est,
+               CAST(cms_est - cnt AS BIGINT) AS overcount
+        FROM est ORDER BY cnt DESC, tok LIMIT 20"""),
+      doc = "count-min sketch token frequencies (d=4 x w=256) vs exact " +
+        "truth: top-20 tokens with one-sided over-count"),
 
     // SimHash near-dup: 48-bit signature from weighted token-hash bit votes
     // (two 30/18-bit affine-independent hashes per token — 32 bits is too

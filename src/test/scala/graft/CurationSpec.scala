@@ -191,6 +191,55 @@ class CurationSpec extends SparkSpec {
     assert(rows("fresh")._4 == 1000L && rows("fresh")._5 == 1000L)
   }
 
+  test("q141: CMS is one-sided, mass-conserving, and matches a driver replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    // zipf-ish counts over a 3000-type vocabulary — enough types that the
+    // 256-bucket rows MUST collide (overcount becomes observable), with a
+    // clear head the top-20 must rank exactly
+    val docs = (0 until 300).map { i =>
+      val toks = (0 until 100).map { _ =>
+        val r = rnd.nextInt(1000)
+        if (r < 300) s"hot${r % 10}" else s"cold${rnd.nextInt(3000)}"
+      }
+      (i.toLong, toks.mkString(" "), "en", "srcC", 0L)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // driver replay of the sketch law
+    val P = functions.TextHash.P
+    val (d_, w_, a_, b_) = (4, 256L, 104729L, 15485863L)
+    val counts = docs.flatMap(_._2.split(" ", -1)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val n = counts.values.sum
+    def bucket(j: Int, h: Long) = ((a_ * (j + 1)) % P * h + (b_ * (j + 1)) % P) % P % w_
+    val cells = scala.collection.mutable.HashMap.empty[(Int, Long), Long]
+    counts.foreach { case (tok, c) =>
+      val h = functions.TextHash.polyHash(tok)
+      (0 until d_).foreach(j => cells((j, bucket(j, h))) =
+        cells.getOrElse((j, bucket(j, h)), 0L) + c)
+    }
+    // mass conservation: every row carries the full token mass
+    (0 until d_).foreach { j =>
+      assert(cells.collect { case ((`j`, _), c) => c }.sum == n) }
+    def est(tok: String): Long = {
+      val h = functions.TextHash.polyHash(tok)
+      (0 until d_).map(j => cells.getOrElse((j, bucket(j, h)), 0L)).min
+    }
+    // one-sided error over the WHOLE vocabulary, and collisions observable
+    counts.foreach { case (t, c) => assert(est(t) >= c, s"undercount on $t") }
+    assert(counts.count { case (t, c) => est(t) > c } > 0,
+      "no collisions — the sketch bound is not being exercised")
+
+    val rows = SparkEntry.queries("q141_cms_topk")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expectTop = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+      .map { case (t, c) => (t, c, est(t), est(t) - c) }
+    assert(rows.toSeq == expectTop, s"got=${rows.take(3).toSeq} expect=${expectTop.take(3)}")
+  }
+
   test("q114: PQ-ADC top-k approximates exact-L2 top-k with bounded loss") {
     import spark.implicits._
     // brute-force exact truth, same candidate universe as q114 (zero-norm
