@@ -34,12 +34,12 @@ class SessionSoakSpec extends SparkSpec {
   // q106/q107 (staged per-doc window cache) so every entry in
   // TextOps.releaseShingles' registry is exercised by the contract,
   // plus q112 (cross-set candidate scoped checkpoint over the shared
-  // shingle-array cache).
+  // shingle-array cache) and q137 (groupedPrefixSum's frozen-pid scratch).
   private val soak = Seq(
     "q35_jaccard_pairs", "q36_minhash_lsh", "q81_dedup_clusters",
     "q61_ntile_deciles", "q96_salted_cooccur", "q103_skew_profile",
     "q106_window_dedup", "q107_source_overlap", "q108_sequence_packing",
-    "q112_fuzzy_decontam")
+    "q112_fuzzy_decontam", "q137_budget_sample")
 
   private def flush(): Unit = {
     graft.queries.TextOps.releaseShingles()
