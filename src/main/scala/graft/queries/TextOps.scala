@@ -1286,6 +1286,66 @@ object TextOps {
       doc = "count-min sketch token frequencies (d=4 x w=256) vs exact " +
         "truth: top-20 tokens with one-sided over-count"),
 
+    // Phrase-blocklist gate: flag documents containing any of a pinned
+    // banned-phrase list, with per-doc occurrence counts — the blocklist
+    // filter every production corpus runs (NSFW lists, boilerplate
+    // killers). The fixture blocklist is DERIVED deterministically (the 5
+    // hottest corpus bigrams — the "ban the most common boilerplate
+    // phrases" heuristic) so the gate provably fires on fixture data and
+    // the oracle replays list construction + serving in one statement;
+    // a production deployment pins an external list through the same
+    // broadcast seam. 100 TB shape: list construction is one bigram-keyed
+    // map-side-combined agg + TakeOrdered(5); serving is a narrow
+    // broadcast-set kernel pass — zero corpus shuffle, the q87/q117
+    // broadcast-artifact pattern.
+    "q142_phrase_gate" -> Q(
+      run = (s, d) => {
+        val bg = docTokens(s, d).select(col("doc_id"),
+          explode(when(size(col("toks")) >= 2,
+            expr("transform(sequence(1, size(toks) - 1), " +
+              "i -> concat(toks[i-1], ' ', toks[i]))"))
+            .otherwise(array().cast("array<string>"))).as("bg"))
+        val banned = bg.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("bg")).limit(5)
+          .collect().map(_.getString(0)).toSet // 5 rows by contract
+        val bcB = s.sparkContext.broadcast(banned)
+        val nBanned = udf { (toks: Seq[String]) =>
+          var n = 0L
+          var i = 0
+          while (i < toks.length - 1) {
+            if (bcB.value.contains(toks(i) + " " + toks(i + 1))) n += 1
+            i += 1
+          }
+          n
+        }
+        docTokens(s, d)
+          .select(col("doc_id"), nBanned(col("toks")).as("n_banned"))
+          .withColumn("flagged", col("n_banned") > 0)
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(toks), 1)),
+                   i -> toks[i] || ' ' || toks[i+1])) AS bg
+          FROM t),
+        banned AS (
+          SELECT bg FROM (
+            SELECT bg, count(*) AS cnt FROM bg
+            GROUP BY bg ORDER BY cnt DESC, bg LIMIT 5)),
+        hits AS (
+          SELECT b.doc_id, count(*) AS n
+          FROM bg b SEMI JOIN banned ON b.bg = banned.bg
+          GROUP BY b.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(hits.n, 0) AS BIGINT) AS n_banned,
+               coalesce(hits.n, 0) > 0 AS flagged
+        FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+        ORDER BY d.doc_id"""),
+      doc = "phrase-blocklist gate (5 hottest corpus bigrams as the " +
+        "derived list): per-doc banned-phrase occurrences + flag"),
+
     // SimHash near-dup: 48-bit signature from weighted token-hash bit votes
     // (two 30/18-bit affine-independent hashes per token — 32 bits is too
     // coarse on a shared-vocabulary corpus); pigeonhole blocking on 4 12-bit

@@ -240,6 +240,47 @@ class CurationSpec extends SparkSpec {
     assert(rows.toSeq == expectTop, s"got=${rows.take(3).toSeq} expect=${expectTop.take(3)}")
   }
 
+  test("q142: derived blocklist fires, counts overlapping occurrences exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // "spam spam" dominates by construction; clean docs use pair-unique
+    // vocabularies so no other bigram can reach the top-5
+    val docs =
+      (0 until 20).map { i => // spam docs: runs of the banned token
+        val run = Seq.fill(4 + rnd.nextInt(4))("spam")
+        val filler = (0 until 10).map(j => s"c${i}_$j")
+        (i.toLong, (filler.take(5) ++ run ++ filler.drop(5)).mkString(" "))
+      } ++
+      (20 until 60).map { i =>
+        (i.toLong, (0 until 15).map(j => s"u${i}_$j").mkString(" "))
+      }
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate").toString
+    docs.map { case (id, t) => (id, t, "en", "srcG", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // derive the expected top-5 blocklist and per-doc counts on the driver
+    val allBg = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).sliding(2).filter(_.length == 2)
+        .map(p => (id, p.mkString(" "))) }
+    val top5 = allBg.groupBy(_._2).view.mapValues(_.size).toSeq
+      .sortBy { case (bgm, c) => (-c, bgm) }.take(5).map(_._1).toSet
+    assert(top5.contains("spam spam"), s"planted phrase missed: $top5")
+    val expect = docs.map { case (id, _) =>
+      (id, allBg.count(x => x._1 == id && top5.contains(x._2)).toLong)
+    }.toMap
+    val rows = SparkEntry.queries("q142_phrase_gate")(spark, dir).collect()
+    rows.foreach { r =>
+      val want = expect(r.getLong(0))
+      assert(r.getLong(1) == want && r.getBoolean(2) == (want > 0),
+        s"doc ${r.getLong(0)}: got ${r.getLong(1)}, want $want")
+    }
+    // overlap law: a run of k 'spam' tokens carries k-1 occurrences, so a
+    // 4-token run must count 3 (not 2 non-overlapping)
+    val run4 = docs.find(_._2.split(" ").count(_ == "spam") == 4)
+    run4.foreach { case (id, _) => assert(expect(id) >= 3L) }
+    assert(rows.count(_.getBoolean(2)) >= 20, "spam docs all flagged")
+  }
+
   test("q114: PQ-ADC top-k approximates exact-L2 top-k with bounded loss") {
     import spark.implicits._
     // brute-force exact truth, same candidate universe as q114 (zero-norm
