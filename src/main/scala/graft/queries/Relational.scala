@@ -565,6 +565,79 @@ object Relational {
         SELECT CAST(decile AS INT) AS decile, count(*) AS n,
                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         FROM d GROUP BY decile ORDER BY decile"""),
-      doc = "ntile decile binning + per-bucket stats (equal-height histogram)")
+      doc = "ntile decile binning + per-bucket stats (equal-height histogram)"),
+
+    // Data-contract audit — the dbt-test/Great-Expectations surface over
+    // the whole warehouse in one statement: primary-key uniqueness on
+    // every table, referential integrity on every FK edge, and the
+    // documents↔embeddings coverage both ways. One row per check, count
+    // of violations (the relational fixture passes clean; the doc/vec
+    // coverage checks report real asymmetry — non-vacuous by design).
+    // 100 TB shape: uniqueness = keyed count>1 (map-side combined);
+    // orphans = left-anti joins where the parent side is the small
+    // dimension (Catalyst broadcasts it; lineitem→orders degrades to the
+    // AQE shuffle join when orders outgrows the threshold — correct
+    // either way). Every check is one pass over its table; checks are
+    // independent jobs a scheduler can fan out.
+    "q143_contract_audit" -> Q(
+      run = (s, d) => {
+        def chk(name: String, bad: DataFrame): DataFrame =
+          bad.agg(count(lit(1)).as("n_violations"))
+            .select(lit(name).as("check"), col("n_violations"))
+        def dup(df: DataFrame, keys: String*): DataFrame =
+          df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+            .filter(col("c") > 1)
+        def orphan(child: DataFrame, ck: String,
+            parent: DataFrame, pk: String): DataFrame =
+          child.filter(col(ck).isNotNull)
+            .join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
+        val (cu, or_, li, na, re, su, pa, dc, em) = (
+          Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+          Tables.nation(s, d), Tables.region(s, d), Tables.supplier(s, d),
+          Tables.part(s, d), Tables.documents(s, d), Tables.embeddings(s, d))
+        Seq(
+          chk("dup_key:customer", dup(cu, "c_custkey")),
+          chk("dup_key:orders", dup(or_, "o_orderkey")),
+          chk("dup_key:lineitem", dup(li, "l_orderkey", "l_linenumber")),
+          chk("dup_key:nation", dup(na, "n_nationkey")),
+          chk("dup_key:region", dup(re, "r_regionkey")),
+          chk("dup_key:supplier", dup(su, "s_suppkey")),
+          chk("dup_key:part", dup(pa, "p_partkey")),
+          chk("dup_key:documents", dup(dc, "doc_id")),
+          chk("dup_key:embeddings", dup(em, "vec_id")),
+          chk("orphan_fk:orders->customer", orphan(or_, "o_custkey", cu, "c_custkey")),
+          chk("orphan_fk:lineitem->orders", orphan(li, "l_orderkey", or_, "o_orderkey")),
+          chk("orphan_fk:lineitem->part", orphan(li, "l_partkey", pa, "p_partkey")),
+          chk("orphan_fk:lineitem->supplier", orphan(li, "l_suppkey", su, "s_suppkey")),
+          chk("orphan_fk:customer->nation", orphan(cu, "c_nationkey", na, "n_nationkey")),
+          chk("orphan_fk:supplier->nation", orphan(su, "s_nationkey", na, "n_nationkey")),
+          chk("orphan_fk:nation->region", orphan(na, "n_regionkey", re, "r_regionkey")),
+          chk("coverage:doc_without_embedding", orphan(dc, "doc_id", em, "vec_id")),
+          chk("coverage:embedding_without_doc", orphan(em, "vec_id", dc, "doc_id"))
+        ).reduce(_ unionByName _).orderBy("check")
+      },
+      oracle = Some("""
+        SELECT * FROM (
+          SELECT 'dup_key:customer' AS "check", count(*) AS n_violations FROM (SELECT c_custkey FROM customer GROUP BY 1 HAVING count(*) > 1)
+          UNION ALL SELECT 'dup_key:orders', count(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+          UNION ALL SELECT 'dup_key:lineitem', count(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)
+          UNION ALL SELECT 'dup_key:nation', count(*) FROM (SELECT n_nationkey FROM nation GROUP BY 1 HAVING count(*) > 1)
+          UNION ALL SELECT 'dup_key:region', count(*) FROM (SELECT r_regionkey FROM region GROUP BY 1 HAVING count(*) > 1)
+          UNION ALL SELECT 'dup_key:supplier', count(*) FROM (SELECT s_suppkey FROM supplier GROUP BY 1 HAVING count(*) > 1)
+          UNION ALL SELECT 'dup_key:part', count(*) FROM (SELECT p_partkey FROM part GROUP BY 1 HAVING count(*) > 1)
+          UNION ALL SELECT 'dup_key:documents', count(*) FROM (SELECT doc_id FROM documents GROUP BY 1 HAVING count(*) > 1)
+          UNION ALL SELECT 'dup_key:embeddings', count(*) FROM (SELECT vec_id FROM embeddings GROUP BY 1 HAVING count(*) > 1)
+          UNION ALL SELECT 'orphan_fk:orders->customer', count(*) FROM (SELECT * FROM orders WHERE o_custkey IS NOT NULL) o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+          UNION ALL SELECT 'orphan_fk:lineitem->orders', count(*) FROM (SELECT * FROM lineitem WHERE l_orderkey IS NOT NULL) l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+          UNION ALL SELECT 'orphan_fk:lineitem->part', count(*) FROM (SELECT * FROM lineitem WHERE l_partkey IS NOT NULL) l ANTI JOIN part p ON l.l_partkey = p.p_partkey
+          UNION ALL SELECT 'orphan_fk:lineitem->supplier', count(*) FROM (SELECT * FROM lineitem WHERE l_suppkey IS NOT NULL) l ANTI JOIN supplier su ON l.l_suppkey = su.s_suppkey
+          UNION ALL SELECT 'orphan_fk:customer->nation', count(*) FROM (SELECT * FROM customer WHERE c_nationkey IS NOT NULL) c ANTI JOIN nation n ON c.c_nationkey = n.n_nationkey
+          UNION ALL SELECT 'orphan_fk:supplier->nation', count(*) FROM (SELECT * FROM supplier WHERE s_nationkey IS NOT NULL) su ANTI JOIN nation n ON su.s_nationkey = n.n_nationkey
+          UNION ALL SELECT 'orphan_fk:nation->region', count(*) FROM (SELECT * FROM nation WHERE n_regionkey IS NOT NULL) n ANTI JOIN region r ON n.n_regionkey = r.r_regionkey
+          UNION ALL SELECT 'coverage:doc_without_embedding', count(*) FROM (SELECT * FROM documents WHERE doc_id IS NOT NULL) d ANTI JOIN embeddings e ON d.doc_id = e.vec_id
+          UNION ALL SELECT 'coverage:embedding_without_doc', count(*) FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL) e ANTI JOIN documents d ON e.vec_id = d.doc_id
+        ) ORDER BY "check""""),
+      doc = "data-contract audit: key uniqueness, FK integrity, and " +
+        "doc/embedding coverage across the warehouse")
   )
 }

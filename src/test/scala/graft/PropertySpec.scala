@@ -162,6 +162,57 @@ class PropertySpec extends SparkSpec {
     assert(got.find(_._1 == 10L).exists(_._4 == 1000L))
   }
 
+  test("q143 contract audit catches planted corruption") {
+    // copy the sf0.001 warehouse, then corrupt it: duplicate a customer
+    // key, orphan an order, delete an embedding — every planted defect
+    // must surface in exactly the right check with the right count
+    val src = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_audit").toString
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val before = SparkEntry.queries("q143_contract_audit")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // corrupt: +1 dup customer, +2 orphan orders, -1 embedding
+    val cu = spark.read.parquet(s"$dir/customer.parquet")
+    cu.union(cu.limit(1)).write.mode("overwrite")
+      .parquet(s"$dir/customer2.parquet")
+    val or_ = spark.read.parquet(s"$dir/orders.parquet")
+    or_.union(or_.limit(2).withColumn("o_custkey", lit(-999L)
+        .cast(or_.schema("o_custkey").dataType)))
+      .write.mode("overwrite").parquet(s"$dir/orders2.parquet")
+    val em = spark.read.parquet(s"$dir/embeddings.parquet")
+    val dropped = em.orderBy("vec_id").limit(1).collect()(0).getLong(0)
+    em.filter(col("vec_id") =!= dropped).write.mode("overwrite")
+      .parquet(s"$dir/embeddings2.parquet")
+    // swap in the corrupted tables (write-then-rename: Spark can't
+    // overwrite its own input)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    Seq("customer", "orders", "embeddings").foreach { t =>
+      val live = java.nio.file.Paths.get(dir, s"$t.parquet")
+      rmTree(live)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(dir, s"${t}2.parquet"), live)
+    }
+    val after = SparkEntry.queries("q143_contract_audit")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("dup_key:customer") == before("dup_key:customer") + 1)
+    assert(after("orphan_fk:orders->customer") ==
+      before("orphan_fk:orders->customer") + 2)
+    // the dropped embedding shows up iff a doc carried that vec_id
+    assert(after("coverage:embedding_without_doc") <=
+      before("coverage:embedding_without_doc"))
+    assert(after("coverage:doc_without_embedding") >=
+      before("coverage:doc_without_embedding"))
+  }
+
   test("q138 winnowing == naive replay; shared-run guarantee holds") {
     // naive driver replay with an INDEPENDENT formulation: hash each 3-gram
     // STRING with polyHash (the kernel composes per-token hashes via the
