@@ -1346,6 +1346,54 @@ object TextOps {
       doc = "phrase-blocklist gate (5 hottest corpus bigrams as the " +
         "derived list): per-doc banned-phrase occurrences + flag"),
 
+    // Curriculum construction — the staged-training schedule: order the
+    // corpus easy→hard by model familiarity (the q113 score; low
+    // familiarity = hard/unusual text) and cut it into ten equal-SIZE
+    // stages, reporting each stage's doc count, familiarity range, and
+    // token mass. Equal-by-rank (not by score value) is the point: each
+    // training stage gets the same data volume whatever the score
+    // distribution does. 100 TB shape: scoring is the shared broadcast-
+    // model kernel pass; the global order is [[Operators.totalRank]] —
+    // range-partitioned rank with ≤P rows of driver metadata, NO
+    // single-partition window anywhere; stages collapse to a 10-row agg.
+    "q144_curriculum" -> Q(
+      run = (s, d) => {
+        // easy (familiar) first: rank ascending on the NEGATED score
+        val scored = graft.Checkpoints.localCheckpoint(
+          familiarityScored(s, d)
+            .select(col("doc_id"), col("n_tok"), col("familiarity_milli"),
+              (-col("familiarity_milli")).as("neg_fam")))
+        val (ranked, n) = graft.operators.Operators.totalRank(
+          scored, "neg_fam", Seq(col("doc_id")), "rnk")
+        ranked
+          .withColumn("stage", expr(s"(rnk - 1) * 10 DIV ${math.max(n, 1L)}L"))
+          .groupBy(col("stage"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("familiarity_milli")).as("fam_min"),
+            max(col("familiarity_milli")).as("fam_max"),
+            sum(col("n_tok")).as("n_tokens"))
+          .orderBy("stage")
+      },
+      oracle = Some(s"""
+        WITH $bigramModelCtes,
+        scored AS (
+          SELECT d.doc_id,
+                 CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+                 CAST(coalesce((ds.s // ds.n) * 1000 // mx.cmax, 0) AS BIGINT) AS fam
+          FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id CROSS JOIN mx),
+        r AS (
+          SELECT *, row_number() OVER (ORDER BY fam DESC, doc_id) AS rnk,
+                 count(*) OVER () AS n
+          FROM scored)
+        SELECT (rnk - 1) * 10 // n AS stage,
+               count(*) AS n_docs,
+               CAST(min(fam) AS BIGINT) AS fam_min,
+               CAST(max(fam) AS BIGINT) AS fam_max,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM r GROUP BY 1 ORDER BY stage"""),
+      doc = "curriculum stages: global easy->hard familiarity order cut " +
+        "into ten equal-size stages (distributed rank, no global window)"),
+
     // SimHash near-dup: 48-bit signature from weighted token-hash bit votes
     // (two 30/18-bit affine-independent hashes per token — 32 bits is too
     // coarse on a shared-vocabulary corpus); pigeonhole blocking on 4 12-bit

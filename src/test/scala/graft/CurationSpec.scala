@@ -281,6 +281,27 @@ class CurationSpec extends SparkSpec {
     assert(rows.count(_.getBoolean(2)) >= 20, "spam docs all flagged")
   }
 
+  test("q144: stages are equal-size, familiarity-monotone, token-complete") {
+    val rows = SparkEntry.queries("q144_curriculum")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L until 10L))
+    // equal-size by rank: stage sizes differ by at most 1
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1L, s"unbalanced stages: ${sizes.toSeq}")
+    // easy->hard: familiarity ranges are non-increasing across stages
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 <= a._4 && b._3 <= a._3,
+        s"stage ${b._1} harder-bound above stage ${a._1}")
+      case _ => }
+    // completeness: stage docs/tokens add up to the q113 universe
+    val q113 = SparkEntry.queries("q113_bigram_lm")(spark, sf).collect()
+    assert(sizes.sum == q113.length.toLong)
+    val tok = SparkEntry.queries("q136_quality_sweep")(spark, sf).collect()
+      .find(_.getLong(0) == 0L).get.getLong(2) // t=0 keeps all tokens
+    assert(rows.map(_._5).sum == tok)
+  }
+
   test("q114: PQ-ADC top-k approximates exact-L2 top-k with bounded loss") {
     import spark.implicits._
     // brute-force exact truth, same candidate universe as q114 (zero-norm
