@@ -1394,6 +1394,68 @@ object TextOps {
       doc = "curriculum stages: global easy->hard familiarity order cut " +
         "into ten equal-size stages (distributed rank, no global window)"),
 
+    // Collocation / phrase-vocabulary mining — the word2vec phrase score
+    // (Mikolov et al. NeurIPS 2013: score(a,b) = (cnt_ab − δ)·N /
+    // (cnt_a·cnt_b), δ=5), in integer milli so both engines replay the
+    // same floors: the step that decides which token PAIRS become single
+    // vocabulary units before tokenizer training (q104's BPE learns
+    // within-word merges; this learns cross-word phrases). 100 TB shape:
+    // one bigram-keyed and one unigram-keyed map-side-combined agg; the
+    // score join brings per-token counts to the bigram table via two
+    // vocab-sized joins (broadcastable at fixture scale, AQE-planned
+    // shuffle joins past it — token counts are Zipf but the JOIN key is
+    // the distinct token, so no hot-key blowup); TakeOrdered(20) egress.
+    // Integer range: cnt_ab·N·1000 needs headroom ~N²·10³ — fine through
+    // ~10⁹ tokens/shard; at full 100 TB the score moves to DECIMAL or a
+    // per-shard pass (documented, not silently wrong: ANSI mode errors on
+    // overflow rather than wrapping).
+    "q145_collocations" -> Q(
+      run = (s, d) => {
+        val delta = 5L
+        val toks = docTokens(s, d).select(explode(col("toks")).as("tok"))
+        val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+        val nU = toks.agg(count(lit(1)).as("n"))
+        val bg = docTokens(s, d).select(
+          explode(when(size(col("toks")) >= 2,
+            expr("transform(sequence(1, size(toks) - 1), " +
+              "i -> named_struct('a', toks[i-1], 'b', toks[i]))"))
+            .otherwise(expr("array()").cast("array<struct<a:string,b:string>>")))
+            .as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+          .filter(col("cab") > delta)
+        bg.join(uni.select(col("tok").as("a"), col("c1").as("ca")), Seq("a"))
+          .join(uni.select(col("tok").as("b"), col("c1").as("cb")), Seq("b"))
+          .crossJoin(broadcast(nU))
+          .withColumn("score_milli",
+            expr(s"(cab - $delta) * n * 1000 DIV (ca * cb)"))
+          .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"),
+            col("score_milli"))
+          .orderBy(col("score_milli").desc, col("a"), col("b"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        u AS (SELECT unnest(toks) AS tok FROM t),
+        uni AS (SELECT tok, count(*) AS c1 FROM u GROUP BY tok),
+        nu AS (SELECT count(*) AS n FROM u),
+        bg AS (
+          SELECT toks[i] AS a, toks[i+1] AS b
+          FROM t, unnest(range(1, greatest(len(toks), 1))) AS w(i)),
+        cnt AS (
+          SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b
+          HAVING count(*) > 5)
+        SELECT cnt.a, cnt.b, CAST(cab AS BIGINT) AS cab,
+               CAST(ua.c1 AS BIGINT) AS ca, CAST(ub.c1 AS BIGINT) AS cb,
+               CAST((cab - 5) * nu.n * 1000 // (ua.c1 * ub.c1) AS BIGINT)
+                 AS score_milli
+        FROM cnt JOIN uni ua ON ua.tok = cnt.a
+                 JOIN uni ub ON ub.tok = cnt.b
+                 CROSS JOIN nu
+        ORDER BY score_milli DESC, a, b LIMIT 20"""),
+      doc = "phrase-vocabulary mining: top-20 bigrams by the word2vec " +
+        "phrase score (integer milli, discount 5)"),
+
     // SimHash near-dup: 48-bit signature from weighted token-hash bit votes
     // (two 30/18-bit affine-independent hashes per token — 32 bits is too
     // coarse on a shared-vocabulary corpus); pigeonhole blocking on 4 12-bit

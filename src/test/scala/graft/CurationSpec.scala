@@ -302,6 +302,45 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_._5).sum == tok)
   }
 
+  test("q145: a planted rigid phrase tops the list; frequent-independent pairs don't") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    // "pine apple" only ever occur together; "the"/"cat" are frequent but
+    // combine with everything — the phrase score must separate them
+    val docs = (0 until 200).map { i =>
+      val toks = (0 until 40).flatMap { _ =>
+        rnd.nextInt(10) match {
+          case 0 => Seq("pine", "apple")
+          case 1 | 2 => Seq("the", Seq("cat", "dog", "fox")(rnd.nextInt(3)))
+          case _ => Seq(s"w${rnd.nextInt(200)}")
+        }
+      }
+      (i.toLong, toks.mkString(" "), "en", "srcP", 0L)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_coll").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // driver replay
+    val all = docs.map(_._2.split(" ", -1).toSeq)
+    val uni = all.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = all.map(_.size).sum.toLong
+    val bg = all.flatMap(ts => ts.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 > 5)
+    val expect = bg.toSeq.map { case ((a, b), cab) =>
+      (a, b, cab, uni(a), uni(b), (cab - 5) * n * 1000 / (uni(a) * uni(b)))
+    }.sortBy { case (a, b, _, _, _, sc) => (-sc, a, b) }.take(20)
+    val got = SparkEntry.queries("q145_collocations")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect, s"got=${got.take(3)} expect=${expect.take(3)}")
+    // the rigid phrase ranks strictly above the frequent-independent pair
+    val pineRank = got.indexWhere(r => r._1 == "pine" && r._2 == "apple")
+    val theRank = got.indexWhere(r => r._1 == "the")
+    assert(pineRank == 0, s"planted phrase not top: rank $pineRank")
+    assert(theRank == -1 || theRank > pineRank,
+      "frequent-independent pair outranks the rigid phrase")
+  }
+
   test("q114: PQ-ADC top-k approximates exact-L2 top-k with bounded loss") {
     import spark.implicits._
     // brute-force exact truth, same candidate universe as q114 (zero-norm
