@@ -1731,6 +1731,55 @@ object TextOps {
         FROM labels GROUP BY root ORDER BY cluster_root"""),
       doc = "connected-component near-dup clusters (min-label propagation)"),
 
+    // Cluster-density audit — the dedup-quality metric over q81's
+    // components: per cluster, the fraction of member pairs that are
+    // DIRECT near-dups (q35 edges), in milli. Density 1000 = clique
+    // (every member mutually similar — safe to keep one); low density =
+    // a transitive CHAIN (A~B~C with A̸~C) — the over-merge failure mode
+    // every connected-component dedup ships with, and the reason real
+    // pipelines audit cluster density before deleting. Computed entirely
+    // off the two STAGED tables (pair table + label table) — zero new
+    // corpus work: one size-gated-broadcast join of labels into the
+    // dup-proportional pair table, two bounded aggs.
+    "q146_cluster_density" -> Q(
+      run = (s, d) => {
+        val labels = clusterLabels(s, d) // (doc, root), staged checkpoint
+        val sizes = labels.groupBy(col("root"))
+          .agg(count(lit(1)).as("cluster_size"))
+          .filter(col("cluster_size") >= 2)
+        // every q35 edge is intra-cluster by construction: doc_a's root
+        // IS the pair's cluster
+        val perCluster = jaccardPairsCached(s, d).select(col("doc_a"))
+          .join(broadcastIfSmall(labels).withColumnRenamed("doc", "doc_a"),
+            Seq("doc_a"))
+          .groupBy(col("root")).agg(count(lit(1)).as("n_pairs"))
+        sizes.join(perCluster, Seq("root"), "left")
+          .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+          .withColumn("density_milli",
+            expr("n_pairs * 2000 DIV (cluster_size * (cluster_size - 1))"))
+          .select(col("root").as("cluster_root"), col("cluster_size"),
+            col("n_pairs"), col("density_milli"))
+          .orderBy("cluster_root")
+      },
+      oracle = Some(s"""WITH RECURSIVE $jaccardCtes,
+        $clusterCtes,
+        sizes AS (
+          SELECT root, count(*) AS cluster_size FROM labels
+          GROUP BY root HAVING count(*) >= 2),
+        pc AS (
+          SELECT l.root, count(*) AS n_pairs
+          FROM jac j JOIN labels l ON l.doc = j.doc_a
+          GROUP BY l.root)
+        SELECT s.root AS cluster_root,
+               CAST(s.cluster_size AS BIGINT) AS cluster_size,
+               CAST(coalesce(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(coalesce(pc.n_pairs, 0) * 2000 //
+                 (s.cluster_size * (s.cluster_size - 1)) AS BIGINT) AS density_milli
+        FROM sizes s LEFT JOIN pc ON pc.root = s.root
+        ORDER BY cluster_root"""),
+      doc = "near-dup cluster density audit: direct-edge fraction per " +
+        "component (detects transitive over-merge chains)"),
+
     // Canonical selection — the dedup funnel's last step: within each
     // near-dup cluster keep ONE representative (longest doc wins, doc_id
     // breaks ties) and mark the rest for removal; unclustered docs are their

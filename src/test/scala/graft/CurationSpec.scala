@@ -341,6 +341,37 @@ class CurationSpec extends SparkSpec {
       "frequent-independent pair outranks the rigid phrase")
   }
 
+  test("q146: a transitive chain scores 666 milli; a clique scores 1000") {
+    import spark.implicits._
+    // chain: A~B and B~C clear J>=0.7 but A~C is 0.538 — the over-merge
+    // shape. Shingle arithmetic: B = b1..b102 (100 shingles); A shares
+    // b1..b87 (85 shingles) + 15 own; C shares b16..b102 (85) + 15 own;
+    // A∩C is the b16..b87 interior = 70 shingles -> J = 70/130 < 0.7.
+    val bToks = (1 to 102).map(j => s"b$j")
+    val a = (bToks.take(87) ++ (1 to 15).map(j => s"a$j")).mkString(" ")
+    val b = bToks.mkString(" ")
+    val c = (bToks.drop(15) ++ (1 to 15).map(j => s"c$j")).mkString(" ")
+    val clique = (1 to 40).map(j => s"q$j").mkString(" ")
+    val docs = Seq(
+      (0L, a), (1L, b), (2L, c),
+      (10L, clique), (11L, clique), (12L, clique)) ++
+      (20 until 40).map(i => (i.toLong, (0 until 30).map(j => s"z${i}_$j").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dens").toString
+    docs.map { case (id, t) => (id, t, "en", "srcD", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // sanity: the pair table has exactly the chain's 2 edges + clique's 3
+    val pairs = SparkEntry.queries("q35_jaccard_pairs")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (1L, 2L), (10L, 11L), (10L, 12L), (11L, 12L)),
+      s"constructed edges off: $pairs")
+    val rows = SparkEntry.queries("q146_cluster_density")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set(0L, 10L))
+    assert(rows(0L) == ((3L, 2L, 666L)), s"chain: ${rows(0L)}") // 2*2000/6
+    assert(rows(10L) == ((3L, 3L, 1000L)), s"clique: ${rows(10L)}")
+  }
+
   test("q114: PQ-ADC top-k approximates exact-L2 top-k with bounded loss") {
     import spark.implicits._
     // brute-force exact truth, same candidate universe as q114 (zero-norm
