@@ -1332,7 +1332,136 @@ object Vectors {
                CAST(floor(1000.0 * energy_cos) AS BIGINT) AS energy_cos_milli
         FROM m ORDER BY label"""),
       doc = "embedding drift monitor: per-label mean-centroid and energy-" +
-        "profile cosines between two snapshots (exact integer-sum replay)")
+        "profile cosines between two snapshots (exact integer-sum replay)"),
+
+    // Embedding-space label separability — the "are my labels actually
+    // separable in this space" health check run before trusting any
+    // label-conditioned curation (q120 pruning, q124 negatives): per
+    // label, average member-to-own-centroid cosine (cohesion) vs the
+    // nearest OTHER label centroid (confusability), and the margin.
+    // Same bit-replayable arithmetic discipline as q132: centroids are
+    // integer per-dim sums (floor ×1e6), member cosines are ascending-dim
+    // double folds floored to milli BEFORE the integer average (so the
+    // mean is order-independent), the label-pair matrix is |labels|²
+    // bounded metadata. 100 TB shape: ONE (label, dim) map-side-combined
+    // shuffle for centroids + one narrow kernel pass for member cosines;
+    // the centroid table broadcasts.
+    "q147_label_separability" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        val v = vecs(s, d) // zero-norm excluded, the family's convention
+        val sums = v.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .withColumn("xi",
+            floor(col("x").cast("double") * 1000000.0).cast("bigint"))
+          .groupBy(col("label"), col("dim"))
+          .agg(sum(col("xi")).as("sv"))
+          .groupBy(col("label"))
+          .agg(sort_array(collect_list(struct(col("dim"), col("sv")))).as("cent"))
+        val centArr = sums.select(col("label"),
+            expr("transform(cent, c -> c.sv)").as("cv"))
+          .as[(Int, Array[Long])].collect().sortBy(_._1) // |labels| rows
+        val bc = s.sparkContext.broadcast(centArr.toMap)
+        // member cohesion: cos(member, own-label centroid), ascending-dim
+        // double fold, floored to milli BEFORE the integer mean
+        val memberCos = udf { (label: Int, emb: Seq[Float]) =>
+          val c = bc.value(label)
+          var dot = 0.0; var nx = 0.0; var nc = 0.0; var i = 0
+          while (i < c.length) {
+            val x = emb(i).toDouble; val s0 = c(i).toDouble
+            dot += x * s0; nx += x * x; nc += s0 * s0
+            i += 1
+          }
+          math.floor(1000.0 * (dot / (math.sqrt(nx) * math.sqrt(nc)))).toLong
+        }
+        val intra = v.select(col("label"),
+            memberCos(col("label"), col("embedding")).as("cm"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            // +1000 shift keeps the dividend non-negative (cos ≥ -1), so
+            // Spark's truncating DIV and DuckDB's floor // agree exactly
+            expr("sum(cm + 1000) DIV count(1) - 1000").as("intra_avg_milli"))
+        // confusability: nearest other centroid by the same double law —
+        // a |labels|² driver computation (bounded metadata)
+        def centCos(a: Array[Long], b: Array[Long]): Long = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            val x = a(i).toDouble; val y = b(i).toDouble
+            dot += x * y; na += x * x; nb += y * y
+            i += 1
+          }
+          math.floor(1000.0 * (dot / (math.sqrt(na) * math.sqrt(nb)))).toLong
+        }
+        val nearest = centArr.map { case (l, cv) =>
+          val best = centArr.filter(_._1 != l)
+            .map { case (m, cw) => (centCos(cv, cw), m) }
+            .sortBy { case (cos, m) => (-cos, m) }.head
+          (l, best._2.toLong, best._1)
+        }.toSeq.toDF("label", "nearest_label", "inter_cos_milli")
+        intra.join(broadcast(nearest), Seq("label"))
+          .withColumn("margin_milli", col("intra_avg_milli") - col("inter_cos_milli"))
+          .select(col("label"), col("n"), col("intra_avg_milli"),
+            col("nearest_label"), col("inter_cos_milli"), col("margin_milli"))
+          .orderBy("label")
+      },
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT * FROM (
+            SELECT vec_id, label, embedding, ${sqlNorm2("embedding")} AS n2
+            FROM embeddings) WHERE n2 > 0),
+        sums AS (
+          SELECT label, i AS dim,
+                 sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS sv
+          FROM v CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+          GROUP BY label, i),
+        cent AS (
+          SELECT label, list(CAST(sv AS DOUBLE) ORDER BY dim) AS cv
+          FROM sums GROUP BY label),
+        member AS (
+          SELECT v.label,
+                 CAST(floor(1000.0 * (
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(range(1, 65), i -> CAST(v.embedding[i] AS DOUBLE) * c.cv[i])),
+                     (acc, x) -> acc + x)
+                   / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(range(1, 65), i -> CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))),
+                       (acc, x) -> acc + x))
+                    * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(range(1, 65), i -> c.cv[i] * c.cv[i])),
+                       (acc, x) -> acc + x))))) AS BIGINT) AS cm
+          FROM v JOIN cent c USING (label)),
+        intra AS (
+          SELECT label, count(*) AS n,
+                 sum(cm + 1000) // count(*) - 1000 AS intra_avg_milli
+          FROM member GROUP BY label),
+        pairs AS (
+          SELECT a.label,
+                 b.label AS other,
+                 CAST(floor(1000.0 * (
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(range(1, 65), i -> a.cv[i] * b.cv[i])),
+                     (acc, x) -> acc + x)
+                   / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(range(1, 65), i -> a.cv[i] * a.cv[i])),
+                       (acc, x) -> acc + x))
+                    * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(range(1, 65), i -> b.cv[i] * b.cv[i])),
+                       (acc, x) -> acc + x))))) AS BIGINT) AS cc
+          FROM cent a JOIN cent b ON a.label <> b.label),
+        near AS (
+          SELECT label, other AS nearest_label, cc AS inter_cos_milli
+          FROM (SELECT *, row_number() OVER (PARTITION BY label
+                  ORDER BY cc DESC, other) AS rn FROM pairs)
+          WHERE rn = 1)
+        SELECT i.label,
+               CAST(i.n AS BIGINT) AS n,
+               CAST(i.intra_avg_milli AS BIGINT) AS intra_avg_milli,
+               CAST(near.nearest_label AS BIGINT) AS nearest_label,
+               CAST(near.inter_cos_milli AS BIGINT) AS inter_cos_milli,
+               CAST(i.intra_avg_milli - near.inter_cos_milli AS BIGINT) AS margin_milli
+        FROM intra i JOIN near USING (label)
+        ORDER BY label"""),
+      doc = "embedding-space label separability: per-label member-to-" +
+        "centroid cohesion vs nearest-other-centroid confusability + margin")
   )
 
   /** Prototype-based data pruning (Sorscher et al. 2022) over an arbitrary

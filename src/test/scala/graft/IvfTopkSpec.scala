@@ -44,6 +44,44 @@ class IvfTopkSpec extends SparkSpec {
     }
   }
 
+  test("q147: separable labels get high margin, interleaved labels near-zero") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val dim = 64
+    def noisy(base: Array[Float], eps: Float): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() * 2 - 1) * eps)
+    // labels 0/1: tight clusters on orthogonal axes; labels 2/3: the SAME
+    // isotropic cloud split arbitrarily — confusable by construction
+    val ax0 = Array.tabulate(dim)(i => if (i < 32) 1f else 0f)
+    val ax1 = Array.tabulate(dim)(i => if (i >= 32) 1f else 0f)
+    val rows =
+      (0 until 30).map(i => (i.toLong, noisy(ax0, 0.05f), 0)) ++
+      (30 until 60).map(i => (i.toLong, noisy(ax1, 0.05f), 1)) ++
+      (60 until 120).map(i => (i.toLong,
+        Array.fill(dim)(rnd.nextFloat() * 2 - 1), 2 + i % 2))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sep").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q147_label_separability")(spark, dir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // orthogonal tight clusters: cohesion near 1000, confusion near 0
+    Seq(0, 1).foreach { l =>
+      val (_, intra, _, inter, margin) = out(l)
+      assert(intra > 950, s"label $l cohesion $intra")
+      assert(inter < 300, s"label $l confusion $inter")
+      assert(margin > 650, s"label $l margin $margin")
+    }
+    // the split cloud: labels 2 and 3 are each other's nearest centroid
+    // and the margin collapses relative to the separable labels
+    assert(out(2)._3 == 3L && out(3)._3 == 2L,
+      s"cloud halves not mutually nearest: ${out(2)}, ${out(3)}")
+    Seq(2, 3).foreach { l =>
+      assert(out(l)._5 < out(0)._5 - 300,
+        s"interleaved label $l margin ${out(l)._5} not collapsed")
+    }
+  }
+
   test("probe join is broadcast and cluster-keyed, never a corpus shuffle") {
     val df = SparkEntry.queries("q111_ivf_topk")(spark, sf)
     df.collect() // AQE-final plan
