@@ -166,16 +166,30 @@ object MultimodalOps {
 
     /** Deterministic 8-bit mono PCM WAV encoder (tests): `frames` silent
       * frames at `sampleRate` Hz. */
-    def encodeWav(frames: Int, sampleRate: Int): Array[Byte] = {
+    def encodeWav(frames: Int, sampleRate: Int): Array[Byte] =
+      encodeWavData(new Array[Byte](frames), sampleRate)
+
+    /** Real WAVE container around 8-bit unsigned mono PCM `data` — the
+      * audio twin of [[encodePngGrad]]: content is derived data, the
+      * encode→decode round trip is the JDK's own codec. */
+    def encodeWavData(data: Array[Byte], sampleRate: Int): Array[Byte] = {
       val fmt = new javax.sound.sampled.AudioFormat(
         sampleRate.toFloat, 8, 1, false, false)
       val ais = new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(new Array[Byte](frames)),
-        fmt, frames.toLong)
+        new java.io.ByteArrayInputStream(data), fmt, data.length.toLong)
       val bos = new java.io.ByteArrayOutputStream()
       javax.sound.sampled.AudioSystem.write(
         ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
+    }
+
+    /** Decode a WAVE byte payload back to its raw 8-bit PCM samples
+      * (unsigned, 0-255 as ints) through the real JDK codec. */
+    def decodeWavSamples(wav: Array[Byte]): Array[Int] = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      try ais.readAllBytes().map(_ & 0xFF)
+      finally ais.close()
     }
   }
 
@@ -408,6 +422,70 @@ object MultimodalOps {
                max(height) AS max_h, min(height) AS min_h
         FROM resized GROUP BY media_type ORDER BY media_type"""),
       doc = "aspect-preserving resize stage (integer milli-scale, typed map)"),
+
+    // Audio feature extraction — the audio path promoted to an HONEST
+    // encode→decode round trip (q122's discipline applied to sound): the
+    // audio population's samples are derived from the text ((codepoint·2)
+    // mod 256 — doubling spreads ASCII across the 128 midpoint so
+    // zero-crossings are non-vacuous), wrapped in a REAL WAVE container,
+    // and decoded back through javax.sound before any feature is
+    // computed. Features are the classic cheap audio stats: frame count,
+    // mean absolute amplitude about the 8-bit midpoint (milli), and
+    // strict midpoint zero-crossings. The oracle replays the sample LAW
+    // arithmetically — if the codec round trip corrupted one sample, the
+    // hash gate would catch it. 100 TB shape: one narrow mapPartitions
+    // (encode+decode+fold per clip, no shuffle but the egress sort);
+    // binary never shuffles.
+    "q148_audio_features" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).filter(col("doc_id") % 3 === 1)
+          .select(col("doc_id"), col("text"))
+          // spread the encode work like mediaTable does — the fixture
+          // parquet is one input split
+          .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val cps = text.codePoints().toArray
+            val samples = cps.map(cp => ((cp * 2) % 256).toByte)
+            val wav = MediaCodec.encodeWavData(samples, 8000)
+            val xs = MediaCodec.decodeWavSamples(wav) // REAL decode
+            var sumAbs = 0L
+            var zc = 0L
+            var i = 0
+            while (i < xs.length) {
+              sumAbs += math.abs(xs(i) - 128).toLong
+              if (i > 0 && ((xs(i - 1) < 128) != (xs(i) < 128))) zc += 1
+              i += 1
+            }
+            val n = xs.length.toLong
+            (id, n, if (n > 0) sumAbs * 1000 / n else 0L, zc)
+          })
+          .toDF("doc_id", "n_frames", "mean_amp_milli", "zero_crossings")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT doc_id,
+                 list_transform(string_split(text, ''),
+                   ch -> (ascii(ch) * 2) % 256) AS xs
+          FROM documents WHERE doc_id % 3 = 1),
+        st AS (
+          SELECT doc_id, len(xs) AS n,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(xs, x -> CAST(abs(x - 128) AS BIGINT))),
+                   (acc, x) -> acc + x) AS sum_abs,
+                 len(list_filter(range(1, greatest(len(xs), 1)),
+                   i -> (xs[i] < 128) <> (xs[i+1] < 128))) AS zc
+          FROM a)
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_frames,
+               CAST(CASE WHEN n > 0 THEN sum_abs * 1000 // n ELSE 0 END AS BIGINT)
+                 AS mean_amp_milli,
+               CAST(zc AS BIGINT) AS zero_crossings
+        FROM st ORDER BY doc_id"""),
+      doc = "audio feature extraction through a real WAV encode->decode " +
+        "round trip: frames, mean amplitude (milli), zero-crossings"),
 
     // Image perceptual-hash near-dup — the multimodal arm of the dedup
     // family (web-scale image pipelines dedup by pHash/aHash before any

@@ -149,6 +149,37 @@ class MultimodalSpec extends SparkSpec {
       s"pigeonhole candidates diverge from brute force: missing=${brute -- got}")
   }
 
+  test("q148: WAV codec is sample-lossless; features match a driver replay") {
+    import graft.multimodal.MultimodalOps.MediaCodec
+    val rnd = new scala.util.Random(53)
+    // arbitrary byte content round-trips the real codec exactly
+    val data = Array.fill(513)(rnd.nextInt(256).toByte)
+    val back = MediaCodec.decodeWavSamples(MediaCodec.encodeWavData(data, 8000))
+    assert(back.toSeq == data.map(_ & 0xFF).toSeq, "codec not sample-lossless")
+    assert(MediaCodec.decodeWavSamples(
+      MediaCodec.encodeWavData(Array.emptyByteArray, 8000)).isEmpty)
+    // end-to-end rows equal the arithmetic law replayed on the driver
+    val rows = SparkEntry.queries("q148_audio_features")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 1)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(docs.length == rows.size)
+    docs.foreach { case (id, text) =>
+      val xs = text.codePoints().toArray.map(cp => (cp * 2) % 256)
+      val n = xs.length.toLong
+      val sumAbs = xs.map(x => math.abs(x - 128).toLong).sum
+      val zc = xs.indices.drop(1)
+        .count(i => (xs(i - 1) < 128) != (xs(i) < 128)).toLong
+      val want = (n, if (n > 0) sumAbs * 1000 / n else 0L, zc)
+      assert(rows(id) == want, s"doc $id: ${rows(id)} != $want")
+    }
+    // the doubling law keeps zero-crossings non-vacuous on ASCII text
+    assert(rows.values.count(_._3 > 0) > 0, "no doc crosses the midpoint")
+  }
+
   test("features stay small: binary column dropped before any wide op") {
     val media = MultimodalOps.mediaTable(spark, sf)
     val feats = MultimodalOps.extractFeatures(media)
