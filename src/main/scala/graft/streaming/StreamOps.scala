@@ -126,6 +126,45 @@ object StreamOps {
         GROUP BY 1, 2 ORDER BY bucket_start, event_type"""),
       doc = "streaming watermark + tumbling window, AvailableNow drain (ST1/ST2)"),
 
+    // Streaming per-window heavy hitters: the q42 watermarked windowed
+    // aggregation run as a real stream, then top-3 event types per window
+    // ranked over the drained state (complete-mode output IS the serving
+    // table — ranking belongs downstream of the stateful agg, exactly
+    // where a dashboard query would do it; putting row_number inside the
+    // stream would force complete-mode re-rank of all state every batch).
+    // 100 TB shape: stream state is (windows × types) — bounded by the
+    // watermark horizon, not the stream; the rank is a window over that
+    // bounded table.
+    "q149_stream_topk" -> Q(
+      run = (s, d) => {
+        val agg = eventsStream(s, d)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("bucket_start"),
+            col("event_type"), col("n"))
+        val served = drain(s, agg, "complete")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bucket_start"))
+          .orderBy(col("n").desc, col("event_type"))
+        served.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .orderBy("bucket_start", "rank")
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
+                 event_type, count(*) AS n
+          FROM events GROUP BY 1, 2),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY bucket_start
+                      ORDER BY n DESC, event_type) AS rank
+          FROM c)
+        SELECT bucket_start, event_type, n, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 3 ORDER BY bucket_start, rank"""),
+      doc = "streaming per-window top-3 heavy hitters (stateful windowed " +
+        "agg drained, ranked at the serving layer)"),
+
     // Stateful streaming dedup (ST3): dropDuplicatesWithinWatermark on the
     // event key, then count per type. Fixture ids are unique, so the oracle
     // is the plain count — the dup-collapsing path is proven in StreamingSpec

@@ -157,4 +157,25 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(got.sameElements(Array((1L, 1L), (1L, 3L))))
   }
+
+  test("q149 top-3 is exactly the re-ranked q42 streaming window state") {
+    // one stateful law, two serving views: re-ranking q42's drained
+    // windowed counts must reproduce q149 row-for-row
+    val counts = SparkEntry.queries("q42_stream_tumbling")(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val expect = counts.groupBy(_._1).toSeq.flatMap { case (b, rows) =>
+      rows.sortBy { case (_, t, n) => (-n, t) }.take(3).zipWithIndex
+        .map { case ((_, t, n), i) => (b, t, n, i + 1L) }
+    }.toSet
+    val got = SparkEntry.queries("q149_stream_topk")(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+    // every window emits at most 3 rows, ranks dense from 1
+    got.groupBy(_._1).foreach { case (b, rows) =>
+      assert(rows.size <= 3 && rows.map(_._4).toSeq.sorted == (1L to rows.size),
+        s"window $b ranks ${rows.map(_._4)}")
+    }
+  }
 }
