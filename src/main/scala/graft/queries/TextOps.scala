@@ -2154,6 +2154,93 @@ object TextOps {
         ORDER BY b.doc_id"""),
       doc = "bloom-gated incremental-batch dedup (corpus never shuffles)"),
 
+    // Bloom false-positive-rate harness — the measurement the q95 pattern
+    // ships with at scale ("is the filter still sized right for this
+    // corpus?"): a DETERMINISTIC bloom (m=65536 bits, k=4 affine hash
+    // rows — the q141 constant family, so both engines replay every bit)
+    // built over the corpus-side fingerprints, probed with the TRUE
+    // non-members of the incremental batch, reporting the exact measured
+    // FPR in ppm next to the filter's fill ratio. (q95 itself uses
+    // Spark's built-in bloom and stays exact via its verify join; this
+    // harness is how you'd audit that filter's sizing before trusting
+    // the gate's selectivity at 100 TB.) Shapes: bit table ≤ k·|corpus
+    // fingerprints| distinct (bucket, row) cells, collected bounded
+    // (≤ m·k bits by construction) and broadcast; probes are a narrow
+    // kernel pass over the batch-side anti-join result.
+    "q150_bloom_fpr" -> Q(
+      run = (s, d) => {
+        val m = 65536L
+        val hashed = Tables.documents(s, d)
+          .select(col("doc_id"),
+            charHash(normalizeText(col("text"))).as("h"))
+        val corpus = hashed.filter(pmod(col("doc_id"), lit(8)) =!= 0)
+          .select(col("h")).distinct()
+        val batch = hashed.filter(pmod(col("doc_id"), lit(8)) === 0)
+          .select(col("h")).distinct()
+        val nonMembers = batch.join(corpus, Seq("h"), "left_anti")
+        val bits = corpus.select(col("h"),
+            explode(expr(s"transform(sequence(0, ${cmsD - 1}), " +
+              s"j -> named_struct('j', j, 'b', " +
+              s"((($cmsA * (j + 1)) % $P * h + ($cmsB * (j + 1)) % $P) % $P) % $m))"))
+              .as("cell"))
+          .select(col("cell.j").as("j"), col("cell.b").as("b"))
+          .distinct().collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+        val bc = s.sparkContext.broadcast(bits)
+        val passes = udf { (h: Long) =>
+          (0 until cmsD).forall { j =>
+            val b = ((cmsA * (j + 1)) % P * h + (cmsB * (j + 1)) % P) % P % m
+            bc.value.contains((j, b))
+          }
+        }
+        val nm = nonMembers.agg(count(lit(1)).as("n_nonmembers"),
+          coalesce(sum(when(passes(col("h")), 1L).otherwise(0L)), lit(0L))
+            .as("n_false_positives"))
+        corpus.agg(count(lit(1)).as("n_members"))
+          .crossJoin(broadcast(nm))
+          .select(col("n_members"),
+            lit(bits.size.toLong).as("n_bits_set"),
+            expr(s"n_bits_set * 1000 DIV ${cmsD}L DIV $m").as("fill_milli"),
+            col("n_nonmembers"), col("n_false_positives"),
+            expr("CASE WHEN n_nonmembers > 0 THEN n_false_positives * 1000000 DIV n_nonmembers ELSE 0 END")
+              .as("fpr_ppm"))
+      },
+      oracle = Some(s"""
+        WITH hashed AS (
+          SELECT doc_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),''),
+                c -> CAST(ascii(c) AS BIGINT))),
+              (acc, c) -> (acc * 31 + c) % $P) AS h
+          FROM documents),
+        corpus AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 8 <> 0),
+        batch AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 8 = 0),
+        nonm AS (SELECT h FROM batch ANTI JOIN corpus USING (h)),
+        bits AS (
+          SELECT DISTINCT j,
+                 (((($cmsA * (j + 1)) % $P) * h + ($cmsB * (j + 1)) % $P) % $P) % 65536 AS b
+          FROM corpus, unnest(range(0, $cmsD)) AS u(j)),
+        probe AS (
+          SELECT n.h, count(*) AS hits
+          FROM nonm n JOIN bits
+            ON bits.b = (((($cmsA * (bits.j + 1)) % $P) * n.h + ($cmsB * (bits.j + 1)) % $P) % $P) % 65536
+          GROUP BY n.h),
+        agg AS (
+          SELECT (SELECT count(*) FROM corpus) AS n_members,
+                 (SELECT count(*) FROM bits) AS n_bits_set,
+                 (SELECT count(*) FROM nonm) AS n_nonmembers,
+                 (SELECT count(*) FROM probe WHERE hits = $cmsD) AS n_false_positives)
+        SELECT CAST(n_members AS BIGINT) AS n_members,
+               CAST(n_bits_set AS BIGINT) AS n_bits_set,
+               CAST(n_bits_set * 1000 // $cmsD // 65536 AS BIGINT) AS fill_milli,
+               CAST(n_nonmembers AS BIGINT) AS n_nonmembers,
+               CAST(n_false_positives AS BIGINT) AS n_false_positives,
+               CAST(CASE WHEN n_nonmembers > 0
+                    THEN n_false_positives * 1000000 // n_nonmembers ELSE 0 END AS BIGINT)
+                 AS fpr_ppm
+        FROM agg"""),
+      doc = "bloom FPR harness: deterministic m=65536/k=4 filter over " +
+        "corpus fingerprints, exact measured false-positive rate in ppm"),
+
     // Corpus-wide bigram heavy hitters — the n-gram frequency table that
     // feeds tokenizer/boilerplate analysis. Pure two-phase aggregation:
     // bigram formation is a codegen'd zip_with over the token array (no UDF,

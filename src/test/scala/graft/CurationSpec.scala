@@ -191,6 +191,34 @@ class CurationSpec extends SparkSpec {
     assert(rows("fresh")._4 == 1000L && rows("fresh")._5 == 1000L)
   }
 
+  test("q150: dense corpus forces false positives; measured FPR is exact") {
+    import spark.implicits._
+    // 40k docs -> ~35k member fingerprints -> per-row fill ~0.42 ->
+    // expected FPR ~3%: the harness must MEASURE it, not report zero
+    val docs = (0 until 40000).map(i => (i.toLong, s"doc number $i", "en", "srcB", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q150_bloom_fpr")(spark, dir).collect()(0)
+    val (nMem, nBits, nNon, nFp) =
+      (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))
+    // driver replay with the same laws
+    val P = functions.TextHash.P
+    def fp(t: String) = functions.TextHash.polyHash(t.trim.toLowerCase)
+    val corpus = docs.filter(_._1 % 8 != 0).map(d => fp(d._2)).toSet
+    val batch = docs.filter(_._1 % 8 == 0).map(d => fp(d._2)).toSet
+    val nonm = batch -- corpus
+    def bucket(j: Int, h: Long) =
+      ((104729L * (j + 1)) % P * h + (15485863L * (j + 1)) % P) % P % 65536L
+    val bits = (for (h <- corpus; j <- 0 until 4) yield (j, bucket(j, h))).toSet
+    val fps = nonm.count(h => (0 until 4).forall(j => bits((j, bucket(j, h)))))
+    assert(nMem == corpus.size.toLong && nBits == bits.size.toLong)
+    assert(nNon == nonm.size.toLong)
+    assert(nFp == fps.toLong, s"measured $nFp != replayed $fps")
+    assert(nFp > 0, "dense corpus produced no FPs — harness not exercised")
+    assert(r.getLong(5) == nFp * 1000000 / nNon)
+  }
+
   test("q141: CMS is one-sided, mass-conserving, and matches a driver replay") {
     import spark.implicits._
     val rnd = new scala.util.Random(37)
