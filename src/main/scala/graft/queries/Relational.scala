@@ -638,6 +638,63 @@ object Relational {
           UNION ALL SELECT 'coverage:embedding_without_doc', count(*) FROM (SELECT * FROM embeddings WHERE vec_id IS NOT NULL) e ANTI JOIN documents d ON e.vec_id = d.doc_id
         ) ORDER BY "check""""),
       doc = "data-contract audit: key uniqueness, FK integrity, and " +
-        "doc/embedding coverage across the warehouse")
+        "doc/embedding coverage across the warehouse"),
+
+    // Bucketed co-located fact join — the storage-layout half of the
+    // shuffle-minimization story the rest of the suite does with
+    // broadcasts and AQE: both fact tables are materialized BUCKETED (and
+    // bucket-sorted) on the join key, so the orderkey join runs with NO
+    // exchange on either side — the layout investment every warehouse
+    // makes once so that the dominant join key never shuffles again. At
+    // 100 TB this is the difference between re-shuffling both fact tables
+    // per query and reading co-located buckets in place (plus bucket
+    // pruning on key-equality filters for free). The write is part of
+    // the operator — it IS the one-time layout cost being amortized;
+    // PlanSpec proves the join subtree is exchange-free while the
+    // unbucketed twin (q03) shuffles both sides. Result = q03's law, so
+    // the oracle also proves layout doesn't change semantics.
+    "q151_bucketed_join" -> Q(
+      run = (s, d) => {
+        val suf = (d.hashCode & 0x7fffffff).toString
+        val ot = s"graft_bkt_orders_$suf"
+        val lt = s"graft_bkt_lineitem_$suf"
+        // the managed-table LOCATION outlives the session catalog (a fresh
+        // JVM starts with an empty in-memory catalog over the same
+        // warehouse dir) — clear both, or the create collides
+        Seq(ot, lt).foreach { name =>
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          val wh = java.net.URI.create(
+            s.conf.get("spark.sql.warehouse.dir")).getPath
+          val loc = java.nio.file.Paths.get(wh, name)
+          if (java.nio.file.Files.exists(loc)) {
+            import scala.jdk.CollectionConverters._
+            val walk = java.nio.file.Files.walk(loc)
+            try walk.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+            finally walk.close()
+          }
+        }
+        Tables.orders(s, d).write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .format("parquet").saveAsTable(ot)
+        Tables.lineitem(s, d).write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .format("parquet").saveAsTable(lt)
+        s.table(ot)
+          .join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("line_count"),
+            moneySum(col("l_extendedprice")).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, count(*) AS line_count,
+               (CAST(CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      doc = "bucketed co-located fact join: both sides bucket-sorted on " +
+        "the join key, exchange-free join subtree (q03's law over a " +
+        "bucketed layout)")
   )
 }

@@ -478,4 +478,47 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"),
       s"scoring should not re-aggregate — model is pre-collected:\n$p")
   }
+
+  test("q151: bucketed join subtree is exchange-free; unbucketed twin shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec
+    def joinSubtreeExchanges(df: DataFrame): Seq[Int] = {
+      df.collect() // AQE-final plan
+      val plan = df.queryExecution.executedPlan
+      def strip(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      def walk(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: strip(p).flatMap(walk)
+      walk(plan).collect { case j: SortMergeJoinExec =>
+        walk(j).count {
+          case _: ShuffleExchangeLike | _: ShuffleQueryStageExec => true
+          case _ => false
+        }
+      }
+    }
+    // at sf0.001 AQE broadcasts the tiny orders side on both plans — pin
+    // the join strategy to SMJ so the EXCHANGE claim (what bucketing
+    // removes) is what's measured
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bucketed = SparkEntry.queries("q151_bucketed_join")(spark, sf)
+      val smjs = joinSubtreeExchanges(bucketed)
+      assert(smjs.nonEmpty, "bucketed query lost its sort-merge join")
+      assert(smjs.forall(_ == 0),
+        s"bucketed join subtree contains exchanges: $smjs")
+      // the unbucketed twin (same law, parquet-dir scans) shuffles both sides
+      val twin = SparkEntry.queries("q03_join_agg")(spark, sf)
+      val twinSmjs = joinSubtreeExchanges(twin)
+      assert(twinSmjs.nonEmpty && twinSmjs.forall(_ > 0),
+        s"unbucketed SMJ should shuffle both sides: $twinSmjs")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -50,17 +50,23 @@ class SessionSoakSpec extends SparkSpec {
     val reg = SparkEntry.queries
     soak.foreach(n => assert(reg.contains(n), s"soak query $n not registered"))
     flush()
-    val baseline = spark.sparkContext.getPersistentRDDs.size
+    var baseline = spark.sparkContext.getPersistentRDDs.size
     (1 to 3).foreach { pass =>
       soak.foreach(n => reg(n)(spark, sf).count())
       flush()
       assert(Checkpoints.scopedCount == 0,
         s"pass $pass: ${Checkpoints.scopedCount} scoped checkpoints survived releaseScoped()")
       val now = spark.sparkContext.getPersistentRDDs.size
-      assert(now == baseline,
+      // one-sided: the leak contract forbids GROWTH. A shrink below the
+      // baseline is benign — an earlier suite's dropped handle reclaimed
+      // asynchronously by the ContextCleaner (the weak-ref fallback path)
+      // can land mid-pass and would flake an equality assert. The floor
+      // RATCHETS down so slack can't mask a later leak.
+      assert(now <= baseline,
         s"pass $pass: persistent-RDD registry grew $baseline -> $now — " +
           "a query persists/checkpoints outside the Checkpoints/staged-cache " +
           "release paths (see graft.Checkpoints scaladoc for the contract)")
+      baseline = math.min(baseline, now)
     }
   }
 
