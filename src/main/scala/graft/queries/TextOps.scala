@@ -1780,6 +1780,68 @@ object TextOps {
       doc = "near-dup cluster density audit: direct-edge fraction per " +
         "component (detects transitive over-merge chains)"),
 
+    // PageRank over the near-dup graph — graph analytics beyond q81's
+    // connected components: which documents are the HUBS of the duplicate
+    // structure (high-degree, well-connected copies — the canonical-
+    // selection tiebreaker and crawl-frontier prioritizer at corpus
+    // scale). Integer-exact law so DuckDB replays it: rank in milli,
+    // r0 = 1000, five damped rounds of
+    // r' = 150 + 850·Σ_in(r(u) div deg(u)) div 1000 — every operation a
+    // floor on longs, order-independent (the Σ is over integers).
+    // 100 TB shape: q81's loop discipline with a FIXED iteration count —
+    // each round is one keyed shuffle of the edge⋈rank table
+    // (dup-graph-sized, never corpus-sized), rounds materialized via
+    // scoped checkpoints released as superseded; egress TakeOrdered(20).
+    "q152_pagerank" -> Q(
+      run = (s, d) => {
+        val pairs = jaccardPairsCached(s, d).select(col("doc_a"), col("doc_b"))
+        val edges = graft.Checkpoints.localCheckpoint(
+          pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+            .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v"))))
+        val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        var rank = graft.Checkpoints.localCheckpoint(
+          deg.select(col("u").as("v"), lit(1000L).as("r")))
+        (1 to 5).foreach { _ =>
+          val contrib = edges
+            .join(deg, Seq("u"))
+            .join(rank.select(col("v").as("u"), col("r")), Seq("u"))
+            .withColumn("c", expr("r DIV d"))
+            .groupBy(col("v")).agg(sum(col("c")).as("s"))
+            .select(col("v"), expr("150L + (850 * s) DIV 1000").as("r"))
+          val next = graft.Checkpoints.localCheckpoint(contrib)
+          graft.Checkpoints.release(rank)
+          rank = next
+        }
+        rank.join(deg.select(col("u").as("v"), col("d").as("degree")), Seq("v"))
+          .select(col("v").as("doc_id"), col("degree"), col("r").as("rank_milli"))
+          .orderBy(col("rank_milli").desc, col("doc_id"))
+          .limit(20)
+      },
+      oracle = Some(s"""
+        WITH $jaccardCtes,
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM jac
+          UNION ALL
+          SELECT doc_b AS u, doc_a AS v FROM jac),
+        deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+        r0 AS (SELECT u AS v, CAST(1000 AS BIGINT) AS r FROM deg),
+        r1 AS (SELECT e.v, 150 + (850 * sum(r.r // deg.d)) // 1000 AS r
+               FROM edges e JOIN deg ON deg.u = e.u JOIN r0 r ON r.v = e.u GROUP BY e.v),
+        r2 AS (SELECT e.v, 150 + (850 * sum(r.r // deg.d)) // 1000 AS r
+               FROM edges e JOIN deg ON deg.u = e.u JOIN r1 r ON r.v = e.u GROUP BY e.v),
+        r3 AS (SELECT e.v, 150 + (850 * sum(r.r // deg.d)) // 1000 AS r
+               FROM edges e JOIN deg ON deg.u = e.u JOIN r2 r ON r.v = e.u GROUP BY e.v),
+        r4 AS (SELECT e.v, 150 + (850 * sum(r.r // deg.d)) // 1000 AS r
+               FROM edges e JOIN deg ON deg.u = e.u JOIN r3 r ON r.v = e.u GROUP BY e.v),
+        r5 AS (SELECT e.v, 150 + (850 * sum(r.r // deg.d)) // 1000 AS r
+               FROM edges e JOIN deg ON deg.u = e.u JOIN r4 r ON r.v = e.u GROUP BY e.v)
+        SELECT r5.v AS doc_id, CAST(deg.d AS BIGINT) AS degree,
+               CAST(r5.r AS BIGINT) AS rank_milli
+        FROM r5 JOIN deg ON deg.u = r5.v
+        ORDER BY rank_milli DESC, doc_id LIMIT 20"""),
+      doc = "integer-exact damped PageRank (5 rounds) over the near-dup " +
+        "graph: top-20 duplicate-structure hubs"),
+
     // Canonical selection — the dedup funnel's last step: within each
     // near-dup cluster keep ONE representative (longest doc wins, doc_id
     // breaks ties) and mark the rest for removal; unclustered docs are their

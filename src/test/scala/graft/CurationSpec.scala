@@ -191,6 +191,40 @@ class CurationSpec extends SparkSpec {
     assert(rows("fresh")._4 == 1000L && rows("fresh")._5 == 1000L)
   }
 
+  test("q152: PageRank equals a driver replay; a star center dominates its leaves") {
+    val pairs = SparkEntry.queries("q35_jaccard_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var rank: Map[Long, Long] = deg.keys.map(_ -> 1000L).toMap
+    (1 to 5).foreach { _ =>
+      rank = edges.groupBy(_._2).view.mapValues { ins =>
+        150L + 850L * ins.map { case (u, _) => rank(u) / deg(u) }.sum / 1000L
+      }.toMap
+    }
+    val expect = rank.toSeq.map { case (v, r) => (v, deg(v), r) }
+      .sortBy { case (v, _, r) => (-r, v) }.take(20)
+    val got = SparkEntry.queries("q152_pagerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"got=${got.take(3)} expect=${expect.take(3)}")
+    // structural sanity: a STAR center must outrank its leaves under this
+    // law (leaves split the center's mass k ways; the center collects k
+    // whole shares). The fixture graph is symmetric cliques/pairs (every
+    // node converges to ~1000), so prove the hub property on a driver
+    // replay of a constructed star instead of asserting it of the fixture.
+    val starEdges = (1L to 8L).flatMap(l => Seq((0L, l), (l, 0L)))
+    val sdeg = starEdges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var sr: Map[Long, Long] = sdeg.keys.map(_ -> 1000L).toMap
+    (1 to 5).foreach { _ =>
+      sr = starEdges.groupBy(_._2).view.mapValues { ins =>
+        150L + 850L * ins.map { case (u, _) => sr(u) / sdeg(u) }.sum / 1000L
+      }.toMap
+    }
+    assert(sr(0L) > (1L to 8L).map(sr).max,
+      s"star center does not dominate: $sr")
+  }
+
   test("q150: dense corpus forces false positives; measured FPR is exact") {
     import spark.implicits._
     // 40k docs -> ~35k member fingerprints -> per-row fill ~0.42 ->
