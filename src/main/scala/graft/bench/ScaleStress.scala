@@ -369,6 +369,32 @@ object ScaleStress {
       println("  pairs=" + graft.SparkEntry.queries("q138_winnowing")(spark, "/root/testdata/sf0.1").count())
     }
 
+    // Graph family on the 10×-duplicated corpus: the pair graph is ~250k
+    // edges (vs 256 plain) — q146's density rollup and q152's five
+    // PageRank rounds must scale with the GRAPH, not the corpus, and the
+    // staged pair table is built once for both (plus q81 before them).
+    t("q146 cluster density on 50k docs with 10x copies (250k-edge graph)") {
+      println("  rows=" + graft.SparkEntry.queries("q146_cluster_density")(spark, dir).count())
+    }
+    t("q152 PageRank, 5 rounds over the same 250k-edge graph") {
+      println("  rows=" + graft.SparkEntry.queries("q152_pagerank")(spark, dir).count())
+    }
+    t("q152 PageRank on the plain corpus (reference)") {
+      println("  rows=" + graft.SparkEntry.queries("q152_pagerank")(spark, "/root/testdata/sf0.1").count())
+    }
+    graft.queries.TextOps.releaseShingles()
+
+    // Collocation mining (q145) on the 10× corpus: counts scale 10× but
+    // CARDINALITIES don't (same vocab, same bigram domain) — the two aggs
+    // stay map-side combined into the same-sized tables, so wall time
+    // must grow far slower than rows scanned.
+    t("q145 collocations on 50k docs (vocab-bounded aggs)") {
+      println("  rows=" + graft.SparkEntry.queries("q145_collocations")(spark, dir).count())
+    }
+    t("q145 collocations on the plain corpus (reference)") {
+      println("  rows=" + graft.SparkEntry.queries("q145_collocations")(spark, "/root/testdata/sf0.1").count())
+    }
+
     anchor("end")
     spark.stop()
   }
