@@ -695,6 +695,66 @@ object Relational {
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
       doc = "bucketed co-located fact join: both sides bucket-sorted on " +
         "the join key, exchange-free join subtree (q03's law over a " +
-        "bucketed layout)")
+        "bucketed layout)"),
+
+    // Z-order layout curve — the multi-dimensional data-skipping layout
+    // (Delta/Iceberg OPTIMIZE ZORDER BY): q151's bucketing serves ONE
+    // join key; Z-ordering interleaves the bits of TWO normalized keys so
+    // rows sorted by the curve are local in BOTH dimensions at once, and
+    // file-level min/max stats prune on either predicate. The query
+    // computes the exact integer curve (range-normalize each key to 16
+    // bits off the table's own min/max, interleave via a fold — all
+    // engine-replayable arithmetic) and reports the top-4-bit curve
+    // buckets (a 4×4 grid) with each bucket's span in BOTH dimensions —
+    // the locality evidence: every bucket covers ~¼ of each key range,
+    // where a single-column sort bounds one dimension and leaves the
+    // other full-width (PlanSpec-style proof in the spec). 100 TB shape:
+    // min/max is one map-side-combined agg broadcast as 4 scalars; the
+    // curve is a narrow projection; the bucket rollup is a 16-group agg.
+    "q153_zorder_layout" -> Q(
+      run = (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        val bounds = li.agg(min(col("o")).as("omin"), max(col("o")).as("omax"),
+          min(col("p")).as("pmin"), max(col("p")).as("pmax"))
+        li.crossJoin(broadcast(bounds))
+          .withColumn("on16",
+            expr("CASE WHEN omax > omin THEN (o - omin) * 65535 DIV (omax - omin) ELSE 0 END"))
+          .withColumn("pn16",
+            expr("CASE WHEN pmax > pmin THEN (p - pmin) * 65535 DIV (pmax - pmin) ELSE 0 END"))
+          .withColumn("z", expr(
+            "aggregate(sequence(0, 15), 0L, (acc, j) -> acc" +
+              " + ((on16 DIV CAST(pow(2, j) AS BIGINT)) % 2) * CAST(pow(4, j) AS BIGINT)" +
+              " + ((pn16 DIV CAST(pow(2, j) AS BIGINT)) % 2) * 2 * CAST(pow(4, j) AS BIGINT))"))
+          .withColumn("bucket", expr("z DIV 268435456")) // top 4 of 32 bits
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("o")).as("o_min"), max(col("o")).as("o_max"),
+            min(col("p")).as("p_min"), max(col("p")).as("p_max"))
+          .orderBy("bucket")
+      },
+      oracle = Some("""
+        WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        b AS (SELECT min(o) AS omin, max(o) AS omax,
+                     min(p) AS pmin, max(p) AS pmax FROM li),
+        nz AS (
+          SELECT o, p,
+                 CASE WHEN omax > omin THEN (o - omin) * 65535 // (omax - omin) ELSE 0 END AS on16,
+                 CASE WHEN pmax > pmin THEN (p - pmin) * 65535 // (pmax - pmin) ELSE 0 END AS pn16
+          FROM li CROSS JOIN b),
+        zc AS (
+          SELECT o, p,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(0, 16), j ->
+                     ((on16 // CAST(pow(2, j) AS BIGINT)) % 2) * CAST(pow(4, j) AS BIGINT)
+                     + ((pn16 // CAST(pow(2, j) AS BIGINT)) % 2) * 2 * CAST(pow(4, j) AS BIGINT))),
+                   (acc, x) -> acc + x) AS z
+          FROM nz)
+        SELECT z // 268435456 AS bucket, count(*) AS n,
+               min(o) AS o_min, max(o) AS o_max,
+               min(p) AS p_min, max(p) AS p_max
+        FROM zc GROUP BY 1 ORDER BY bucket"""),
+      doc = "Z-order curve layout: exact integer bit-interleave of two " +
+        "range-normalized keys, per-curve-bucket spans in both dimensions")
   )
 }

@@ -162,6 +162,39 @@ class PropertySpec extends SparkSpec {
     assert(got.find(_._1 == 10L).exists(_._4 == 1000L))
   }
 
+  test("q153 z-order buckets bound BOTH dims; single-column sort bounds one") {
+    val sf001 = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q153_zorder_layout")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 16)
+    val oSpanFull = rows.map(_._4).max - rows.map(_._3).min
+    val pSpanFull = rows.map(_._6).max - rows.map(_._5).min
+    rows.foreach { case (b, _, omin, omax, pmin, pmax) =>
+      // the 4x4 grid: each bucket covers ~1/4 of each dimension (slack for
+      // the integer normalization boundaries)
+      assert((omax - omin) * 10 <= oSpanFull * 3,
+        s"bucket $b o-span ${omax - omin} not local vs $oSpanFull")
+      assert((pmax - pmin) * 10 <= pSpanFull * 3,
+        s"bucket $b p-span ${pmax - pmin} not local vs $pSpanFull")
+    }
+    // contrast: bucket the same table by a SINGLE-column sort (16 equal
+    // o-ranges) — the second dimension stays full-width in every bucket,
+    // which is exactly what z-ordering fixes
+    val li = graft.Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (oMin, oMax) = (li.map(_._1).min, li.map(_._1).max)
+    val single = li.groupBy { case (o, _) =>
+      math.min(15L, (o - oMin) * 16 / math.max(oMax - oMin, 1)) }
+    val wideP = single.values.count { g =>
+      val ps = g.map(_._2)
+      (ps.max - ps.min) * 10 > pSpanFull * 8
+    }
+    assert(wideP >= 14,
+      s"single-column sort unexpectedly bounded p in ${16 - wideP} buckets")
+  }
+
   test("q143 contract audit catches planted corruption") {
     // copy the sf0.001 warehouse, then corrupt it: duplicate a customer
     // key, orphan an order, delete an embedding — every planted defect
