@@ -755,6 +755,124 @@ object Relational {
                min(p) AS p_min, max(p) AS p_max
         FROM zc GROUP BY 1 ORDER BY bucket"""),
       doc = "Z-order curve layout: exact integer bit-interleave of two " +
-        "range-normalized keys, per-curve-bucket spans in both dimensions")
+        "range-normalized keys, per-curve-bucket spans in both dimensions"),
+
+    // Column statistics profile — the ANALYZE TABLE surface (null counts,
+    // exact NDV, value range per column) that feeds cost-based planning
+    // and data-quality monitoring; q143 audits CONTRACTS, this profiles
+    // DISTRIBUTIONS. Exact NDV per column so the oracle replays it (the
+    // approximate path at 100 TB is q54's HLL — this is its exact twin,
+    // and Spark's expand-based multi-distinct is one logical pass).
+    // Numeric/key columns of the fact table; ranges surfaced as DOUBLE
+    // (exact for the integer-valued fixture domain).
+    "q154_column_profile" -> Q(
+      run = (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_linenumber", "l_quantity", "l_discount", "l_tax")
+        cols.map { c =>
+          li.agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+            countDistinct(col(c)).as("n_distinct"),
+            min(col(c)).cast("double").as("v_min"),
+            max(col(c)).cast("double").as("v_max"))
+            .select(lit(c).as("column"), col("n_rows"),
+              coalesce(col("n_nulls"), lit(0L)).as("n_nulls"),
+              col("n_distinct"), col("v_min"), col("v_max"))
+        }.reduce(_ unionByName _).orderBy("column")
+      },
+      oracle = Some("""
+        SELECT * FROM (
+          SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+                 CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                 count(DISTINCT l_orderkey) AS n_distinct,
+                 CAST(min(l_orderkey) AS DOUBLE) AS v_min, CAST(max(l_orderkey) AS DOUBLE) AS v_max
+          FROM lineitem
+          UNION ALL SELECT 'l_partkey', count(*),
+                 CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 count(DISTINCT l_partkey),
+                 CAST(min(l_partkey) AS DOUBLE), CAST(max(l_partkey) AS DOUBLE) FROM lineitem
+          UNION ALL SELECT 'l_suppkey', count(*),
+                 CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 count(DISTINCT l_suppkey),
+                 CAST(min(l_suppkey) AS DOUBLE), CAST(max(l_suppkey) AS DOUBLE) FROM lineitem
+          UNION ALL SELECT 'l_linenumber', count(*),
+                 CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 count(DISTINCT l_linenumber),
+                 CAST(min(l_linenumber) AS DOUBLE), CAST(max(l_linenumber) AS DOUBLE) FROM lineitem
+          UNION ALL SELECT 'l_quantity', count(*),
+                 CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 count(DISTINCT l_quantity),
+                 CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE) FROM lineitem
+          UNION ALL SELECT 'l_discount', count(*),
+                 CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 count(DISTINCT l_discount),
+                 CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE) FROM lineitem
+          UNION ALL SELECT 'l_tax', count(*),
+                 CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 count(DISTINCT l_tax),
+                 CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE) FROM lineitem
+        ) ORDER BY "column""""),
+      doc = "column statistics profile: nulls, exact NDV, value range per " +
+        "fact-table column (the ANALYZE surface; q54's HLL is the " +
+        "approximate path at scale)"),
+
+    // Consistent cross-table sampling — how a dev/test dataset is cut from
+    // a 100 TB warehouse WITHOUT breaking referential integrity: sampling
+    // each table independently orphans ~90% of child rows, so the sample
+    // decision is a deterministic hash of the PARENT key (orders whose
+    // o_orderkey mod-10 bucket is 0) and children follow their parent —
+    // the q85 hash-split discipline applied across an FK edge. Reports
+    // the sampled row counts and the per-priority distribution of the
+    // sample vs the full table in ppm (the fidelity check that the
+    // hash sample is unbiased). Shapes: the child side follows via a
+    // key-bucket FILTER (no join needed — the child carries the parent
+    // key), aggregation map-side combined.
+    "q155_consistent_sample" -> Q(
+      run = (s, d) => {
+        val keep = (k: Column) => pmod(k, lit(10L)) === 0
+        val so = Tables.orders(s, d).filter(keep(col("o_orderkey")))
+        val sl = Tables.lineitem(s, d).filter(keep(col("l_orderkey")))
+        val counts = so.agg(count(lit(1)).as("n_orders"))
+          .crossJoin(broadcast(sl.agg(count(lit(1)).as("n_lineitems"))))
+        val fullP = Tables.orders(s, d).groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_full"))
+        val sampP = so.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_samp"))
+        val ft = Tables.orders(s, d).agg(count(lit(1)).as("t_full"))
+        fullP.join(sampP, Seq("o_orderpriority"), "left")
+          .withColumn("n_samp", coalesce(col("n_samp"), lit(0L)))
+          .crossJoin(broadcast(ft))
+          .crossJoin(broadcast(counts))
+          .select(col("o_orderpriority"),
+            col("n_orders"), col("n_lineitems"),
+            col("n_full"), col("n_samp"),
+            expr("n_full * 1000000 DIV t_full").as("full_ppm"),
+            expr("CASE WHEN n_orders > 0 THEN n_samp * 1000000 DIV n_orders ELSE 0 END")
+              .as("samp_ppm"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        WITH so AS (SELECT * FROM orders WHERE o_orderkey % 10 = 0),
+        sl AS (SELECT * FROM lineitem WHERE l_orderkey % 10 = 0),
+        c AS (SELECT (SELECT count(*) FROM so) AS n_orders,
+                     (SELECT count(*) FROM sl) AS n_lineitems,
+                     (SELECT count(*) FROM orders) AS t_full),
+        fp AS (SELECT o_orderpriority, count(*) AS n_full FROM orders GROUP BY 1),
+        sp AS (SELECT o_orderpriority, count(*) AS n_samp FROM so GROUP BY 1)
+        SELECT fp.o_orderpriority,
+               CAST(c.n_orders AS BIGINT) AS n_orders,
+               CAST(c.n_lineitems AS BIGINT) AS n_lineitems,
+               CAST(fp.n_full AS BIGINT) AS n_full,
+               CAST(coalesce(sp.n_samp, 0) AS BIGINT) AS n_samp,
+               CAST(fp.n_full * 1000000 // c.t_full AS BIGINT) AS full_ppm,
+               CAST(CASE WHEN c.n_orders > 0
+                    THEN coalesce(sp.n_samp, 0) * 1000000 // c.n_orders
+                    ELSE 0 END AS BIGINT) AS samp_ppm
+        FROM fp LEFT JOIN sp USING (o_orderpriority) CROSS JOIN c
+        ORDER BY o_orderpriority"""),
+      doc = "consistent cross-table hash sample (children follow the " +
+        "parent key): counts + per-priority sample-fidelity in ppm")
   )
 }

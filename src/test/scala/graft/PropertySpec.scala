@@ -195,6 +195,29 @@ class PropertySpec extends SparkSpec {
       s"single-column sort unexpectedly bounded p in ${16 - wideP} buckets")
   }
 
+  test("q155 sample has no orphans and keeps every child of a kept parent") {
+    val sf001 = "/root/testdata/sf0.001"
+    val keptOrders = graft.Tables.orders(spark, sf001)
+      .filter(pmod(col("o_orderkey"), lit(10L)) === 0)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val keptLines = graft.Tables.lineitem(spark, sf001)
+      .filter(pmod(col("l_orderkey"), lit(10L)) === 0)
+      .select("l_orderkey").collect().map(_.getLong(0))
+    assert(keptLines.nonEmpty && keptOrders.nonEmpty)
+    // no orphan children: every sampled line's parent is in the sample
+    assert(keptLines.forall(keptOrders.contains), "sample orphaned a child")
+    // completeness: every line of a kept order is kept (the filter is a
+    // pure function of the parent key, so nothing else can be dropped)
+    val allLinesOfKept = graft.Tables.lineitem(spark, sf001)
+      .filter(col("l_orderkey").isin(keptOrders.toSeq: _*)).count()
+    assert(allLinesOfKept == keptLines.length.toLong)
+    // and the q155 report's counts agree
+    val r = SparkEntry.queries("q155_consistent_sample")(spark, sf001)
+      .collect()(0)
+    assert(r.getLong(1) == keptOrders.size.toLong)
+    assert(r.getLong(2) == keptLines.length.toLong)
+  }
+
   test("q143 contract audit catches planted corruption") {
     // copy the sf0.001 warehouse, then corrupt it: duplicate a customer
     // key, orphan an order, delete an embedding — every planted defect
