@@ -1842,6 +1842,46 @@ object TextOps {
       doc = "integer-exact damped PageRank (5 rounds) over the near-dup " +
         "graph: top-20 duplicate-structure hubs"),
 
+    // Incremental rollup maintenance — the materialized-view pattern that
+    // makes corpus statistics affordable at 100 TB: the per-source rollup
+    // is computed as a MERGE of two independently-aggregated partial
+    // states (even/odd doc ids standing in for yesterday's materialized
+    // state + today's delta), never by rescanning the union. All stats
+    // are algebraic (count/sum/min/max merge associatively), so the merge
+    // is exact — and the PROOF is the oracle gate itself: DuckDB computes
+    // the rollup directly from the full table, so the hash match IS the
+    // merge≡full theorem on real data. Shapes: each partial is one
+    // map-side-combined agg; the merge re-aggregates |sources|×2 rows of
+    // metadata.
+    "q156_incremental_rollup" -> Q(
+      run = (s, d) => {
+        def partial(pred: Column): DataFrame =
+          Tables.documents(s, d).filter(pred)
+            .select(col("source"),
+              size(split(col("text"), " ", -1)).cast("long").as("n_tok"),
+              col("n_chars"))
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("docs"), sum(col("n_tok")).as("toks"),
+              min(col("n_chars")).as("min_chars"),
+              max(col("n_chars")).as("max_chars"))
+        val merged = partial(col("doc_id") % 2 === 0)
+          .unionByName(partial(col("doc_id") % 2 =!= 0))
+          .groupBy(col("source"))
+          .agg(sum(col("docs")).as("docs"), sum(col("toks")).as("toks"),
+            min(col("min_chars")).as("min_chars"),
+            max(col("max_chars")).as("max_chars"))
+        merged.orderBy("source")
+      },
+      oracle = Some("""
+        SELECT source, count(*) AS docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM documents GROUP BY source ORDER BY source"""),
+      doc = "incremental rollup maintenance: merge of two partial " +
+        "aggregate states == direct full rollup (the oracle gate is the " +
+        "algebraic-merge proof)"),
+
     // Canonical selection — the dedup funnel's last step: within each
     // near-dup cluster keep ONE representative (longest doc wins, doc_id
     // breaks ties) and mark the rest for removal; unclustered docs are their
