@@ -722,10 +722,18 @@ object Relational {
             expr("CASE WHEN omax > omin THEN (o - omin) * 65535 DIV (omax - omin) ELSE 0 END"))
           .withColumn("pn16",
             expr("CASE WHEN pmax > pmin THEN (p - pmin) * 65535 DIV (pmax - pmin) ELSE 0 END"))
-          .withColumn("z", expr(
-            "aggregate(sequence(0, 15), 0L, (acc, j) -> acc" +
-              " + ((on16 DIV CAST(pow(2, j) AS BIGINT)) % 2) * CAST(pow(4, j) AS BIGINT)" +
-              " + ((pn16 DIV CAST(pow(2, j) AS BIGINT)) % 2) * 2 * CAST(pow(4, j) AS BIGINT))"))
+          // bit-spread interleave (the classic magic-mask identity) instead
+          // of a 16-step HOF fold: the fold ran interpreted per element and
+          // cost ~10s at sf0.1; these stay inside whole-stage codegen
+          .withColumn("zo", expr("(on16 | shiftleft(on16, 8)) & 16711935"))
+          .withColumn("zo", expr("(zo | shiftleft(zo, 4)) & 252645135"))
+          .withColumn("zo", expr("(zo | shiftleft(zo, 2)) & 858993459"))
+          .withColumn("zo", expr("(zo | shiftleft(zo, 1)) & 1431655765"))
+          .withColumn("zp", expr("(pn16 | shiftleft(pn16, 8)) & 16711935"))
+          .withColumn("zp", expr("(zp | shiftleft(zp, 4)) & 252645135"))
+          .withColumn("zp", expr("(zp | shiftleft(zp, 2)) & 858993459"))
+          .withColumn("zp", expr("(zp | shiftleft(zp, 1)) & 1431655765"))
+          .withColumn("z", expr("zo | shiftleft(zp, 1)"))
           .withColumn("bucket", expr("z DIV 268435456")) // top 4 of 32 bits
           .groupBy(col("bucket"))
           .agg(count(lit(1)).as("n"),
@@ -742,14 +750,16 @@ object Relational {
                  CASE WHEN omax > omin THEN (o - omin) * 65535 // (omax - omin) ELSE 0 END AS on16,
                  CASE WHEN pmax > pmin THEN (p - pmin) * 65535 // (pmax - pmin) ELSE 0 END AS pn16
           FROM li CROSS JOIN b),
-        zc AS (
-          SELECT o, p,
-                 list_reduce(list_prepend(CAST(0 AS BIGINT),
-                   list_transform(range(0, 16), j ->
-                     ((on16 // CAST(pow(2, j) AS BIGINT)) % 2) * CAST(pow(4, j) AS BIGINT)
-                     + ((pn16 // CAST(pow(2, j) AS BIGINT)) % 2) * 2 * CAST(pow(4, j) AS BIGINT))),
-                   (acc, x) -> acc + x) AS z
-          FROM nz)
+        z1 AS (
+          SELECT o, p, (on16 | (on16 << 8)) & 16711935 AS zo,
+                       (pn16 | (pn16 << 8)) & 16711935 AS zp FROM nz),
+        z2 AS (SELECT o, p, (zo | (zo << 4)) & 252645135 AS zo,
+                            (zp | (zp << 4)) & 252645135 AS zp FROM z1),
+        z3 AS (SELECT o, p, (zo | (zo << 2)) & 858993459 AS zo,
+                            (zp | (zp << 2)) & 858993459 AS zp FROM z2),
+        z4 AS (SELECT o, p, (zo | (zo << 1)) & 1431655765 AS zo,
+                            (zp | (zp << 1)) & 1431655765 AS zp FROM z3),
+        zc AS (SELECT o, p, zo | (zp << 1) AS z FROM z4)
         SELECT z // 268435456 AS bucket, count(*) AS n,
                min(o) AS o_min, max(o) AS o_max,
                min(p) AS p_min, max(p) AS p_max
