@@ -519,6 +519,68 @@ object Events {
         FROM events e JOIN t USING (event_type)
         GROUP BY e.event_type, CAST(e.ts AS DATE), t.n_type_total
         ORDER BY event_type, day"""),
-      doc = "profile-driven salted dimension join (saltedJoinAuto end-to-end)")
+      doc = "profile-driven salted dimension join (saltedJoinAuto end-to-end)"),
+
+    // Event-time lateness monitor — the signal that SIZES the streaming
+    // watermarks (q42/q64 hardcode "1 hour"; this measures what the data
+    // actually needs): per event type, how far its event-time frontier
+    // trails the global frontier (frontier lag), and the inter-arrival
+    // p95 within the type (integer-second percentile by the exact rank
+    // law) — together the evidence for "is 1 hour of state enough, and
+    // for which types". 100 TB shape: frontier lag is one map-side agg +
+    // 1-row broadcast; inter-arrival deltas are a per-type-ordered window
+    // (keyed shuffle) with the p95 an exact rank pick per type.
+    "q157_event_lag" -> Q(
+      run = (s, d) => {
+        val ev = graft.Tables.events(s, d)
+          .select(col("event_type"), col("ts").cast("long").as("sec"))
+        val frontier = ev.agg(max(col("sec")).as("gmax"))
+        val perType = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), max(col("sec")).as("tmax"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("sec"))
+        val deltas = ev
+          .withColumn("prev", lag(col("sec"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .withColumn("gap", col("sec") - col("prev"))
+        val wRank = Window.partitionBy(col("event_type")).orderBy(col("gap"))
+        val p95 = deltas
+          .withColumn("rnk", row_number().over(wRank).cast("long"))
+          .withColumn("m", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+          // exact upper p95: the ceil(0.95·m)-th smallest gap
+          .filter(col("rnk") === expr("CAST(ceil(0.95 * m) AS BIGINT)"))
+          .select(col("event_type"), col("gap").as("p95_gap_s"))
+        perType.crossJoin(broadcast(frontier))
+          .withColumn("frontier_lag_s", col("gmax") - col("tmax"))
+          .join(p95, Seq("event_type"))
+          .select(col("event_type"), col("n"), col("frontier_lag_s"),
+            col("p95_gap_s"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+          FROM events),
+        g AS (SELECT max(sec) AS gmax FROM ev),
+        t AS (SELECT event_type, count(*) AS n, max(sec) AS tmax
+              FROM ev GROUP BY event_type),
+        d AS (
+          SELECT event_type,
+                 sec - lag(sec) OVER (PARTITION BY event_type ORDER BY sec) AS gap
+          FROM ev),
+        dd AS (SELECT event_type, gap FROM d WHERE gap IS NOT NULL),
+        r AS (
+          SELECT event_type, gap,
+                 row_number() OVER (PARTITION BY event_type ORDER BY gap) AS rnk,
+                 count(*) OVER (PARTITION BY event_type) AS m
+          FROM dd),
+        p AS (SELECT event_type, gap AS p95_gap_s FROM r
+              WHERE rnk = CAST(ceil(0.95 * m) AS BIGINT))
+        SELECT t.event_type, CAST(t.n AS BIGINT) AS n,
+               CAST(g.gmax - t.tmax AS BIGINT) AS frontier_lag_s,
+               CAST(p.p95_gap_s AS BIGINT) AS p95_gap_s
+        FROM t CROSS JOIN g JOIN p USING (event_type)
+        ORDER BY event_type"""),
+      doc = "event-time lateness monitor: per-type frontier lag + exact " +
+        "p95 inter-arrival gap (the watermark-sizing evidence)")
   )
 }
