@@ -1882,6 +1882,45 @@ object TextOps {
         "aggregate states == direct full rollup (the oracle gate is the " +
         "algebraic-merge proof)"),
 
+    // Deletion-vector read path — merge-on-read soft deletes (the
+    // Delta/Iceberg deletion-vector mechanic, and the shape of a GDPR
+    // erasure pipeline): the base table is never rewritten; a small
+    // tombstone set (here the deterministic doc_id ≡ 0 mod 13 slice,
+    // standing in for an erasure-request table) is applied AT READ TIME
+    // as an anti-join. Reports the per-source serve/delete accounting —
+    // and the law "no tombstoned row is ever served" is enforced by the
+    // arithmetic (n_served + n_deleted = n_total per source, oracle-
+    // checked). 100 TB shape: tombstones are request-proportional, ride a
+    // broadcast anti-join (a bloom pre-filter past broadcast size — the
+    // q95 pattern); the base table streams in place, zero rewrite.
+    "q158_deletion_vectors" -> Q(
+      run = (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        val tombstones = docs.filter(col("doc_id") % 13 === 0)
+          .select(col("doc_id"))
+        val served = docs.join(broadcast(tombstones), Seq("doc_id"), "left_anti")
+        docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+          .join(served.groupBy(col("source")).agg(count(lit(1)).as("n_served")),
+            Seq("source"), "left")
+          .withColumn("n_served", coalesce(col("n_served"), lit(0L)))
+          .withColumn("n_deleted", col("n_total") - col("n_served"))
+          .select(col("source"), col("n_total"), col("n_served"), col("n_deleted"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH tomb AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 0),
+        srv AS (
+          SELECT d.source, count(*) AS n_served
+          FROM documents d ANTI JOIN tomb ON d.doc_id = tomb.doc_id
+          GROUP BY d.source)
+        SELECT d.source, count(*) AS n_total,
+               CAST(coalesce(max(srv.n_served), 0) AS BIGINT) AS n_served,
+               CAST(count(*) - coalesce(max(srv.n_served), 0) AS BIGINT) AS n_deleted
+        FROM documents d LEFT JOIN srv ON srv.source = d.source
+        GROUP BY d.source ORDER BY d.source"""),
+      doc = "deletion-vector read path: broadcast anti-join soft deletes " +
+        "with per-source serve/delete accounting (zero base rewrite)"),
+
     // Canonical selection — the dedup funnel's last step: within each
     // near-dup cluster keep ONE representative (longest doc wins, doc_id
     // breaks ties) and mark the rest for removal; unclustered docs are their
