@@ -1921,6 +1921,66 @@ object TextOps {
       doc = "deletion-vector read path: broadcast anti-join soft deletes " +
         "with per-source serve/delete accounting (zero base rewrite)"),
 
+    // Cross-validation fold-leakage audit — the eval-hygiene measurement
+    // behind "always fold by CONTENT hash, never by row id": exact-dup
+    // groups (q34's normalized-hash law) that span multiple folds leak
+    // training text into validation. Both fold schemes are computed side
+    // by side — content-hash folds (pmod(charHash, 5): a duplicate group
+    // shares one hash, so it CANNOT split — zero leakage by construction)
+    // vs row-id folds (doc_id mod 5: duplicates scatter) — and the report
+    // quantifies the difference on the same corpus. 100 TB shape: one
+    // fingerprint-keyed map-side-combined agg; folds are arithmetic on
+    // the group key / member ids, no extra shuffle.
+    "q159_fold_leakage" -> Q(
+      run = (s, d) => {
+        val hashed = Tables.documents(s, d)
+          .select(col("doc_id"),
+            charHash(normalizeText(col("text"))).as("fp"))
+        val groups = hashed.groupBy(col("fp"))
+          .agg(count(lit(1)).as("gsize"),
+            countDistinct(pmod(col("fp"), lit(5L))).as("folds_hash"),
+            countDistinct(pmod(col("doc_id"), lit(5L))).as("folds_id"))
+          .filter(col("gsize") >= 2)
+        val schemes = Seq(
+          ("content_hash", col("folds_hash")),
+          ("doc_id", col("folds_id")))
+        schemes.map { case (name, foldsCol) =>
+          groups.agg(
+            count(lit(1)).as("n_dup_groups"),
+            sum(when(foldsCol > 1, 1L).otherwise(0L)).as("n_leaky_groups"),
+            sum(when(foldsCol > 1, col("gsize")).otherwise(0L)).as("n_docs_leaky"))
+            .select(lit(name).as("scheme"), col("n_dup_groups"),
+              coalesce(col("n_leaky_groups"), lit(0L)).as("n_leaky_groups"),
+              coalesce(col("n_docs_leaky"), lit(0L)).as("n_docs_leaky"))
+        }.reduce(_ unionByName _).orderBy("scheme")
+      },
+      oracle = Some(s"""
+        WITH hashed AS (
+          SELECT doc_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),''),
+                c -> CAST(ascii(c) AS BIGINT))),
+              (acc, c) -> (acc * 31 + c) % $P) AS fp
+          FROM documents),
+        g AS (
+          SELECT fp, count(*) AS gsize,
+                 count(DISTINCT fp % 5) AS folds_hash,
+                 count(DISTINCT doc_id % 5) AS folds_id
+          FROM hashed GROUP BY fp HAVING count(*) >= 2)
+        SELECT * FROM (
+          SELECT 'content_hash' AS scheme, count(*) AS n_dup_groups,
+                 CAST(coalesce(sum(CASE WHEN folds_hash > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_leaky_groups,
+                 CAST(coalesce(sum(CASE WHEN folds_hash > 1 THEN gsize ELSE 0 END), 0) AS BIGINT) AS n_docs_leaky
+          FROM g
+          UNION ALL
+          SELECT 'doc_id', count(*),
+                 CAST(coalesce(sum(CASE WHEN folds_id > 1 THEN 1 ELSE 0 END), 0) AS BIGINT),
+                 CAST(coalesce(sum(CASE WHEN folds_id > 1 THEN gsize ELSE 0 END), 0) AS BIGINT)
+          FROM g)
+        ORDER BY scheme"""),
+      doc = "cross-validation fold-leakage audit: exact-dup groups split " +
+        "across folds under content-hash vs row-id fold assignment"),
+
     // Canonical selection — the dedup funnel's last step: within each
     // near-dup cluster keep ONE representative (longest doc wins, doc_id
     // breaks ties) and mark the rest for removal; unclustered docs are their

@@ -191,6 +191,29 @@ class CurationSpec extends SparkSpec {
     assert(rows("fresh")._4 == 1000L && rows("fresh")._5 == 1000L)
   }
 
+  test("q159: content-hash folds never leak; row-id folds provably do") {
+    import spark.implicits._
+    // 30 dup groups of size 3 with consecutive ids (0,1,2 -> three folds
+    // under id%5) + clean singletons: id folds MUST leak every group,
+    // content folds none
+    val docs = (0 until 30).flatMap { g =>
+      val text = s"duplicate group $g payload " + ("x " * (g % 7 + 3)).trim
+      (0 until 3).map(j => ((g * 3 + j).toLong, text))
+    } ++ (90 until 130).map(i => (i.toLong, s"unique doc $i"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_fold").toString
+    docs.map { case (id, t) => (id, t, "en", "srcF", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q159_fold_leakage")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // the structural law: a dup group shares ONE content hash, so the
+    // content-hash fold of every member is identical — leakage 0 always
+    assert(rows("content_hash") == ((30L, 0L, 0L)), s"${rows("content_hash")}")
+    // consecutive-id triples span 3 distinct id-folds — every group leaks
+    assert(rows("doc_id") == ((30L, 30L, 90L)), s"${rows("doc_id")}")
+  }
+
   test("q152: PageRank equals a driver replay; a star center dominates its leaves") {
     val pairs = SparkEntry.queries("q35_jaccard_pairs")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
