@@ -522,7 +522,7 @@ object TextOps {
   }
 
   /** Shared CTE block ending in `jac` = the thresholded Jaccard pairs. */
-  private val jaccardCtes = """t AS (
+  private[queries] val jaccardCtes = """t AS (
       SELECT doc_id, string_split(text, ' ') AS toks
       FROM documents),
     sh AS (

@@ -1461,7 +1461,79 @@ object Vectors {
         FROM intra i JOIN near USING (label)
         ORDER BY label"""),
       doc = "embedding-space label separability: per-label member-to-" +
-        "centroid cohesion vs nearest-other-centroid confusability + margin")
+        "centroid cohesion vs nearest-other-centroid confusability + margin"),
+
+    // Lexical↔semantic dedup agreement — the multi-signal calibration
+    // every dedup deployment runs before trusting either channel alone:
+    // on the id universe where BOTH signals exist (docs that carry a
+    // nonzero embedding), compare the q35 text-Jaccard pair set against
+    // the q38 embedding-cosine pair set — pairs both flag, text-only
+    // (verbatim copies whose embeddings drifted), embedding-only
+    // (paraphrases lexical overlap misses), and the pair-set Jaccard
+    // agreement in milli. Reuses both registered queries verbatim (their
+    // staged caches do the heavy lifting); the matrix itself is
+    // pair-set-proportional metadata. 100 TB: both inputs are the
+    // candidate-bounded pipelines already proven; the agreement join is
+    // dup-proportional × dup-proportional on the pair key.
+    "q160_dedup_agreement" -> Q(
+      run = (s, d) => {
+        val u = Tables.documents(s, d).select(col("doc_id").as("id"))
+          .join(vecs(s, d).select(col("vec_id").as("id")), Seq("id"))
+        def restrict(df: DataFrame): DataFrame = df
+          .join(u.withColumnRenamed("id", "a"), Seq("a"))
+          .join(u.withColumnRenamed("id", "b"), Seq("b"))
+        val tp = restrict(graft.queries.TextOps.qs("q35_jaccard_pairs")
+          .run(s, d).select(col("doc_a").as("a"), col("doc_b").as("b")))
+          .withColumn("t", lit(1L))
+        val ep = restrict(Vectors.qs("q38_cosine_neardup")
+          .run(s, d).select(col("vec_a").as("a"), col("vec_b").as("b")))
+          .withColumn("e", lit(1L))
+        tp.join(ep, Seq("a", "b"), "full_outer")
+          .agg(
+            coalesce(sum(col("t")), lit(0L)).as("n_text"),
+            coalesce(sum(col("e")), lit(0L)).as("n_emb"),
+            coalesce(sum(when(col("t").isNotNull && col("e").isNotNull, 1L)
+              .otherwise(0L)), lit(0L)).as("n_both"))
+          .select(col("n_text"), col("n_emb"), col("n_both"),
+            (col("n_text") - col("n_both")).as("n_text_only"),
+            (col("n_emb") - col("n_both")).as("n_emb_only"),
+            expr("CASE WHEN n_text + n_emb - n_both > 0 THEN " +
+              "n_both * 1000 DIV (n_text + n_emb - n_both) ELSE 0 END")
+              .as("agreement_milli"))
+      },
+      oracle = Some(s"""
+        WITH ${graft.queries.TextOps.jaccardCtes},
+        v AS (
+          SELECT * FROM (
+            SELECT vec_id, label, embedding, ${sqlNorm2("embedding")} AS n2
+            FROM embeddings) WHERE n2 > 0),
+        u AS (
+          SELECT d.doc_id AS id FROM documents d
+          JOIN v ON v.vec_id = d.doc_id),
+        tp AS (
+          SELECT j.doc_a AS a, j.doc_b AS b FROM jac j
+          JOIN u ua ON ua.id = j.doc_a JOIN u ub ON ub.id = j.doc_b),
+        ep AS (
+          SELECT x.vec_id AS a, y.vec_id AS b
+          FROM v x JOIN v y ON x.vec_id < y.vec_id
+          JOIN u ua ON ua.id = x.vec_id JOIN u ub ON ub.id = y.vec_id
+          WHERE ${sqlDot("x.embedding", "y.embedding")} / (sqrt(x.n2) * sqrt(y.n2)) >= 0.45),
+        m AS (
+          SELECT (SELECT count(*) FROM tp) AS n_text,
+                 (SELECT count(*) FROM ep) AS n_emb,
+                 (SELECT count(*) FROM tp SEMI JOIN ep ON tp.a = ep.a AND tp.b = ep.b) AS n_both)
+        SELECT CAST(n_text AS BIGINT) AS n_text,
+               CAST(n_emb AS BIGINT) AS n_emb,
+               CAST(n_both AS BIGINT) AS n_both,
+               CAST(n_text - n_both AS BIGINT) AS n_text_only,
+               CAST(n_emb - n_both AS BIGINT) AS n_emb_only,
+               CAST(CASE WHEN n_text + n_emb - n_both > 0
+                    THEN n_both * 1000 // (n_text + n_emb - n_both)
+                    ELSE 0 END AS BIGINT) AS agreement_milli
+        FROM m"""),
+      doc = "lexical vs semantic dedup agreement matrix on the shared id " +
+        "universe: both / text-only / embedding-only pair counts + " +
+        "pair-set Jaccard in milli")
   )
 
   /** Prototype-based data pruning (Sorscher et al. 2022) over an arbitrary

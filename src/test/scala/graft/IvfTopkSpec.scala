@@ -82,6 +82,50 @@ class IvfTopkSpec extends SparkSpec {
     }
   }
 
+  test("q160: agreement matrix fills all three cells on an aligned corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val dim = 64
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextFloat() * 2 - 1)
+    }
+    val longText = (0 until 40).map(j => s"t$j").mkString(" ")
+    val para = (0 until 40).map(j => s"p$j").mkString(" ") // distinct words
+    // ids 0,1: same text AND same embedding  -> both channels flag
+    // ids 2,3: same text, orthogonal-ish embeddings -> text-only
+    // ids 4,5: "paraphrase": different words, same embedding -> emb-only
+    // ids 6..25: unique text, unique embeddings -> neither
+    val docs = Seq(
+      (0L, longText), (1L, longText),
+      (2L, longText + " zzz extra"), (3L, longText + " zzz extra"),
+      (4L, para), (5L, (0 until 40).map(j => s"q$j").mkString(" "))) ++
+      (6L until 26L).map(i => (i, (0 until 30).map(j => s"u${i}_$j").mkString(" ")))
+    val embs = Seq(
+      (0L, vec(100)), (1L, vec(100)),
+      (2L, vec(200)), (3L, vec(300)),
+      (4L, vec(400)), (5L, vec(400))) ++
+      (6L until 26L).map(i => (i, vec(1000 + i.toInt)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_agree").toString
+    docs.map { case (id, t) => (id, t, "en", "srcA", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    embs.map { case (id, v) => (id, v, (id % 3).toInt) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = SparkEntry.queries("q160_dedup_agreement")(spark, dir).collect()(0)
+    val (nt, ne, nb, nto, neo) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    // (0,1) both; (2,3) text-only; (4,5) emb-only — plus whatever the
+    // random vectors coincidentally flag (cos >= 0.45 is possible but
+    // bounded); the PLANTED structure must be present
+    assert(nb >= 1L, s"planted both-pair missed: $r")
+    assert(nto >= 1L, s"planted text-only pair missed: $r")
+    assert(neo >= 1L, s"planted emb-only pair missed: $r")
+    assert(nt == nb + nto && ne == nb + neo)
+    assert(r.getLong(5) == nb * 1000 / (nt + ne - nb))
+  }
+
   test("probe join is broadcast and cluster-keyed, never a corpus shuffle") {
     val df = SparkEntry.queries("q111_ivf_topk")(spark, sf)
     df.collect() // AQE-final plan
