@@ -581,6 +581,48 @@ object Events {
         FROM t CROSS JOIN g JOIN p USING (event_type)
         ORDER BY event_type"""),
       doc = "event-time lateness monitor: per-type frontier lag + exact " +
-        "p95 inter-arrival gap (the watermark-sizing evidence)")
+        "p95 inter-arrival gap (the watermark-sizing evidence)"),
+
+    // Weekly exact-percentile trend — the monitoring time series behind
+    // "did the value distribution move this week?": per ISO week, the
+    // exact p50/p95 of the event value by the rank law (the ceil(q·n)-th
+    // smallest, event_id breaking value ties) — q69's exact-percentile
+    // discipline applied per time bucket, no sketch, no interpolation,
+    // so the picked values are raw input values and hash bit-exactly.
+    // 100 TB shape: one keyed shuffle on (week), rank windows bounded per
+    // week; at extreme per-week volume the same law rides totalRank per
+    // bucket (the q144 machinery) — documented seam, not needed while a
+    // week fits a partition set.
+    "q161_weekly_percentiles" -> Q(
+      run = (s, d) => {
+        val ev = graft.Tables.events(s, d)
+          .select(date_trunc("week", col("ts")).cast("date").as("week"),
+            col("value"), col("event_id"))
+        val w = Window.partitionBy(col("week"))
+          .orderBy(col("value"), col("event_id"))
+        ev.withColumn("rnk", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("week"))))
+          .withColumn("k50", expr("CAST(ceil(0.5 * n) AS BIGINT)"))
+          .withColumn("k95", expr("CAST(ceil(0.95 * n) AS BIGINT)"))
+          .groupBy(col("week"))
+          .agg(max(col("n")).as("n"),
+            max(when(col("rnk") === col("k50"), col("value"))).as("p50"),
+            max(when(col("rnk") === col("k95"), col("value"))).as("p95"))
+          .orderBy("week")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT date_trunc('week', ts) AS week, value, event_id FROM events),
+        r AS (
+          SELECT week, value,
+                 row_number() OVER (PARTITION BY week ORDER BY value, event_id) AS rnk,
+                 count(*) OVER (PARTITION BY week) AS n
+          FROM ev)
+        SELECT week, CAST(max(n) AS BIGINT) AS n,
+               max(CASE WHEN rnk = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
+               max(CASE WHEN rnk = CAST(ceil(0.95 * n) AS BIGINT) THEN value END) AS p95
+        FROM r GROUP BY week ORDER BY week"""),
+      doc = "weekly exact p50/p95 value trend (rank-law percentiles per " +
+        "time bucket, no sketch, bit-exact picked values)")
   )
 }
