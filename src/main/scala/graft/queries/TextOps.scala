@@ -1981,6 +1981,51 @@ object TextOps {
       doc = "cross-validation fold-leakage audit: exact-dup groups split " +
         "across folds under content-hash vs row-id fold assignment"),
 
+    // Schema-evolution union read — the column-add migration every
+    // long-lived lake survives: an OLD snapshot (even ids, no quality
+    // column) and a NEW snapshot (odd ids, with a derived quality_score)
+    // are read as ONE table via unionByName(allowMissingColumns) — old
+    // rows surface the new column as NULL, and the per-source rollup
+    // accounts for coverage during the migration window (how much of the
+    // corpus has the new column yet). The score is a deterministic law
+    // (n_chars mod 100) so the oracle replays the whole evolution.
+    // 100 TB shape: both snapshots scan in place; the union is a plan
+    // concat, not a shuffle; the rollup is one map-side-combined agg.
+    "q162_schema_evolution" -> Q(
+      run = (s, d) => {
+        val docs = Tables.documents(s, d)
+        val oldSnap = docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("source"))
+        val newSnap = docs.filter(col("doc_id") % 2 =!= 0)
+          .select(col("doc_id"), col("source"),
+            (col("n_chars") % 100).as("quality_score"))
+        oldSnap.unionByName(newSnap, allowMissingColumns = true)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("quality_score").isNull, 1L).otherwise(0L))
+              .as("n_missing_score"),
+            coalesce(sum(col("quality_score")), lit(0L)).as("score_sum"))
+          .withColumn("coverage_milli",
+            expr("(n_rows - n_missing_score) * 1000 DIV n_rows"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH unioned AS (
+          SELECT doc_id, source, NULL AS quality_score
+          FROM documents WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT doc_id, source, n_chars % 100 AS quality_score
+          FROM documents WHERE doc_id % 2 <> 0)
+        SELECT source, count(*) AS n_rows,
+               CAST(sum(CASE WHEN quality_score IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_missing_score,
+               CAST(coalesce(sum(quality_score), 0) AS BIGINT) AS score_sum,
+               CAST((count(*) - sum(CASE WHEN quality_score IS NULL THEN 1 ELSE 0 END))
+                 * 1000 // count(*) AS BIGINT) AS coverage_milli
+        FROM unioned GROUP BY source ORDER BY source"""),
+      doc = "schema-evolution union read: old/new snapshots merged with " +
+        "allowMissingColumns, per-source new-column coverage accounting"),
+
     // Canonical selection — the dedup funnel's last step: within each
     // near-dup cluster keep ONE representative (longest doc wins, doc_id
     // breaks ties) and mark the rest for removal; unclustered docs are their
