@@ -623,6 +623,105 @@ object Events {
                max(CASE WHEN rnk = CAST(ceil(0.95 * n) AS BIGINT) THEN value END) AS p95
         FROM r GROUP BY week ORDER BY week"""),
       doc = "weekly exact p50/p95 value trend (rank-law percentiles per " +
-        "time bucket, no sketch, bit-exact picked values)")
+        "time bucket, no sketch, bit-exact picked values)"),
+
+    // IQR outlier fences — the Tukey rule (flag values beyond
+    // Q1 − 1.5·IQR / Q3 + 1.5·IQR) per event type, with EXACT rank-law
+    // quartiles: the standard numeric-cleaning gate before any value
+    // aggregation is trusted. Fence arithmetic is double but exact in
+    // binary (1.5·x and subtraction of exact quartile picks), so both
+    // engines compare identically. One keyed shuffle for the rank
+    // windows; the fence filter is a second narrow pass under the
+    // broadcast per-type fence table.
+    "q163_iqr_outliers" -> Q(
+      run = (s, d) => {
+        val ev = graft.Tables.events(s, d)
+          .select(col("event_type"), col("value"), col("event_id"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        val ranked = ev
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        val fences = ranked.groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"),
+            max(when(col("rnk") === expr("CAST(ceil(0.25 * n) AS BIGINT)"),
+              col("value"))).as("q1"),
+            max(when(col("rnk") === expr("CAST(ceil(0.75 * n) AS BIGINT)"),
+              col("value"))).as("q3"))
+          .withColumn("lo", expr("q1 - 1.5 * (q3 - q1)"))
+          .withColumn("hi", expr("q3 + 1.5 * (q3 - q1)"))
+        ev.join(broadcast(fences), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"), max(col("q1")).as("q1"),
+            max(col("q3")).as("q3"),
+            sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rnk,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM events),
+        f AS (
+          SELECT event_type, max(n) AS n,
+                 max(CASE WHEN rnk = CAST(ceil(0.25 * n) AS BIGINT) THEN value END) AS q1,
+                 max(CASE WHEN rnk = CAST(ceil(0.75 * n) AS BIGINT) THEN value END) AS q3
+          FROM r GROUP BY event_type)
+        SELECT e.event_type, CAST(max(f.n) AS BIGINT) AS n,
+               max(f.q1) AS q1, max(f.q3) AS q3,
+               CAST(sum(CASE WHEN e.value < f.q1 - 1.5 * (f.q3 - f.q1)
+                              OR e.value > f.q3 + 1.5 * (f.q3 - f.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM events e JOIN f USING (event_type)
+        GROUP BY e.event_type ORDER BY e.event_type"""),
+      doc = "Tukey IQR outlier fences per event type (exact rank-law " +
+        "quartiles, exact-binary fence arithmetic)"),
+
+    // Join fan-out profile — the cardinality audit run BEFORE a join is
+    // trusted at scale: per FK edge, children-per-parent max and mean
+    // (milli) — a hot parent with 10⁶ children is the join explosion
+    // q103's skew profile detects on keys; this measures it on the
+    // RELATIONSHIP, which is what sizes a salted/skew-split plan. Three
+    // map-side-combined aggs over child tables, |edge|-row output.
+    "q164_fanout_profile" -> Q(
+      run = (s, d) => {
+        def edge(name: String, child: org.apache.spark.sql.DataFrame,
+            key: String): org.apache.spark.sql.DataFrame =
+          child.groupBy(col(key)).agg(count(lit(1)).as("c"))
+            .agg(count(lit(1)).as("n_parents_hit"),
+              max(col("c")).as("max_children"),
+              sum(col("c")).as("total_children"))
+            .select(lit(name).as("edge"), col("n_parents_hit"),
+              col("max_children"),
+              expr("total_children * 1000 DIV n_parents_hit").as("mean_children_milli"))
+        edge("orders->customer", Tables.orders(s, d), "o_custkey")
+          .unionByName(edge("lineitem->orders", Tables.lineitem(s, d), "l_orderkey"))
+          .unionByName(edge("lineitem->part", Tables.lineitem(s, d), "l_partkey"))
+          .unionByName(edge("events->user", Tables.events(s, d), "user_id"))
+          .orderBy("edge")
+      },
+      oracle = Some("""
+        SELECT * FROM (
+          SELECT 'orders->customer' AS edge, count(*) AS n_parents_hit,
+                 CAST(max(c) AS BIGINT) AS max_children,
+                 CAST(sum(c) * 1000 // count(*) AS BIGINT) AS mean_children_milli
+          FROM (SELECT o_custkey, count(*) AS c FROM orders GROUP BY 1)
+          UNION ALL
+          SELECT 'lineitem->orders', count(*), CAST(max(c) AS BIGINT),
+                 CAST(sum(c) * 1000 // count(*) AS BIGINT)
+          FROM (SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY 1)
+          UNION ALL
+          SELECT 'lineitem->part', count(*), CAST(max(c) AS BIGINT),
+                 CAST(sum(c) * 1000 // count(*) AS BIGINT)
+          FROM (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1)
+          UNION ALL
+          SELECT 'events->user', count(*), CAST(max(c) AS BIGINT),
+                 CAST(sum(c) * 1000 // count(*) AS BIGINT)
+          FROM (SELECT user_id, count(*) AS c FROM events GROUP BY 1)
+        ) ORDER BY edge"""),
+      doc = "join fan-out profile per FK edge: children-per-parent max " +
+        "and mean (the join-explosion audit)")
   )
 }
