@@ -878,6 +878,104 @@ object TextOps {
         FROM s ORDER BY doc_id"""),
       doc = "stopword-profile language ID with deterministic argmax"),
 
+    // Language-label confusion matrix — the label-quality audit over q32:
+    // declared `lang` column vs the detector's verdict, as the full
+    // (declared, detected) count matrix plus per-declared-language
+    // agreement in milli. This is how label noise in a scraped corpus is
+    // QUANTIFIED before the lang column is trusted for routing/filtering
+    // (a declared-en doc the detector reads as es is either label noise
+    // or code-switch — both things a corpus card must report). One
+    // map-side-combined agg over the narrow scoring projection.
+    "q165_lang_confusion" -> Q(
+      run = (s, d) => {
+        def score(words: Seq[String]) =
+          size(filter(col("toks"), t => t.isin(words: _*)))
+        val detected = docTokens(s, d)
+          .withColumn("score_en", score(Seq("the", "a", "and", "of", "is", "on", "with")))
+          .withColumn("score_es", score(Seq("el", "la", "de", "y", "es", "con", "para")))
+          .withColumn("score_de", score(Seq("der", "die", "das", "und", "ist", "mit")))
+          .select(col("lang").as("declared"),
+            when(col("score_en") >= col("score_es") && col("score_en") >= col("score_de"), "en")
+              .when(col("score_es") >= col("score_de"), "es")
+              .otherwise("de").as("detected"))
+        val cell = detected.groupBy(col("declared"), col("detected"))
+          .agg(count(lit(1)).as("n"))
+        val per = detected.groupBy(col("declared"))
+          .agg(count(lit(1)).as("n_declared"))
+        cell.join(per, Seq("declared"))
+          .withColumn("agree_milli",
+            expr("CASE WHEN declared = detected THEN n * 1000 DIV n_declared ELSE 0 END"))
+          .select(col("declared"), col("detected"), col("n"),
+            col("n_declared"), col("agree_milli"))
+          .orderBy("declared", "detected")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+        s AS (
+          SELECT lang AS declared,
+                 CASE WHEN len(list_filter(toks, t -> t IN ('the','a','and','of','is','on','with')))
+                        >= len(list_filter(toks, t -> t IN ('el','la','de','y','es','con','para')))
+                       AND len(list_filter(toks, t -> t IN ('the','a','and','of','is','on','with')))
+                        >= len(list_filter(toks, t -> t IN ('der','die','das','und','ist','mit')))
+                      THEN 'en'
+                      WHEN len(list_filter(toks, t -> t IN ('el','la','de','y','es','con','para')))
+                        >= len(list_filter(toks, t -> t IN ('der','die','das','und','ist','mit')))
+                      THEN 'es' ELSE 'de' END AS detected
+          FROM t),
+        cell AS (SELECT declared, detected, count(*) AS n FROM s GROUP BY 1, 2),
+        per AS (SELECT declared, count(*) AS n_declared FROM s GROUP BY 1)
+        SELECT cell.declared, cell.detected, cell.n,
+               CAST(per.n_declared AS BIGINT) AS n_declared,
+               CAST(CASE WHEN cell.declared = cell.detected
+                    THEN cell.n * 1000 // per.n_declared ELSE 0 END AS BIGINT)
+                 AS agree_milli
+        FROM cell JOIN per USING (declared)
+        ORDER BY declared, detected"""),
+      doc = "language-label confusion matrix: declared lang vs q32's " +
+        "detector verdict + per-language agreement (label-noise audit)"),
+
+    // Release shard manifest — the reproducibility artifact shipped with
+    // a packed corpus release: per (source, shard) under q108's shard law
+    // (doc position div packShardDocs in doc_id order), the doc count,
+    // token mass, and an order-independent content checksum (sum of doc
+    // charHashes mod P) — the receipt a consumer re-derives to prove
+    // their download matches the release. The per-source position rides
+    // [[graft.operators.Operators.groupedPrefixSum]] with value 1 (a
+    // distributed grouped RANK — no per-source single-task window, the
+    // q137 machinery reused). Checksum overflow-safe: ≤ packShardDocs
+    // terms < P each.
+    "q166_shard_manifest" -> Q(
+      run = (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ", -1)).cast("long").as("n_tok"),
+            charHash(col("text")).as("h"), lit(1L).as("one"))
+        graft.operators.Operators
+          .groupedPrefixSum(docs, "source", "one", Seq(col("doc_id")), "pos")
+          .withColumn("shard", expr(s"(pos - 1) DIV $packShardDocs"))
+          .groupBy(col("source"), col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+            pmod(sum(col("h")), lit(P)).as("checksum"))
+          .orderBy("source", "shard")
+      },
+      oracle = Some(s"""
+        WITH h AS (
+          SELECT source, doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ''),
+                     ch -> CAST(ascii(ch) AS BIGINT))),
+                   (acc, ch) -> (acc * 31 + ch) % $P) AS hsh,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS pos
+          FROM documents)
+        SELECT source, (pos - 1) // $packShardDocs AS shard,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(sum(hsh) % $P AS BIGINT) AS checksum
+        FROM h GROUP BY 1, 2 ORDER BY source, shard"""),
+      doc = "release shard manifest: per-shard doc/token counts + " +
+        "order-independent content checksum (q108's shard law)"),
+
     // Document fingerprinting: rolling char hash, order-sensitive token-seq
     // hash, and order-insensitive content hash — all mod-1e9+7 folds.
     "q33_fingerprint" -> Q(
