@@ -722,6 +722,42 @@ object Events {
           FROM (SELECT user_id, count(*) AS c FROM events GROUP BY 1)
         ) ORDER BY edge"""),
       doc = "join fan-out profile per FK edge: children-per-parent max " +
-        "and mean (the join-explosion audit)")
+        "and mean (the join-explosion audit)"),
+
+    // Recency-decayed engagement score — the freshness-weighted activity
+    // ranking behind "who is active NOW" (plain counts rank a long-dead
+    // heavy user above a lively new one). Integer-exact decay law:
+    // each event contributes 1000 div 2^weeks_old (floor halving per
+    // week of age relative to the corpus frontier, clamped at 62 weeks
+    // so the shift never overflows) — exponential decay with no floats
+    // anywhere, so the oracle replays it bit-exactly. One map-side agg
+    // for the frontier scalar + one user-keyed map-side-combined agg.
+    "q167_decayed_engagement" -> Q(
+      run = (s, d) => {
+        val ev = graft.Tables.events(s, d)
+          .select(col("user_id"), col("ts").cast("long").as("sec"))
+        val frontier = ev.agg(max(col("sec")).as("gmax"))
+        ev.crossJoin(broadcast(frontier))
+          .withColumn("weeks_old",
+            expr("least((gmax - sec) DIV 604800, 62L)"))
+          .withColumn("w", expr("1000 DIV CAST(pow(2, weeks_old) AS BIGINT)"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("w")).as("decayed_score"))
+          .orderBy(col("decayed_score").desc, col("user_id"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        g AS (SELECT max(sec) AS gmax FROM ev)
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(1000 // CAST(pow(2, least((g.gmax - sec) // 604800, 62))
+                 AS BIGINT)) AS BIGINT) AS decayed_score
+        FROM ev CROSS JOIN g
+        GROUP BY user_id
+        ORDER BY decayed_score DESC, user_id LIMIT 20"""),
+      doc = "recency-decayed engagement: integer halving per week of age " +
+        "(exact exponential decay, no floats), top-20 users")
   )
 }

@@ -898,6 +898,93 @@ object Relational {
         FROM fp LEFT JOIN sp USING (o_orderpriority) CROSS JOIN c
         ORDER BY o_orderpriority"""),
       doc = "consistent cross-table hash sample (children follow the " +
-        "parent key): counts + per-priority sample-fidelity in ppm")
+        "parent key): counts + per-priority sample-fidelity in ppm"),
+
+    // Composed multi-block analysis — the TPC-H-complexity finale that
+    // stitches the engine's machinery into ONE statement: per nation,
+    // revenue from the orders of its top-decile-balance customers, split
+    // by whether each line clears the GLOBAL p95 price. Blocks: (1) the
+    // global p95 via distributed totalRank (range-partitioned rank, one
+    // scalar collected); (2) per-nation top-decile customers via a
+    // partitioned rank window with the exact ceil(n/10) cut; (3) the
+    // dims broadcast into the customer→orders→lineitem join chain;
+    // (4) decimal-exact conditional money aggregation. Every block is a
+    // pattern proven elsewhere in the suite — this query proves they
+    // COMPOSE, which is what a real analytical workload does.
+    "q168_premium_analysis" -> Q(
+      run = (s, d) => {
+        // (1) global p95 of line price, exact rank law, no global window
+        val priced = graft.Checkpoints.localCheckpoint(
+          Tables.lineitem(s, d).select(col("l_extendedprice").as("price"),
+            col("l_orderkey"), col("l_linenumber")))
+        val (ranked, n) = graft.operators.Operators.totalRank(
+          priced, "price", Seq(col("l_orderkey"), col("l_linenumber")), "rnk")
+        val k = math.ceil(0.95 * n).toLong
+        val p95 = ranked.filter(col("rnk") === k).select(col("price"))
+          .collect()(0).getDouble(0) // 1-row driver scalar by contract
+        // (2) per-nation top-decile customers by account balance
+        val wN = Window.partitionBy(col("c_nationkey"))
+        val topCust = Tables.customer(s, d)
+          .withColumn("r", row_number().over(
+            wN.orderBy(col("c_acctbal").desc, col("c_custkey"))).cast("long"))
+          .withColumn("nc", count(lit(1)).over(wN))
+          .filter(col("r") <= expr("CAST(ceil(0.1 * nc) AS BIGINT)"))
+          .select(col("c_custkey"), col("c_nationkey"))
+        // (3) join chain, dims broadcast
+        val joined = topCust
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+        // (4) decimal-exact conditional revenue split at the p95 line
+        joined
+          .withColumn("premium", col("l_extendedprice") > lit(p95))
+          .groupBy(col("n_name"))
+          .agg(
+            countDistinct(col("c_custkey")).as("n_top_customers"),
+            countDistinct(col("o_orderkey")).as("n_orders"),
+            graft.MoneyOut.col(sum(when(col("premium"),
+              dec(col("l_extendedprice"))).otherwise(lit(0).cast("decimal(18,6)"))))
+              .as("revenue_premium"),
+            graft.MoneyOut.col(sum(when(!col("premium"),
+              dec(col("l_extendedprice"))).otherwise(lit(0).cast("decimal(18,6)"))))
+              .as("revenue_regular"))
+          .orderBy("n_name")
+      },
+      oracle = Some("""
+        WITH pr AS (
+          SELECT l_extendedprice AS price,
+                 row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rnk,
+                 count(*) OVER () AS n
+          FROM lineitem),
+        p95 AS (SELECT price FROM pr WHERE rnk = CAST(ceil(0.95 * n) AS BIGINT)),
+        tc AS (
+          SELECT c_custkey, c_nationkey FROM (
+            SELECT c_custkey, c_nationkey,
+                   row_number() OVER (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey) AS r,
+                   count(*) OVER (PARTITION BY c_nationkey) AS nc
+            FROM customer) t
+          WHERE r <= CAST(ceil(0.1 * nc) AS BIGINT))
+        SELECT n.n_name,
+               count(DISTINCT tc.c_custkey) AS n_top_customers,
+               count(DISTINCT o.o_orderkey) AS n_orders,
+               (CAST(CAST(ROUND(sum(CASE WHEN l.l_extendedprice > p95.price
+                  THEN CAST(l.l_extendedprice AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0)
+                 AS revenue_premium,
+               (CAST(CAST(ROUND(sum(CASE WHEN l.l_extendedprice > p95.price
+                  THEN CAST(0 AS DECIMAL(18,6))
+                  ELSE CAST(l.l_extendedprice AS DECIMAL(18,6)) END), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0)
+                 AS revenue_regular
+        FROM tc
+        JOIN orders o ON tc.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON tc.c_nationkey = n.n_nationkey
+        CROSS JOIN p95
+        GROUP BY n.n_name ORDER BY n.n_name"""),
+      doc = "composed multi-block analysis: per-nation revenue of " +
+        "top-decile customers split at the global p95 line price " +
+        "(totalRank scalar + rank windows + broadcast dims + decimal money)")
   )
 }
