@@ -969,14 +969,8 @@ object Relational {
         SELECT n.n_name,
                count(DISTINCT tc.c_custkey) AS n_top_customers,
                count(DISTINCT o.o_orderkey) AS n_orders,
-               (CAST(CAST(ROUND(sum(CASE WHEN l.l_extendedprice > p95.price
-                  THEN CAST(l.l_extendedprice AS DECIMAL(18,6))
-                  ELSE CAST(0 AS DECIMAL(18,6)) END), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0)
-                 AS revenue_premium,
-               (CAST(CAST(ROUND(sum(CASE WHEN l.l_extendedprice > p95.price
-                  THEN CAST(0 AS DECIMAL(18,6))
-                  ELSE CAST(l.l_extendedprice AS DECIMAL(18,6)) END), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0)
-                 AS revenue_regular
+               (CAST(CAST(ROUND(sum(CASE WHEN l.l_extendedprice > p95.price THEN CAST(l.l_extendedprice AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS revenue_premium,
+               (CAST(CAST(ROUND(sum(CASE WHEN l.l_extendedprice > p95.price THEN CAST(0 AS DECIMAL(18,6)) ELSE CAST(l.l_extendedprice AS DECIMAL(18,6)) END), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS revenue_regular
         FROM tc
         JOIN orders o ON tc.c_custkey = o.o_custkey
         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
