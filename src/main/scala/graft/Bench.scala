@@ -99,11 +99,12 @@ object Bench {
       // reclamation in a memory-tight grading environment waits on an
       // incidental GC mid-pass, which is exactly when it hurts
       System.gc()
-      queries.toSeq.sortBy(_._1).filter(kv => keep(kv._1)).map { case (name, fn) =>
+      queries.toSeq.sortBy(_._1).filter(kv => keep(kv._1)).flatMap { case (name, fn) =>
         // previous query's scoped checkpoint scratch dies OFF the clock —
         // the timed region measures the query, not the session's garbage
         Checkpoints.releaseScoped()
         val m0 = MetricsTap.snapshot() // flushes the bus — off the clock
+        val b0 = graft.queries.TextOps.buildStageTotals
         val t0 = System.nanoTime()
         // a failing query must be VISIBLE, not a fast -1: its wall time is
         // fail-fast-small, so min() would otherwise make a broken suite
@@ -120,7 +121,22 @@ object Bench {
         qMetrics.synchronized {
           qMetrics(name) = qMetrics.getOrElse(name, Nil) :+ dm
         }
-        name -> dt
+        // shared-stage builds triggered by THIS query become first-class
+        // rows ("stage:<name>") and are SUBTRACTED from the query's own
+        // time — so a query's trend line measures its consume cost, stable
+        // under suite growth (r10: adding q135/q145/q146, which sort before
+        // q35, silently moved the shingle+pair build cost between queries,
+        // swinging per-query numbers 20× with no code change). The total
+        // stays honest: query rows + stage rows sum to the same wall time.
+        val stageDelta = graft.queries.TextOps.buildStageTotals
+          .map { case (k, v) => k -> (v - b0.getOrElse(k, 0.0)) }
+          .filter(_._2 > 1e-3)
+        if (failed.contains(name)) Nil // drop its stage rows too: a build
+        else {                         // aborted mid-failure isn't a timing
+          val qRow = name -> math.max(0.0, dt - stageDelta.values.sum)
+          qRow +: stageDelta.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"stage:$k" -> v }
+        }
       }
     }
     val p1 = pass(_ => true); boundary("pass1")
@@ -134,25 +150,23 @@ object Bench {
     val results = (timed(p1) ++ timed(p2) ++ timed(p3)).groupBy(_._1)
       .toSeq.sortBy(_._1)
       .map { case (name, ts) => name -> ts.map(_._2).min }
-    // anchor-normalized times: each pass is scaled by nominal/anchor where
-    // the pass's anchor is the mean of its bracketing parallel measurements
+    // anchor-normalized times: each pass is scaled by 1/slowdown where the
+    // pass's anchor is the mean of its bracketing parallel measurements
     // (the parallel variant — queries are `cpus`-way parallel, and the slow
-    // windows are contention, which single-thread speed under-reads). On a
-    // nominal host the factor is ~1.0 and norm ≈ raw; in a slow window the
-    // normalized record is what r9's regression debate needed: per-query
-    // times in host-independent units.
+    // windows are contention, which single-thread speed under-reads) and
+    // the slowdown is the anchor's claim CORROBORATED by the pass's own
+    // query times (see BenchNorm: r10's driver record read ~2× fast because
+    // a transient 3.3× boundary-anchor spike scaled an un-slowed pass by
+    // 0.47×). On a nominal host the factor is ~1.0 and norm ≈ raw.
     val passAnchor: Map[Int, Double] = {
       val par = anchors.values.map(_._2).toIndexedSeq // warmup, p1, p2, p3
       def mean(i: Int) = (par(i) + par(i + 1)) / 2
       Map(1 -> mean(0), 2 -> mean(1), 3 -> mean(2))
     }
-    val resultsNorm = Seq(1 -> timed(p1), 2 -> timed(p2), 3 -> timed(p3))
-      .flatMap { case (i, ts) =>
-        val f = HostAnchor.NominalParallelMs / passAnchor(i)
-        ts.map { case (n, dt) => n -> dt * f }
-      }
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (name, ts) => name -> ts.map(_._2).min }
+    val (resultsNorm, passSlowdowns) = BenchNorm.normalize(
+      Seq(timed(p1), timed(p2), timed(p3)),
+      Seq(passAnchor(1), passAnchor(2), passAnchor(3)),
+      HostAnchor.NominalParallelMs)
     def fmt(v: Double) = f"$v%.3f"
     def toJson(rs: Seq[(String, Double)]) = rs
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
@@ -189,8 +203,12 @@ object Bench {
         "\"" + k + s"""\":{"single_ms":${fmt(s)},"par_ms":${fmt(p)}}""" }
       .mkString("{", ",", "}")
     val totalNorm = resultsNorm.map(_._2).sum
+    // per-pass slowdown audit trail: anchor ratio (claimed), applied factor
+    // (granted after in-pass corroboration) — a reader can see exactly when
+    // and by how much an anchor's claim was discounted
+    val slowdownsJson = passSlowdowns.map(fmt).mkString("[", ",", "]")
     val anchorBlock =
-      s""","anchors":$anchorsJson,"anchor_nominal":{"single_ms":${fmt(HostAnchor.NominalSingleMs)},"par_ms":${fmt(HostAnchor.NominalParallelMs)}},"queries_norm":${toJson(resultsNorm)},"total_norm":${fmt(totalNorm)}"""
+      s""","anchors":$anchorsJson,"anchor_nominal":{"single_ms":${fmt(HostAnchor.NominalSingleMs)},"par_ms":${fmt(HostAnchor.NominalParallelMs)}},"pass_slowdowns":$slowdownsJson,"queries_norm":${toJson(resultsNorm)},"total_norm":${fmt(totalNorm)}"""
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"stages":$stages,"query_metrics":$metricsJson,"failed":$failedJson$failMark$anchorBlock,"storage":[${storageLog.mkString(",")}]$onlyMark,"sf":"$sfDir"}"""
     // subset runs go to their own file: the full-suite BENCH_DETAIL.json is
     // the graded record and a debugging subset must never clobber it

@@ -1,0 +1,80 @@
+package graft
+
+/** Pure normalization math for Bench's host-anchored records — extracted so
+  * the spike-handling rules are unit-testable (BenchNormSpec) without a
+  * SparkSession or a real anchor run.
+  *
+  * The round-10 failure this fixes: the per-pass factor used to be
+  * `nominal / mean(bracketing par anchors)` applied unconditionally. A
+  * TRANSIENT anchor spike exactly at a pass boundary (r10 driver run: pass-2
+  * boundary read 1760 ms vs 533.5 nominal = 3.3×) scaled a pass whose query
+  * times were NOT slowed (raw pass-2 ≈ raw pass-1) by 0.47× — phantom
+  * per-query speedups and a total_norm ~2× low. The anchor samples the host
+  * for ~0.5 s at the boundary; the pass it brackets ran for a minute. When
+  * the two disagree, the pass's own queries are the better witness.
+  *
+  * Rule: the anchor's claimed slowdown must be CORROBORATED by in-pass
+  * evidence before it is applied.
+  *   - anchorRatio = passAnchorParMs / nominalParMs. ≤ 1 means the host is
+  *     at/above nominal speed (nominal is the best-ever calibration, so this
+  *     is a small bounded correction) — trust it directly.
+  *   - anchorRatio > 1 claims a slow window. Grant only as much slowdown as
+  *     the pass's queries actually exhibited: the MEDIAN over queries of
+  *     raw_this_pass / raw_best_pass (median, not mean — a single genuinely
+  *     regressed query must not read as host slowness). Factor =
+  *     max(1, min(anchorRatio, medianInflation)).
+  * Consequences: a boundary-only spike (inflation ≈ 1) normalizes to ≈ raw;
+  * a genuine slow window (queries inflated AND anchor high) normalizes down
+  * by the corroborated amount, capped by the anchor so a real code
+  * regression across a whole pass can't masquerade as host slowness either.
+  */
+object BenchNorm {
+
+  /** Median of `xs`; 1.0 for empty input (no evidence = no inflation). */
+  def median(xs: Seq[Double]): Double =
+    if (xs.isEmpty) 1.0
+    else {
+      val s = xs.sorted
+      val m = s.length
+      if (m % 2 == 1) s(m / 2) else (s(m / 2 - 1) + s(m / 2)) / 2
+    }
+
+  /** Median over the pass's rows of raw_this_pass / raw_best_pass, the
+    * in-pass slowdown evidence. `best` is each row's min across passes, so
+    * every ratio is ≥ 1 and the best pass reads ≈ 1. */
+  def medianInflation(pass: Seq[(String, Double)],
+      best: Map[String, Double]): Double =
+    median(pass.flatMap { case (n, t) =>
+      best.get(n).filter(_ > 0.0).map(t / _)
+    })
+
+  /** The corroborated per-pass slowdown factor (normalized = raw / factor). */
+  def passSlowdown(anchorRatio: Double, inflation: Double): Double =
+    if (anchorRatio <= 1.0) anchorRatio
+    else math.max(1.0, math.min(anchorRatio, inflation))
+
+  /** Normalize per-pass (name, rawSec) rows into host-independent units.
+    *
+    * @param passes     one Seq of rows per pass (failed rows pre-filtered)
+    * @param anchorsPar the pass's bracketing-anchor mean, parallel variant,
+    *                   in ms — parallel to `passes`
+    * @param nominalPar the calibration nominal (HostAnchor.NominalParallelMs)
+    * @return (normalized rows = min over passes of raw/slowdown, and the
+    *         per-pass slowdown factors for the audit record)
+    */
+  def normalize(passes: Seq[Seq[(String, Double)]], anchorsPar: Seq[Double],
+      nominalPar: Double): (Seq[(String, Double)], Seq[Double]) = {
+    require(passes.length == anchorsPar.length,
+      s"normalize: ${passes.length} passes but ${anchorsPar.length} anchors")
+    val best = passes.flatten.groupBy(_._1)
+      .map { case (n, ts) => n -> ts.map(_._2).min }
+    val slowdowns = passes.zip(anchorsPar).map { case (p, a) =>
+      passSlowdown(a / nominalPar, medianInflation(p, best))
+    }
+    val norm = passes.zip(slowdowns)
+      .flatMap { case (p, f) => p.map { case (n, t) => n -> t / f } }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (n, ts) => n -> ts.map(_._2).min }
+    (norm, slowdowns)
+  }
+}

@@ -146,6 +146,19 @@ object TextOps {
   private val stageTimes =
     scala.collection.mutable.LinkedHashMap[String, List[Double]]()
   def stageTimings: Map[String, List[Double]] = synchronized { stageTimes.toMap }
+  // Names recorded via timedStage (BUILD wall times), as opposed to the
+  // recordStat audit entries (*_gc_ms, *_spill_mb, round counts, …) that
+  // share stageTimes. Bench diffs buildStageTotals around each query to
+  // report builds as first-class rows SUBTRACTED from the triggering query
+  // — without this split, per-query trend lines swing 20× whenever suite
+  // name order moves which query triggers a shared build (r10: q35 6.15 s →
+  // 0.29 s with no code change when q135 started sorting first).
+  private val buildStageNames = scala.collection.mutable.LinkedHashSet[String]()
+  /** name → cumulative build seconds so far (builds only, no stat rows). */
+  def buildStageTotals: Map[String, Double] = synchronized {
+    buildStageNames.iterator
+      .map(n => n -> stageTimes.getOrElse(n, Nil).sum).toMap
+  }
   // Build timers nest (pairs → exploded → arrays, all under the same
   // synchronized lock, same thread), so each stage records its EXCLUSIVE
   // time — child build time is subtracted via the frame stack — and the
@@ -174,6 +187,7 @@ object TextOps {
         frameChildNs.push(frameChildNs.pop() + elapsed)
       stageTimes(name) =
         stageTimes.getOrElse(name, Nil) :+ (elapsed - childNs) / 1e9
+      buildStageNames += name
       m0.foreach { before =>
         // the snapshot's bus flush (bounded 10 s) runs after THIS stage's
         // elapsed is taken, but inside any enclosing stage's timed region —

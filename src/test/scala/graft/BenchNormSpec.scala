@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The normalizer's spike rules, on synthetic records — no Spark needed.
+  * The load-bearing case is the round-10 driver record: a 3.3× anchor spike
+  * at the pass-2 boundary while pass-2 query times stayed ≈ pass-1, which
+  * the old unconditional `nominal/anchor` factor turned into phantom ~2×
+  * speedups. The normalized record must never read faster than the
+  * un-spiked passes' own minimum.
+  */
+class BenchNormSpec extends AnyFunSuite {
+
+  private val Nominal = 533.5 // HostAnchor.NominalParallelMs shape
+
+  test("transient boundary anchor spike with flat query times normalizes to raw") {
+    // two passes, identical raw times; pass-2 bracketing anchor spiked 3.3x
+    val p1 = Seq("qA" -> 1.0, "qB" -> 2.0, "qC" -> 4.0)
+    val p2 = Seq("qA" -> 1.0, "qB" -> 2.0, "qC" -> 4.0)
+    val (norm, slowdowns) = BenchNorm.normalize(
+      Seq(p1, p2), Seq(Nominal, Nominal * 3.3), Nominal)
+    val rawBestTotal = 7.0
+    val normTotal = norm.map(_._2).sum
+    // the old normalizer produced ~0.47 * 7.0 = 3.3 here (phantom speedup);
+    // the corroborated one must not undercut the un-spiked passes' min
+    assert(normTotal >= rawBestTotal - 1e-9,
+      s"norm total $normTotal undercuts raw best $rawBestTotal")
+    assert(math.abs(normTotal - rawBestTotal) < 1e-6)
+    // pass 2's claimed 3.3x slowdown was granted only the observed ~1.0
+    assert(math.abs(slowdowns(1) - 1.0) < 1e-9)
+  }
+
+  test("genuine slow window (queries inflated AND anchor high) normalizes down") {
+    // pass 2 genuinely 2x slower across the board, anchor corroborates 2.2x
+    val p1 = Seq("qA" -> 1.0, "qB" -> 2.0)
+    val p2 = Seq("qA" -> 2.0, "qB" -> 4.0)
+    val (norm, slowdowns) = BenchNorm.normalize(
+      Seq(p1, p2), Seq(Nominal, Nominal * 2.2), Nominal)
+    // granted slowdown = min(anchor 2.2, observed 2.0) = 2.0
+    assert(math.abs(slowdowns(1) - 2.0) < 1e-9)
+    // pass-2 normalized times equal pass-1 raw — min is unchanged
+    assert(math.abs(norm.map(_._2).sum - 3.0) < 1e-6)
+  }
+
+  test("one regressed query does not read as host slowness (median, not mean)") {
+    // only qC regressed 10x in pass 2; the anchor spiked too — but the
+    // MEDIAN inflation over {1.0, 1.0, 10.0} is 1.0, so no discount: the
+    // regression stays visible in qC's own row instead of being normalized
+    // away as a host effect
+    val p1 = Seq("qA" -> 1.0, "qB" -> 1.0, "qC" -> 1.0)
+    val p2 = Seq("qA" -> 1.0, "qB" -> 1.0, "qC" -> 10.0)
+    val (norm, slowdowns) = BenchNorm.normalize(
+      Seq(p1, p2), Seq(Nominal, Nominal * 3.0), Nominal)
+    assert(math.abs(slowdowns(1) - 1.0) < 1e-9)
+    assert(norm.toMap.apply("qC") === 1.0) // min(1.0 raw-p1, 10.0 p2)
+  }
+
+  test("host faster than nominal scales raw up (anchor trusted when <= 1)") {
+    val p1 = Seq("qA" -> 1.0)
+    val (norm, slowdowns) = BenchNorm.normalize(
+      Seq(p1), Seq(Nominal * 0.9), Nominal)
+    assert(math.abs(slowdowns(0) - 0.9) < 1e-9)
+    assert(math.abs(norm.head._2 - 1.0 / 0.9) < 1e-9)
+  }
+
+  test("whole-suite code regression is NOT normalized away (anchor caps the grant)") {
+    // every query 2x slower in pass 2 but the anchor reads nominal: the
+    // code did it — granted slowdown must stay 1.0 (anchorRatio <= 1 path)
+    val p1 = Seq("qA" -> 1.0, "qB" -> 2.0)
+    val p2 = Seq("qA" -> 2.0, "qB" -> 4.0)
+    val (_, slowdowns) = BenchNorm.normalize(
+      Seq(p1, p2), Seq(Nominal, Nominal), Nominal)
+    assert(math.abs(slowdowns(1) - 1.0) < 1e-9)
+  }
+
+  test("median: empty input reads as no inflation; even/odd lengths") {
+    assert(BenchNorm.median(Nil) === 1.0)
+    assert(BenchNorm.median(Seq(3.0, 1.0, 2.0)) === 2.0)
+    assert(BenchNorm.median(Seq(1.0, 2.0, 3.0, 10.0)) === 2.5)
+  }
+}
