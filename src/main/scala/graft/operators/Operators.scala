@@ -301,8 +301,12 @@ object Operators {
     *      group adds at most one straddled boundary); a loud contract
     *      failure past 100k rows rather than a silent driver OOM;
     *   4. cum = per-(pid, group) running window + the group's prefix
-    *      offset from earlier partitions, looked up via a broadcast map
-    *      literal. No single-partition stage anywhere.
+    *      offset from earlier partitions, joined in via a BROADCAST of the
+    *      small offsets frame keyed on (pid, group). A map() literal with
+    *      element_at would be O(|slices|) per row (Catalyst's GetMapValue
+    *      on a literal map is a linear scan — with the contract's 100k
+    *      slices that's O(rows × slices) total); the broadcast hash join
+    *      is O(1) per row. No single-partition stage anywhere.
     *
     * Rows sharing the complete (group, orderCols…) key sum in arbitrary
     * order among themselves — pass a tie-breaking column for determinism. */
@@ -316,28 +320,37 @@ object Operators {
         .withColumn("__pid", spark_partition_id()))
     val slices = ranged.groupBy(col("__pid"), col(groupCol))
       .agg(sum(col(valueCol)).as("s")).collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .map { r =>
+        // a null group would corrupt the offset keying silently (every
+        // other contract failure here is loud) — reject it at the gate
+        require(!r.isNullAt(1),
+          s"groupedPrefixSum contract: null value in group column " +
+            s"'$groupCol' — groups must be non-null")
+        (r.getInt(0), r.getString(1), r.getLong(2))
+      }
     if (slices.isEmpty) return ranged.drop("__pid").withColumn(cumCol, lit(0L))
     require(slices.length <= 100000,
       s"groupedPrefixSum contract: ${slices.length} (partition, group) " +
         "slices exceed the bounded-metadata bar — groups are not metadata")
-    val offsets = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var curG: String = null
     var acc = 0L
     slices.sortBy(t => (t._2, t._1)).foreach { case (pid, g, sv) =>
       if (g != curG) { curG = g; acc = 0L }
-      offsets += ((s"$pid $g", acc))
+      offsets += ((pid, g, acc))
       acc += sv
     }
-    val offMap = map(offsets.toIndexedSeq.flatMap(kv =>
-      Seq(lit(kv._1), lit(kv._2))): _*)
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__opid", "__ogrp", "__off")
     val w = Window.partitionBy(col("__pid"), col(groupCol))
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // inner equi-join: every (pid, group) in `ranged` has exactly one
+    // offsets row by construction, so no rows are gained or lost
     ranged
-      .withColumn(cumCol,
-        sum(col(valueCol)).over(w) + element_at(offMap,
-          concat_ws(" ", col("__pid").cast("string"), col(groupCol))))
-      .drop("__pid")
+      .join(broadcast(offDf),
+        col("__pid") === col("__opid") && col(groupCol) === col("__ogrp"))
+      .withColumn(cumCol, sum(col(valueCol)).over(w) + col("__off"))
+      .drop("__pid", "__opid", "__ogrp", "__off")
   }
 }

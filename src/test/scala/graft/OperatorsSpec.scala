@@ -251,4 +251,32 @@ class OperatorsSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("g", "v", "ord", "cum"))
     assert(out.count() == 0)
   }
+
+  test("groupedPrefixSum rejects null group values loudly") {
+    import spark.implicits._
+    // a null group used to corrupt the offset lookup SILENTLY (cum became
+    // null); the contract now fails at the gate like the 100k-slice bar
+    val rows = Seq(("a", 1L, 1L), (null.asInstanceOf[String], 2L, 2L))
+    val ex = intercept[IllegalArgumentException] {
+      Operators.groupedPrefixSum(
+        rows.toDF("g", "v", "ord"), "g", "v", Seq(col("ord")), "cum").count()
+    }
+    assert(ex.getMessage.contains("null"))
+  }
+
+  test("groupedPrefixSum offset lookup is a broadcast join, not a map literal") {
+    import spark.implicits._
+    // the offsets table must ride a broadcast hash join (O(1) per row) —
+    // a CreateMap literal + element_at is a linear scan per row, O(rows x
+    // slices) with the contract's 100k slices
+    val rows = (1 to 100).map(i => (s"g${i % 7}", i.toLong, i.toLong))
+    val out = Operators.groupedPrefixSum(
+      rows.toDF("g", "v", "ord"), "g", "v", Seq(col("ord")), "cum")
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("map_from_arrays") && !out.queryExecution.analyzed
+      .expressions.exists(_.find(_.prettyName == "map").isDefined),
+      "offset lookup still uses a map literal")
+  }
 }
