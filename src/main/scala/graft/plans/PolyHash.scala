@@ -16,7 +16,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * falls back to codepoint iteration (same values as ANSI
   * string_split(s,'')+ascii()).
   */
-case class PolyHash(child: Expression) extends UnaryExpression {
+case class PolyHash(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.GraftExpectsStringInput {
+  // analysis-time input contract (same discipline as InterSize/CosineSim):
+  // applied to a non-string the kernel's UTF8String cast would throw inside
+  // generated code — the mixed-in inputTypes fails analysis instead
 
   override def dataType: DataType = LongType
   override def prettyName: String = "poly_hash"

@@ -132,9 +132,16 @@ object StreamOps {
     // table — ranking belongs downstream of the stateful agg, exactly
     // where a dashboard query would do it; putting row_number inside the
     // stream would force complete-mode re-rank of all state every batch).
-    // 100 TB shape: stream state is (windows × types) — bounded by the
-    // watermark horizon, not the stream; the rank is a window over that
-    // bounded table.
+    // 100 TB shape: stream state is (windows × types) — NOTE this drain
+    // runs in complete output mode, where Spark retains ALL windows ever
+    // seen (the watermark does not evict complete-mode state), so state
+    // grows with the stream's window count, not the horizon. That is the
+    // right trade here: the serving table must hold every window for the
+    // downstream rank, and (windows × types) is metadata-sized — minutes
+    // granularity × a bounded type vocabulary. A deployment needing
+    // horizon-bounded state would switch the agg to append mode (watermark
+    // evicts closed windows) and rank over the accumulated sink table
+    // instead — same result, state bounded by the horizon.
     "q149_stream_topk" -> Q(
       run = (s, d) => {
         val agg = eventsStream(s, d)

@@ -32,6 +32,14 @@ trait GraftExpectsFloatArrayInputs
     Seq(types.ArrayType(types.FloatType), types.ArrayType(types.FloatType))
 }
 
+/** Same contract for the string kernels (PolyHash): misuse fails analysis
+  * with DATATYPE_MISMATCH instead of a ClassCastException inside codegen. */
+trait GraftExpectsStringInput
+    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[types.AbstractDataType] =
+    Seq(types.StringType)
+}
+
 /** Block-level access to a `localCheckpoint()`ed Dataset's storage.
   * localCheckpoint materializes into block-manager storage OUTSIDE the SQL
   * cache manager — `Dataset.unpersist` frees nothing, and the async
