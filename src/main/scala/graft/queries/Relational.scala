@@ -31,10 +31,107 @@ object Relational {
   private def moneySum(c: Column): Column =
     graft.MoneyOut.col(sum(dec(c)))
 
-  // (session, fixture-suffix) pairs whose bucketed layout tables (q151)
-  // are already materialized this session — the write-once contract
+  // (session, canonical-fixture-path) pairs whose bucketed layout tables
+  // (q151) are already registered this session — the write-once contract.
+  // Keyed on the PATH, not a hash of it: two fixture dirs must never share
+  // a slot no matter what their hashes do.
   private val bucketedReady =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+  /** Test hook: clears the in-session write-once gate so a spec can drive
+    * the fresh-catalog reuse path without building a second JVM. */
+  private[graft] def resetBucketedGate(): Unit = bucketedReady.clear()
+
+  private val LayoutVersion = 1
+  private val LayoutBuckets = 8
+
+  /** q151's persisted bucketed layout: orders + lineitem bucket-sorted on
+    * the order key, written ONCE under a versioned warehouse path and
+    * REUSED across sessions via a manifest (q166's manifest law applied to
+    * layout): a fresh JVM's empty in-memory catalog re-registers the
+    * external bucketed tables over the existing files instead of
+    * re-materializing them — the amortized-investment semantics a real
+    * warehouse layout has. At 100 TB the rewrite this skips is the whole
+    * point of bucketing: pay the layout shuffle once, not once per session.
+    *
+    * Keying: the layout path and table names carry the FULL 128-bit md5
+    * hex of the canonical fixture path (collision-resistant — the previous
+    * 31-bit hashCode suffix could silently serve buckets built from a
+    * colliding fixture dir), and the in-session write-once gate is keyed
+    * on the path itself, never a hash.
+    *
+    * Invalidation rule: a layout is valid iff its manifest exists and
+    * records the same canonical fixture path, layout version, and bucket
+    * count. Fixture dirs are immutable (driver contract), so path identity
+    * is content identity; bumping [[LayoutVersion]] abandons every old
+    * layout (the root path carries the version). The manifest is written
+    * LAST, so a rebuild killed mid-write leaves no manifest and the next
+    * caller rebuilds from scratch instead of reading half a layout.
+    *
+    * @return the (orders, lineitem) table names, registered and ready */
+  private def bucketedLayout(s: SparkSession, d: String): (String, String) = {
+    val canonical = new java.io.File(d).getCanonicalPath
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val ot = s"graft_bkt_orders_$digest"
+    val lt = s"graft_bkt_lineitem_$digest"
+    if (!bucketedReady.contains((s, canonical))) Relational.synchronized {
+      if (!bucketedReady.contains((s, canonical))) {
+        val wh = java.net.URI.create(
+          s.conf.get("spark.sql.warehouse.dir")).getPath
+        val root = java.nio.file.Paths.get(
+          wh, s"graft_layout_v$LayoutVersion", digest)
+        val manifest = root.resolve("_graft_layout_manifest.json")
+        val specs = Seq(
+          (ot, root.resolve("orders"), "o_orderkey",
+            () => Tables.orders(s, d)),
+          (lt, root.resolve("lineitem"), "l_orderkey",
+            () => Tables.lineitem(s, d)))
+        val reusable = java.nio.file.Files.exists(manifest) && {
+          val txt = java.nio.file.Files.readString(manifest)
+          txt.contains("\"fixture\":\"" + canonical + "\"") &&
+            txt.contains("\"buckets\":" + LayoutBuckets) &&
+            txt.contains("\"version\":" + LayoutVersion)
+        }
+        if (reusable) {
+          // files are a complete, matching layout — (re-)register the
+          // external bucketed tables in THIS catalog if absent (a fresh
+          // JVM starts with an empty in-memory catalog over the same
+          // warehouse dir); the files themselves are untouched
+          specs.foreach { case (name, loc, key, tbl) =>
+            if (!s.catalog.tableExists(name))
+              s.sql(s"CREATE TABLE $name (${tbl().schema.toDDL}) " +
+                s"USING PARQUET CLUSTERED BY ($key) SORTED BY ($key) " +
+                s"INTO $LayoutBuckets BUCKETS LOCATION '${loc.toUri}'")
+          }
+        } else {
+          // (re)build: clear stale catalog entries + files, write the
+          // bucketed tables, then the manifest LAST
+          specs.foreach { case (name, _, _, _) =>
+            s.sql(s"DROP TABLE IF EXISTS $name") }
+          if (java.nio.file.Files.exists(root)) {
+            import scala.jdk.CollectionConverters._
+            val walk = java.nio.file.Files.walk(root)
+            try walk.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+            finally walk.close()
+          }
+          specs.foreach { case (name, loc, key, tbl) =>
+            tbl().write.mode("overwrite")
+              .bucketBy(LayoutBuckets, key).sortBy(key)
+              .option("path", loc.toString)
+              .format("parquet").saveAsTable(name)
+          }
+          java.nio.file.Files.createDirectories(root)
+          java.nio.file.Files.writeString(manifest,
+            s"""{"version":$LayoutVersion,"fixture":"$canonical",""" +
+              s""""buckets":$LayoutBuckets,"tables":["$ot","$lt"]}""" + "\n")
+        }
+        bucketedReady.add((s, canonical))
+      }
+    }
+    (ot, lt)
+  }
 
   val qs: Map[String, Q] = Map(
 
@@ -660,41 +757,7 @@ object Relational {
     // the oracle also proves layout doesn't change semantics.
     "q151_bucketed_join" -> Q(
       run = (s, d) => {
-        val suf = (d.hashCode & 0x7fffffff).toString
-        val ot = s"graft_bkt_orders_$suf"
-        val lt = s"graft_bkt_lineitem_$suf"
-        // write-ONCE per (session, fixture): the layout is the amortized
-        // investment — a bench pass re-running the query reads the
-        // co-located buckets in place instead of re-materializing them
-        // (exactly the production amortization being modeled). Fixture
-        // dirs are immutable within a session, so the cache key is sound.
-        if (!bucketedReady.contains((s, suf))) Relational.synchronized {
-          if (!bucketedReady.contains((s, suf))) {
-            // the managed-table LOCATION outlives the session catalog (a
-            // fresh JVM starts with an empty in-memory catalog over the
-            // same warehouse dir) — clear both, or the create collides
-            Seq(ot, lt).foreach { name =>
-              s.sql(s"DROP TABLE IF EXISTS $name")
-              val wh = java.net.URI.create(
-                s.conf.get("spark.sql.warehouse.dir")).getPath
-              val loc = java.nio.file.Paths.get(wh, name)
-              if (java.nio.file.Files.exists(loc)) {
-                import scala.jdk.CollectionConverters._
-                val walk = java.nio.file.Files.walk(loc)
-                try walk.iterator().asScala.toSeq.reverse
-                  .foreach(java.nio.file.Files.deleteIfExists(_))
-                finally walk.close()
-              }
-            }
-            Tables.orders(s, d).write.mode("overwrite")
-              .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-              .format("parquet").saveAsTable(ot)
-            Tables.lineitem(s, d).write.mode("overwrite")
-              .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-              .format("parquet").saveAsTable(lt)
-            bucketedReady.add((s, suf))
-          }
-        }
+        val (ot, lt) = bucketedLayout(s, d)
         s.table(ot)
           .join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
           .groupBy(col("o_orderpriority"))
@@ -904,30 +967,50 @@ object Relational {
     // stitches the engine's machinery into ONE statement: per nation,
     // revenue from the orders of its top-decile-balance customers, split
     // by whether each line clears the GLOBAL p95 price. Blocks: (1) the
-    // global p95 via distributed totalRank (range-partitioned rank, one
-    // scalar collected); (2) per-nation top-decile customers via a
-    // partitioned rank window with the exact ceil(n/10) cut; (3) the
+    // global p95 via distributed totalRank (range-partitioned rank, the
+    // 1-row scalar broadcast-crossJoined back into the plan); (2)
+    // per-nation top-decile customers via the grouped-rank machinery
+    // (groupedPrefixSum — no nation-capped window) with the exact
+    // ceil(n/10) cut; (3) the
     // dims broadcast into the customer→orders→lineitem join chain;
     // (4) decimal-exact conditional money aggregation. Every block is a
     // pattern proven elsewhere in the suite — this query proves they
     // COMPOSE, which is what a real analytical workload does.
     "q168_premium_analysis" -> Q(
       run = (s, d) => {
-        // (1) global p95 of line price, exact rank law, no global window
+        // (1) global p95 of line price, exact rank law, no global window.
+        // The scalar stays IN the plan as a 1-row broadcast crossJoin
+        // instead of a driver .collect()(0): the query remains one lazy
+        // plan past the rank, an empty lineitem yields an empty result
+        // (matching the oracle's CROSS JOIN p95) instead of an
+        // IndexOutOfBounds at the collect, and the cast("double") makes
+        // the comparison type explicit rather than assuming the physical
+        // column type
         val priced = graft.Checkpoints.localCheckpoint(
           Tables.lineitem(s, d).select(col("l_extendedprice").as("price"),
             col("l_orderkey"), col("l_linenumber")))
         val (ranked, n) = graft.operators.Operators.totalRank(
           priced, "price", Seq(col("l_orderkey"), col("l_linenumber")), "rnk")
         val k = math.ceil(0.95 * n).toLong
-        val p95 = ranked.filter(col("rnk") === k).select(col("price"))
-          .collect()(0).getDouble(0) // 1-row driver scalar by contract
-        // (2) per-nation top-decile customers by account balance
-        val wN = Window.partitionBy(col("c_nationkey"))
-        val topCust = Tables.customer(s, d)
-          .withColumn("r", row_number().over(
-            wN.orderBy(col("c_acctbal").desc, col("c_custkey"))).cast("long"))
-          .withColumn("nc", count(lit(1)).over(wN))
+        val p95df = ranked.filter(col("rnk") === lit(k))
+          .select(col("price").cast("double").as("__p95"))
+        // (2) per-nation top-decile customers by account balance — the
+        // grouped-rank machinery (groupedPrefixSum of 1 = in-group rank),
+        // NOT a row_number window partitioned by c_nationkey alone: nation
+        // cardinality caps that window at 25-way parallelism no matter the
+        // per-nation customer volume (the q108 mega-group lesson, same
+        // swap q144/q161 made). Per-nation totals are a |nations|-row
+        // table riding a broadcast.
+        val nc = Tables.customer(s, d).groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("nc"))
+        val custRanked = graft.operators.Operators.groupedPrefixSum(
+          Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+            col("c_acctbal"), col("c_nationkey").cast("string").as("__nk"),
+            lit(1L).as("__one")),
+          "__nk", "__one",
+          Seq(col("c_acctbal").desc, col("c_custkey")), "r")
+        val topCust = custRanked
+          .join(broadcast(nc), Seq("c_nationkey"))
           .filter(col("r") <= expr("CAST(ceil(0.1 * nc) AS BIGINT)"))
           .select(col("c_custkey"), col("c_nationkey"))
         // (3) join chain, dims broadcast
@@ -938,7 +1021,8 @@ object Relational {
             col("c_nationkey") === col("n_nationkey"))
         // (4) decimal-exact conditional revenue split at the p95 line
         joined
-          .withColumn("premium", col("l_extendedprice") > lit(p95))
+          .crossJoin(broadcast(p95df))
+          .withColumn("premium", col("l_extendedprice") > col("__p95"))
           .groupBy(col("n_name"))
           .agg(
             countDistinct(col("c_custkey")).as("n_top_customers"),
@@ -979,6 +1063,6 @@ object Relational {
         GROUP BY n.n_name ORDER BY n.n_name"""),
       doc = "composed multi-block analysis: per-nation revenue of " +
         "top-decile customers split at the global p95 line price " +
-        "(totalRank scalar + rank windows + broadcast dims + decimal money)")
+        "(totalRank + grouped rank + broadcast dims + decimal money)")
   )
 }
