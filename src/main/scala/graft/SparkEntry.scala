@@ -16,6 +16,7 @@ object SparkEntry {
       graft.queries.Events.qs ++
       graft.queries.TextOps.qs ++
       graft.queries.Vectors.qs ++
+      graft.queries.Mining.qs ++
       graft.queries.EtlOps.qs ++
       graft.streaming.StreamOps.qs ++
       graft.multimodal.MultimodalOps.qs

@@ -1,0 +1,483 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.TextHash.{charHash, tokens}
+
+/** Corpus/catalog mining queries added in round 11: ranked retrieval (BM25),
+  * elastic shard assignment (rendezvous hashing), budgeted per-source head
+  * selection (top-p by char mass), exact integer-arithmetic correlation, and
+  * market-basket pair mining. Each is a pattern a 100 TB training-data
+  * pipeline runs as a first-class job; each carries an exact DuckDB oracle.
+  *
+  * Cross-engine determinism: every score is integer/fixed-point (milli
+  * units, `div` floor division) — no float summation, no libm (log/sqrt)
+  * whose last-ulp behavior could differ between engines. The BM25 idf and
+  * sqrt-free correlation are derived rational forms of the textbook
+  * formulas; the monotone-transform caveats are documented per query.
+  */
+object Mining {
+
+  /** The DuckDB replica of [[charHash]] (same fold, same modulus). */
+  private def duckCharHash(expr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($expr,''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
+
+  val qs: Map[String, Q] = Map(
+
+    // Ranked retrieval: BM25-shaped scoring of the corpus against a fixed
+    // query term set. The idf uses the RATIONAL core (N - df + 1/2)/(df + 1/2)
+    // WITHOUT the log wrapper: log is monotone per term, so single-term
+    // ranking is identical, and dropping it keeps every score an exact
+    // integer both engines floor identically (log's last-ulp varies by
+    // libm — the one thing that can silently break a cross-engine hash
+    // gate). k1 = 6/5, b = 3/4 are the textbook defaults as exact
+    // rationals; with T = total corpus tokens and D = n_docs, the whole
+    // per-(doc, term) score reduces to one integer expression:
+    //   44·T·tf·(2(D-df)+1) div ((20·T·tf + 6·T + 18·dl·D)·(2df+1))  [milli]
+    // Intermediates ride DECIMAL(38,0)/HUGEINT so the products can't
+    // overflow int64 at large corpus sizes.
+    // Scale shape: the corpus-side explode filters to the query vocabulary
+    // FIRST (array filter before explode — the shuffled tf table is
+    // |docs × query terms| max, not |tokens|); df and the T/D scalars are
+    // broadcast. One narrow scan, one tiny agg, TakeOrdered(10) egress.
+    "q169_bm25_topk" -> Q(
+      run = (s, d) => {
+        val qterms = Seq("join", "hash", "spark")
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("toks"),
+            size(col("toks")).cast("long").as("dl"))
+        val qlit = array(qterms.map(lit): _*)
+        val tf = docs
+          .select(col("doc_id"), col("dl"),
+            explode(filter(col("toks"), t => array_contains(qlit, t)))
+              .as("term"))
+          .groupBy(col("doc_id"), col("dl"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val scal = docs.agg(sum(col("dl")).as("t_tokens"),
+          count(lit(1)).as("d_docs"))
+        val scored = tf.join(broadcast(df), Seq("term"))
+          .crossJoin(broadcast(scal))
+          .withColumn("s_milli", expr(
+            """CAST((CAST(1000 AS DECIMAL(38,0)) * CAST(44 AS DECIMAL(38,0))
+              |   * t_tokens * tf * (2 * (d_docs - df) + 1))
+              | div (CAST(20 AS DECIMAL(38,0)) * t_tokens * tf
+              |      + 6 * t_tokens + 18 * dl * d_docs)
+              | div (2 * df + 1) AS BIGINT)""".stripMargin))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("s_milli")).as("score_milli"),
+            count(lit(1)).as("n_terms_hit"))
+        scored.orderBy(col("score_milli").desc, col("doc_id")).limit(10)
+      },
+      oracle = Some("""
+        WITH docs AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+          WHERE term IN ('join', 'hash', 'spark')
+          GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        scal AS (SELECT CAST(sum(dl) AS BIGINT) AS t_tokens,
+                        count(*) AS d_docs FROM dl),
+        scored AS (
+          SELECT tf.doc_id,
+                 CAST(CAST(1000 AS HUGEINT) * 44 * t_tokens * tf
+                        * (2 * (d_docs - df) + 1)
+                      // (CAST(20 AS HUGEINT) * t_tokens * tf
+                         + 6 * t_tokens + 18 * dl * d_docs)
+                      // (2 * df + 1) AS BIGINT) AS s_milli
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN scal)
+        SELECT doc_id, CAST(sum(s_milli) AS BIGINT) AS score_milli,
+               count(*) AS n_terms_hit
+        FROM scored GROUP BY doc_id
+        ORDER BY score_milli DESC, doc_id LIMIT 10"""),
+      doc = "BM25-shaped ranked retrieval (rational idf, exact integer " +
+        "fixed-point) for a fixed query over the corpus"),
+
+    // Elastic shard assignment: rendezvous (highest-random-weight) hashing
+    // of every doc onto 16 shards, and the SAME law onto 17 — per shard,
+    // how many docs it owns and how many it hands over when shard 16 joins.
+    // The HRW property under test: an added shard only ever TAKES keys (a
+    // doc moves iff the new shard wins its argmax), so expected movement is
+    // 1/17 of the corpus, evenly drawn — the reason this is the assignment
+    // law you want for 100 TB shard maps (resharding cost is O(moved), not
+    // O(corpus), and no central ring state is needed; assignment is a pure
+    // function of (key, shard set)).
+    // Scale shape: a 17-way broadcast cross join over doc KEYS only (ids,
+    // never text), one map-side-combined argmax agg on doc_id, one
+    // shard-sized output agg. The tie-break key h*100+shard is a total
+    // order (shard < 100), so argmax is deterministic in both engines.
+    // The char fold alone is NOT enough here: "id:shard" strings are a few
+    // characters, the fold never wraps the modulus, and an unwrapped
+    // polynomial hash is monotone in its last character — every doc would
+    // pick the lexicographically-largest shard (caught by eyeballing the
+    // 1-row output; the oracle can't see it, both engines agree on a
+    // degenerate law). The finisher h → h²·2654435761 mod P forces the
+    // wrap and decorrelates the shared "id:" prefixes (measured on the
+    // fixture: per-shard std 4.9 vs 5.4 binomial-ideal, moved 31 vs 29.4
+    // expected; a single multiply left std 20 and shards 3-9 starved).
+    // h < P ≈ 2^30 keeps both steps under 2^62 — no int64 overflow in
+    // either engine.
+    "q170_rendezvous_shard" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        val shards = (0 to 16).toDF("shard")
+        val hashed = Tables.documents(s, d).select(col("doc_id"))
+          .crossJoin(broadcast(shards))
+          .withColumn("h",
+            charHash(concat_ws(":", col("doc_id"), col("shard"))))
+          .select(col("doc_id"), col("shard"),
+            ((col("h") * col("h") % 1000000007L * 2654435761L
+              % 1000000007L) * 100 + col("shard")).as("hkey"))
+        val assigned = hashed.groupBy(col("doc_id")).agg(
+          max_by(col("shard"), when(col("shard") <= 15, col("hkey")))
+            .as("shard16"),
+          max_by(col("shard"), col("hkey")).as("shard17"))
+        assigned.groupBy(col("shard16").as("shard")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("shard17") === 16, 1L).otherwise(0L)).as("n_moved"))
+          .orderBy("shard")
+      },
+      oracle = Some(s"""
+        WITH h0 AS (
+          SELECT doc_id, shard,
+                 ${duckCharHash("doc_id || ':' || shard")} AS h
+          FROM documents CROSS JOIN (SELECT unnest(range(0, 17)) AS shard)),
+        h AS (
+          SELECT doc_id, shard,
+                 h * h % 1000000007 * 2654435761 % 1000000007 * 100 + shard
+                   AS hkey
+          FROM h0),
+        a AS (
+          SELECT doc_id,
+                 arg_max(shard, CASE WHEN shard <= 15 THEN hkey END) AS shard16,
+                 arg_max(shard, hkey) AS shard17
+          FROM h GROUP BY doc_id)
+        SELECT shard16 AS shard, count(*) AS n_docs,
+               CAST(sum(CASE WHEN shard17 = 16 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_moved
+        FROM a GROUP BY 1 ORDER BY shard"""),
+      doc = "rendezvous-hash shard assignment at 16 and 17 shards: " +
+        "per-shard ownership + handover count (minimal-movement law)"),
+
+    // Budgeted per-source head: keep each source's largest documents until
+    // 90% of its char mass is covered (top-p nucleus selection applied to a
+    // corpus: spend the token budget on the bulk of the mass, drop the long
+    // tail). Kept = docs whose INCLUSIVE cumulative chars (n_chars desc,
+    // doc_id tiebreak) satisfies 10·cum ≤ 9·total — pure integer law.
+    // Scale shape: the per-source running sum rides groupedPrefixSum
+    // (range-partition on (source, order key), per-slice offsets broadcast
+    // back) — per-source volume can be arbitrarily large without a
+    // source-cardinality-capped window; the per-source totals table is
+    // |sources| rows on a broadcast.
+    "q171_source_topp" -> Q(
+      run = (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("n_chars"))
+        val totals = docs.groupBy(col("source"))
+          .agg(sum(col("n_chars")).as("total_chars"))
+        val cum = graft.operators.Operators.groupedPrefixSum(
+          docs, "source", "n_chars",
+          Seq(col("n_chars").desc, col("doc_id")), "cum")
+        cum.join(broadcast(totals), Seq("source"))
+          .filter(col("cum") * 10 <= col("total_chars") * 9)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_head"),
+            sum(col("n_chars")).as("head_chars"),
+            max(col("total_chars")).as("total_chars"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT source, doc_id, n_chars,
+                 sum(n_chars) OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(n_chars) OVER (PARTITION BY source) AS total_chars
+          FROM documents)
+        SELECT source, count(*) AS n_head,
+               CAST(sum(n_chars) AS BIGINT) AS head_chars,
+               CAST(max(total_chars) AS BIGINT) AS total_chars
+        FROM c WHERE cum * 10 <= total_chars * 9
+        GROUP BY source ORDER BY source"""),
+      doc = "per-source top-p head selection: largest docs covering 90% of " +
+        "each source's char mass (grouped prefix sum, no capped window)"),
+
+    // Exact Pearson correlation between document length in chars and in
+    // tokens, per source — computed ENTIRELY in integer arithmetic from the
+    // five power sums, so both engines agree bit-for-bit (a naive corr()
+    // sums doubles in partition order and never cross-engine-hashes).
+    // sqrt-free form: signed r² in milli units,
+    //   r2 = sign(cov)·1000·cov² div (varx·vary),
+    //   cov = n·Σxy − Σx·Σy, varx = n·Σx² − (Σx)², vary = n·Σy² − (Σy)².
+    // Intermediates ride DECIMAL(38,0)/HUGEINT: cov² holds ~10^24 at the
+    // fixture and 10^28+ at PB scale — past ~10^38 (n ≈ 10^9 docs per
+    // source at 10^3 chars) shift to mean-centered sums or doubles; the
+    // exact path is the oracle-gated fixture law.
+    // Scale shape: one map-side-combined agg over a narrow projection;
+    // output is |sources| rows. The token count reuses the same whitespace
+    // law as every text query (string_split ' ').
+    "q172_feature_corr" -> Q(
+      run = (s, d) => {
+        val feats = Tables.documents(s, d).select(col("source"),
+          col("n_chars").cast("long").as("x"),
+          size(tokens(col("text"))).cast("long").as("y"))
+        feats.groupBy(col("source")).agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+          .withColumn("r2_milli", expr(
+            """CAST(CASE WHEN (CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx) *
+              |            (CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy) = 0
+              |  THEN 0
+              |  ELSE (CASE WHEN CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy < 0
+              |             THEN -1 ELSE 1 END)
+              |     * ((CAST(1000 AS DECIMAL(38,0))
+              |          * (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+              |          * (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy))
+              |        div ((CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+              |           * (CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy)))
+              |  END AS BIGINT)""".stripMargin))
+          .select(col("source"), col("n"), col("sx"), col("sy"),
+            col("r2_milli"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT source, CAST(n_chars AS BIGINT) AS x,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+          FROM documents),
+        p AS (
+          SELECT source, count(*) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS HUGEINT) AS sxx,
+                 CAST(sum(y * y) AS HUGEINT) AS syy,
+                 CAST(sum(x * y) AS HUGEINT) AS sxy
+          FROM f GROUP BY source)
+        SELECT source, n, sx, sy,
+               CAST(CASE WHEN (n * sxx - CAST(sx AS HUGEINT) * sx)
+                            * (n * syy - CAST(sy AS HUGEINT) * sy) = 0 THEN 0
+                 ELSE (CASE WHEN n * sxy - CAST(sx AS HUGEINT) * sy < 0
+                            THEN -1 ELSE 1 END)
+                    * ((CAST(1000 AS HUGEINT)
+                         * (n * sxy - CAST(sx AS HUGEINT) * sy)
+                         * (n * sxy - CAST(sx AS HUGEINT) * sy))
+                       // ((n * sxx - CAST(sx AS HUGEINT) * sx)
+                          * (n * syy - CAST(sy AS HUGEINT) * sy)))
+                 END AS BIGINT) AS r2_milli
+        FROM p ORDER BY source"""),
+      doc = "per-source Pearson correlation (signed r² milli) between char " +
+        "and token length — exact integer power sums, engine-stable"),
+
+    // Market-basket pair mining over order line items: part pairs that
+    // co-occur in the same order, support ≥ 3, top 20 by support. The
+    // classic co-purchase/affinity query.
+    // Scale shape: distinct (order, part) first (kills same-part repeat
+    // lines), then a KEYED self-join on l_orderkey with p1 < p2 — TPC-H
+    // baskets hold ≤ 7 items so per-order fanout is ≤ 21 (bounded by
+    // basket size squared, never corpus²); the pair agg is map-side
+    // combined and the egress is TakeOrdered(20). At 100 TB the same plan
+    // holds as long as basket size stays bounded (true of real baskets);
+    // a hot mega-basket would get the q103/q105 salt treatment.
+    "q173_basket_pairs" -> Q(
+      run = (s, d) => {
+        val items = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val a = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+        val b = items.select(col("l_orderkey"), col("l_partkey").as("p2"))
+        a.join(b, Seq("l_orderkey")).filter(col("p1") < col("p2"))
+          .groupBy(col("p1"), col("p2"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 3)
+          .orderBy(col("support").desc, col("p1"), col("p2"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+        FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+                                 AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 3
+        ORDER BY support DESC, p1, p2 LIMIT 20"""),
+      doc = "market-basket part-pair mining: co-occurrence support within " +
+        "orders, min support 3, top 20 (bounded-basket self-join)"),
+
+    // SCD type-2 interval construction from an event stream: collapse each
+    // user's consecutive same-type events into state intervals (the
+    // gaps-and-islands law: change flag via lag, island id via running sum
+    // of flags), then close each interval at the NEXT island's start. The
+    // dimension-table build every warehouse runs on CDC feeds.
+    // Scale shape: both windows are user-keyed — cardinality grows with
+    // the data (150 on the fixture, millions in production), so
+    // parallelism scales; the island-level lead window runs on the
+    // already-collapsed island table (≤ |events| rows, usually far
+    // fewer). Durations are integer microseconds end-to-end.
+    "q174_scd2_intervals" -> Q(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d).select(col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val isl = ev
+          .withColumn("chg", when(lag(col("event_type"), 1).over(w).isNull
+            || lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+            .otherwise(0L))
+          .withColumn("island", sum(col("chg")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("island"))
+          .agg(min(col("event_type")).as("state"),
+            min(col("us")).as("start_us"), count(lit(1)).as("n_events"))
+        val wi = Window.partitionBy(col("user_id")).orderBy(col("island"))
+        isl.withColumn("next_us", lead(col("start_us"), 1).over(wi))
+          .groupBy(col("state").as("event_type"))
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(when(col("next_us").isNull, 1L).otherwise(0L)).as("n_open"),
+            sum(when(col("next_us").isNotNull,
+              col("next_us") - col("start_us")).otherwise(0L))
+              .as("closed_dur_us"),
+            sum(col("n_events")).as("n_events"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+          FROM events),
+        f AS (
+          SELECT *, CASE WHEN lag(event_type) OVER
+                   (PARTITION BY user_id ORDER BY us, event_id)
+                 IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+          FROM ev),
+        isl AS (
+          SELECT user_id, event_type, us,
+                 sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS island
+          FROM f),
+        grp AS (
+          SELECT user_id, island, min(event_type) AS state,
+                 min(us) AS start_us, count(*) AS n_events
+          FROM isl GROUP BY user_id, island),
+        iv AS (
+          SELECT *, lead(start_us) OVER
+                   (PARTITION BY user_id ORDER BY island) AS next_us
+          FROM grp)
+        SELECT state AS event_type, count(*) AS n_intervals,
+               CAST(sum(CASE WHEN next_us IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_open,
+               CAST(sum(CASE WHEN next_us IS NOT NULL
+                 THEN next_us - start_us ELSE 0 END) AS BIGINT)
+                 AS closed_dur_us,
+               CAST(sum(n_events) AS BIGINT) AS n_events
+        FROM iv GROUP BY 1 ORDER BY event_type"""),
+      doc = "SCD2 state-interval build from events (gaps-and-islands + " +
+        "close-at-next-start), per-state interval/duration audit"),
+
+    // Deterministic weighted mixture schedule: the global training order
+    // that interleaves sources proportionally to their weights — item r of
+    // a weight-w source is scheduled at key (r - 1/2)/w (exact micro-unit
+    // integers: (2r-1)·10⁶ div 2w), the standard stride-scheduling law, so
+    // a weight-4 source appears 4× as often as a weight-1 source in any
+    // schedule prefix. Weights derive deterministically from the source
+    // name (1 + charHash mod 4 — stand-in for a configured mixture).
+    // Scale shape: the in-source rank rides groupedPrefixSum (no
+    // source-cardinality-capped window); the egress is TakeOrdered(100) —
+    // the full schedule is never globally sorted on the driver. At 100 TB
+    // a trainer consumes the schedule shard-by-shard by key range.
+    "q175_mixture_schedule" -> Q(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ranked = graft.operators.Operators.groupedPrefixSum(
+          Tables.documents(s, d)
+            .select(col("source"), col("doc_id"), lit(1L).as("__one")),
+          "source", "__one", Seq(col("doc_id")), "r")
+        val head = ranked
+          .withColumn("w", charHash(col("source")) % 4 + 1)
+          .withColumn("key_micro",
+            expr("(2 * r - 1) * 1000000 div (2 * w)"))
+          .orderBy(col("key_micro"), col("source"), col("doc_id"))
+          .limit(100)
+        head.withColumn("global_pos", row_number().over(Window
+            .orderBy(col("key_micro"), col("source"), col("doc_id"))))
+          .select(col("global_pos"), col("key_micro"), col("source"),
+            col("doc_id"), col("w"))
+          .orderBy("global_pos")
+      },
+      oracle = Some(s"""
+        WITH r AS (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r,
+                 ${duckCharHash("source")} % 4 + 1 AS w
+          FROM documents),
+        k AS (
+          SELECT source, doc_id, CAST(r AS BIGINT) AS r, w,
+                 (2 * r - 1) * 1000000 // (2 * w) AS key_micro
+          FROM r)
+        SELECT CAST(row_number() OVER
+                 (ORDER BY key_micro, source, doc_id) AS INT) AS global_pos,
+               key_micro, source, doc_id, CAST(w AS BIGINT) AS w
+        FROM k ORDER BY key_micro, source, doc_id LIMIT 100"""),
+      doc = "weighted source-mixture schedule (stride scheduling, exact " +
+        "integer keys): first 100 positions of the global training order"),
+
+    // Graph motif counting on the co-purchase graph: triangles over the
+    // part-pair edges (support ≥ 2), reported per part. Triangle density
+    // is the classic cohesion signal a recommender / community detector
+    // reads off a co-occurrence graph.
+    // Scale shape: the edge table is bounded by the basket law (pairs from
+    // ≤ 7-item baskets — |edges| ≪ |lineitem|; measured ~3.5k at both
+    // sf0.01 and sf0.1); it is scope-checkpointed once and the triangle
+    // enumeration is two EDGE-KEYED equi-joins (a<b<c canonical order, so
+    // each triangle counts exactly once) — never a corpus-sized shuffle.
+    // The per-part count explodes 3 rows per triangle, map-side combined.
+    "q176_triangle_count" -> Q(
+      run = (s, d) => {
+        val items = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val a = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+        val b = items.select(col("l_orderkey"), col("l_partkey").as("p2"))
+        val edges = graft.Checkpoints.localCheckpoint(
+          a.join(b, Seq("l_orderkey")).filter(col("p1") < col("p2"))
+            .groupBy(col("p1"), col("p2"))
+            .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
+            .select(col("p1"), col("p2")))
+        val ab = edges.select(col("p1").as("a"), col("p2").as("b"))
+        val bc = edges.select(col("p1").as("b"), col("p2").as("c"))
+        val ac = edges.select(col("p1").as("a2"), col("p2").as("c2"))
+        val tris = ab.join(bc, Seq("b"))
+          .join(ac, col("a") === col("a2") && col("c") === col("c2"))
+          .select(col("a"), col("b"), col("c"))
+        tris.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+          .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
+          .orderBy(col("n_triangles").desc, col("part"))
+          .limit(10)
+      },
+      oracle = Some("""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+          SELECT a.l_partkey AS p1, b.l_partkey AS p2
+          FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+                                   AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        tris AS (
+          SELECT ab.p1 AS a, ab.p2 AS b, bc.p2 AS c
+          FROM edges ab JOIN edges bc ON ab.p2 = bc.p1
+               JOIN edges ac ON ac.p1 = ab.p1 AND ac.p2 = bc.p2),
+        parts AS (
+          SELECT unnest([a, b, c]) AS part FROM tris)
+        SELECT part, count(*) AS n_triangles
+        FROM parts GROUP BY part
+        ORDER BY n_triangles DESC, part LIMIT 10"""),
+      doc = "triangle counting on the co-purchase part graph (support-2 " +
+        "edges, canonical a<b<c enumeration), top 10 parts by membership")
+  )
+}

@@ -398,6 +398,29 @@ class PlanSpec extends SparkSpec {
     }.nonEmpty, "expected the bucket-local rank window in the q61 plan")
   }
 
+  test("q168: no window keyed only by nation; p95 scalar rides a broadcast join") {
+    // the per-nation decile used to be row_number partitioned by
+    // c_nationkey alone — fixed 25-way parallelism no matter the per-nation
+    // customer volume. It now rides groupedPrefixSum: every window in the
+    // plan must partition by at least (frozen pid, group)
+    val df = SparkEntry.registry("q168_premium_analysis").run(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, "expected the grouped-rank window in the q168 plan")
+    // every window must partition by the frozen range-partition id (the
+    // totalRank/groupedPrefixSum recipe) — never by the 25-value nation
+    // key alone
+    assert(wins.forall(_.partitionSpec.exists(
+        _.references.exists(_.name == "__pid"))),
+      s"window not keyed by the frozen pid (cardinality-capped partition):\n${df.queryExecution.optimizedPlan}")
+    // the p95 scalar must join back as a 1-row broadcast, not a collect:
+    // the executed plan carries a broadcast nested-loop join for it
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastNestedLoopJoin"),
+      s"p95 crossJoin did not plan as a broadcast join:\n$phys")
+  }
+
   test("broadcastIfSmall: hints under the threshold, falls back past it") {
     // the 100-TB seam this gates: candidate-pair / cluster-label tables
     // scale with the corpus's dup rate, and a bare broadcast() hint is
@@ -520,5 +543,87 @@ class PlanSpec extends SparkSpec {
       assert(twinSmjs.nonEmpty && twinSmjs.forall(_ > 0),
         s"unbucketed SMJ should shuffle both sides: $twinSmjs")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q151: layout persists across sessions — a fresh catalog reuses the files") {
+    // the bucketed layout is a versioned, manifest-guarded artifact: a new
+    // JVM (empty in-memory catalog over the same warehouse) must re-register
+    // the external tables over the EXISTING files, never re-materialize —
+    // at 100 TB the skipped rewrite is the whole point of the layout
+    val first = SparkEntry.queries("q151_bucketed_join")(spark, sf).collect().toSeq
+    val wh = java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val canonical = new java.io.File(sf).getCanonicalPath
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val root = java.nio.file.Paths.get(wh, "graft_layout_v1", digest)
+    assert(java.nio.file.Files.exists(
+      root.resolve("_graft_layout_manifest.json")), "manifest missing")
+    def dataMtimes: Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+      finally walk.close()
+    }
+    val before = dataMtimes
+    assert(before.nonEmpty, "no layout data files found")
+    // simulate the fresh JVM: drop the catalog entries (external tables —
+    // files stay) and clear the in-session write-once gate
+    spark.sql(s"DROP TABLE IF EXISTS graft_bkt_orders_$digest")
+    spark.sql(s"DROP TABLE IF EXISTS graft_bkt_lineitem_$digest")
+    graft.queries.Relational.resetBucketedGate()
+    val second = SparkEntry.queries("q151_bucketed_join")(spark, sf).collect().toSeq
+    assert(dataMtimes == before,
+      "fresh-catalog path re-materialized the layout instead of reusing it")
+    assert(second == first, "reuse path changed the query result")
+  }
+
+  test("q169: query-vocab filter precedes the explode; df/scalars broadcast") {
+    // the corpus-side token explode must be fanout-bounded by the query
+    // vocabulary (filter INSIDE the array, before explode) — exploding the
+    // full token stream and filtering after would shuffle |tokens| rows
+    val p = plan("q169_bm25_topk", execute = true)
+    assert("(?s)Generate explode.*filter\\(toks".r.findFirstIn(p).isDefined
+      || p.contains("filter(toks"),
+      s"expected the array filter under the explode:\n$p")
+    assert(p.contains("BroadcastHashJoin") &&
+      p.contains("BroadcastNestedLoopJoin"),
+      s"df equi-join and T/D scalars must ride broadcasts:\n$p")
+  }
+
+  test("q171/q175: per-source ranks ride the frozen-pid machinery, not a " +
+    "source-cardinality window") {
+    for (name <- Seq("q171_source_topp", "q175_mixture_schedule")) {
+      val df = SparkEntry.registry(name).run(spark, sf)
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            // q175's final global_pos numbers an already-LIMITed 100-row
+            // frame — windows under a Limit are exempt from the pid rule
+            if !w.collect {
+              case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => ()
+            }.nonEmpty => w
+      }
+      assert(wins.nonEmpty, s"$name: expected the grouped-rank window")
+      assert(wins.forall(_.partitionSpec.exists(
+          _.references.exists(_.name == "__pid"))),
+        s"$name: window keyed by the bounded source column alone:\n" +
+          df.queryExecution.optimizedPlan)
+    }
+  }
+
+  test("q170: shard table broadcasts; argmax agg is map-side combined") {
+    val p = plan("q170_rendezvous_shard", execute = true)
+    // the 17-row shard table must ride the broadcast side of the cross
+    // join (a shuffled cross join over doc keys would be a corpus reshard)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"shard cross join must broadcast the 17-row side:\n$p")
+    // partial_max_by before the exchange = map-side combine on doc_id
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby")
+      || "(?i)partial.*max_by".r.findFirstIn(p).isDefined,
+      s"argmax agg should partial-aggregate before the shuffle:\n$p")
   }
 }
