@@ -25,6 +25,64 @@ object Mining {
        |  list_transform(string_split($expr,''), c -> CAST(ascii(c) AS BIGINT))),
        |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
 
+  /** q169's corpus scoring, shared with the q177 hybrid fusion: per doc,
+    * the summed integer BM25-milli over the fixed query vocabulary plus the
+    * number of query terms hit. See q169's derivation comment. */
+  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val qterms = Seq("join", "hash", "spark")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("dl"))
+    val qlit = array(qterms.map(lit): _*)
+    val tf = docs
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("toks"), t => array_contains(qlit, t)))
+          .as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scal = docs.agg(sum(col("dl")).as("t_tokens"),
+      count(lit(1)).as("d_docs"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(scal))
+      .withColumn("s_milli", expr(
+        """CAST((CAST(1000 AS DECIMAL(38,0)) * CAST(44 AS DECIMAL(38,0))
+          |   * t_tokens * tf * (2 * (d_docs - df) + 1))
+          | div (CAST(20 AS DECIMAL(38,0)) * t_tokens * tf
+          |      + 6 * t_tokens + 18 * dl * d_docs)
+          | div (2 * df + 1) AS BIGINT)""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s_milli")).as("score_milli"),
+        count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** The BM25 oracle CTE chain (through `scored`), shared q169/q177. */
+  private val duckBm25: String = """
+    docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+      WHERE term IN ('join', 'hash', 'spark')
+      GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scal AS (SELECT CAST(sum(dl) AS BIGINT) AS t_tokens,
+                    count(*) AS d_docs FROM dl),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(CAST(1000 AS HUGEINT) * 44 * t_tokens * tf
+                    * (2 * (d_docs - df) + 1)
+                  // (CAST(20 AS HUGEINT) * t_tokens * tf
+                     + 6 * t_tokens + 18 * dl * d_docs)
+                  // (2 * df + 1) AS BIGINT) AS s_milli
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN scal),
+    bm25 AS (
+      SELECT doc_id, CAST(sum(s_milli) AS BIGINT) AS score_milli,
+             count(*) AS n_terms_hit
+      FROM scored GROUP BY doc_id)"""
+
   val qs: Map[String, Q] = Map(
 
     // Ranked retrieval: BM25-shaped scoring of the corpus against a fixed
@@ -44,59 +102,12 @@ object Mining {
     // |docs × query terms| max, not |tokens|); df and the T/D scalars are
     // broadcast. One narrow scan, one tiny agg, TakeOrdered(10) egress.
     "q169_bm25_topk" -> Q(
-      run = (s, d) => {
-        val qterms = Seq("join", "hash", "spark")
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .select(col("doc_id"), col("toks"),
-            size(col("toks")).cast("long").as("dl"))
-        val qlit = array(qterms.map(lit): _*)
-        val tf = docs
-          .select(col("doc_id"), col("dl"),
-            explode(filter(col("toks"), t => array_contains(qlit, t)))
-              .as("term"))
-          .groupBy(col("doc_id"), col("dl"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val scal = docs.agg(sum(col("dl")).as("t_tokens"),
-          count(lit(1)).as("d_docs"))
-        val scored = tf.join(broadcast(df), Seq("term"))
-          .crossJoin(broadcast(scal))
-          .withColumn("s_milli", expr(
-            """CAST((CAST(1000 AS DECIMAL(38,0)) * CAST(44 AS DECIMAL(38,0))
-              |   * t_tokens * tf * (2 * (d_docs - df) + 1))
-              | div (CAST(20 AS DECIMAL(38,0)) * t_tokens * tf
-              |      + 6 * t_tokens + 18 * dl * d_docs)
-              | div (2 * df + 1) AS BIGINT)""".stripMargin))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("s_milli")).as("score_milli"),
-            count(lit(1)).as("n_terms_hit"))
-        scored.orderBy(col("score_milli").desc, col("doc_id")).limit(10)
-      },
-      oracle = Some("""
-        WITH docs AS (
-          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs),
-        tf AS (
-          SELECT doc_id, term, count(*) AS tf
-          FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
-          WHERE term IN ('join', 'hash', 'spark')
-          GROUP BY doc_id, term),
-        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        scal AS (SELECT CAST(sum(dl) AS BIGINT) AS t_tokens,
-                        count(*) AS d_docs FROM dl),
-        scored AS (
-          SELECT tf.doc_id,
-                 CAST(CAST(1000 AS HUGEINT) * 44 * t_tokens * tf
-                        * (2 * (d_docs - df) + 1)
-                      // (CAST(20 AS HUGEINT) * t_tokens * tf
-                         + 6 * t_tokens + 18 * dl * d_docs)
-                      // (2 * df + 1) AS BIGINT) AS s_milli
-          FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN scal)
-        SELECT doc_id, CAST(sum(s_milli) AS BIGINT) AS score_milli,
-               count(*) AS n_terms_hit
-        FROM scored GROUP BY doc_id
-        ORDER BY score_milli DESC, doc_id LIMIT 10"""),
+      run = (s, d) => bm25Scores(s, d)
+        .orderBy(col("score_milli").desc, col("doc_id")).limit(10),
+      oracle = Some(s"""
+        WITH $duckBm25
+        SELECT doc_id, score_milli, n_terms_hit
+        FROM bm25 ORDER BY score_milli DESC, doc_id LIMIT 10"""),
       doc = "BM25-shaped ranked retrieval (rational idf, exact integer " +
         "fixed-point) for a fixed query over the corpus"),
 
@@ -296,7 +307,7 @@ object Mining {
         a.join(b, Seq("l_orderkey")).filter(col("p1") < col("p2"))
           .groupBy(col("p1"), col("p2"))
           .agg(count(lit(1)).as("support"))
-          .filter(col("support") >= 3)
+          .filter(col("support") >= 2)
           .orderBy(col("support").desc, col("p1"), col("p2"))
           .limit(20)
       },
@@ -306,10 +317,10 @@ object Mining {
         SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
         FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
                                  AND a.l_partkey < b.l_partkey
-        GROUP BY 1, 2 HAVING count(*) >= 3
+        GROUP BY 1, 2 HAVING count(*) >= 2
         ORDER BY support DESC, p1, p2 LIMIT 20"""),
       doc = "market-basket part-pair mining: co-occurrence support within " +
-        "orders, min support 3, top 20 (bounded-basket self-join)"),
+        "orders, min support 2, top 20 (bounded-basket self-join)"),
 
     // SCD type-2 interval construction from an event stream: collapse each
     // user's consecutive same-type events into state intervals (the
@@ -478,6 +489,122 @@ object Mining {
         FROM parts GROUP BY part
         ORDER BY n_triangles DESC, part LIMIT 10"""),
       doc = "triangle counting on the co-purchase part graph (support-2 " +
-        "edges, canonical a<b<c enumeration), top 10 parts by membership")
+        "edges, canonical a<b<c enumeration), top 10 parts by membership"),
+
+    // Hybrid retrieval with reciprocal-rank fusion: the RAG-serving shape.
+    // Two independent rankers over the same corpus — lexical (the q169
+    // BM25 law over the fixed query vocabulary) and dense (cosine against
+    // doc 0's embedding, vec_id ≡ doc_id in the fixture) — fused by
+    // RRF(60): rrf = Σ 10⁶ div (60 + rank), integer milli throughout.
+    // Cosines are the fold-deterministic double law every Vectors query
+    // uses (same op order both engines → bit-identical, so the ranks
+    // agree); everything downstream of the two rank columns is integer.
+    // Scale shape: each ranker is TakeOrdered(20) over its own scoring
+    // plan (BM25: vocabulary-filtered explode; dense: one broadcast query
+    // vector against a narrow scan — the corpus never shuffles); the
+    // fusion is a 20∪20-row full outer join on the driver-side-free plan.
+    "q177_hybrid_rrf" -> Q(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val lexTop = bm25Scores(s, d)
+          .orderBy(col("score_milli").desc, col("doc_id")).limit(20)
+          .withColumn("lex_rank", row_number().over(
+            Window.orderBy(col("score_milli").desc, col("doc_id"))))
+          .select(col("doc_id"), col("lex_rank"))
+        val vec = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+        val qv = vec.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qemb"))
+        val denseTop = vec.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id").as("doc_id"),
+            Vectors.cosSim(col("embedding"), col("qemb")).as("cos"))
+          .orderBy(col("cos").desc, col("doc_id")).limit(20)
+          .withColumn("vec_rank", row_number().over(
+            Window.orderBy(col("cos").desc, col("doc_id"))))
+          .select(col("doc_id"), col("vec_rank"))
+        lexTop.join(denseTop, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+            coalesce(col("vec_rank"), lit(0)).as("vec_rank"))
+          .withColumn("rrf_milli", expr(
+            """CASE WHEN lex_rank > 0 THEN 1000000 div (60 + lex_rank)
+              |     ELSE 0 END
+              | + CASE WHEN vec_rank > 0 THEN 1000000 div (60 + vec_rank)
+              |        ELSE 0 END""".stripMargin))
+          .orderBy(col("rrf_milli").desc, col("doc_id")).limit(10)
+      },
+      oracle = Some(s"""
+        WITH $duckBm25,
+        lex AS (
+          SELECT doc_id, CAST(row_number() OVER
+                   (ORDER BY score_milli DESC, doc_id) AS INT) AS lex_rank
+          FROM bm25 ORDER BY score_milli DESC, doc_id LIMIT 20),
+        qv AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+        cosed AS (
+          SELECT vec_id AS doc_id,
+                 ${Vectors.sqlDot("embedding", "qemb")}
+                   / (sqrt(${Vectors.sqlNorm2("embedding")})
+                      * sqrt(${Vectors.sqlNorm2("qemb")})) AS cos
+          FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
+        dense AS (
+          SELECT doc_id, CAST(row_number() OVER
+                   (ORDER BY cos DESC, doc_id) AS INT) AS vec_rank
+          FROM cosed ORDER BY cos DESC, doc_id LIMIT 20),
+        fused AS (
+          SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+                 coalesce(lex_rank, 0) AS lex_rank,
+                 coalesce(vec_rank, 0) AS vec_rank
+          FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id)
+        SELECT doc_id, lex_rank, vec_rank,
+               CAST(CASE WHEN lex_rank > 0 THEN 1000000 // (60 + lex_rank)
+                         ELSE 0 END
+                  + CASE WHEN vec_rank > 0 THEN 1000000 // (60 + vec_rank)
+                         ELSE 0 END AS BIGINT) AS rrf_milli
+        FROM fused ORDER BY rrf_milli DESC, doc_id LIMIT 10"""),
+      doc = "hybrid retrieval: BM25 lexical + dense cosine rankers fused " +
+        "by reciprocal-rank fusion (integer RRF-60, top 10)"),
+
+    // Exact-k balanced sample: exactly 5 docs per source, drawn by a
+    // deterministic pseudo-random key (the q170 scramble h²·K mod P over
+    // charHash(source:doc_id) — seedable, reproducible, and uniform where
+    // the raw short-string fold is not). The balanced eval-set draw every
+    // training pipeline needs: hash-threshold sampling (q155) gives
+    // *proportional* expected counts; this gives exact per-group k.
+    // Scale shape: the in-group rank rides groupedPrefixSum — no
+    // source-cardinality-capped window; k is a constant filter on the
+    // rank, so the output is |sources|·k rows.
+    "q178_balanced_sample" -> Q(
+      run = (s, d) => {
+        val keyed = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            charHash(concat_ws(":", col("source"), col("doc_id"))).as("h"))
+          .withColumn("skey",
+            col("h") * col("h") % 1000000007L * 2654435761L % 1000000007L)
+          .withColumn("__one", lit(1L))
+        graft.operators.Operators.groupedPrefixSum(
+          keyed, "source", "__one", Seq(col("skey"), col("doc_id")), "r")
+          .filter(col("r") <= 5)
+          .select(col("source"), col("r"), col("doc_id"), col("skey"))
+          .orderBy("source", "r")
+      },
+      oracle = Some(s"""
+        WITH h AS (
+          SELECT source, doc_id,
+                 ${duckCharHash("source || ':' || doc_id")} AS h
+          FROM documents),
+        k AS (
+          SELECT source, doc_id,
+                 h * h % 1000000007 * 2654435761 % 1000000007 AS skey
+          FROM h),
+        r AS (
+          SELECT source, doc_id, skey,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY skey, doc_id) AS BIGINT) AS r
+          FROM k)
+        SELECT source, r, doc_id, CAST(skey AS BIGINT) AS skey
+        FROM r WHERE r <= 5 ORDER BY source, r"""),
+      doc = "exact-k per-source sample (k=5) by deterministic scrambled " +
+        "hash — balanced draw with reproducible keys, grouped-rank path")
   )
 }

@@ -88,7 +88,7 @@ object Vectors {
     * accumulator (dot, n2a, n2b) sees the same ascending-index double adds
     * whether the loops are fused or separate, so thresholds and rankings
     * decide identically and the oracle hash is unchanged. */
-  private def cosSim(a: Column, b: Column): Column =
+  private[queries] def cosSim(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(graft.plans.CosineSim(
       org.apache.spark.sql.GraftColumnBridge.expression(a),
       org.apache.spark.sql.GraftColumnBridge.expression(b)))
@@ -105,13 +105,13 @@ object Vectors {
       .filter(col("n2") > 0.0)
 
   /** Oracle fragment: squared norm of `e` as a list_reduce fold. */
-  private def sqlNorm2(e: String): String =
+  private[queries] def sqlNorm2(e: String): String =
     s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        list_transform($e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
        (acc, x) -> acc + x)"""
 
   /** Oracle fragment: dot of two 64-dim lists as an index-ordered fold. */
-  private def sqlDot(a: String, b: String): String =
+  private[queries] def sqlDot(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
        (acc, x) -> acc + x)"""
