@@ -662,6 +662,175 @@ object Mining {
         FROM k GROUP BY ROLLUP(source) ORDER BY source"""),
       doc = "mergeable per-source content digest (commutative sum of " +
         "scrambled hashes mod P) + rollup grand total — the anti-entropy " +
-        "sync receipt")
+        "sync receipt"),
+
+    // Last-touch conversion attribution: each purchase attributes to the
+    // user's most recent preceding 'view' within a 30-minute window — the
+    // marketing-attribution join every event warehouse runs. The "as-of
+    // lookup" is a conditional running max (max of view timestamps over
+    // the ordered frame up to the current row), NOT a self-join: one
+    // user-keyed window pass answers every purchase at once. Also splits
+    // attributed purchases into single-touch (the only view so far IS the
+    // attributing view) vs multi-touch.
+    // Scale shape: one user-keyed shuffle + window pass over a narrow
+    // projection, then a map-side-combined 1-row agg; user cardinality
+    // grows with data, so parallelism scales. Integer microseconds.
+    "q180_touch_attribution" -> Q(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d).select(col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val touched = ev
+          .withColumn("last_view_us",
+            max(when(col("event_type") === "view", col("us"))).over(w))
+          .withColumn("first_view_us",
+            min(when(col("event_type") === "view", col("us"))).over(w))
+        touched.filter(col("event_type") === "purchase")
+          .withColumn("attributed", col("last_view_us").isNotNull
+            && col("us") - col("last_view_us") <= 1800000000L)
+          .agg(
+            count(lit(1)).as("n_purchases"),
+            sum(when(col("attributed"), 1L).otherwise(0L))
+              .as("n_attributed"),
+            sum(when(col("attributed")
+                && col("first_view_us") === col("last_view_us"), 1L)
+              .otherwise(0L)).as("n_single_touch"),
+            sum(when(col("attributed"), col("us") - col("last_view_us"))
+              .otherwise(0L)).as("attributed_lag_us"))
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+          FROM events),
+        t AS (
+          SELECT *,
+                 max(CASE WHEN event_type = 'view' THEN us END) OVER
+                   (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS last_view_us,
+                 min(CASE WHEN event_type = 'view' THEN us END) OVER
+                   (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS first_view_us
+          FROM ev),
+        p AS (
+          SELECT *, last_view_us IS NOT NULL
+                    AND us - last_view_us <= 1800000000 AS attributed
+          FROM t WHERE event_type = 'purchase')
+        SELECT count(*) AS n_purchases,
+               CAST(sum(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_attributed,
+               CAST(sum(CASE WHEN attributed
+                         AND first_view_us = last_view_us THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_single_touch,
+               CAST(sum(CASE WHEN attributed THEN us - last_view_us
+                        ELSE 0 END) AS BIGINT) AS attributed_lag_us
+        FROM p"""),
+      doc = "last-touch purchase attribution (30-min window) via " +
+        "conditional running max — as-of lookup with no self-join, " +
+        "single- vs multi-touch split"),
+
+    // The text-side composition finale (q168's role for the curation
+    // suite): ONE statement that takes the corpus to a release —
+    //   (1) exact-dup collapse: min-doc_id survivor per content hash
+    //       (q34's law, via a struct-min agg — no window needed);
+    //   (2) per-source top-p head: survivors covering 90% of each
+    //       source's surviving char mass (q171's integer cut law on
+    //       groupedPrefixSum);
+    //   (3) eval holdout: exactly 2 docs per source drawn from the head
+    //       by deterministic scrambled hash (q178's law, second
+    //       groupedPrefixSum rank); the rest is the train split;
+    //   (4) release manifest: per-source train/eval counts, train char
+    //       mass, and the MERGEABLE train-content digest (q179's law)
+    //       with a rollup grand total — the receipt a consumer
+    //       re-derives to verify the release.
+    // Every block is an independently-proven pattern; this proves they
+    // COMPOSE in one lazy plan: two bounded-metadata broadcast joins, two
+    // grouped-rank passes, one rollup agg — the corpus text itself is
+    // read once and never shuffled (only (source, doc_id, hash, chars)
+    // move).
+    "q181_release_pipeline" -> Q(
+      run = (s, d) => {
+        val docs = Tables.documents(s, d).select(col("source"),
+          col("doc_id"), col("n_chars"), charHash(col("text")).as("h"))
+        // (1) survivors: min doc_id per content hash (struct-min keeps the
+        // whole row; hash-keyed map-side-combined agg, no window)
+        val surv = docs
+          .groupBy(col("h"))
+          .agg(min(struct(col("doc_id"), col("source"), col("n_chars")))
+            .as("s"))
+          .select(col("s.source").as("source"), col("s.doc_id").as("doc_id"),
+            col("s.n_chars").as("n_chars"), col("h"))
+        // (2) top-p head over survivors
+        val totals = surv.groupBy(col("source"))
+          .agg(sum(col("n_chars")).as("total_chars"))
+        val head = graft.operators.Operators.groupedPrefixSum(
+            surv, "source", "n_chars",
+            Seq(col("n_chars").desc, col("doc_id")), "cum")
+          .join(broadcast(totals), Seq("source"))
+          .filter(col("cum") * 10 <= col("total_chars") * 9)
+        // (3) eval holdout: exact-2 per source by scrambled hash
+        val keyed = head
+          .withColumn("skey",
+            col("h") * col("h") % 1000000007L * 2654435761L % 1000000007L)
+          .withColumn("__one", lit(1L))
+        val ranked = graft.operators.Operators.groupedPrefixSum(
+          keyed, "source", "__one", Seq(col("skey"), col("doc_id")), "r")
+        // (4) manifest with mergeable train digest + rollup total
+        ranked
+          .withColumn("is_eval", col("r") <= 2)
+          .rollup(col("source"))
+          .agg(
+            sum(when(col("is_eval"), 0L).otherwise(1L)).as("n_train"),
+            sum(when(col("is_eval"), 1L).otherwise(0L)).as("n_eval"),
+            sum(when(col("is_eval"), 0L).otherwise(col("n_chars")))
+              .as("train_chars"),
+            expr("""CAST(sum(CASE WHEN is_eval THEN CAST(0 AS DECIMAL(38,0))
+              |  ELSE CAST(skey AS DECIMAL(38,0)) END) % 1000000007
+              |  AS BIGINT)""".stripMargin).as("train_digest"))
+          .select(coalesce(col("source"), lit("<ALL>")).as("source"),
+            col("n_train"), col("n_eval"), col("train_chars"),
+            col("train_digest"))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH h AS (
+          SELECT source, doc_id, n_chars,
+                 ${duckCharHash("text")} AS h
+          FROM documents),
+        surv AS (
+          SELECT h, min_by(source, doc_id) AS source, min(doc_id) AS doc_id,
+                 min_by(n_chars, doc_id) AS n_chars
+          FROM h GROUP BY h),
+        cum AS (
+          SELECT *, sum(n_chars) OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(n_chars) OVER (PARTITION BY source) AS total_chars
+          FROM surv),
+        head AS (
+          SELECT * FROM cum WHERE cum * 10 <= total_chars * 9),
+        keyed AS (
+          SELECT *, h * h % 1000000007 * 2654435761 % 1000000007 AS skey
+          FROM head),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY source
+                   ORDER BY skey, doc_id) AS r
+          FROM keyed)
+        SELECT coalesce(source, '<ALL>') AS source,
+               CAST(sum(CASE WHEN r <= 2 THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_train,
+               CAST(sum(CASE WHEN r <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_eval,
+               CAST(sum(CASE WHEN r <= 2 THEN 0 ELSE n_chars END) AS BIGINT)
+                 AS train_chars,
+               CAST(sum(CASE WHEN r <= 2 THEN CAST(0 AS HUGEINT)
+                        ELSE CAST(skey AS HUGEINT) END) % 1000000007
+                 AS BIGINT) AS train_digest
+        FROM ranked GROUP BY ROLLUP(source) ORDER BY source"""),
+      doc = "composed release pipeline: exact-dup collapse -> per-source " +
+        "top-p head -> exact-k eval holdout -> digested train manifest " +
+        "with rollup total, one lazy plan")
   )
 }

@@ -597,7 +597,8 @@ class PlanSpec extends SparkSpec {
 
   test("q171/q175: per-source ranks ride the frozen-pid machinery, not a " +
     "source-cardinality window") {
-    for (name <- Seq("q171_source_topp", "q175_mixture_schedule")) {
+    for (name <- Seq("q171_source_topp", "q175_mixture_schedule",
+        "q181_release_pipeline")) {
       val df = SparkEntry.registry(name).run(spark, sf)
       val wins = df.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
