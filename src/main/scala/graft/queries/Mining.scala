@@ -92,6 +92,18 @@ object Mining {
     Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      // loud contract, same discipline as groupedPrefixSum's bars: a
+      // mega-basket would explode C(n,2) pairs out of ONE row (10k items →
+      // 50M pairs) — the quadratic blowup must fail in the plan, not OOM a
+      // task. Real baskets are small; a feed that violates this needs the
+      // q103/q105 salt-and-split treatment first. The guard rides a FILTER
+      // (assert_true is NULL when the bar holds), which column pruning
+      // cannot eliminate the way it would an unused projection.
+      .filter(expr(
+        """assert_true(size(parts) <= 1024,
+          |  'orderPairs contract: basket exceeds 1024 items - ' ||
+          |  'quadratic pair fanout; pre-split the mega-basket') IS NULL"""
+          .stripMargin))
       .select(explode(expr(
         """flatten(transform(parts, (x, i) ->
           |  transform(slice(parts, i + 2, size(parts)),
@@ -831,6 +843,80 @@ object Mining {
         FROM ranked GROUP BY ROLLUP(source) ORDER BY source"""),
       doc = "composed release pipeline: exact-dup collapse -> per-source " +
         "top-p head -> exact-k eval holdout -> digested train manifest " +
-        "with rollup total, one lazy plan")
+        "with rollup total, one lazy plan"),
+
+    // Group-wise OLS trend fit in exact integer arithmetic: per source,
+    // regress doc length (y = n_chars) on ingest position (x = the
+    // source-local doc index) — the drift detector that answers "are this
+    // feed's documents getting shorter over time" with a slope, not a
+    // pair of endpoint means. Closed-form OLS from the same five power
+    // sums as q172:
+    //   slope      = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)      [milli, floored]
+    //   intercept  = (Σy·Σx² − Σx·Σxy) / (nΣx² − (Σx)²)  [milli, floored]
+    // both numerators exact on DECIMAL(38)/HUGEINT; a degenerate x
+    // (single doc) reports 0/0 → slope 0, intercept = mean.
+    // Scale shape: x is the source-local rank (groupedPrefixSum of 1 — no
+    // capped window), then one map-side-combined agg; |sources|-row
+    // output.
+    "q182_trend_fit" -> Q(
+      run = (s, d) => {
+        val ranked = graft.operators.Operators.groupedPrefixSum(
+          Tables.documents(s, d)
+            .select(col("source"), col("doc_id"),
+              col("n_chars").cast("long").as("y"), lit(1L).as("__one")),
+          "source", "__one", Seq(col("doc_id")), "x")
+        ranked.groupBy(col("source")).agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+          .withColumn("slope_milli", expr(
+            """CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx
+              |         - CAST(sx AS DECIMAL(38,0)) * sx = 0 THEN 0
+              |  ELSE (CAST(1000 AS DECIMAL(38,0))
+              |         * (CAST(n AS DECIMAL(38,0)) * sxy
+              |            - CAST(sx AS DECIMAL(38,0)) * sy))
+              |       div (CAST(n AS DECIMAL(38,0)) * sxx
+              |            - CAST(sx AS DECIMAL(38,0)) * sx)
+              |  END AS BIGINT)""".stripMargin))
+          .withColumn("intercept_milli", expr(
+            """CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx
+              |         - CAST(sx AS DECIMAL(38,0)) * sx = 0
+              |  THEN (CAST(1000 AS DECIMAL(38,0)) * sy) div n
+              |  ELSE (CAST(1000 AS DECIMAL(38,0))
+              |         * (CAST(sy AS DECIMAL(38,0)) * sxx
+              |            - CAST(sx AS DECIMAL(38,0)) * sxy))
+              |       div (CAST(n AS DECIMAL(38,0)) * sxx
+              |            - CAST(sx AS DECIMAL(38,0)) * sx)
+              |  END AS BIGINT)""".stripMargin))
+          .select(col("source"), col("n"), col("slope_milli"),
+            col("intercept_milli"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT source, CAST(n_chars AS BIGINT) AS y,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY doc_id) AS BIGINT) AS x
+          FROM documents),
+        p AS (
+          SELECT source, count(*) AS n,
+                 CAST(sum(x) AS HUGEINT) AS sx,
+                 CAST(sum(y) AS HUGEINT) AS sy,
+                 CAST(sum(x * x) AS HUGEINT) AS sxx,
+                 CAST(sum(x * y) AS HUGEINT) AS sxy
+          FROM r GROUP BY source)
+        SELECT source, n,
+               CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                 ELSE (CAST(1000 AS HUGEINT) * (n * sxy - sx * sy))
+                      // (n * sxx - sx * sx) END AS BIGINT) AS slope_milli,
+               CAST(CASE WHEN n * sxx - sx * sx = 0
+                 THEN (CAST(1000 AS HUGEINT) * sy) // n
+                 ELSE (CAST(1000 AS HUGEINT) * (sy * sxx - sx * sxy))
+                      // (n * sxx - sx * sx) END AS BIGINT)
+                 AS intercept_milli
+        FROM p ORDER BY source"""),
+      doc = "per-source OLS trend of doc length over ingest position " +
+        "(exact integer closed form, milli units) — the feed-drift slope")
   )
 }

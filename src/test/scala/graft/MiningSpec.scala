@@ -71,6 +71,23 @@ class MiningSpec extends SparkSpec {
     assert(total == merged, s"total $total != merged $merged")
   }
 
+  test("q173: a mega-basket fails the loud contract, not an OOM") {
+    // one 1025-item order must trip the assert_true guard in the plan —
+    // the quadratic pair fanout (C(n,2) from a single row) is the failure
+    // mode the bar exists to catch
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mega").toString
+    (1 to 1025).map(i => (1L, i.toLong)).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val ex = intercept[Exception] {
+      SparkEntry.queries("q173_basket_pairs")(spark, dir).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("orderPairs contract")),
+      s"expected the loud basket bar, got: ${msgs(ex).mkString(" | ")}")
+  }
+
   test("q175: every schedule prefix is weight-proportional within one item") {
     // stride scheduling's representation guarantee: in the first N
     // positions, a weight-w source appears floor/ceil of N·w/ΣW times,
