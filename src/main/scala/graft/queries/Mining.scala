@@ -917,6 +917,83 @@ object Mining {
                  AS intercept_milli
         FROM p ORDER BY source"""),
       doc = "per-source OLS trend of doc length over ingest position " +
-        "(exact integer closed form, milli units) — the feed-drift slope")
+        "(exact integer closed form, milli units) — the feed-drift slope"),
+
+    // Mergeable histogram quantile sketch: per event type, p50/p95
+    // estimated from a fixed 128-bin equi-width histogram over the type's
+    // [min, max] — the fixed-size, map-side-combinable, shard-MERGEABLE
+    // quantile state every distributed metrics system keeps (bin counts
+    // add across shards; the exact rank law q69/q161 use needs a keyed
+    // shuffle of all values; this needs 128 integers per type, with a
+    // one-bin-width error bar). Binning floors an identical IEEE double
+    // expression on both engines — floor() BEFORE the int cast, because
+    // bare CAST rounds in DuckDB and truncates in Spark (probed: 2.7 →
+    // 3 vs 2); after floor the value is integral and both agree. The
+    // quantile pick is the integer rank law on the cumulated bins:
+    // smallest bin with 2·cum ≥ n (p50), 20·cum ≥ 19·n (p95).
+    // Scale shape: one broadcast of the |types|-row range table, one
+    // map-side-combined (type, bin) count, windows over the ≤ |types|×128
+    // metadata table. Reported bound p_lo = lo + bin·width is the same
+    // double arithmetic on both engines.
+    "q183_histogram_quantiles" -> Q(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+        val ranges = ev.groupBy(col("event_type")).agg(
+          min(col("value")).as("lo"), max(col("value")).as("hi"),
+          count(lit(1)).as("n"))
+        val binned = ev.join(broadcast(ranges), Seq("event_type"))
+          .withColumn("bin", when(col("hi") === col("lo"), 0)
+            .otherwise(least(expr(
+              "CAST(floor((value - lo) / ((hi - lo) / 128.0)) AS INT)"),
+              lit(127))))
+        val hist = binned
+          .groupBy(col("event_type"), col("lo"), col("hi"), col("n"),
+            col("bin"))
+          .agg(count(lit(1)).as("c"))
+        val wc = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hist.withColumn("cum", sum(col("c")).over(wc))
+          .groupBy(col("event_type"), col("lo"), col("hi"), col("n"))
+          .agg(
+            min(when(col("cum") * 2 >= col("n"), col("bin"))).as("p50_bin"),
+            min(when(col("cum") * 20 >= col("n") * 19, col("bin")))
+              .as("p95_bin"))
+          .select(col("event_type"), col("n"),
+            col("p50_bin"),
+            expr("lo + p50_bin * ((hi - lo) / 128.0)").as("p50_lo"),
+            col("p95_bin"),
+            expr("lo + p95_bin * ((hi - lo) / 128.0)").as("p95_lo"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT event_type, min(value) AS lo, max(value) AS hi,
+                 count(*) AS n
+          FROM events GROUP BY event_type),
+        b AS (
+          SELECT e.event_type, r.lo, r.hi, r.n,
+                 CASE WHEN r.hi = r.lo THEN 0
+                   ELSE least(CAST(floor((e.value - r.lo)
+                          / ((r.hi - r.lo) / 128.0)) AS INT), 127) END AS bin
+          FROM events e JOIN r USING (event_type)),
+        hist AS (
+          SELECT event_type, lo, hi, n, bin, count(*) AS c
+          FROM b GROUP BY 1, 2, 3, 4, 5),
+        cumed AS (
+          SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM hist)
+        SELECT event_type, n,
+               min(CASE WHEN cum * 2 >= n THEN bin END) AS p50_bin,
+               lo + min(CASE WHEN cum * 2 >= n THEN bin END)
+                 * ((hi - lo) / 128.0) AS p50_lo,
+               min(CASE WHEN cum * 20 >= n * 19 THEN bin END) AS p95_bin,
+               lo + min(CASE WHEN cum * 20 >= n * 19 THEN bin END)
+                 * ((hi - lo) / 128.0) AS p95_lo
+        FROM cumed GROUP BY event_type, lo, hi, n ORDER BY event_type"""),
+      doc = "mergeable 128-bin histogram quantile sketch per event type " +
+        "(p50/p95 bins + lower-bound values) — fixed-size shard-" +
+        "combinable quantile state")
   )
 }
