@@ -435,7 +435,69 @@ object StreamOps {
       },
       oracle = Some(graft.queries.TextOps.bigramLmOracleSql),
       doc = "streaming quality gate: q113's familiarity law served " +
-        "against arriving docs from a pinned broadcast model")
+        "against arriving docs from a pinned broadcast model"),
+
+    // Streaming mergeable histogram quantile sketch: q183's law with FIXED
+    // bin edges (width 4 over [0, 512), clamped) running as a stateful
+    // stream — per (type, bin) counts accumulate across micro-batches and
+    // the p50/p95 rank pick runs at the serving layer over the drained
+    // state. This is the state shape streaming WANTS: unlike q149's
+    // (windows × types) that grows with stream time, the sketch is
+    // FIXED-SIZE (≤ |types| × 128 rows) no matter how long the stream
+    // runs — the reason fixed-edge histograms, not exact rank state, back
+    // production latency/quantile dashboards. Batch ≡ stream: the oracle
+    // replays the identical static-binning law over the same events.
+    "q184_stream_histogram" -> Q(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val agg = eventsStream(s, d)
+          .select(col("event_type"),
+            least(greatest(expr("CAST(floor(value / 4.0) AS INT)"),
+              lit(0)), lit(127)).as("bin"))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(count(lit(1)).as("c"))
+        val served = drain(s, agg, "complete")
+        val wc = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        served
+          .withColumn("cum", sum(col("c")).over(wc))
+          .withColumn("n", sum(col("c")).over(
+            Window.partitionBy(col("event_type"))))
+          .groupBy(col("event_type"), col("n"))
+          .agg(
+            min(when(col("cum") * 2 >= col("n"), col("bin"))).as("p50_bin"),
+            min(when(col("cum") * 20 >= col("n") * 19, col("bin")))
+              .as("p95_bin"))
+          .select(col("event_type"), col("n"),
+            col("p50_bin"), (col("p50_bin") * 4.0).as("p50_lo"),
+            col("p95_bin"), (col("p95_bin") * 4.0).as("p95_lo"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT event_type,
+                 least(greatest(CAST(floor(value / 4.0) AS INT), 0), 127)
+                   AS bin
+          FROM events),
+        hist AS (
+          SELECT event_type, bin, count(*) AS c
+          FROM b GROUP BY 1, 2),
+        cumed AS (
+          SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(c) OVER (PARTITION BY event_type) AS n
+          FROM hist)
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               min(CASE WHEN cum * 2 >= n THEN bin END) AS p50_bin,
+               min(CASE WHEN cum * 2 >= n THEN bin END)
+                 * CAST(4.0 AS DOUBLE) AS p50_lo,
+               min(CASE WHEN cum * 20 >= n * 19 THEN bin END) AS p95_bin,
+               min(CASE WHEN cum * 20 >= n * 19 THEN bin END)
+                 * CAST(4.0 AS DOUBLE) AS p95_lo
+        FROM cumed GROUP BY event_type, n ORDER BY event_type"""),
+      doc = "streaming fixed-edge histogram quantile sketch (p50/p95 at " +
+        "the serving layer) — state is fixed-size however long the " +
+        "stream runs")
   )
 
   /** documents.parquet schema for the streaming ingest source (streaming
