@@ -994,6 +994,77 @@ object Mining {
         FROM cumed GROUP BY event_type, lo, hi, n ORDER BY event_type"""),
       doc = "mergeable 128-bin histogram quantile sketch per event type " +
         "(p50/p95 bins + lower-bound values) — fixed-size shard-" +
-        "combinable quantile state")
+        "combinable quantile state"),
+
+    // Period-over-period share shift: each nation's slice of total order
+    // revenue in 2000 vs 1999 and the delta — the market-share movement
+    // report every BI deployment runs. Shares are integer milli from
+    // decimal-exact cent sums (1000·nation_cents div year_total_cents), so
+    // the engines agree bit-for-bit and the deltas (which go negative) are
+    // exact.
+    // Scale shape: the year filter pushes into the orders scan; one
+    // orders⋈customer keyed shuffle (customer is order-volume-scaled, too
+    // big to pin as a broadcast at 100 TB), nation broadcast; one
+    // map-side-combined conditional agg; the year totals ride a 1-row
+    // broadcast crossJoin (never a global window).
+    "q185_share_shift" -> Q(
+      run = (s, d) => {
+        val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,6)")
+        val rev = Tables.orders(s, d)
+          .filter(year(col("o_orderdate")).isin(1999, 2000))
+          .join(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            sum(when(year(col("o_orderdate")) === 1999,
+              dec(col("o_totalprice"))).otherwise(dec(lit(0.0))))
+              .as("d99"),
+            sum(when(year(col("o_orderdate")) === 2000,
+              dec(col("o_totalprice"))).otherwise(dec(lit(0.0))))
+              .as("d00"))
+          .select(col("n_name"),
+            expr("CAST(ROUND(d99, 2) * 100 AS BIGINT)").as("cents99"),
+            expr("CAST(ROUND(d00, 2) * 100 AS BIGINT)").as("cents00"))
+        val totals = rev.agg(sum(col("cents99")).as("tot99"),
+          sum(col("cents00")).as("tot00"))
+        rev.crossJoin(broadcast(totals))
+          .select(col("n_name"),
+            expr("1000 * cents99 div tot99").as("share99_milli"),
+            expr("1000 * cents00 div tot00").as("share00_milli"),
+            expr("1000 * cents00 div tot00 - 1000 * cents99 div tot99")
+              .as("delta_milli"))
+          .orderBy("n_name")
+      },
+      oracle = Some("""
+        WITH rev AS (
+          SELECT n_name,
+                 CAST(ROUND(sum(CASE WHEN year(o_orderdate) = 1999
+                     THEN CAST(o_totalprice AS DECIMAL(18,6))
+                     ELSE CAST(0 AS DECIMAL(18,6)) END), 2) * 100 AS BIGINT)
+                   AS cents99,
+                 CAST(ROUND(sum(CASE WHEN year(o_orderdate) = 2000
+                     THEN CAST(o_totalprice AS DECIMAL(18,6))
+                     ELSE CAST(0 AS DECIMAL(18,6)) END), 2) * 100 AS BIGINT)
+                   AS cents00
+          FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+          WHERE year(o_orderdate) IN (1999, 2000)
+          GROUP BY n_name),
+        t AS (
+          SELECT CAST(sum(cents99) AS BIGINT) AS tot99,
+                 CAST(sum(cents00) AS BIGINT) AS tot00 FROM rev)
+        SELECT n_name,
+               CAST(1000 * cents99 // tot99 AS BIGINT) AS share99_milli,
+               CAST(1000 * cents00 // tot00 AS BIGINT) AS share00_milli,
+               CAST(1000 * cents00 // tot00 - 1000 * cents99 // tot99
+                 AS BIGINT) AS delta_milli
+        FROM rev CROSS JOIN t ORDER BY n_name"""),
+      doc = "nation revenue share 2000 vs 1999 with exact milli deltas " +
+        "(decimal cents, broadcast year totals) — period-over-period BI")
   )
 }
