@@ -1065,6 +1065,172 @@ object Mining {
                  AS BIGINT) AS delta_milli
         FROM rev CROSS JOIN t ORDER BY n_name"""),
       doc = "nation revenue share 2000 vs 1999 with exact milli deltas " +
-        "(decimal cents, broadcast year totals) — period-over-period BI")
+        "(decimal cents, broadcast year totals) — period-over-period BI"),
+
+    // Exact per-group percentiles on the GROUPED-RANK machinery — the
+    // mega-group-safe alternative to q69's percentile() aggregate, whose
+    // per-group sort buffer materializes every group value on one
+    // executor (fine for 4 return flags; an OOM for a billion-row group).
+    // Here the rank is a grouped prefix sum (range exchange + frozen-pid
+    // windows), the per-group n rides a broadcast, and the p50/p95 picks
+    // are the integer rank law ceil(q·n) = (q·n + den−1) div den. Picked
+    // values are RAW inputs, so they hash bit-exactly across engines.
+    "q186_grouped_exact_percentiles" -> Q(
+      run = (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("value"), col("event_id"))
+          .withColumn("__one", lit(1L))
+        val ranked = graft.operators.Operators.groupedPrefixSum(
+          ev, "event_type", "__one",
+          Seq(col("value"), col("event_id")), "r")
+        val ns = Tables.events(s, d).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        ranked.join(broadcast(ns), Seq("event_type"))
+          .filter(col("r") === expr("(n + 1) div 2")
+            || col("r") === expr("(19 * n + 19) div 20"))
+          .groupBy(col("event_type"), col("n"))
+          .agg(
+            min(when(col("r") === expr("(n + 1) div 2"), col("value")))
+              .as("p50"),
+            min(when(col("r") === expr("(19 * n + 19) div 20"),
+              col("value"))).as("p95"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT event_type, value,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                   ORDER BY value, event_id) AS BIGINT) AS r,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM events)
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               min(CASE WHEN r = (n + 1) // 2 THEN value END) AS p50,
+               min(CASE WHEN r = (19 * n + 19) // 20 THEN value END) AS p95
+        FROM r GROUP BY event_type, n ORDER BY event_type"""),
+      doc = "exact per-group p50/p95 via grouped rank (no per-group sort " +
+        "buffer) — the mega-group-safe percentile path q69 documents as " +
+        "its seam"),
+
+    // ClickHouse-style windowFunnel: per user, how deep the ordered
+    // view → click → purchase chain progresses inside a 48-hour window
+    // ANCHORED at the first view (each later step must strictly follow
+    // the previous step and land within the anchor window). Three
+    // sequential conditional-min window passes over ONE user-keyed
+    // shuffle — no self-joins, no explode; then a 4-row depth histogram.
+    // The standard product-analytics funnel with a time budget, which
+    // q80's unbounded first-timestamp funnel cannot express.
+    "q187_window_funnel" -> Q(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val W = 172800000000L // 48 h in µs (sized to the fixture's
+        // ~11 h inter-event cadence so every funnel depth is populated —
+        // a 30-min window left all users at depth 1)
+        val w = Window.partitionBy(col("user_id"))
+        val ev = Tables.events(s, d).select(col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+        val staged = ev
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("us"))).over(w))
+          .withColumn("t2",
+            min(when(col("event_type") === "click"
+              && col("us") > col("t1")
+              && col("us") <= col("t1") + W, col("us"))).over(w))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase"
+              && col("us") > col("t2")
+              && col("us") <= col("t1") + W, col("us"))).over(w))
+        staged.groupBy(col("user_id"))
+          .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+            max(col("t3")).as("t3"))
+          .select(col("user_id"),
+            when(col("t1").isNull, 0)
+              .when(col("t2").isNull, 1)
+              .when(col("t3").isNull, 2)
+              .otherwise(3).as("depth"))
+          .groupBy(col("depth"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("depth")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        s1 AS (
+          SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+                   OVER (PARTITION BY user_id) AS t1
+          FROM ev),
+        s2 AS (
+          SELECT *, min(CASE WHEN event_type = 'click' AND us > t1
+                          AND us <= t1 + 172800000000 THEN us END)
+                   OVER (PARTITION BY user_id) AS t2
+          FROM s1),
+        s3 AS (
+          SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t2
+                          AND us <= t1 + 172800000000 THEN us END)
+                   OVER (PARTITION BY user_id) AS t3
+          FROM s2),
+        per_user AS (
+          SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+          FROM s3 GROUP BY user_id),
+        depths AS (
+          SELECT user_id,
+                 CASE WHEN t1 IS NULL THEN 0
+                      WHEN t2 IS NULL THEN 1
+                      WHEN t3 IS NULL THEN 2 ELSE 3 END AS depth
+          FROM per_user)
+        SELECT depth, count(*) AS n_users
+        FROM depths GROUP BY depth ORDER BY depth"""),
+      doc = "windowFunnel: view->click->purchase depth inside a 48-h " +
+        "anchor window, three conditional-min passes on one user-keyed " +
+        "shuffle — time-budgeted funnel q80 cannot express"),
+
+    // First-order Markov transition matrix over the event stream: counts
+    // of (prev_type → type) per user step (lag over the user-ordered
+    // stream) plus the row-conditional probability in milli — the
+    // behavioral-model / next-event-prediction baseline and the input to
+    // any user-journey Sankey.
+    // Scale shape: one user-keyed shuffle for the lag window, then a
+    // map-side-combined count on the ≤ |types|² matrix; the row totals
+    // ride a broadcast join (bounded by the type vocabulary).
+    "q188_transition_matrix" -> Q(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val steps = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"), col("event_id"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+        val counts = steps.groupBy(col("prev_type").as("from_type"),
+          col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val rowTotals = counts.groupBy(col("from_type"))
+          .agg(sum(col("n")).as("row_n"))
+        counts.join(broadcast(rowTotals), Seq("from_type"))
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("1000 * n div row_n").as("p_milli"))
+          .orderBy("from_type", "to_type")
+      },
+      oracle = Some("""
+        WITH steps AS (
+          SELECT user_id,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS from_type,
+                 event_type AS to_type
+          FROM events),
+        c AS (
+          SELECT from_type, to_type, count(*) AS n
+          FROM steps WHERE from_type IS NOT NULL
+          GROUP BY 1, 2),
+        rt AS (
+          SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n
+          FROM c GROUP BY from_type)
+        SELECT from_type, to_type, n,
+               CAST(1000 * n // row_n AS BIGINT) AS p_milli
+        FROM c JOIN rt USING (from_type)
+        ORDER BY from_type, to_type"""),
+      doc = "first-order Markov transition matrix of event types (counts " +
+        "+ row-conditional milli probabilities) — the user-journey / " +
+        "next-event baseline")
   )
 }
