@@ -395,6 +395,29 @@ object ScaleStress {
       println("  rows=" + graft.SparkEntry.queries("q145_collocations")(spark, "/root/testdata/sf0.1").count())
     }
 
+    // Round 11: the composed release pipeline (q181) on the 10× duplicated
+    // corpus — the survivor agg must COLLAPSE the 10 copies map-side (the
+    // hash-keyed groupBy sees 10 identical hashes per class), so the two
+    // grouped-rank passes downstream run over the SAME 5k survivors as the
+    // plain corpus: wall time must grow far slower than rows scanned, and
+    // the manifest must be invariant except doc_ids (min-id survivors).
+    t("q181 release pipeline on 50k docs (10 exact copies each)") {
+      println("  rows=" + graft.SparkEntry.queries("q181_release_pipeline")(spark, dir).count())
+    }
+    t("q181 release pipeline on the plain corpus (reference)") {
+      println("  rows=" + graft.SparkEntry.queries("q181_release_pipeline")(spark, "/root/testdata/sf0.1").count())
+    }
+
+    // Rendezvous sharding (q170) at 10×: pure per-key arithmetic — the
+    // 17-way key cross join and map-side argmax must scale linearly with
+    // docs and spread evenly (no hot shard, no skewed task).
+    t("q170 rendezvous sharding on 50k docs (10x keys)") {
+      println("  rows=" + graft.SparkEntry.queries("q170_rendezvous_shard")(spark, dir).count())
+    }
+    t("q170 rendezvous sharding on the plain corpus (reference)") {
+      println("  rows=" + graft.SparkEntry.queries("q170_rendezvous_shard")(spark, "/root/testdata/sf0.1").count())
+    }
+
     anchor("end")
     spark.stop()
   }
