@@ -1235,6 +1235,153 @@ object Mining {
         ORDER BY from_type, to_type"""),
       doc = "first-order Markov transition matrix of event types (counts " +
         "+ row-conditional milli probabilities) — the user-journey / " +
-        "next-event baseline")
+        "next-event baseline"),
+
+    // A/B effect size in exact integer arithmetic: purchase vs error
+    // event values compared by mean difference AND the Welch z² statistic
+    // — the experimentation-platform primitive, computed so both engines
+    // agree bit-for-bit (a float t-test never cross-engine-hashes).
+    // Values are 2-decimal money → exact integer cents; with
+    // n, s = Σcents, q = Σcents² per arm, the Welch z² =
+    //   diff² / (v1/n1 + v2/n2),  v = (n·q − s²) / (n(n−1))
+    // reduces (after cancelling (n1·n2)²) to the single integer form
+    //   z²_milli = 1000·(s1n2 − s2n1)²·(n1−1)(n2−1)
+    //     div ((n1q1 − s1²)·n2²(n2−1) + (n2q2 − s2²)·n1²(n1−1)).
+    // Intermediates ride DECIMAL(38)/HUGEINT; the numerator reaches
+    // ~10³⁷ at sf0.1 — past ~10⁸ rows/arm switch to mean-centered
+    // accumulation; the exact path is the oracle-gated law.
+    // Scale shape: one map-side-combined conditional agg over a narrow
+    // projection → a 1-row frame; all the algebra is driver-free column
+    // arithmetic on that row.
+    "q190_ab_effect" -> Q(
+      run = (s, d) => {
+        val cents = expr(
+          "CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)")
+        Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "error"))
+          .select(col("event_type"), cents.as("c"))
+          .agg(
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("n1"),
+            sum(when(col("event_type") === "purchase", col("c"))
+              .otherwise(0L)).as("s1"),
+            sum(when(col("event_type") === "purchase",
+              col("c") * col("c")).otherwise(0L)).as("q1"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L))
+              .as("n2"),
+            sum(when(col("event_type") === "error", col("c"))
+              .otherwise(0L)).as("s2"),
+            sum(when(col("event_type") === "error",
+              col("c") * col("c")).otherwise(0L)).as("q2"))
+          .withColumn("diff_milli_cents", expr(
+            """CAST((CAST(1000 AS DECIMAL(38,0)) * s1 * n2
+              | - CAST(1000 AS DECIMAL(38,0)) * s2 * n1)
+              | div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"""
+              .stripMargin))
+          .withColumn("z2_milli", expr(
+            """CAST((CAST(1000 AS DECIMAL(38,0))
+              |   * (CAST(s1 AS DECIMAL(38,0)) * n2 - CAST(s2 AS DECIMAL(38,0)) * n1)
+              |   * (CAST(s1 AS DECIMAL(38,0)) * n2 - CAST(s2 AS DECIMAL(38,0)) * n1)
+              |   * (n1 - 1) * (n2 - 1))
+              | div ((CAST(n1 AS DECIMAL(38,0)) * q1 - CAST(s1 AS DECIMAL(38,0)) * s1)
+              |        * n2 * n2 * (n2 - 1)
+              |      + (CAST(n2 AS DECIMAL(38,0)) * q2 - CAST(s2 AS DECIMAL(38,0)) * s2)
+              |        * n1 * n1 * (n1 - 1)) AS BIGINT)""".stripMargin))
+          .select(col("n1"), col("n2"), col("diff_milli_cents"),
+            col("z2_milli"))
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT event_type,
+                 CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) AS c
+          FROM events WHERE event_type IN ('purchase', 'error')),
+        p AS (
+          SELECT
+            CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END)
+              AS HUGEINT) AS s1,
+            CAST(sum(CASE WHEN event_type = 'purchase' THEN c * c
+              ELSE 0 END) AS HUGEINT) AS q1,
+            CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n2,
+            CAST(sum(CASE WHEN event_type = 'error' THEN c ELSE 0 END)
+              AS HUGEINT) AS s2,
+            CAST(sum(CASE WHEN event_type = 'error' THEN c * c ELSE 0 END)
+              AS HUGEINT) AS q2
+          FROM c)
+        SELECT n1, n2,
+               CAST((1000 * s1 * n2 - 1000 * s2 * n1)
+                 // (CAST(n1 AS HUGEINT) * n2) AS BIGINT)
+                 AS diff_milli_cents,
+               CAST((1000 * (s1 * n2 - s2 * n1) * (s1 * n2 - s2 * n1)
+                      * (n1 - 1) * (n2 - 1))
+                 // ((n1 * q1 - s1 * s1) * n2 * n2 * (n2 - 1)
+                    + (n2 * q2 - s2 * s2) * n1 * n1 * (n1 - 1))
+                 AS BIGINT) AS z2_milli
+        FROM p"""),
+      doc = "A/B effect size (purchase vs error values): exact integer " +
+        "mean-difference + Welch z-squared in milli — the experimentation " +
+        "primitive, engine-stable"),
+
+    // Zone-map data-skipping audit: the 1-D layout counterpart of q153's
+    // Z-order. Model 32 equal row zones under two layouts — arrival order
+    // (doc_id ranges) vs sorted-by-filter-column (n_chars rank ranges) —
+    // record each zone's [min, max] of n_chars (exactly what parquet
+    // row-group stats hold), and count the zones a `n_chars > 400` scan
+    // could SKIP under each layout. Sorted layout clusters the predicate
+    // column so most zones' max falls below the cut; arrival order leaves
+    // every zone straddling it — the measured argument for sorting data
+    // by its hottest filter column at write time.
+    // Scale shape: the rank rides totalRank (range exchange, frozen-pid
+    // windows, no single-task stage); zone stats are one
+    // map-side-combined agg into a 2×32-row metadata table.
+    "q191_zonemap_skipping" -> Q(
+      run = (s, d) => {
+        val docs = graft.Checkpoints.localCheckpoint(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars")))
+        val (ranked, n) = graft.operators.Operators.totalRank(
+          docs, "n_chars", Seq(col("doc_id")), "rnk")
+        val zoneW = math.max(1L, (n + 31) / 32)
+        val byArrival = docs
+          .withColumn("layout", lit("arrival"))
+          // doc_ids are 0-based dense in the fixture; zone = id div width
+          .withColumn("zone", expr(s"CAST(doc_id div $zoneW AS INT)"))
+        val bySorted = ranked
+          .withColumn("layout", lit("sorted"))
+          .withColumn("zone", expr(s"CAST((rnk - 1) div $zoneW AS INT)"))
+          .select(col("doc_id"), col("n_chars"), col("layout"), col("zone"))
+        byArrival.unionByName(bySorted)
+          .groupBy(col("layout"), col("zone"))
+          .agg(min(col("n_chars")).as("zmin"), max(col("n_chars")).as("zmax"))
+          .groupBy(col("layout"))
+          .agg(count(lit(1)).as("n_zones"),
+            sum(when(col("zmax") <= 400, 1L).otherwise(0L))
+              .as("n_skippable"))
+          .orderBy("layout")
+      },
+      oracle = Some("""
+        WITH n AS (SELECT count(*) AS n FROM documents),
+        w AS (SELECT greatest(1, (n + 31) // 32) AS zw FROM n),
+        arrival AS (
+          SELECT 'arrival' AS layout,
+                 CAST(doc_id // zw AS INT) AS zone, n_chars
+          FROM documents CROSS JOIN w),
+        srt AS (
+          SELECT 'sorted' AS layout,
+                 CAST((row_number() OVER (ORDER BY n_chars, doc_id) - 1)
+                   // zw AS INT) AS zone, n_chars
+          FROM documents CROSS JOIN w),
+        zones AS (
+          SELECT layout, zone, min(n_chars) AS zmin, max(n_chars) AS zmax
+          FROM (SELECT * FROM arrival UNION ALL SELECT * FROM srt)
+          GROUP BY 1, 2)
+        SELECT layout, count(*) AS n_zones,
+               CAST(sum(CASE WHEN zmax <= 400 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_skippable
+        FROM zones GROUP BY layout ORDER BY layout"""),
+      doc = "zone-map skipping audit: zones prunable by a n_chars > 400 " +
+        "scan under arrival vs sorted layout — the 1-D data-skipping " +
+        "argument beside q153's Z-order")
   )
 }
