@@ -1382,6 +1382,157 @@ object Mining {
         FROM zones GROUP BY layout ORDER BY layout"""),
       doc = "zone-map skipping audit: zones prunable by a n_chars > 400 " +
         "scan under arrival vs sorted layout — the 1-D data-skipping " +
-        "argument beside q153's Z-order")
+        "argument beside q153's Z-order"),
+
+    // Watermark late-data audit: the batch-side measurement that SIZES a
+    // streaming deployment's watermark delay. Arrival time is modeled as
+    // event time + a deterministic hash-derived network delay of up to
+    // 2 h (the fixture's event_id order IS its time order, so a raw
+    // event_id proxy makes every count vacuously zero — the jitter is
+    // what puts disorder under test); the watermark after each arrival is
+    // max(event time so far) − D, and an event is LATE iff its own event
+    // time is already below that mark — exactly what append-mode would
+    // drop. One arrival-ordered running max per type answers every D at
+    // once; reported for D = 1 h (~10% dropped on the fixture) and 6 h
+    // (0 dropped) so the operator sees both ends of the delay curve.
+    // Scale shape: one type-keyed window pass (types are bounded here —
+    // in a deployment the key is (type, shard)); map-side-combined 1-agg.
+    "q192_late_data_audit" -> Q(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = charHash(col("event_id").cast("string"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("arr"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .select(col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("arr", col("us")
+            + (h * h % 1000000007L * 2654435761L % 1000000007L % 7200L)
+              * 1000000L)
+          .withColumn("hwm", max(col("us")).over(w))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("us") < col("hwm") - 3600000000L, 1L)
+              .otherwise(0L)).as("late_1h"),
+            sum(when(col("us") < col("hwm") - 21600000000L, 1L)
+              .otherwise(0L)).as("late_6h"))
+          .orderBy("event_type")
+      },
+      oracle = Some(s"""
+        WITH ev AS (
+          SELECT event_type, event_id, epoch_us(ts) AS us,
+                 epoch_us(ts)
+                   + ${duckCharHash("CAST(event_id AS VARCHAR)")}
+                     * ${duckCharHash("CAST(event_id AS VARCHAR)")}
+                     % 1000000007 * 2654435761 % 1000000007 % 7200
+                     * 1000000 AS arr
+          FROM events),
+        a AS (
+          SELECT event_type, us,
+                 max(us) OVER (PARTITION BY event_type
+                   ORDER BY arr, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+          FROM ev)
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CASE WHEN us < hwm - 3600000000 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS late_1h,
+               CAST(sum(CASE WHEN us < hwm - 21600000000 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS late_6h
+        FROM a GROUP BY event_type ORDER BY event_type"""),
+      doc = "watermark late-data audit: events append-mode would drop at " +
+        "1h vs 6h delay (arrival-ordered running max) — sizes the " +
+        "streaming watermark decision"),
+
+    // Sequential pattern mining, one step past q188's pair matrix: the
+    // most frequent 3-step event paths (trigrams of consecutive events
+    // per user), support-counted and top-10. The SPADE-lite building
+    // block behind "users who did X then Y then Z".
+    // Scale shape: one user-keyed window shuffle carries BOTH lags; the
+    // trigram agg is map-side combined (≤ |types|³ keys); TakeOrdered.
+    "q193_path_trigrams" -> Q(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"), col("event_id"))
+          .withColumn("t1", lag(col("event_type"), 2).over(w))
+          .withColumn("t2", lag(col("event_type"), 1).over(w))
+          .filter(col("t1").isNotNull)
+          .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+          .agg(count(lit(1)).as("support"))
+          .orderBy(col("support").desc, col("t1"), col("t2"), col("t3"))
+          .limit(10)
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT user_id,
+                 lag(event_type, 2) OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS t1,
+                 lag(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS t2,
+                 event_type AS t3
+          FROM events)
+        SELECT t1, t2, t3, count(*) AS support
+        FROM s WHERE t1 IS NOT NULL
+        GROUP BY 1, 2, 3
+        ORDER BY support DESC, t1, t2, t3 LIMIT 10"""),
+      doc = "top-10 three-step event paths (consecutive trigrams per " +
+        "user) — sequential pattern mining past the q188 pair matrix"),
+
+    // CUSUM changepoint detection on the weekly event-volume series: the
+    // classic shift detector — S_w = Σ_{i≤w} (c_i − mean), and the week
+    // maximizing |S| is the most likely changepoint. Computed exactly in
+    // integers by scaling deviations by the week count W (c_i·W − total),
+    // so no fractional mean ever appears. Output: each week's scaled
+    // CUSUM plus the argmax flag — the monitoring primitive that answers
+    // "WHEN did the volume regime change", where the drift audits
+    // (q139/q163) answer "did it".
+    // Scale shape: events collapse to a ≤|weeks|-row metadata series
+    // (map-side-combined count), and the CUSUM window runs over that
+    // series; at 100 TB the series is still weeks-sized.
+    "q194_cusum_changepoint" -> Q(
+      run = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val weekly = Tables.events(s, d)
+          .groupBy(expr("CAST(date_trunc('week', ts) AS DATE)").as("week"))
+          .agg(count(lit(1)).as("c"))
+        val tot = weekly.agg(sum(col("c")).as("total"),
+          count(lit(1)).as("wn"))
+        val wc = Window.orderBy(col("week"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cusum = weekly.crossJoin(broadcast(tot))
+          .withColumn("s_scaled",
+            sum(col("c") * col("wn") - col("total")).over(wc))
+        cusum
+          .withColumn("abs_s", abs(col("s_scaled")))
+          .withColumn("is_changepoint",
+            col("abs_s") === max(col("abs_s")).over(
+              Window.rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)))
+          .select(col("week"), col("c"), col("s_scaled"),
+            col("is_changepoint"))
+          .orderBy("week")
+      },
+      oracle = Some("""
+        WITH weekly AS (
+          SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+                 count(*) AS c
+          FROM events GROUP BY 1),
+        t AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+                     count(*) AS wn FROM weekly),
+        cusum AS (
+          SELECT week, c,
+                 CAST(sum(c * wn - total) OVER (ORDER BY week
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_scaled
+          FROM weekly CROSS JOIN t)
+        SELECT week, c, s_scaled,
+               abs(s_scaled) = max(abs(s_scaled)) OVER () AS is_changepoint
+        FROM cusum ORDER BY week"""),
+      doc = "CUSUM changepoint on weekly event volume (integer-scaled " +
+        "deviations, argmax |S| flag) — WHEN the regime changed, beside " +
+        "the drift audits' DID it")
   )
 }
