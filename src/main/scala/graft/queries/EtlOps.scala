@@ -535,6 +535,61 @@ object EtlOps {
         FROM orders
         WHERE month(o_orderdate) IN (3, 4)
         GROUP BY 1, 2 ORDER BY order_month, o_orderstatus"""),
-      doc = "hive-partitioned write + partition-pruned scan (directory-level skipping)")
+      doc = "hive-partitioned write + partition-pruned scan (directory-level skipping)"),
+
+    // Partition-SCHEME evolution read: generation A of the table was
+    // written partitioned by year only; generation B (later writers)
+    // by (year, month). A reader must see ONE table and prune each
+    // generation as deeply as its own layout allows — year-level
+    // directory skipping on A (the month predicate degrades to a data
+    // filter there), year+month skipping on B. This is the lakehouse
+    // partition-evolution read path (q162 evolves the SCHEMA, this
+    // evolves the LAYOUT); the oracle replays from the raw table, so the
+    // gate also proves the generation split never changes semantics.
+    // Scale shape: both scans prune at the directory level before any
+    // row is read; the union is a plan concat (zero shuffle); one
+    // map-side-combined agg.
+    "q195_partition_evolution" -> Q(
+      run = (s, d) => {
+        val tmpA = scratchDir("q195_gen_a")
+        val tmpB = scratchDir("q195_gen_b")
+        val base = Tables.orders(s, d)
+          .withColumn("order_year", year(col("o_orderdate")))
+          .withColumn("order_month", month(col("o_orderdate")))
+        base.filter(col("o_orderkey") % 2 === 0)
+          .drop("order_month") // gen A predates the month column's layout
+          .write.mode("overwrite").partitionBy("order_year").parquet(tmpA)
+        base.filter(col("o_orderkey") % 2 === 1)
+          .write.mode("overwrite")
+          .partitionBy("order_year", "order_month").parquet(tmpB)
+        val genA = s.read.parquet(tmpA)
+          .filter(col("order_year") === 2000
+            && month(col("o_orderdate")).isin(3, 4))
+          .withColumn("order_month", month(col("o_orderdate")))
+        val genB = s.read.parquet(tmpB)
+          .filter(col("order_year") === 2000
+            && col("order_month").isin(3, 4))
+        genA.select(col("order_month"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .unionByName(genB.select(col("order_month"), col("o_orderstatus"),
+            col("o_totalprice")))
+          .groupBy(col("order_month"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            graft.MoneyOut.col(sum(col("o_totalprice").cast("decimal(18,6)")))
+              .as("total"))
+          .withColumn("order_month", col("order_month").cast("int"))
+          .orderBy("order_month", "o_orderstatus")
+      },
+      oracle = Some("""
+        SELECT CAST(month(o_orderdate) AS INT) AS order_month, o_orderstatus,
+               count(*) AS n,
+               (CAST(CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS total
+        FROM orders
+        WHERE year(o_orderdate) = 2000 AND month(o_orderdate) IN (3, 4)
+        GROUP BY 1, 2 ORDER BY order_month, o_orderstatus"""),
+      doc = "partition-scheme evolution read: year-partitioned gen A + " +
+        "(year, month)-partitioned gen B as one table, each pruned as " +
+        "deep as its layout allows — layout evolution never changes " +
+        "semantics")
   )
 }

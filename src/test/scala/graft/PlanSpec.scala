@@ -616,6 +616,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q195: each partition generation prunes as deep as its layout allows") {
+    val p = plan("q195_partition_evolution", execute = true)
+    // the AQE dump prints each scan in both the initial and final plan —
+    // dedupe on trimmed text so each generation's scan counts once
+    val scanLines = p.linesIterator.filter(_.contains("PartitionFilters"))
+      .map(l => l.substring(l.indexOf("FileScan"))).toSeq.distinct
+    // two generation scans, both with non-empty partition filters
+    assert(scanLines.size == 2, s"expected two partitioned scans:\n$p")
+    assert(scanLines.forall(_.contains("order_year")),
+      s"year predicate must prune BOTH generations:\n${scanLines.mkString("\n")}")
+    // gen B's scan additionally prunes on the month directory; gen A's
+    // month predicate degrades to a data filter (its layout has no month
+    // directories) — exactly one scan carries the month partition filter
+    assert(scanLines.count(_.contains("order_month")) == 1,
+      s"month must prune exactly the (year, month)-partitioned generation:\n${scanLines.mkString("\n")}")
+  }
+
   test("q170: shard table broadcasts; argmax agg is map-side combined") {
     val p = plan("q170_rendezvous_shard", execute = true)
     // the 17-row shard table must ride the broadcast side of the cross
