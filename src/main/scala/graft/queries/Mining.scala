@@ -110,6 +110,54 @@ object Mining {
           |    y -> struct(x AS p1, y AS p2))))""".stripMargin)).as("pr"))
       .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
 
+  /** q177/q196's lexical ranker: top-20 docs by the BM25 law, ranked. */
+  private def lexTop20(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bm25Scores(s, d)
+      .orderBy(col("score_milli").desc, col("doc_id")).limit(20)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score_milli").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+  }
+
+  /** q177/q196's dense ranker: top-20 docs by cosine against doc 0's
+    * embedding (vec_id ≡ doc_id), ranked. */
+  private def denseTop20(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vec = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    val qv = vec.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qemb"))
+    vec.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        Vectors.cosSim(col("embedding"), col("qemb")).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(20)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id"))))
+      .select(col("doc_id"), col("vec_rank"))
+  }
+
+  /** The ranker CTE chain shared by q177/q196's oracles: `lex` and
+    * `dense` (doc_id + 1-based rank, top 20 each). Assumes `$duckBm25`
+    * already precedes it in the WITH list. */
+  private def duckRankers: String = s"""
+    lex AS (
+      SELECT doc_id, CAST(row_number() OVER
+               (ORDER BY score_milli DESC, doc_id) AS INT) AS lex_rank
+      FROM bm25 ORDER BY score_milli DESC, doc_id LIMIT 20),
+    qv AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+    cosed AS (
+      SELECT vec_id AS doc_id,
+             ${Vectors.sqlDot("embedding", "qemb")}
+               / (sqrt(${Vectors.sqlNorm2("embedding")})
+                  * sqrt(${Vectors.sqlNorm2("qemb")})) AS cos
+      FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
+    dense AS (
+      SELECT doc_id, CAST(row_number() OVER
+               (ORDER BY cos DESC, doc_id) AS INT) AS vec_rank
+      FROM cosed ORDER BY cos DESC, doc_id LIMIT 20)"""
+
   val qs: Map[String, Q] = Map(
 
     // Ranked retrieval: BM25-shaped scoring of the corpus against a fixed
@@ -526,25 +574,7 @@ object Mining {
     // fusion is a 20∪20-row full outer join on the driver-side-free plan.
     "q177_hybrid_rrf" -> Q(
       run = (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val lexTop = bm25Scores(s, d)
-          .orderBy(col("score_milli").desc, col("doc_id")).limit(20)
-          .withColumn("lex_rank", row_number().over(
-            Window.orderBy(col("score_milli").desc, col("doc_id"))))
-          .select(col("doc_id"), col("lex_rank"))
-        val vec = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"))
-        val qv = vec.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qemb"))
-        val denseTop = vec.filter(col("vec_id") =!= 0)
-          .crossJoin(broadcast(qv))
-          .select(col("vec_id").as("doc_id"),
-            Vectors.cosSim(col("embedding"), col("qemb")).as("cos"))
-          .orderBy(col("cos").desc, col("doc_id")).limit(20)
-          .withColumn("vec_rank", row_number().over(
-            Window.orderBy(col("cos").desc, col("doc_id"))))
-          .select(col("doc_id"), col("vec_rank"))
-        lexTop.join(denseTop, Seq("doc_id"), "full_outer")
+        lexTop20(s, d).join(denseTop20(s, d), Seq("doc_id"), "full_outer")
           .select(col("doc_id"),
             coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
             coalesce(col("vec_rank"), lit(0)).as("vec_rank"))
@@ -557,21 +587,7 @@ object Mining {
       },
       oracle = Some(s"""
         WITH $duckBm25,
-        lex AS (
-          SELECT doc_id, CAST(row_number() OVER
-                   (ORDER BY score_milli DESC, doc_id) AS INT) AS lex_rank
-          FROM bm25 ORDER BY score_milli DESC, doc_id LIMIT 20),
-        qv AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
-        cosed AS (
-          SELECT vec_id AS doc_id,
-                 ${Vectors.sqlDot("embedding", "qemb")}
-                   / (sqrt(${Vectors.sqlNorm2("embedding")})
-                      * sqrt(${Vectors.sqlNorm2("qemb")})) AS cos
-          FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
-        dense AS (
-          SELECT doc_id, CAST(row_number() OVER
-                   (ORDER BY cos DESC, doc_id) AS INT) AS vec_rank
-          FROM cosed ORDER BY cos DESC, doc_id LIMIT 20),
+        $duckRankers,
         fused AS (
           SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
                  coalesce(lex_rank, 0) AS lex_rank,
@@ -1533,6 +1549,122 @@ object Mining {
         FROM cusum ORDER BY week"""),
       doc = "CUSUM changepoint on weekly event volume (integer-scaled " +
         "deviations, argmax |S| flag) — WHEN the regime changed, beside " +
-        "the drift audits' DID it")
+        "the drift audits' DID it"),
+
+    // Ranker agreement audit: how much do q177's two retrieval channels
+    // (BM25 lexical vs dense cosine) actually agree? Overlap@k for
+    // k ∈ {1, 5, 10, 20}, plus — on the items BOTH top-20s contain —
+    // Kendall concordance in milli: over shared-item pairs, 1000·(C − D)
+    // div (C + D) where a pair is concordant iff both rankers order it
+    // the same way. The calibration you read before trusting rank fusion
+    // (near-zero overlap means RRF is a coin flip; high overlap with low
+    // tau means the channels agree on WHAT but not in WHICH ORDER).
+    // Scale shape: both rankers are the shared TakeOrdered(20) builders;
+    // everything downstream runs on ≤ 20-row frames (the pair
+    // "self-join" is 20×20 metadata, never corpus-sized).
+    "q196_ranker_agreement" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        val shared = graft.Checkpoints.localCheckpoint(
+          lexTop20(s, d).join(denseTop20(s, d), Seq("doc_id")))
+        val ks = Seq(1, 5, 10, 20).toDF("k")
+        val overlaps = broadcast(ks).join(shared,
+            col("lex_rank") <= col("k") && col("vec_rank") <= col("k"),
+            "left")
+          .groupBy(col("k"))
+          .agg(count(col("doc_id")).as("overlap_n"))
+        val a = shared.select(col("doc_id").as("ia"),
+          col("lex_rank").as("la"), col("vec_rank").as("va"))
+        val b = shared.select(col("doc_id").as("ib"),
+          col("lex_rank").as("lb"), col("vec_rank").as("vb"))
+        val tau = a.join(b, col("ia") < col("ib"))
+          .agg(
+            sum(when((col("la") < col("lb")) === (col("va") < col("vb")),
+              1L).otherwise(0L)).as("c"),
+            sum(when((col("la") < col("lb")) =!= (col("va") < col("vb")),
+              1L).otherwise(0L)).as("dd"))
+          .select(expr(
+            """CASE WHEN c + dd > 0
+              | THEN 1000 * (c - dd) div (c + dd) ELSE 0 END"""
+              .stripMargin).as("tau_milli"))
+        overlaps.crossJoin(broadcast(tau))
+          .select(col("k"), col("overlap_n"),
+            when(col("k") === 20, col("tau_milli")).as("tau_milli"))
+          .orderBy("k")
+      },
+      oracle = Some(s"""
+        WITH $duckBm25,
+        $duckRankers,
+        shared AS (
+          SELECT lex.doc_id, lex_rank, vec_rank
+          FROM lex JOIN dense USING (doc_id)),
+        ks AS (SELECT unnest([1, 5, 10, 20]) AS k),
+        ovl AS (
+          SELECT k, count(s.doc_id) AS overlap_n
+          FROM ks LEFT JOIN shared s
+            ON s.lex_rank <= ks.k AND s.vec_rank <= ks.k
+          GROUP BY k),
+        tau AS (
+          SELECT CAST(CASE WHEN c + d > 0
+                   THEN 1000 * (c - d) // (c + d) ELSE 0 END AS BIGINT)
+                 AS tau_milli
+          FROM (
+            SELECT
+              sum(CASE WHEN (a.lex_rank < b.lex_rank)
+                         = (a.vec_rank < b.vec_rank)
+                  THEN 1 ELSE 0 END) AS c,
+              sum(CASE WHEN (a.lex_rank < b.lex_rank)
+                         <> (a.vec_rank < b.vec_rank)
+                  THEN 1 ELSE 0 END) AS d
+            FROM shared a JOIN shared b ON a.doc_id < b.doc_id))
+        SELECT k, CAST(overlap_n AS BIGINT) AS overlap_n,
+               CASE WHEN k = 20 THEN tau_milli END AS tau_milli
+        FROM ovl CROSS JOIN tau ORDER BY k"""),
+      doc = "lexical vs dense ranker agreement: overlap@{1,5,10,20} + " +
+        "Kendall concordance (milli) on the shared top-20 items — the " +
+        "calibration read before trusting rank fusion"),
+
+    // Global rank transform (percentile normalization): every doc's
+    // n_chars mapped to its global percentile (milli), then summarized
+    // per source — the length-BIAS audit: a source whose docs are
+    // globally typical reads ~500 mean percentile; a long-doc farm reads
+    // high; the transform is the feature-engineering step that makes
+    // per-source features comparable regardless of each source's scale.
+    // Scale shape: the global rank rides totalRank (range exchange,
+    // frozen-pid windows, no single-task stage); the per-source summary
+    // is one map-side-combined agg.
+    "q197_percentile_transform" -> Q(
+      run = (s, d) => {
+        val docs = graft.Checkpoints.localCheckpoint(
+          Tables.documents(s, d).select(col("source"), col("doc_id"),
+            col("n_chars")))
+        val (ranked, n) = graft.operators.Operators.totalRank(
+          docs, "n_chars", Seq(col("doc_id")), "rnk")
+        ranked
+          .withColumn("pct_milli", expr(s"1000 * rnk div $n"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            expr("sum(pct_milli) div count(1)").as("mean_pct_milli"),
+            min(col("pct_milli")).as("min_pct_milli"),
+            max(col("pct_milli")).as("max_pct_milli"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT source,
+                 CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                   AS BIGINT) AS rnk,
+                 count(*) OVER () AS n
+          FROM documents),
+        p AS (SELECT source, 1000 * rnk // n AS pct_milli FROM r)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(pct_milli) // count(*) AS BIGINT)
+                 AS mean_pct_milli,
+               CAST(min(pct_milli) AS BIGINT) AS min_pct_milli,
+               CAST(max(pct_milli) AS BIGINT) AS max_pct_milli
+        FROM p GROUP BY source ORDER BY source"""),
+      doc = "global percentile transform of doc length, summarized per " +
+        "source (mean/min/max milli) — the length-bias audit and " +
+        "scale-free feature normalization")
   )
 }
