@@ -4,10 +4,11 @@ object Bench {
   // Streaming drains carry 2-3x run-to-run variance from state-store commit
   // and micro-batch scheduling I/O that min-of-2 doesn't absorb (round-6
   // driver run: q64 5.6s vs 1.9s same code) — these get a third timed pass.
-  private val streamingQueries = Set(
-    "q42_stream_tumbling", "q43_stream_dedup", "q44_session_window",
-    "q64_stream_stream_join", "q91_stateful_sessions", "q100_stream_enrich",
-    "q117_stream_decontam")
+  // Derived from the registry (every query in the streaming module runs a
+  // drain), not a hand-list: q149/q184 silently missed the clamp when this
+  // was maintained by hand.
+  private val streamingQueries: Set[String] =
+    graft.streaming.StreamOps.qs.keySet
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -105,6 +106,7 @@ object Bench {
         Checkpoints.releaseScoped()
         val m0 = MetricsTap.snapshot() // flushes the bus — off the clock
         val b0 = graft.queries.TextOps.buildStageTotals
+        val bm0 = graft.queries.TextOps.buildMetricTotals
         val t0 = System.nanoTime()
         // a failing query must be VISIBLE, not a fast -1: its wall time is
         // fail-fast-small, so min() would otherwise make a broken suite
@@ -118,9 +120,6 @@ object Bench {
         // flush happens after the timer stops; see MetricsTap). Recorded
         // per pass — min-of-passes timing must not hide a pass-2 spike.
         val dm = MetricsTap.snapshot() - m0
-        qMetrics.synchronized {
-          qMetrics(name) = qMetrics.getOrElse(name, Nil) :+ dm
-        }
         // shared-stage builds triggered by THIS query become first-class
         // rows ("stage:<name>") and are SUBTRACTED from the query's own
         // time — so a query's trend line measures its consume cost, stable
@@ -131,6 +130,28 @@ object Bench {
         val stageDelta = graft.queries.TextOps.buildStageTotals
           .map { case (k, v) => k -> (v - b0.getOrElse(k, 0.0)) }
           .filter(_._2 > 1e-3)
+        // ...and the build's GC/spill moves with it: the query's metric
+        // delta is reduced by the triggered builds' deltas (clamped at 0 —
+        // listener updates race the snapshot by a task or two) and each
+        // stage: row carries its own Snap, so query_metrics and the timing
+        // rows attribute the same way
+        val zero = MetricsTap.Snap(0L, 0L, 0L)
+        val stageM = graft.queries.TextOps.buildMetricTotals
+          .map { case (k, v) => k -> (v - bm0.getOrElse(k, zero)) }
+          .filter { case (k, _) => stageDelta.contains(k) }
+        val sTot = stageM.values.foldLeft(zero)((a, b) => MetricsTap.Snap(
+          a.gcMs + b.gcMs, a.spillMemBytes + b.spillMemBytes,
+          a.spillDiskBytes + b.spillDiskBytes))
+        val dmAdj = MetricsTap.Snap(
+          math.max(0L, dm.gcMs - sTot.gcMs),
+          math.max(0L, dm.spillMemBytes - sTot.spillMemBytes),
+          math.max(0L, dm.spillDiskBytes - sTot.spillDiskBytes))
+        qMetrics.synchronized {
+          qMetrics(name) = qMetrics.getOrElse(name, Nil) :+ dmAdj
+          stageM.foreach { case (k, v) =>
+            qMetrics(s"stage:$k") = qMetrics.getOrElse(s"stage:$k", Nil) :+ v
+          }
+        }
         if (failed.contains(name)) Nil // drop its stage rows too: a build
         else {                         // aborted mid-failure isn't a timing
           val qRow = name -> math.max(0.0, dt - stageDelta.values.sum)

@@ -53,6 +53,20 @@ object BenchNorm {
     if (anchorRatio <= 1.0) anchorRatio
     else math.max(1.0, math.min(anchorRatio, inflation))
 
+  /** The run-wide host floor: even the FASTEST pass ran at this anchor
+    * slowdown. In-run inflation can never corroborate it — raw/best ratios
+    * only compare passes of the SAME run, which contains no independent
+    * speed reference when every pass is slow — so the common floor is
+    * granted on the anchors' word alone (all boundaries agreeing on a
+    * sustained slowdown is the strongest evidence the instrument has;
+    * without this, a run-wide 2× contention window would normalize to raw
+    * and read as a phantom whole-suite regression). Only the per-pass
+    * EXCESS above the floor needs in-pass corroboration. ≤ 1 ratios (host
+    * at/above nominal) contribute a floor of 1 — they are applied per-pass
+    * as before. */
+  def commonFloor(anchorRatios: Seq[Double]): Double =
+    if (anchorRatios.isEmpty) 1.0 else math.max(1.0, anchorRatios.min)
+
   /** Normalize per-pass (name, rawSec) rows into host-independent units.
     *
     * @param passes     one Seq of rows per pass (failed rows pre-filtered)
@@ -68,8 +82,10 @@ object BenchNorm {
       s"normalize: ${passes.length} passes but ${anchorsPar.length} anchors")
     val best = passes.flatten.groupBy(_._1)
       .map { case (n, ts) => n -> ts.map(_._2).min }
-    val slowdowns = passes.zip(anchorsPar).map { case (p, a) =>
-      passSlowdown(a / nominalPar, medianInflation(p, best))
+    val ratios = anchorsPar.map(_ / nominalPar)
+    val floor = commonFloor(ratios)
+    val slowdowns = passes.zip(ratios).map { case (p, r) =>
+      floor * passSlowdown(r / floor, medianInflation(p, best))
     }
     val norm = passes.zip(slowdowns)
       .flatMap { case (p, f) => p.map { case (n, t) => n -> t / f } }

@@ -783,13 +783,18 @@ object Mining {
         val docs = Tables.documents(s, d).select(col("source"),
           col("doc_id"), col("n_chars"), charHash(col("text")).as("h"))
         // (1) survivors: min doc_id per content hash (struct-min keeps the
-        // whole row; hash-keyed map-side-combined agg, no window)
-        val surv = docs
+        // whole row; hash-keyed map-side-combined agg, no window).
+        // Scope-checkpointed: both consumers below (the totals agg and the
+        // rank path's own eager checkpoint) would otherwise re-run the
+        // full-text charHash scan + survivor agg from scratch — the
+        // "corpus read once" claim holds because THIS table materializes
+        // once
+        val surv = graft.Checkpoints.localCheckpoint(docs
           .groupBy(col("h"))
           .agg(min(struct(col("doc_id"), col("source"), col("n_chars")))
             .as("s"))
           .select(col("s.source").as("source"), col("s.doc_id").as("doc_id"),
-            col("s.n_chars").as("n_chars"), col("h"))
+            col("s.n_chars").as("n_chars"), col("h")))
         // (2) top-p head over survivors
         val totals = surv.groupBy(col("source"))
           .agg(sum(col("n_chars")).as("total_chars"))

@@ -159,6 +159,17 @@ object TextOps {
     buildStageNames.iterator
       .map(n => n -> stageTimes.getOrElse(n, Nil).sum).toMap
   }
+  // Cumulative task-metric deltas per build stage — the Snap twin of
+  // buildStageTotals, so Bench can move a triggered build's GC/spill onto
+  // its stage: row the same way it moves the wall time (otherwise a
+  // 0.3 s consume-only query row carries the build's hundreds of MB of
+  // spill in query_metrics — the attribution confusion the stage rows
+  // exist to remove, reproduced in the metrics record).
+  private val stageMetricSums =
+    scala.collection.mutable.LinkedHashMap[String, graft.MetricsTap.Snap]()
+  def buildMetricTotals: Map[String, graft.MetricsTap.Snap] = synchronized {
+    stageMetricSums.toMap
+  }
   // Build timers nest (pairs → exploded → arrays, all under the same
   // synchronized lock, same thread), so each stage records its EXCLUSIVE
   // time — child build time is subtracted via the frame stack — and the
@@ -202,6 +213,11 @@ object TextOps {
         recordStat(s"${name}_spill_mb",
           (d.spillMemBytes + d.spillDiskBytes).toDouble / (1 << 20))
         recordStat(s"${name}_flush_ms", flushNs / 1e6)
+        val prev = stageMetricSums.getOrElse(name,
+          graft.MetricsTap.Snap(0L, 0L, 0L))
+        stageMetricSums(name) = graft.MetricsTap.Snap(
+          prev.gcMs + d.gcMs, prev.spillMemBytes + d.spillMemBytes,
+          prev.spillDiskBytes + d.spillDiskBytes)
       }
       r
     } catch { // pop the frame on failure too, or the orphan entry corrupts

@@ -105,8 +105,8 @@ object Vectors {
       .filter(col("n2") > 0.0)
 
   /** q189's SRP hyperplane count: 6 bits → 64 buckets, sized so the
-    * fixture's buckets hold ~n/64 vectors (multi-probe Hamming ≤ 1 then
-    * visits ~7/64 ≈ 11% of the corpus per query). */
+    * fixture's buckets hold ~n/64 vectors (multi-probe Hamming ≤ 2 then
+    * visits 22/64 ≈ 34% of the corpus per query — see srpProbeMasks). */
   private val SrpBits = 6
 
   /** Deterministic Rademacher hyperplanes for q189: sign(b, i) = ±1 by
@@ -1674,7 +1674,7 @@ object Vectors {
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
       },
       doc = "SRP (random-hyperplane) LSH-bucketed approximate top-k: " +
-        "6-bit sign signatures, multi-probe Hamming<=1, exact-cosine " +
+        "6-bit sign signatures, multi-probe Hamming<=2, exact-cosine " +
         "rerank on candidates — the train-free streaming-ingest ANN index")
   )
 

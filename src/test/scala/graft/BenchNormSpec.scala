@@ -73,6 +73,28 @@ class BenchNormSpec extends AnyFunSuite {
     assert(math.abs(slowdowns(1) - 1.0) < 1e-9)
   }
 
+  test("run-wide slow window: the common anchor floor is granted without " +
+    "in-run corroboration") {
+    // EVERY pass ran inside a sustained 2x contention window: all anchors
+    // read 2x nominal, and because the passes are equally slow, raw/best
+    // inflation is ~1.0 — the in-run evidence CANNOT corroborate a
+    // run-wide slowdown (there is no fast reference inside the run). The
+    // anchors' common floor must be granted directly, or the record reads
+    // a phantom 2x whole-suite regression.
+    val p1 = Seq("qA" -> 2.0, "qB" -> 4.0)
+    val p2 = Seq("qA" -> 2.0, "qB" -> 4.0)
+    val (norm, slowdowns) = BenchNorm.normalize(
+      Seq(p1, p2), Seq(Nominal * 2.0, Nominal * 2.0), Nominal)
+    assert(slowdowns.forall(s => math.abs(s - 2.0) < 1e-9))
+    assert(math.abs(norm.map(_._2).sum - 3.0) < 1e-9) // raw best 6.0 / 2
+    // and a spike ABOVE the floor still needs corroboration: floor 2x
+    // granted, the extra 1.5x on pass 2 is not (its queries stayed flat)
+    val (_, sd2) = BenchNorm.normalize(
+      Seq(p1, p2), Seq(Nominal * 2.0, Nominal * 3.0), Nominal)
+    assert(math.abs(sd2(0) - 2.0) < 1e-9)
+    assert(math.abs(sd2(1) - 2.0) < 1e-9)
+  }
+
   test("median: empty input reads as no inflation; even/odd lengths") {
     assert(BenchNorm.median(Nil) === 1.0)
     assert(BenchNorm.median(Seq(3.0, 1.0, 2.0)) === 2.0)
