@@ -273,7 +273,8 @@ object TextOps {
     windowCache = None
     labelsCache.foreach(p => graft.Checkpoints.release(p._3))
     labelsCache = None
-    bigramCache = None // driver-side metadata; dropping the ref suffices
+    bigramDfCache.foreach(p => graft.Checkpoints.release(p._3._1))
+    bigramDfCache = None
   }
 
   // The thresholded pair table is ALSO a shared intermediate: q35 emits it
@@ -662,43 +663,74 @@ object TextOps {
     * (batch) and q117 (streaming ingest): same LSH candidates, same exact-
     * Jaccard verify, same J >= 1/2 gate, so the two execution modes are
     * pinned to one result. */
-  /** Corpus char-bigram model: (bigram → count, hottest count). The q113
-    * fit, shared with q133's streaming serving mode. Bounded-metadata
-    * contract, enforced: the collect is safe because bigram cardinality is
-    * |charset|², not corpus-sized — text that violates that (binary junk
-    * inflating the charset) should fail loudly here, not OOM the driver. */
-  // The fitted bigram model is a shared artifact: q113 (batch gate), q133
-  // (streaming serving mode), and q136 (threshold sweep) all score under
-  // the SAME corpus fit — in a real pipeline the model is materialized
-  // once and every consumer loads it. Same single-slot (session, dir)
-  // policy as the staged pair/window caches; released with them so each
-  // bench pass re-pays the fit exactly once (honest attribution).
-  private var bigramCache: Option[(SparkSession, String, (Map[String, Long], Long))] = None
-
-  private[graft] def bigramModel(s: SparkSession, d: String)
-      : (Map[String, Long], Long) = synchronized {
-    bigramCache match {
-      case Some((sess, dir, m)) if (sess eq s) && dir == d => m
-      case _ =>
-        val m = bigramModelFit(s, d)
-        bigramCache = Some((s, d, m))
-        m
-    }
-  }
-
-  private def bigramModelFit(s: SparkSession, d: String)
-      : (Map[String, Long], Long) = {
-    val bg = Tables.documents(s, d).select(explode(
+  /** The char-bigram projection shared by the model fit and the per-doc
+    * scoring join — one expression, so both sides of the q113 law see
+    * byte-identical bigrams. */
+  private def bigramsOf(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), explode(
       when(length(col("text")) >= 2,
         expr("transform(sequence(1, length(text) - 1), " +
           "i -> substring(text, i, 2))"))
         .otherwise(array().cast("array<string>"))).as("bg"))
-    val modelRows = bg.groupBy(col("bg")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    require(modelRows.length <= (1 << 20),
-      s"bigram model cardinality ${modelRows.length} exceeds the " +
-        "bounded-metadata contract — charset is not natural text")
-    (modelRows.toMap, modelRows.map(_._2).max)
+
+  /** Corpus char-bigram model as a DISTRIBUTED table (bg, c) — the q113
+    * fit, shared by q113 (batch gate), q136 (threshold sweep), q144
+    * (curriculum) via [[familiarityScored]] and by q133's streaming
+    * serving mode via [[bigramServingModel]]. In a real pipeline the model
+    * is materialized once and every consumer loads it; same single-slot
+    * (session, dir) policy as the staged pair/window caches, released with
+    * them so each bench pass re-pays the fit exactly once.
+    *
+    * The fit itself never leaves the cluster: one map-side-combined
+    * aggregation down to |observed charset|² rows, localCheckpointed.
+    * That keeps the model honest on large-charset corpora — a
+    * multilingual/CJK corpus has 20k+ distinct chars and ~10⁸ possible
+    * bigrams, which is still a fine DataFrame but NOT driver metadata
+    * (the pre-round-12 collect()-to-Map would have refused it). The
+    * returned cardinality is what the serving path's bounded-metadata
+    * contract checks BEFORE collecting. */
+  private var bigramDfCache: Option[(SparkSession, String, (DataFrame, Long))] = None
+
+  private[graft] def bigramModelDf(s: SparkSession, d: String)
+      : (DataFrame, Long) = synchronized {
+    bigramDfCache match {
+      case Some((sess, dir, m)) if (sess eq s) && dir == d => m
+      case prev => timedStage("bigram_model_build") {
+        prev.foreach(p => graft.Checkpoints.release(p._3._1))
+        // plain localCheckpoint (NOT Checkpoints.localCheckpoint): this is
+        // a cross-query STAGED table — a bulk scoped release between
+        // queries must not invalidate it; the cache releases it itself
+        val model =
+          bigramsOf(Tables.documents(s, d).select(col("doc_id"), col("text")))
+            .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+            .localCheckpoint()
+        val card = model.count()
+        val m = (model, card)
+        bigramDfCache = Some((s, d, m))
+        m
+      }
+    }
+  }
+
+  /** Streaming serving mode (q133) needs the model IN each task — a
+    * stateless per-event scorer cannot join mid-stream without turning the
+    * append-mode gate stateful. That is a genuinely bounded-metadata use:
+    * a serving model is a pinned artifact you ship to scorers, so the
+    * ≤ 2^20-entry contract lives HERE (checked against the distributed
+    * fit's cardinality BEFORE anything is collected). A corpus beyond it —
+    * a large-charset multilingual fit — still scores fine through the
+    * batch join path ([[familiarityScored]]); its serving deployment would
+    * prune or bucket the model first, which changes the law and therefore
+    * isn't silently substituted here. */
+  private[graft] def bigramServingModel(s: SparkSession, d: String)
+      : (Map[String, Long], Long) = {
+    val (model, card) = bigramModelDf(s, d)
+    require(card <= (1 << 20),
+      s"bigram serving model cardinality $card exceeds the bounded-" +
+        "metadata contract — score large-charset corpora via the batch " +
+        "join path (familiarityScored) instead of broadcast serving")
+    val rows = model.collect().map(r => r.getString(0) -> r.getLong(1))
+    (rows.toMap, rows.map(_._2).max)
   }
 
   /** q113's familiarity law as a pure kernel — (n_bigrams, avg_count,
@@ -766,32 +798,37 @@ object TextOps {
           FROM r)"""
 
   /** Per-doc familiarity scoring — q113's law as a shared builder (q113
-    * gates on it, q136 sweeps the gate threshold over it). One narrow
-    * kernel pass under the broadcast bigram model: (doc_id, n_tok,
-    * n_bigrams, avg_count, familiarity_milli), zero corpus shuffle. */
+    * gates on it, q136 sweeps the gate threshold over it, q144 orders the
+    * curriculum by it): (doc_id, n_tok, n_bigrams, avg_count,
+    * familiarity_milli). Bigrams → model equi-join → per-doc re-agg — the
+    * shape that survives any charset size; only (doc_id, bg) pairs move,
+    * never the documents themselves. */
   private def familiarityScored(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val (model, cmax) = bigramModel(s, d)
-    val bc = docs.sparkSession.sparkContext.broadcast(model)
-    val sumCounts = udf { (text: String) =>
-      val m = bc.value
-      var i = 0
-      var acc = 0L
-      while (i < text.length - 1) { // every bigram is in the model by
-        acc += m(text.substring(i, i + 2)) // construction (same corpus)
-        i += 1
-      }
-      acc
-    }
+    val (model, _) = bigramModelDf(s, d)
+    // hottest-count scalar stays IN-PLAN as a 1-row broadcast (the q168
+    // pattern) — no driver round-trip between fit and scoring
+    val mx = model.agg(max(col("c")).as("cmax"))
+    // per-doc score = join the doc's bigrams against the model table and
+    // re-aggregate — fully distributed, no driver map, no charset bound.
+    // The model side is |charset|²: AQE broadcasts it when small (the
+    // sf fixtures; ASCII corpora) and falls back to a shuffle join when a
+    // multilingual fit outgrows broadcast — both are the same plan here.
+    // Every bigram joins by construction (model fit on the same corpus),
+    // so inner join + left re-attach below reproduces the kernel exactly.
+    val ds = bigramsOf(docs)
+      .join(model, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bg"), sum(col("c")).as("s_sum"))
     docs
+      .join(ds, Seq("doc_id"), "left")
+      .crossJoin(broadcast(mx))
       .withColumn("n_tok", size(split(col("text"), " ", -1)).cast("long"))
-      .withColumn("n_bigrams",
-        greatest(length(col("text")).cast("long") - 1L, lit(0L)))
-      .withColumn("s", sumCounts(col("text")))
+      .withColumn("n_bigrams", coalesce(col("n_bg"), lit(0L)))
       .withColumn("avg_count",
-        when(col("n_bigrams") > 0, expr("s DIV n_bigrams")).otherwise(0L))
+        when(col("n_bigrams") > 0, expr("s_sum DIV n_bigrams")).otherwise(0L))
       .withColumn("familiarity_milli",
-        expr(s"(avg_count * 1000) DIV ${cmax}L"))
+        expr("(avg_count * 1000) DIV cmax"))
   }
 
   /** q113's oracle; q133 (the streaming serving mode) replays the SAME
@@ -3130,13 +3167,16 @@ object TextOps {
     // likelihood never would). Model = corpus char-bigram counts; a doc's
     // score = its mean bigram corpus-count, in milli-units of the hottest
     // bigram; gibberish/unnatural text scores low and is dropped.
-    // 100 TB shape: the model aggregation is the ONLY corpus shuffle and it
-    // is map-side combined down to <= |charset|² rows (bounded model
-    // metadata, like the IVF centroids — safe to collect by contract);
-    // scoring is then a single narrow kernel pass over the broadcast map —
-    // the corpus text never shuffles. Overflow-safe law: mean first
-    // (s DIV n <= cmax), then scale to milli (1000·cmax < 2^63 for any
-    // corpus whose hottest bigram count stays under 9.2e15).
+    // 100 TB shape: the model fit is one map-side-combined aggregation to
+    // <= |charset|² rows, checkpointed as a TABLE (never a driver map —
+    // a multilingual/CJK charset makes it ~10⁸ rows, cluster-sized
+    // metadata); scoring joins (doc_id, bg) pairs against it — AQE
+    // broadcasts the model while it is small and degrades to a shuffle
+    // join when it isn't, and the document TEXT never shuffles either
+    // way. Only the streaming serving mode (q133) collects the model,
+    // behind the ≤2^20 bounded-metadata contract. Overflow-safe law: mean
+    // first (s DIV n <= cmax), then scale to milli (1000·cmax < 2^63 for
+    // any corpus whose hottest bigram count stays under 9.2e15).
     "q113_bigram_lm" -> Q(
       run = (s, d) => familiarityScored(s, d)
         .select(col("doc_id"), col("n_bigrams"), col("avg_count"),
@@ -3145,7 +3185,8 @@ object TextOps {
         .orderBy("doc_id"),
       oracle = Some(bigramLmOracleSql),
       doc = "char-bigram LM familiarity score + keep gate (integer-exact " +
-        "perplexity-filter analogue; broadcast model, zero corpus shuffle)"),
+        "perplexity-filter analogue; distributed model join, text never " +
+        "shuffles)"),
 
     // Quality-threshold sweep — the calibration curve behind q113's
     // hardcoded 320 gate: docs/tokens retained at every candidate threshold

@@ -408,8 +408,9 @@ object StreamOps {
 
     // Streaming quality gate — q113's char-bigram familiarity law in
     // ingest-time serving mode, the q117 pattern applied to MODEL-BASED
-    // filtering: the corpus-fit model (≤|charset|² entries, the q113
-    // bounded-metadata contract) is a pinned broadcast artifact; each
+    // filtering: the corpus-fit model (distributed fit; collected here
+    // behind bigramServingModel's ≤2^20 bounded-metadata serving
+    // contract) is a pinned broadcast artifact; each
     // arriving doc is scored in one stateless kernel pass — no state
     // stores, no shuffle, append-mode exactly-once. SAME oracle SQL as
     // q113 (one law, two execution modes; CurationSpec asserts row-level
@@ -419,7 +420,7 @@ object StreamOps {
     "q133_stream_quality" -> Q(
       run = (s, d) => {
         import s.implicits._
-        val (model, cmax) = graft.queries.TextOps.bigramModel(s, d)
+        val (model, cmax) = graft.queries.TextOps.bigramServingModel(s, d)
         val bc = s.sparkContext.broadcast(model)
         val scored = documentsStream(s, d)
           .select(col("doc_id"), col("text"))

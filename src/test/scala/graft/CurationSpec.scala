@@ -64,6 +64,61 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q113: large-charset corpus scores through the distributed model " +
+      "(the pre-round-12 driver-map fit refused it)") {
+    import spark.implicits._
+    // CJK-style corpus whose DISTINCT bigram count exceeds 2^20 — natural
+    // multilingual text, not binary junk: 1100 ideographs, each doc i
+    // interleaving char i with the full alphabet, so all 1100² ordered
+    // pairs occur. The old collect()-to-Map fit required ≤ 2^20 entries
+    // and threw here; the join-path model is just a 1.21M-row table.
+    val alpha = (0 until 1100).map(i => (0x4E00 + i).toChar)
+    val docs = alpha.zipWithIndex.map { case (a, i) =>
+      val sb = new StringBuilder(2 * alpha.length)
+      alpha.foreach { b => sb.append(a).append(b) }
+      (i.toLong, sb.toString, "zh", "s0", sb.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_cjk").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // exact driver replay of the law (test-side truth — the TEST may hold
+    // the 1.21M-entry map; the engine must not)
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    docs.foreach { case (_, t, _, _, _) =>
+      var i = 0
+      while (i < t.length - 1) {
+        val bg = t.substring(i, i + 2)
+        counts(bg) = counts.getOrElse(bg, 0L) + 1L
+        i += 1
+      }
+    }
+    assert(counts.size > (1 << 20),
+      s"fixture charset too small to exceed the old bound: ${counts.size}")
+    val cmax = counts.values.max
+    val expect = docs.map { case (id, t, _, _, _) =>
+      val n = (t.length - 1).toLong
+      var s = 0L
+      var i = 0
+      while (i < t.length - 1) { s += counts(t.substring(i, i + 2)); i += 1 }
+      val avg = if (n > 0) s / n else 0L
+      (id, n, avg, avg * 1000L / cmax, avg * 1000L / cmax >= 320L)
+    }.toSet
+    val got = SparkEntry.queries("q113_bigram_lm")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(got == expect,
+      s"join-path scores diverge from the exact law: " +
+        s"sample=${(got -- expect).take(3)}")
+    // the serving contract still holds: a model this size is NOT driver
+    // metadata, and the streaming serving path must refuse it loudly
+    // rather than broadcast a quarter-GB map
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.TextOps.bigramServingModel(spark, dir)
+    }
+    assert(e.getMessage.contains("bounded-metadata"))
+  }
+
   test("q136: sweep is monotone, anchored at the full corpus, brackets q113") {
     val rows = SparkEntry.queries("q136_quality_sweep")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
