@@ -40,16 +40,92 @@ object StreamOps {
 
   private val runSeq = new AtomicInteger(0)
 
+  /** Progress evidence from the most recent [[drain]]: output mode, total
+    * state rows the watermark evicted, micro-batch count. StreamingSpec
+    * asserts q149's serving path against this (append mode, eviction > 0)
+    * so the bounded-state claim is measured, not narrated. */
+  private[graft] final case class DrainInfo(
+      mode: String, stateRowsRemoved: Long, batches: Long)
+  @volatile private[graft] var lastDrainInfo: Option[DrainInfo] = None
+
   /** Streaming read of the events fixture: micro-batch parquet source with
     * the same ts normalization as the batch path (Tables.events). */
-  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    val rawTs = graft.Tables.eventsRawTsType(s, dir)
+  private def eventsStream(s: SparkSession, dir: String): DataFrame =
+    eventsStreamFrom(s, dir, dir, "events.parquet")
+
+  /** Same source, reading `srcDir` (globbed) with the fixture at
+    * `schemaDir` supplying the declared ts type — the q149 scratch-dir
+    * variant where the watched directory also holds the horizon sentinel. */
+  private def eventsStreamFrom(s: SparkSession, schemaDir: String,
+      srcDir: String, glob: String): DataFrame = {
+    val rawTs = graft.Tables.eventsRawTsType(s, schemaDir)
     graft.Tables.normalizeEventsTs(
       s.readStream
         .schema(eventsRawSchema(rawTs))
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .option("maxFilesPerTrigger", "1")
-        .parquet(dir))
+        .parquet(srcDir))
+  }
+
+  /** Event type of the drain-horizon sentinel (filtered out of any served
+    * result). */
+  private[graft] val horizonType = "__horizon__"
+
+  /** Stage the events fixture into a scratch dir plus ONE far-future
+    * horizon-sentinel file, mod-time-ordered after the fixture copy.
+    *
+    * Why: an append-mode windowed aggregation emits a window exactly once —
+    * when the watermark passes its end — and the watermark only advances as
+    * later events arrive. On an unbounded production stream the next
+    * arrivals do that continuously; a FINITE fixture drain needs one event
+    * beyond the last real window or the trailing windows never close. The
+    * sentinel is that event (fixture horizon + 3 days, i.e. "now" from the
+    * stream's perspective); its own window never closes and its type is
+    * filtered from the served result regardless. maxFilesPerTrigger=1 plus
+    * a strictly newer mod-time make it its own final micro-batch, after
+    * every real event has entered the state store. */
+  private def withHorizonSentinel(s: SparkSession, dir: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("graft_q149_src_")
+    val src = Paths.get(dir, "events.parquet")
+    val cp = tmp.resolve("events.parquet")
+    Files.copy(src, cp, StandardCopyOption.REPLACE_EXISTING)
+    // raw-typed horizon: max ts over the fixture — one bounded 1-row agg,
+    // the drain-time stand-in for wall-clock "now"
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(src.toString)
+    val rawTs = raw.schema("ts").dataType
+    val mx = raw.agg(max(col("ts"))).head()
+    val sentinelTs: Any = rawTs match {
+      case LongType => mx.getLong(0) + 3L * 86400L * 1000000000L // nanos
+      case TimestampNTZType => mx.getAs[java.time.LocalDateTime](0).plusDays(3)
+      case _ => java.sql.Timestamp.from(mx.getAs[java.sql.Timestamp](0)
+        .toInstant.plus(java.time.Duration.ofDays(3)))
+    }
+    val row = org.apache.spark.sql.Row(-1L, sentinelTs, -1L, horizonType, 0.0, null)
+    val build = tmp.resolve("_sentinel_build")
+    s.createDataFrame(java.util.Collections.singletonList(row),
+      eventsRawSchema(rawTs)).coalesce(1)
+      .write.mode("overwrite").parquet(build.toString)
+    val part = new java.io.File(build.toString).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error("sentinel write produced no part file"))
+    val dst = tmp.resolve("zz_horizon.parquet")
+    Files.move(part.toPath, dst)
+    new java.io.File(build.toString).listFiles().foreach(_.delete())
+    Files.deleteIfExists(build)
+    dst.toFile.setLastModified(cp.toFile.lastModified() + 60000L)
+    tmp
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
   }
 
   /** Drain a streaming DataFrame into a memory sink with AvailableNow and
@@ -89,6 +165,15 @@ object StreamOps {
       ck.foreach(p => w.option("checkpointLocation", p.toString))
       val q = w.start()
       q.awaitTermination()
+      // evidence for StreamingSpec's serving-shape asserts: the output
+      // mode this drain ran in, how many state rows the watermark evicted
+      // across its micro-batches, and the batch count — read from the
+      // query's own progress, not inferred from code shape
+      lastDrainInfo = Some(DrainInfo(
+        mode,
+        q.recentProgress.iterator
+          .flatMap(_.stateOperators).map(_.numRowsRemoved).sum,
+        q.recentProgress.length.toLong))
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
       ck.foreach { p =>
@@ -127,36 +212,41 @@ object StreamOps {
       doc = "streaming watermark + tumbling window, AvailableNow drain (ST1/ST2)"),
 
     // Streaming per-window heavy hitters: the q42 watermarked windowed
-    // aggregation run as a real stream, then top-3 event types per window
-    // ranked over the drained state (complete-mode output IS the serving
-    // table — ranking belongs downstream of the stateful agg, exactly
-    // where a dashboard query would do it; putting row_number inside the
-    // stream would force complete-mode re-rank of all state every batch).
-    // 100 TB shape: stream state is (windows × types) — NOTE this drain
-    // runs in complete output mode, where Spark retains ALL windows ever
-    // seen (the watermark does not evict complete-mode state), so state
-    // grows with the stream's window count, not the horizon. That is the
-    // right trade here: the serving table must hold every window for the
-    // downstream rank, and (windows × types) is metadata-sized — minutes
-    // granularity × a bounded type vocabulary. A deployment needing
-    // horizon-bounded state would switch the agg to append mode (watermark
-    // evicts closed windows) and rank over the accumulated sink table
-    // instead — same result, state bounded by the horizon.
+    // aggregation run as a real APPEND-MODE stream, then top-3 event types
+    // per window ranked over the accumulated sink table (ranking belongs
+    // downstream of the stateful agg, exactly where a dashboard query
+    // would do it; putting row_number inside the stream would force
+    // re-ranking all state every batch).
+    // 100 TB shape: append mode is the bounded-state serving shape — a
+    // window row is emitted exactly once, when the watermark passes its
+    // end, and its state row is EVICTED, so state holds only the windows
+    // still open inside the watermark horizon (watermark delay / window
+    // width × types), independent of stream lifetime. The history lives in
+    // the SINK table, which is durable storage, not state store. A finite
+    // fixture drain needs one arrival past the last real window to close
+    // it (on a production stream the next events do this continuously) —
+    // withHorizonSentinel supplies it. StreamingSpec asserts this path
+    // from the drain's own progress: output mode append, state rows
+    // evicted > 0, no complete-mode drain anywhere in serving.
     "q149_stream_topk" -> Q(
       run = (s, d) => {
-        val agg = eventsStream(s, d)
-          .withWatermark("ts", "1 hour")
-          .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
-          .agg(count(lit(1)).as("n"))
-          .select(col("window.start").as("bucket_start"),
-            col("event_type"), col("n"))
-        val served = drain(s, agg, "complete")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("bucket_start"))
-          .orderBy(col("n").desc, col("event_type"))
-        served.withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 3)
-          .orderBy("bucket_start", "rank")
+        val srcDir = withHorizonSentinel(s, d)
+        try {
+          val agg = eventsStreamFrom(s, d, srcDir.toString, "*.parquet")
+            .withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("window.start").as("bucket_start"),
+              col("event_type"), col("n"))
+          val served = drain(s, agg, "append")
+            .filter(col("event_type") =!= horizonType)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("bucket_start"))
+            .orderBy(col("n").desc, col("event_type"))
+          served.withColumn("rank", row_number().over(w).cast("long"))
+            .filter(col("rank") <= 3)
+            .orderBy("bucket_start", "rank")
+        } finally deleteTree(srcDir)
       },
       oracle = Some("""
         WITH c AS (

@@ -177,5 +177,19 @@ class StreamingSpec extends SparkSpec {
       assert(rows.size <= 3 && rows.map(_._4).toSeq.sorted == (1L to rows.size),
         s"window $b ranks ${rows.map(_._4)}")
     }
+    // serving shape (the round-11 scale-killer, fixed): q149's drain runs
+    // in APPEND mode and the watermark actually EVICTED its window state —
+    // read from the drain's own StreamingQueryProgress, not the code shape.
+    // Complete-mode state grows with stream lifetime; append + eviction is
+    // bounded by the watermark horizon.
+    val info = graft.streaming.StreamOps.lastDrainInfo
+      .getOrElse(fail("q149 recorded no drain progress"))
+    assert(info.mode == "append",
+      s"q149 serving drain ran in '${info.mode}', not append")
+    assert(info.stateRowsRemoved > 0,
+      "append drain evicted no state rows — watermark eviction not observed")
+    // the horizon sentinel closed the real windows in its own trailing
+    // micro-batch: fixture batch + sentinel batch (+ no-data flush batches)
+    assert(info.batches >= 2, s"expected >= 2 micro-batches, saw ${info.batches}")
   }
 }
