@@ -10,6 +10,13 @@ object Bench {
   private val streamingQueries: Set[String] =
     graft.streaming.StreamOps.qs.keySet
 
+  // Third-pass variance clamp: the streaming registry (drain I/O variance,
+  // above) plus the groupedPrefixSum consumers, whose r11 broadcast-offsets
+  // change sits close to the noise floor at sf0.1 — min-of-3 keeps their
+  // trend lines readable (VERDICT r11 #7).
+  private val thirdPassQueries: Set[String] =
+    streamingQueries ++ Set("q108_sequence_packing", "q137_budget_sample")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -163,7 +170,7 @@ object Bench {
     val p1 = pass(_ => true); boundary("pass1")
     val p2 = pass(_ => true); boundary("pass2")
     // third pass for the streaming subset only (min-of-3 variance clamp)
-    val p3 = pass(streamingQueries); boundary("pass3_streaming")
+    val p3 = pass(thirdPassQueries); boundary("pass3_streaming")
     // a failed query's fail-fast wall time (often milliseconds) must not
     // flow into min()/total and make a broken suite read as fast — failures
     // are reported in `failed`/n_failed only, never in the timing record

@@ -179,6 +179,13 @@ object TextOps {
   private def recordStat(name: String, v: Double): Unit =
     stageTimes(name) = stageTimes.getOrElse(name, Nil) :+ v
 
+  /** Stage-timer facade for shared builds living OUTSIDE TextOps (q122's
+    * aHash decode table): same registry, same exclusive-time and
+    * GC/spill attribution, so Bench promotes them to stage: rows exactly
+    * like the shingle/pair/label/window/bigram builds. */
+  private[graft] def timedBuild[T](name: String)(f: => T): T =
+    synchronized { timedStage(name)(f) }
+
   private val frameChildNs = scala.collection.mutable.Stack[Long]()
   private def timedStage[T](name: String)(f: => T): T = {
     // Bench runs also attribute WHY per stage (GC vs spill — see MetricsTap
@@ -275,6 +282,8 @@ object TextOps {
     labelsCache = None
     bigramDfCache.foreach(p => graft.Checkpoints.release(p._3._1))
     bigramDfCache = None
+    famCache.foreach(p => graft.Checkpoints.release(p._3))
+    famCache = None
   }
 
   // The thresholded pair table is ALSO a shared intermediate: q35 emits it
@@ -803,7 +812,30 @@ object TextOps {
     * familiarity_milli). Bigrams → model equi-join → per-doc re-agg — the
     * shape that survives any charset size; only (doc_id, bg) pairs move,
     * never the documents themselves. */
-  private def familiarityScored(s: SparkSession, d: String): DataFrame = {
+  // The SCORED table is itself a shared artifact (q113 gates, q136 sweeps,
+  // q144 ranks — three consumers of one corpus scoring pass), so it is
+  // staged like the model: one explode+join+re-agg pass, checkpointed as
+  // narrow per-doc metadata (five numeric columns, the text never persists),
+  // and every consumer reads the materialized table — the pipeline shape a
+  // 100 TB run would use (score once to a table, gate/sweep/rank from it).
+  private var famCache: Option[(SparkSession, String, DataFrame)] = None
+
+  private def familiarityScored(s: SparkSession, d: String): DataFrame = synchronized {
+    famCache match {
+      case Some((sess, dir, df)) if (sess eq s) && dir == d => df
+      case prev => timedStage("familiarity_scored_build") {
+        prev.foreach(p => graft.Checkpoints.release(p._3))
+        val df = familiarityScoredPlan(s, d)
+          .select(col("doc_id"), col("n_tok"), col("n_bigrams"),
+            col("avg_count"), col("familiarity_milli"))
+          .localCheckpoint() // staged cross-query table: owner-released
+        famCache = Some((s, d, df))
+        df
+      }
+    }
+  }
+
+  private def familiarityScoredPlan(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val (model, _) = bigramModelDf(s, d)
     // hottest-count scalar stays IN-PLAN as a 1-row broadcast (the q168
@@ -1524,10 +1556,11 @@ object TextOps {
     "q144_curriculum" -> Q(
       run = (s, d) => {
         // easy (familiar) first: rank ascending on the NEGATED score
-        val scored = graft.Checkpoints.localCheckpoint(
-          familiarityScored(s, d)
-            .select(col("doc_id"), col("n_tok"), col("familiarity_milli"),
-              (-col("familiarity_milli")).as("neg_fam")))
+        // familiarityScored is already a materialized staged table — the
+        // neg_fam projection over it needs no further checkpoint
+        val scored = familiarityScored(s, d)
+          .select(col("doc_id"), col("n_tok"), col("familiarity_milli"),
+            (-col("familiarity_milli")).as("neg_fam"))
         val (ranked, n) = graft.operators.Operators.totalRank(
           scored, "neg_fam", Seq(col("doc_id")), "rnk")
         ranked

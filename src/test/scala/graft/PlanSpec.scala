@@ -491,15 +491,17 @@ class PlanSpec extends SparkSpec {
       s"corpus-side join degenerated to a shuffle join:\n$p")
   }
 
-  test("q113: LM scoring is a narrow kernel pass — the returned plan has " +
-    "no join and no aggregate") {
-    // the model aggregation runs eagerly at plan-build (bounded-metadata
-    // collect, like the IVF centroids); the SERVING plan the query returns
-    // must be scan → projection → total-order sort, nothing else
+  test("q113: serving plan reads the staged scored table — no join, no " +
+    "aggregate") {
+    // the model fit AND the scoring join run inside the staged
+    // familiarity_scored build (fully distributed — the model is a
+    // checkpointed table, never a driver map); the SERVING plan the query
+    // returns must be scan(staged table) → projection → total-order sort,
+    // nothing else — every consumer reads the one materialized scoring pass
     val p = plan("q113_bigram_lm")
-    assert(!p.contains("Join"), s"scoring should be joinless:\n$p")
+    assert(!p.contains("Join"), s"serving should be joinless:\n$p")
     assert(!p.contains("HashAggregate"),
-      s"scoring should not re-aggregate — model is pre-collected:\n$p")
+      s"serving should not re-aggregate — scoring is staged:\n$p")
   }
 
   test("q151: bucketed join subtree is exchange-free; unbucketed twin shuffles") {
