@@ -335,6 +335,29 @@ class SinkFetchSpec extends SparkSpec {
     assert(PostgresUpsertDialect().upsertSql("seen",
       StructType(Seq(StructField("url", StringType))), Seq("url")) ==
       "INSERT INTO seen (url) VALUES (?) ON CONFLICT (url) DO NOTHING")
+    // the reference's EXACT statement (manual_scraper.py:271-288): the full
+    // 11-column leads schema, contador_id conflict target, updated_at
+    // touch. No live Postgres exists in the sandbox to parse it, so the
+    // whole rendered string is pinned — column order, set-clause order,
+    // quoting, and the trailing CURRENT_TIMESTAMP stamp cannot drift
+    // silently. Only the batch placeholder differs by client library:
+    // psycopg2 execute_values interpolates VALUES %s, JDBC binds (?, ...).
+    val leads = StructType(Seq(
+      "contador_id", "nombre", "direccion", "telefonos", "whatsapp",
+      "sitio_web", "email", "facebook", "instagram", "horario", "rubros")
+      .map(StructField(_, StringType)))
+    assert(PostgresUpsertDialect(touch = Some("updated_at"))
+      .upsertSql("leads", leads, Seq("contador_id")) ==
+      "INSERT INTO leads (contador_id, nombre, direccion, telefonos, " +
+        "whatsapp, sitio_web, email, facebook, instagram, horario, rubros) " +
+        "VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?) " +
+        "ON CONFLICT (contador_id) DO UPDATE SET " +
+        "nombre = EXCLUDED.nombre, direccion = EXCLUDED.direccion, " +
+        "telefonos = EXCLUDED.telefonos, whatsapp = EXCLUDED.whatsapp, " +
+        "sitio_web = EXCLUDED.sitio_web, email = EXCLUDED.email, " +
+        "facebook = EXCLUDED.facebook, instagram = EXCLUDED.instagram, " +
+        "horario = EXCLUDED.horario, rubros = EXCLUDED.rubros, " +
+        "updated_at = CURRENT_TIMESTAMP")
   }
 
   test("K4: Derby touch column stamps updated_at on both merge branches") {
