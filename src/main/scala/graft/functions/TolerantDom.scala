@@ -1,0 +1,252 @@
+package graft.functions
+
+/** Tolerant HTML parsing for the DOM extraction path (SURVEY §2.9, H1–H11).
+  *
+  * The reference parses scraped pages with BeautifulSoup
+  * (reference src/extractors/bulk_scraper.py:64-111), which survives
+  * real-web markup: unquoted or single-quoted attribute values, reordered
+  * attributes, reordered class tokens, case-mixed tag/attr names, unclosed
+  * tags, stray close tags, comments. The regex path (ReferenceHtml) is
+  * exact on the canonical fixture markup and oracle-replayable, but
+  * silently misses on such variants. This hand-written parser (no HTML
+  * library ships on the Spark classpath) recovers the tolerance: one
+  * forward scan tokenizes tags, a stack builds the tree, close-tag
+  * recovery pops to the nearest matching open tag and ignores strays, and
+  * EOF closes everything still open.
+  *
+  * Scale shape: one parse per page inside a deterministic UDF —
+  * row-at-a-time, like every DOM parser (BeautifulSoup included). The
+  * default regex path stays whole-stage-codegen'd; this path is opt-in
+  * via -Dgraft.htmlParser=dom (see ReferenceHtml.domMode).
+  */
+sealed trait DomNode
+
+final case class DomText(text: String) extends DomNode
+
+final case class DomElement(tag: String, attrs: List[(String, String)],
+    children: Vector[DomNode]) extends DomNode {
+
+  def attr(name: String): Option[String] =
+    attrs.collectFirst { case (k, v) if k == name => v }
+
+  /** Class-token match: `class` is a whitespace-separated token LIST, so
+    * `hasClass("fa-cloud")` matches `class="fa fa-cloud"` in any order —
+    * the CSS `.c` semantics the regex path's exact-string match lacks. */
+  def hasClass(c: String): Boolean =
+    attr("class").exists(_.split("\\s+").contains(c))
+
+  def childElements: Vector[DomElement] =
+    children.collect { case e: DomElement => e }
+
+  /** Pre-order subtree elements, self excluded. */
+  def descendants: Vector[DomElement] = {
+    val out = Vector.newBuilder[DomElement]
+    def walk(e: DomElement): Unit = e.childElements.foreach { c =>
+      out += c; walk(c)
+    }
+    walk(this)
+    out.result()
+  }
+
+  /** BeautifulSoup `get_text(strip=True)`: each text segment trimmed,
+    * non-empty segments concatenated. */
+  def text: String = {
+    val sb = new StringBuilder
+    def walk(n: DomNode): Unit = n match {
+      case DomText(t) => val s = t.trim; if (s.nonEmpty) sb.append(s)
+      case e: DomElement => e.children.foreach(walk)
+    }
+    walk(this)
+    sb.toString
+  }
+}
+
+/** A parsed page plus the document-order/sibling indexes the selector
+  * surface needs (identity-keyed — structurally equal elements are still
+  * distinct positions in the document). */
+final class DomDoc(val root: DomElement) {
+  /** All elements in document (pre-)order. */
+  val all: Vector[DomElement] = root.descendants
+
+  private val parentOf = {
+    val m = new java.util.IdentityHashMap[DomElement, DomElement]()
+    def walk(e: DomElement): Unit = e.childElements.foreach { c =>
+      m.put(c, e); walk(c)
+    }
+    walk(root)
+    m
+  }
+
+  /** CSS `+`: the immediately following element sibling (text skipped). */
+  def nextElementSibling(e: DomElement): Option[DomElement] =
+    Option(parentOf.get(e)).flatMap { p =>
+      val sibs = p.childElements
+      val i = sibs.indexWhere(_ eq e)
+      if (i >= 0 && i + 1 < sibs.length) Some(sibs(i + 1)) else None
+    }
+
+  /** BeautifulSoup `find_next(p)`: first element AFTER `e` in document
+    * order (descendants of `e` included, exactly as find_next walks). */
+  def findNext(e: DomElement)(p: DomElement => Boolean): Option[DomElement] = {
+    val i = all.indexWhere(_ eq e)
+    if (i < 0) None else all.drop(i + 1).find(p)
+  }
+}
+
+object TolerantDom {
+  private val voidTags = Set("area", "base", "br", "col", "embed", "hr",
+    "img", "input", "link", "meta", "param", "source", "track", "wbr")
+  private val rawTextTags = Set("script", "style")
+
+  private def isNameStart(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  private def isNameChar(c: Char): Boolean =
+    isNameStart(c) || (c >= '0' && c <= '9') || c == '-' || c == '_' || c == ':'
+
+  /** Minimal entity decode (the named set BeautifulSoup always resolves
+    * plus decimal/hex numeric refs). `&amp;` last so it can't re-expose. */
+  private[functions] def decodeEntities(s: String): String =
+    if (s.indexOf('&') < 0) s
+    else {
+      val numeric = "&#(x?[0-9a-fA-F]+);".r
+      val n = numeric.replaceAllIn(s, m => {
+        val d = m.group(1)
+        val cp = try {
+          if (d.startsWith("x") || d.startsWith("X")) Integer.parseInt(d.substring(1), 16)
+          else Integer.parseInt(d)
+        } catch { case _: NumberFormatException => -1 }
+        if (cp >= 0 && Character.isValidCodePoint(cp))
+          java.util.regex.Matcher.quoteReplacement(new String(Character.toChars(cp)))
+        else java.util.regex.Matcher.quoteReplacement(m.matched)
+      })
+      n.replace("&nbsp;", " ").replace("&lt;", "<").replace("&gt;", ">")
+        .replace("&quot;", "\"").replace("&apos;", "'").replace("&amp;", "&")
+    }
+
+  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    val limit = s.length - needle.length
+    while (i <= limit) {
+      if (s.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
+  }
+
+  def parse(html: String): DomDoc = {
+    val n = html.length
+    final class Frame(val tag: String, val attrs: List[(String, String)]) {
+      val children = Vector.newBuilder[DomNode]
+    }
+    val rootFrame = new Frame("#root", Nil)
+    var stack: List[Frame] = rootFrame :: Nil
+    def closeTop(): Unit = {
+      val f = stack.head
+      stack = stack.tail
+      stack.head.children += DomElement(f.tag, f.attrs, f.children.result())
+    }
+    val textBuf = new StringBuilder
+    def flushText(): Unit =
+      if (textBuf.nonEmpty) {
+        stack.head.children += DomText(decodeEntities(textBuf.toString))
+        textBuf.setLength(0)
+      }
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<' && i + 1 < n) {
+        val c1 = html.charAt(i + 1)
+        if (c1 == '!' || c1 == '?') { // comment / doctype / PI: skip whole
+          flushText()
+          if (html.startsWith("<!--", i)) {
+            val e = html.indexOf("-->", i + 4)
+            i = if (e < 0) n else e + 3
+          } else {
+            val e = html.indexOf('>', i)
+            i = if (e < 0) n else e + 1
+          }
+        } else if (c1 == '/') { // close tag, with recovery
+          flushText()
+          var j = i + 2
+          val ns = j
+          while (j < n && isNameChar(html.charAt(j))) j += 1
+          val name = html.substring(ns, j).toLowerCase
+          val e = html.indexOf('>', j)
+          i = if (e < 0) n else e + 1
+          if (name.nonEmpty && stack.exists(_.tag == name)) {
+            while (stack.head.tag != name) closeTop() // unclosed children
+            closeTop()
+          } // else: stray close tag, ignored
+        } else if (isNameStart(c1)) { // open tag
+          flushText()
+          var j = i + 1
+          val ns = j
+          while (j < n && isNameChar(html.charAt(j))) j += 1
+          val name = html.substring(ns, j).toLowerCase
+          val attrs = List.newBuilder[(String, String)]
+          var selfClose = false
+          var done = false
+          while (!done && j < n) {
+            while (j < n && html.charAt(j).isWhitespace) j += 1
+            if (j >= n) done = true
+            else if (html.charAt(j) == '>') { j += 1; done = true }
+            else if (html.charAt(j) == '/' && j + 1 < n && html.charAt(j + 1) == '>') {
+              j += 2; selfClose = true; done = true
+            } else if (html.charAt(j) == '/') j += 1 // stray slash
+            else { // attribute: name [= value], value "x" | 'x' | bare
+              val as = j
+              while (j < n && !html.charAt(j).isWhitespace &&
+                html.charAt(j) != '=' && html.charAt(j) != '>' &&
+                html.charAt(j) != '/') j += 1
+              val aname = html.substring(as, j).toLowerCase
+              while (j < n && html.charAt(j).isWhitespace) j += 1
+              var avalue = ""
+              if (j < n && html.charAt(j) == '=') {
+                j += 1
+                while (j < n && html.charAt(j).isWhitespace) j += 1
+                if (j < n && (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
+                  val q = html.charAt(j)
+                  j += 1
+                  val vs = j
+                  while (j < n && html.charAt(j) != q) j += 1
+                  avalue = html.substring(vs, j)
+                  if (j < n) j += 1
+                } else {
+                  val vs = j
+                  while (j < n && !html.charAt(j).isWhitespace &&
+                    html.charAt(j) != '>') j += 1
+                  avalue = html.substring(vs, j)
+                }
+              }
+              if (aname.nonEmpty) attrs += aname -> decodeEntities(avalue)
+            }
+          }
+          i = j
+          if (rawTextTags.contains(name)) {
+            // raw-text element: content is code, never extractable text —
+            // consume to the matching close tag and emit an empty element
+            stack.head.children += DomElement(name, attrs.result(), Vector.empty)
+            val ci = indexOfIgnoreCase(html, "</" + name, i)
+            i = if (ci < 0) n else {
+              val g = html.indexOf('>', ci)
+              if (g < 0) n else g + 1
+            }
+          } else if (voidTags.contains(name) || selfClose) {
+            stack.head.children += DomElement(name, attrs.result(), Vector.empty)
+          } else {
+            stack = new Frame(name, attrs.result()) :: stack
+          }
+        } else { // '<' not starting a tag: literal text
+          textBuf.append(c)
+          i += 1
+        }
+      } else {
+        textBuf.append(c)
+        i += 1
+      }
+    }
+    flushText()
+    while (stack.tail.nonEmpty) closeTop() // EOF closes everything open
+    new DomDoc(DomElement("#root", Nil, rootFrame.children.result()))
+  }
+}

@@ -89,6 +89,97 @@ class GoldenPipelineSpec extends SparkSpec {
     assert(byId(1).getAs[String]("url") == "https://www.guiacores.com.ar/index.php?r=search/detail&id=12")
   }
 
+  // ---- DOM parser path (-Dgraft.htmlParser=dom): the BeautifulSoup-
+  // tolerance twin. Suites run sequentially in one forked JVM, so the
+  // flag flip inside withDomParser cannot race another suite's plan build.
+  private def withDomParser[T](f: => T): T = {
+    sys.props("graft.htmlParser") = "dom"
+    try f finally sys.props.remove("graft.htmlParser")
+  }
+
+  test("B3 DOM path: reproduces the regex record on every well-formed page") {
+    for (page <- Seq("detail_page.html", "detail_page_fallbacks.html",
+        "detail_page_sparse.html")) {
+      val rx = readHtml(page)
+        .select(RH.leadRecord(col("html"), lit(1L), lit("u")).as("r")).head()
+      val dm = withDomParser {
+        readHtml(page)
+          .select(RH.leadRecord(col("html"), lit(1L), lit("u")).as("r")).head()
+      }
+      assert(dm == rx, s"$page: dom=$dm regex=$rx")
+    }
+  }
+
+  test("B3 malformed detail page: DOM path extracts the full record where " +
+      "the regex path reads nothing") {
+    // same logical page as detail_page.html through a hostile serializer:
+    // reordered/unquoted/single-quoted attributes, mixed-case names, extra
+    // and reordered class tokens, a stray close tag, &amp; in a query
+    // string, a <br> between the clock icon and its span, unclosed divs
+    val row = withDomParser {
+      readHtml("detail_page_malformed.html")
+        .select(RH.leadRecord(col("html"), lit(42L), lit("u42")).as("r"))
+        .select("r.*").head()
+    }
+    assert(row.getAs[String]("nombre") == "Ferretería  El Tornillo")
+    assert(row.getAs[String]("direccion") == "Av. San Martín 1234 - (3000) Santa Fe")
+    assert(row.getAs[scala.collection.Seq[String]]("telefonos").toSeq ==
+      Seq("342 455-5000", "+54 9 342 612-3456"))
+    assert(row.getAs[String]("whatsapp") == "5493424555000")
+    assert(row.getAs[String]("sitio_web") == "https://www.eltornillo.com.ar")
+    assert(row.getAs[String]("email") == "ventas@eltornillo.com.ar")
+    assert(row.getAs[String]("facebook") == "https://www.facebook.com/eltornillosf")
+    assert(row.getAs[String]("instagram") == "https://instagram.com/eltornillosf")
+    assert(row.getAs[String]("horarios") == "Lun a Vie 8:00-12:30 y 16:00-20:00")
+    assert(row.getAs[scala.collection.Seq[String]]("rubros").toSeq ==
+      Seq("Ferreterías", "Pinturerías"))
+    assert(row.getAs[String]("descripcion") == "Venta de herramientas  y materiales.")
+    assert(row.getAs[Double]("latitud") == -31.6333)
+    assert(row.getAs[Double]("longitud") == -60.70)
+
+    // the measured regex gap on the SAME page (why the DOM path exists):
+    // every selector misses — the attribute order/quoting assumptions the
+    // canonical fixture satisfies are all violated here
+    val rx = readHtml("detail_page_malformed.html")
+      .select(RH.leadRecord(col("html"), lit(42L), lit("u42")).as("r"))
+      .select("r.*").head()
+    for (f <- Seq("nombre", "direccion", "whatsapp", "sitio_web", "email",
+        "facebook", "instagram", "horarios", "descripcion", "latitud",
+        "longitud"))
+      assert(rx.isNullAt(rx.fieldIndex(f)), s"regex unexpectedly read $f")
+    assert(rx.getAs[scala.collection.Seq[String]]("telefonos").isEmpty)
+    assert(rx.getAs[scala.collection.Seq[String]]("rubros").isEmpty)
+  }
+
+  test("B3 malformed search results: DOM path reads all 5 cards, regex " +
+      "only the canonical 3") {
+    val page = readHtml("search_results_malformed.html")
+    // F14 is a text-level law — markup shape cannot break it
+    assert(page.select(RH.totalMatches(col("html"))).head().getLong(0) == 735L)
+    val dom = withDomParser {
+      page.select(posexplode(RH.resultCards(col("html"), base))
+          .as(Seq("seq", "c")))
+        .select(col("seq"), col("c.id_negocio"), col("c.url")).collect()
+    }
+    assert(dom.length == 5)
+    assert(dom.map(r => if (r.isNullAt(1)) -1L else r.getLong(1)).toSeq ==
+      Seq(11L, 12L, -1L, 11L, 13L))
+    assert(dom(0).getString(2) == base + "index.php?r=search/detail&id=11")
+    assert(dom(1).getString(2) ==
+      "https://www.guiacores.com.ar/index.php?r=search/detail&id=12")
+    // regex path on the same page: the two cards with reordered/extra
+    // class tokens vanish outright, and the unquoted-span card does worse —
+    // its non-greedy match bleeds into the NEXT card and claims that
+    // card's href, so 5 cards collapse to 2 matches ([11], [13]) with one
+    // card silently mis-attributed. This is the silent-miss mode the DOM
+    // path exists to close.
+    val rx = page
+      .select(explode(RH.resultCards(col("html"), base)).as("c"))
+      .select(col("c.id_negocio")).collect()
+    assert(rx.length == 2, s"regex card count drifted: ${rx.length}")
+    assert(rx.map(_.getLong(0)).toSeq == Seq(11L, 13L))
+  }
+
   test("B3 incremental pages: per-batch new-key counts reach quiescence (ST2/ST3)") {
     val pages = Seq("search_results.html", "search_results_page2.html",
       "search_results_page3.html")
