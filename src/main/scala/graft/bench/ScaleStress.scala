@@ -418,6 +418,50 @@ object ScaleStress {
       println("  rows=" + graft.SparkEntry.queries("q170_rendezvous_shard")(spark, "/root/testdata/sf0.1").count())
     }
 
+    // Round 12: retrieval family (q169 BM25 / q177 RRF / q196 agreement).
+    // Structural claims under test: the corpus-side explode filters to the
+    // query vocabulary FIRST, so the shuffled tf table is bounded by
+    // |docs × query terms| — never |tokens| (PlanSpec pins the plan shape;
+    // this measures the constant); df and the T/D scalars broadcast; the
+    // RRF fusion ranks 20-row shortlists, flat in corpus size. 10× docs ⇒
+    // ~10× scan work; 10× vocabulary grows the tf table only toward the
+    // same docs×terms cap.
+    // q177/q196 also read embeddings; the dense ranker side stays at the
+    // plain 2k vectors (duplicating docs does not duplicate vectors).
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    t("q169 BM25 top-k on 50k docs (10x corpus)") {
+      println("  rows=" + graft.SparkEntry.queries("q169_bm25_topk")(spark, dir).count())
+    }
+    t("q169 BM25 top-k on the plain corpus (reference)") {
+      println("  rows=" + graft.SparkEntry.queries("q169_bm25_topk")(spark, "/root/testdata/sf0.1").count())
+    }
+    // 10× query vocabulary × 10× docs: the 30 hottest corpus tokens — the
+    // worst case for tf growth (every term hits nearly every doc). The
+    // measured bound: tf rows (= Σ n_terms_hit) ≤ docs × |vocab|.
+    val vocab30 = graft.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tk"))
+      .groupBy(col("tk")).count().orderBy(col("count").desc, col("tk"))
+      .limit(30).collect().map(_.getString(0)).toSeq
+    t("q169 BM25 scoring, 10x vocab (30 hottest terms) x 10x docs") {
+      val out = graft.queries.Mining.bm25ScoresFor(spark, dir, vocab30)
+        .agg(count(lit(1)).as("docs_hit"),
+          sum(col("n_terms_hit")).as("tf_rows")).head()
+      val docsN = graft.Tables.documents(spark, dir).count()
+      println(s"  docs_hit=${out.getLong(0)} tf_rows=${out.getLong(1)} " +
+        s"bound=${docsN * 30}")
+      assert(out.getLong(1) <= docsN * 30,
+        "tf table exceeded the |docs x terms| bound")
+    }
+    t("q177 hybrid RRF on 50k docs (10x corpus)") {
+      println("  rows=" + graft.SparkEntry.queries("q177_hybrid_rrf")(spark, dir).count())
+    }
+    t("q196 ranker agreement on 50k docs (10x corpus)") {
+      println("  rows=" + graft.SparkEntry.queries("q196_ranker_agreement")(spark, dir).count())
+    }
+    t("q177 hybrid RRF on the plain corpus (reference)") {
+      println("  rows=" + graft.SparkEntry.queries("q177_hybrid_rrf")(spark, "/root/testdata/sf0.1").count())
+    }
+
     anchor("end")
     spark.stop()
   }

@@ -28,8 +28,15 @@ object Mining {
   /** q169's corpus scoring, shared with the q177 hybrid fusion: per doc,
     * the summed integer BM25-milli over the fixed query vocabulary plus the
     * number of query terms hit. See q169's derivation comment. */
-  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
-    val qterms = Seq("join", "hash", "spark")
+  private def bm25Scores(s: SparkSession, d: String): DataFrame =
+    bm25ScoresFor(s, d, Seq("join", "hash", "spark"))
+
+  /** Vocabulary-parameterized form — the oracle queries pin the 3-term
+    * vocabulary above; ScaleStress drives THIS with a 10× vocabulary to
+    * measure that tf-table growth stays ≤ |docs × terms| (the
+    * filter-before-explode bound PlanSpec pins structurally). */
+  private[graft] def bm25ScoresFor(s: SparkSession, d: String,
+      qterms: Seq[String]): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
