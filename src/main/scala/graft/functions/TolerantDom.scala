@@ -38,25 +38,35 @@ final case class DomElement(tag: String, attrs: List[(String, String)],
   def childElements: Vector[DomElement] =
     children.collect { case e: DomElement => e }
 
-  /** Pre-order subtree elements, self excluded. */
+  /** Pre-order subtree elements, self excluded. Explicit-stack traversal:
+    * tolerant parsing admits arbitrarily deep (adversarial) nesting, so no
+    * tree walk may recurse on depth (DomFuzzSpec pathological suite). */
   def descendants: Vector[DomElement] = {
     val out = Vector.newBuilder[DomElement]
-    def walk(e: DomElement): Unit = e.childElements.foreach { c =>
-      out += c; walk(c)
+    var stack: List[DomElement] = childElements.toList
+    while (stack.nonEmpty) {
+      val e = stack.head
+      stack = stack.tail
+      out += e
+      stack = e.childElements.toList ::: stack
     }
-    walk(this)
     out.result()
   }
 
   /** BeautifulSoup `get_text(strip=True)`: each text segment trimmed,
-    * non-empty segments concatenated. */
+    * non-empty segments concatenated. Explicit-stack for depth robustness. */
   def text: String = {
     val sb = new StringBuilder
-    def walk(n: DomNode): Unit = n match {
-      case DomText(t) => val s = t.trim; if (s.nonEmpty) sb.append(s)
-      case e: DomElement => e.children.foreach(walk)
+    var stack: List[DomNode] = children.toList
+    while (stack.nonEmpty) {
+      stack.head match {
+        case DomText(t) =>
+          stack = stack.tail
+          val s = t.trim; if (s.nonEmpty) sb.append(s)
+        case e: DomElement =>
+          stack = e.children.toList ::: stack.tail
+      }
     }
-    walk(this)
     sb.toString
   }
 }
@@ -70,10 +80,14 @@ final class DomDoc(val root: DomElement) {
 
   private val parentOf = {
     val m = new java.util.IdentityHashMap[DomElement, DomElement]()
-    def walk(e: DomElement): Unit = e.childElements.foreach { c =>
-      m.put(c, e); walk(c)
+    var stack: List[DomElement] = root :: Nil
+    while (stack.nonEmpty) {
+      val e = stack.head
+      stack = stack.tail
+      val kids = e.childElements
+      kids.foreach(m.put(_, e))
+      stack = kids.toList ::: stack
     }
-    walk(root)
     m
   }
 
