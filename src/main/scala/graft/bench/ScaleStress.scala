@@ -462,6 +462,76 @@ object ScaleStress {
       println("  rows=" + graft.SparkEntry.queries("q177_hybrid_rrf")(spark, "/root/testdata/sf0.1").count())
     }
 
+    // Round 12: H1-H11 extraction, regex vs DOM path at 50k pages. The
+    // regex path is whole-stage-codegen'd; the DOM path is one tolerant
+    // parse per page inside a UDF (-Dgraft.htmlParser=dom). Three claims:
+    // (a) the DOM opt-in costs a bounded constant factor, not an order of
+    // magnitude; (b) on canonical markup both paths produce the IDENTICAL
+    // 17-field record set (asserted by hash, 50k pages); (c) on malformed
+    // markup (unquoted attrs — real-web shape) the regex path silently
+    // nulls where the DOM path keeps extracting.
+    val htmlDir = "/tmp/stress_html"
+    val pageTemplate =
+      """<html><body><div class="search-result">
+        |<a class="search-result-name" href="index.php?r=search/detail&id=%s"><h1>Negocio %s</h1></a>
+        |<span class="search-result-address">Calle %s 123 - (3000) Santa Fe</span>
+        |<a href="tel:342 455-%04d" class="phone-link">342 455-%04d</a>
+        |<a href="https://api.whatsapp.com/send?phone=549342455%04d&text=Hola">WhatsApp</a>
+        |<a itemprop="url" href="https://www.negocio%s.com.ar">Sitio web</a>
+        |<a onclick="irContacto()" href="#">ventas@negocio%s.com.ar</a>
+        |<a href="https://www.facebook.com/negocio%s">Facebook</a>
+        |<i class="far fa-clock"></i>
+        |<span class="search-result-address">Abierto Lun a Vie 8:00-20:00</span>
+        |<div id="yw0" class="list-view"><div class="items"><a class="search-result-link" href="#">Rubro%s</a></div></div>
+        |<div class="map" data-lat="-31.6%s" data-lng="-60.7%s"></div>
+        |<div class="search-result-description">Descripción del negocio %s.</div>
+        |</div></body></html>""".stripMargin
+    spark.range(0, 50000)
+      .select(col("id").as("id_negocio"),
+        concat(lit("https://www.guiacores.com.ar/detail?id="), col("id")).as("url"),
+        format_string(pageTemplate, col("id"), col("id"), col("id"),
+          pmod(col("id"), lit(10000)), pmod(col("id"), lit(10000)),
+          pmod(col("id"), lit(10000)), col("id"), col("id"), col("id"),
+          col("id"), pmod(col("id"), lit(1000)), pmod(col("id"), lit(1000)),
+          col("id")).as("html"))
+      .write.mode("overwrite").parquet(htmlDir)
+    val pages = spark.read.parquet(htmlDir)
+    // bit_xor, not sum: ANSI mode (Spark 4 default) overflows a long SUM of
+    // 50k full-range xxhash64 values; xor is order-independent and closed
+    def recordHash(): Long = pages
+      .select(xxhash64(to_json(graft.functions.ReferenceHtml.leadRecord(
+        col("html"), col("id_negocio"), col("url")))).as("h"))
+      .agg(expr("bit_xor(h)")).head().getLong(0)
+    val regexHash = t("H1-H11 regex extraction, 50k pages (codegen path)") {
+      recordHash()
+    }
+    sys.props("graft.htmlParser") = "dom"
+    val domHash = try t("H1-H11 DOM extraction, 50k pages (tolerant-parse path)") {
+      recordHash()
+    } finally sys.props.remove("graft.htmlParser")
+    assert(domHash == regexHash,
+      "DOM and regex paths diverged on canonical markup at 50k pages")
+    println(s"  record-set hash equal across paths: $regexHash")
+
+    // malformed variant: strip the quotes off every class attribute —
+    // tolerated by any DOM parser, invisible to the exact-string regexes
+    val malformed = pages.withColumn("html",
+      regexp_replace(col("html"), "class=\"([\\w-]+)\"", "class=$1"))
+    def nonNullNames(df: org.apache.spark.sql.DataFrame): Long = {
+      val rec = graft.functions.ReferenceHtml.leadRecord(
+        col("html"), col("id_negocio"), col("url"))
+      df.select(rec.getField("nombre").as("n"))
+        .agg(count(col("n"))).head().getLong(0)
+    }
+    val regexNonNull = nonNullNames(malformed)
+    sys.props("graft.htmlParser") = "dom"
+    val domNonNull = try t("H1-H11 DOM extraction on 50k UNQUOTED-attr pages") {
+      nonNullNames(malformed)
+    } finally sys.props.remove("graft.htmlParser")
+    println(s"  nombre extracted: regex=$regexNonNull dom=$domNonNull of 50000")
+    assert(regexNonNull == 0L && domNonNull == 50000L,
+      "tolerance gap contract changed: expected regex to miss and DOM to extract")
+
     anchor("end")
     spark.stop()
   }
