@@ -150,6 +150,30 @@ object Main {
       runs)
   }
 
+  /** Result browser — the CLI form of the reference UI's result panel
+    * (streamlit_app.py:85-113: status line, record count, generated-file
+    * browsing). Renders the first `n` lead records from a CSV sink in
+    * id order plus the total; [[runStatus]] is the run-history view, this
+    * is the at-rest RESULT view. The collect is `limit(n)`-bounded — a
+    * preview, never the sink. */
+  def runBrowse(spark: SparkSession, csvDir: String, n: Int): RunResult = {
+    val leads = spark.read.option("header", "true").csv(csvDir)
+    val total = leads.count()
+    val cols = Seq("id_negocio", "nombre", "telefonos", "email", "url")
+      .filter(leads.columns.contains)
+    if (total == 0 || cols.isEmpty)
+      return RunResult("warning", "sin registros", 0L)
+    val preview = leads.select(cols.map(col): _*)
+      .orderBy(col(cols.head).cast("long").asc_nulls_last)
+      .limit(n).collect()
+      .map(r => cols.indices.map(i =>
+        Option(r.getString(i)).getOrElse("N/A")).mkString(" | "))
+    RunResult(if (total > 0) "success" else "warning",
+      (s"$total registros; mostrando ${preview.length}" +:
+        cols.mkString(" | ") +: preview.toSeq).mkString("\n"),
+      total)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
@@ -166,6 +190,7 @@ object Main {
       case "stage-transform" :: raw :: tr :: Nil => stageTransform(spark, raw, tr)
       case "stage-load" :: tr :: out :: Nil => stageLoad(spark, tr, out)
       case "status" :: audit :: filesDir :: Nil => runStatus(spark, audit, filesDir)
+      case "browse" :: csvDir :: n :: Nil => runBrowse(spark, csvDir, n.toInt)
       case "sequential" :: searchGlob :: processedCsv :: out :: Nil =>
         // inlined into the by-name args: source failures must be audited
         runSequential(spark,

@@ -181,6 +181,24 @@ class EtlSpec extends SparkSpec {
     assert(st.message.contains(".csv")) // sink listing surfaces the output
   }
 
+  test("browse mode renders a bounded id-ordered preview of the lead sink") {
+    val out = tmp("graft_app_browse")
+    assert(graft.app.Main.runBulk(spark, 1, 5, out).status == "success")
+    val br = graft.app.Main.runBrowse(spark, out, 3)
+    assert(br.status == "success")
+    assert(br.recordsProcessed == 5) // total, not the preview size
+    val lines = br.message.split("\n").toSeq
+    assert(lines.head == "5 registros; mostrando 3")
+    assert(lines(1).startsWith("id_negocio | nombre")) // header row
+    assert(lines.length == 5) // summary + header + 3 preview rows
+    assert(lines(2).startsWith("1 | ")) // id order, not file order
+    // empty sink → warning envelope, same as the pipeline's own law
+    val empty = tmp("graft_app_browse_empty")
+    spark.range(0).select(col("id").cast("string").as("id_negocio"))
+      .write.mode("overwrite").option("header", "true").csv(empty)
+    assert(graft.app.Main.runBrowse(spark, empty, 3).status == "warning")
+  }
+
   test("E4+K5: a FAILING run leaves an error-status audit row (scraping_log)") {
     // manual mode on a nonexistent glob: the page source blows up during
     // construction — before any pipeline action — and the contract is that
