@@ -26,6 +26,7 @@ object PlanDump {
     "q98_doc_chunks" -> "narrow chunk explode; only the egress sort exchanges",
     "q99_curation_funnel" -> "label table broadcast; one keyed shuffle (exact-dup hash)",
     "q112_fuzzy_decontam" -> "cross-set LSH: eval bands/arrays broadcast; corpus never shuffles for candidates",
+    "q113_bigram_lm" -> "serving reads the STAGED scored table (checkpoint scan + egress sort, no join/agg — PlanSpec pins it); the build behind it is round-12 join-path scoring: (doc_id, bg) equi-joins the distributed |charset|² model (AQE-broadcast while small), per-doc re-agg, cmax as a 1-row broadcast — no driver model, no charset bound",
     "q114_pq_topk" -> "joinless ADC codes scan; exact rerank broadcasts the (queries×R) shortlist",
     "q119_dsir_weights" -> "bounded hashed-feature model broadcast; serving pass joinless and aggregate-free",
     "q122_image_ahash_neardup" -> "decode+hash in the narrow stage (binary never shuffles); pigeonhole block equi-join",
