@@ -9,17 +9,26 @@ object ScaleStress {
     println(f"STRESS $name%-40s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
   }
 
+  // host anchors bracket the run (see HostAnchor): stress numbers from a
+  // slow window must carry their own evidence, same as BENCH_DETAIL
+  private def anchor(at: String): Unit = {
+    val (sg, par) = graft.HostAnchor.measure(32)
+    println(f"STRESS host-anchor $at: single ${sg}%.0f ms, par32 ${par}%.0f ms " +
+      f"(nominal ${graft.HostAnchor.NominalSingleMs}%.0f / ${graft.HostAnchor.NominalParallelMs}%.0f)")
+  }
+
+  /** `runMain graft.bench.ScaleStress html` runs only the self-contained
+    * H1-H11 section (~30 s, anchor-bracketed) — the full suite costs ~5 min,
+    * too slow a loop when re-measuring one section after a host slow window.
+    */
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // host anchors bracket the run (see HostAnchor): stress numbers from a
-    // slow window must carry their own evidence, same as BENCH_DETAIL
-    def anchor(at: String): Unit = {
-      val (sg, par) = graft.HostAnchor.measure(32)
-      println(f"STRESS host-anchor $at: single ${sg}%.0f ms, par32 ${par}%.0f ms " +
-        f"(nominal ${graft.HostAnchor.NominalSingleMs}%.0f / ${graft.HostAnchor.NominalParallelMs}%.0f)")
+    if (args.contains("html")) {
+      anchor("start"); htmlExtraction(spark); anchor("end")
+      spark.stop(); return
     }
     anchor("start")
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.1")
@@ -462,14 +471,21 @@ object ScaleStress {
       println("  rows=" + graft.SparkEntry.queries("q177_hybrid_rrf")(spark, "/root/testdata/sf0.1").count())
     }
 
-    // Round 12: H1-H11 extraction, regex vs DOM path at 50k pages. The
-    // regex path is whole-stage-codegen'd; the DOM path is one tolerant
-    // parse per page inside a UDF (-Dgraft.htmlParser=dom). Three claims:
-    // (a) the DOM opt-in costs a bounded constant factor, not an order of
-    // magnitude; (b) on canonical markup both paths produce the IDENTICAL
-    // 17-field record set (asserted by hash, 50k pages); (c) on malformed
-    // markup (unquoted attrs — real-web shape) the regex path silently
-    // nulls where the DOM path keeps extracting.
+    htmlExtraction(spark)
+
+    anchor("end")
+    spark.stop()
+  }
+
+  // Round 12: H1-H11 extraction, regex vs DOM path at 50k pages. The
+  // regex path is whole-stage-codegen'd; the DOM path is one tolerant
+  // parse per page inside a UDF (-Dgraft.htmlParser=dom). Three claims:
+  // (a) the DOM opt-in costs a bounded constant factor, not an order of
+  // magnitude; (b) on canonical markup both paths produce the IDENTICAL
+  // 17-field record set (asserted by hash, 50k pages); (c) on malformed
+  // markup (unquoted attrs — real-web shape) the regex path silently
+  // nulls where the DOM path keeps extracting.
+  private def htmlExtraction(spark: SparkSession): Unit = {
     val htmlDir = "/tmp/stress_html"
     val pageTemplate =
       """<html><body><div class="search-result">
@@ -502,6 +518,13 @@ object ScaleStress {
       .select(xxhash64(to_json(graft.functions.ReferenceHtml.leadRecord(
         col("html"), col("id_negocio"), col("url")))).as("h"))
       .agg(expr("bit_xor(h)")).head().getLong(0)
+    // untimed warmup of both paths: standalone (`html` arg) this section is
+    // the JVM's first job, and JIT/codegen warmup would otherwise charge
+    // ~3 s to whichever path runs first (measured: regex-first read 3.99 s
+    // cold vs 1.37 s inside the full suite's warm JVM)
+    recordHash()
+    sys.props("graft.htmlParser") = "dom"
+    try recordHash() finally sys.props.remove("graft.htmlParser")
     val regexHash = t("H1-H11 regex extraction, 50k pages (codegen path)") {
       recordHash()
     }
@@ -531,8 +554,5 @@ object ScaleStress {
     println(s"  nombre extracted: regex=$regexNonNull dom=$domNonNull of 50000")
     assert(regexNonNull == 0L && domNonNull == 50000L,
       "tolerance gap contract changed: expected regex to miss and DOM to extract")
-
-    anchor("end")
-    spark.stop()
   }
 }

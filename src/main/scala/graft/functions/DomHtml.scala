@@ -26,7 +26,36 @@ private[functions] object DomExtract {
   private def nonEmpty(s: String): Option[String] =
     Option(s).map(_.trim).filter(_.nonEmpty)
 
+  /** Parse-invocation counter (local-mode observable): GoldenPipelineSpec
+    * measures parses-per-row through the full field surface to pin the
+    * one-parse-per-page claim — if the memo below ever stopped collapsing
+    * repeat invocations, that spec fails rather than the DOM path silently
+    * costing multiple parses per page. */
+  private[functions] val parses = new java.util.concurrent.atomic.AtomicLong
+
+  /** One-entry per-thread memo keyed on the page text. Catalyst's
+    * subexpression elimination dedupes the shared `raw(html)` UDF across
+    * the branch-free fields, but REFUSES subtrees under higher-order
+    * functions and some conditional shapes (measured: `social`'s
+    * array-filter lambda and `horarios` each re-evaluated the UDF —
+    * 4 parses/row through the 15-field surface). A task thread evaluates
+    * one row's projection at a time, so a single-entry memo collapses
+    * those re-evaluations to exactly one parse per row, independent of
+    * how Catalyst shapes the plan. String-equality probe on a ~KB page is
+    * noise next to a parse; the entry is overwritten on the next row, so
+    * per-thread residency is one page. */
+  private val memo = new ThreadLocal[(String, RawLead)]
+
   def lead(html: String): RawLead = {
+    val m = memo.get()
+    if (m != null && m._1 == html) return m._2
+    val r = leadUncached(html)
+    memo.set((html, r))
+    r
+  }
+
+  private def leadUncached(html: String): RawLead = {
+    parses.incrementAndGet()
     if (html == null)
       return RawLead(None, None, None, Nil, None, None, None, None, Nil,
         None, Nil, None, None, None)
@@ -132,9 +161,15 @@ object DomHtml {
   private val leadUdf = udf(DomExtract.lead _)
   private val cardsUdf = udf(DomExtract.cards _)
 
-  /** One parse per page: every field function reads the same deterministic
-    * UDF result (whole-stage codegen's subexpression elimination evaluates
-    * it once per row within a projection). */
+  /** Total tolerant lead-parses performed in this JVM (spec observability —
+    * GoldenPipelineSpec pins one parse per page through the field surface). */
+  def parseCount: Long = DomExtract.parses.get()
+
+  /** One parse per page: the branch-free fields share one UDF evaluation
+    * through codegen subexpression elimination, and the HOF/conditional
+    * shapes CSE refuses (social, horarios — measured) collapse through
+    * DomExtract's per-thread memo, so the parse count equals the row count
+    * regardless of plan shape (GoldenPipelineSpec pins it). */
   private def raw(html: Column): Column = leadUdf(html)
 
   def nombre(html: Column): Column = raw(html).getField("nombre")

@@ -110,6 +110,25 @@ class GoldenPipelineSpec extends SparkSpec {
     }
   }
 
+  test("DOM path: one parse per page across the full field surface (CSE)") {
+    // the claim written at DomHtml.raw: within one projection, whole-stage
+    // codegen's subexpression elimination evaluates the shared deterministic
+    // UDF once per row even though every field function builds its own
+    // raw(html) column. Measure it: 15 fields over 3 rows must cost 3
+    // parses, not 45. (A small multiple would mean CSE broke — the DOM
+    // path would silently parse per FIELD; fail loudly instead.)
+    val df = readHtml("detail_page.html")
+      .unionAll(readHtml("detail_page_fallbacks.html"))
+      .unionAll(readHtml("detail_page_sparse.html"))
+    val before = graft.functions.DomHtml.parseCount
+    withDomParser {
+      df.select(RH.leadRecord(col("html"), lit(1L), lit("u")).as("rec"))
+        .select(col("rec.*")).collect()
+    }
+    val used = graft.functions.DomHtml.parseCount - before
+    assert(used == 3, s"expected 3 parses for 3 rows x 15 fields, got $used")
+  }
+
   test("B3 malformed detail page: DOM path extracts the full record where " +
       "the regex path reads nothing") {
     // same logical page as detail_page.html through a hostile serializer:
