@@ -80,6 +80,97 @@ object Main {
       syntheticPages(worklist.select("id_negocio", "url"))
     }, out)
 
+  /** Sequential mode with the reference UI's progress callback
+    * (streamlit_app.py:68-82 `update_progress(current, total, message)`;
+    * sequential_collector.py:125-131,231,465-479): discovery is a PAGED
+    * stream — each "Ver Más" load is one card page — and after every load
+    * the collector reports the cumulative UNIQUE id count against the
+    * total-matches banner scraped from the results page (F14,
+    * `_extract_total_matches`, sequential_collector.py:606-623).
+    *
+    * Spark-first shape: the page directory streams through the file source
+    * with `maxFilesPerTrigger=1` (one micro-batch per load, modification-
+    * time order = load order), cards explode per page, and a stateful
+    * streaming `dropDuplicates` means each batch emits only NEWLY seen ids
+    * — so the cumulative count is a running sum of batch sizes, O(new) per
+    * load, never a re-scan of everything collected (the reference recounts
+    * its driver dict per load; a distributed recount would be quadratic in
+    * loads). Dedup state holds one row per unique id: exactly the worklist
+    * being built, the same bounded metadata the downstream fetch holds
+    * anyway — not all-pages state. Callback messages mirror the
+    * reference's: `Iniciando recolección. Total estimado: N` once, then
+    * `Recolectados N URLs de aprox. T` per load.
+    *
+    * The collected worklist then resumes through the J1 anti-join and runs
+    * the standard pipeline — same semantics as [[runSequential]], plus
+    * in-flight progress. */
+  def runSequentialPaged(spark: SparkSession, cardsDir: String,
+      processed: => DataFrame, out: String,
+      progress: (Long, Option[Long], String) => Unit = (_, _, _) => ()): RunResult =
+    runPipeline(spark, {
+      val staging = out + "_worklist"
+      val cards = spark.readStream
+        .option("wholetext", "true").option("maxFilesPerTrigger", "1")
+        .text(cardsDir)
+        .select(
+          graft.functions.ReferenceHtml.totalMatches(col("value")).as("tm"),
+          explode(graft.functions.ReferenceHtml.resultCards(
+            col("value"), "https://www.guiacores.com.ar/")).as("c"))
+        .select(col("tm"), col("c.id_negocio"), col("c.url"))
+        .filter(col("id_negocio").isNotNull)
+        .dropDuplicates("id_negocio") // stateful: batch N emits only new ids
+      var cum = 0L
+      var total: Option[Long] = None
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      // 4 state partitions + tmpfs checkpoint: the finite drain discipline
+      // documented at StreamOps.drain (production points the checkpoint at
+      // durable storage and sizes state partitions to cores, up front)
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val shm = new java.io.File("/dev/shm")
+      val ck =
+        if (shm.isDirectory && shm.canWrite)
+          Some(java.nio.file.Files.createTempDirectory(shm.toPath, "graft_seq_ck"))
+        else None
+      try {
+        val w = cards.writeStream
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            val rows = batch.persist()
+            try {
+              val fresh = rows.count() // only ids never seen before this load
+              if (total.isEmpty)
+                total = Option(rows.agg(max(col("tm"))).head().get(0))
+                  .map(_.asInstanceOf[Long])
+              if (batchId == 0L)
+                total.foreach(t =>
+                  progress(0L, total, s"Iniciando recolección. Total estimado: $t"))
+              cum += fresh
+              rows.select(col("id_negocio"), col("url"))
+                .write.mode("append").parquet(staging)
+              progress(cum, total, s"Recolectados $cum URLs" +
+                total.map(t => s" de aprox. $t").getOrElse(""))
+            } finally rows.unpersist()
+            ()
+          }
+        ck.foreach(p => w.option("checkpointLocation", p.toString))
+        val q = w.start()
+        q.awaitTermination()
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        ck.foreach { p =>
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(p)
+          try walk.iterator().asScala.toSeq.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+          finally walk.close()
+        }
+      }
+      val worklist = spark.read.parquet(staging)
+        .join(processed, Seq("id_negocio"), "left_anti")
+      syntheticPages(worklist.select("id_negocio", "url"))
+    }, out)
+
   /** §3.3 phase runners — the reference's run_extraction / run_transformation
     * / run_loading scripts: standalone stages communicating through
     * materialized JSON stage files (the container/Argo orchestration shape).
@@ -199,9 +290,19 @@ object Main {
           spark.read.option("header", "true")
             .schema("id_negocio LONG").csv(processedCsv),
           out)
+      case "sequential-paged" :: cardsDir :: processedCsv :: out :: Nil =>
+        // progress lines to stderr: the CLI form of the UI's progress bar +
+        // status text (stdout stays the parseable JSON envelope)
+        runSequentialPaged(spark, cardsDir,
+          spark.read.option("header", "true")
+            .schema("id_negocio LONG").csv(processedCsv),
+          out,
+          (cur, tot, msg) => System.err.println(
+            s"PROGRESS $cur/${tot.map(_.toString).getOrElse("?")} $msg"))
       case other =>
         RunResult("error", s"modo no reconocido: ${other.mkString(" ")} " +
-          "(uso: bulk <start> <end> <out> | sequential <search-glob> <processed-csv> <out> | manual <glob> <out>)", 0L)
+          "(uso: bulk <start> <end> <out> | sequential <search-glob> <processed-csv> <out> | " +
+          "sequential-paged <cards-dir> <processed-csv> <out> | manual <glob> <out>)", 0L)
     } catch {
       case e: Exception => RunResult("error", s"ETL falló: ${e.getMessage}", 0L)
     }

@@ -169,6 +169,42 @@ class EtlSpec extends SparkSpec {
     assert(a.isNullAt(a.fieldIndex("error")))
   }
 
+  test("sequential-paged mode: per-load progress callbacks with unique-id " +
+      "counts against the F14 total banner") {
+    // the reference UI's progress bar (streamlit_app.py:68-82): discovery
+    // reports (cumulative_unique, total_estimate, message) after every
+    // "Ver Más" load. The three search_results fixtures model cumulative
+    // loads with OVERLAP: page1 {11,12,13} (11 repeated), page2 {12,13,14},
+    // page3 {14,13} — so unique counts must read 3, 4, 4, not 4, 7, 9.
+    val cardsDir = tmp("graft_seq_pages")
+    val t0 = System.currentTimeMillis() - 600000L
+    Seq("search_results.html", "search_results_page2.html",
+        "search_results_page3.html").zipWithIndex.foreach { case (name, i) =>
+      val dst = new java.io.File(cardsDir, f"load_$i%02d.html")
+      Files.copy(
+        getClass.getResourceAsStream(s"/html/$name"), dst.toPath)
+      // the file source orders micro-batches by modification time = load order
+      assert(dst.setLastModified(t0 + i * 60000L))
+    }
+    val calls = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long], String)]
+    val processed = Seq(11L).toDF("id_negocio")
+    val out = tmp("graft_seq_paged")
+    val r = graft.app.Main.runSequentialPaged(spark, cardsDir, processed, out,
+      (cur, tot, msg) => calls.synchronized { calls += ((cur, tot, msg)) })
+    // worklist {11,12,13,14} minus processed {11} → 3 leads in the sink
+    assert(r.status == "success" && r.recordsProcessed == 3)
+    assert(spark.read.option("header", "true").csv(out).count() == 3)
+    val seq = calls.toList
+    assert(seq.head == ((0L, Some(735L),
+      "Iniciando recolección. Total estimado: 735")))
+    assert(seq.tail.map(c => (c._1, c._2)) ==
+      List((3L, Some(735L)), (4L, Some(735L)), (4L, Some(735L))))
+    assert(seq(1)._3 == "Recolectados 3 URLs de aprox. 735")
+    assert(seq.last._3 == "Recolectados 4 URLs de aprox. 735")
+    // K5: the paged run is audited like every other mode
+    assert(spark.read.parquet(out + "_audit").count() == 1)
+  }
+
   test("status mode reports run history + sink listing from the audit table") {
     val out = tmp("graft_app_status")
     assert(graft.app.Main.runBulk(spark, 1, 5, out).status == "success")
