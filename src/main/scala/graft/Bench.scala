@@ -169,8 +169,9 @@ object Bench {
     }
     val p1 = pass(_ => true); boundary("pass1")
     val p2 = pass(_ => true); boundary("pass2")
-    // third pass for the streaming subset only (min-of-3 variance clamp)
-    val p3 = pass(thirdPassQueries); boundary("pass3_streaming")
+    // third pass for the variance-clamped subset (streaming registry +
+    // groupedPrefixSum consumers; see thirdPassQueries)
+    val p3 = pass(thirdPassQueries); boundary("pass3_min3_subset")
     // a failed query's fail-fast wall time (often milliseconds) must not
     // flow into min()/total and make a broken suite read as fast — failures
     // are reported in `failed`/n_failed only, never in the timing record

@@ -108,7 +108,11 @@ object Main {
       processed: => DataFrame, out: String,
       progress: (Long, Option[Long], String) => Unit = (_, _, _) => ()): RunResult =
     runPipeline(spark, {
+      // per-run scratch keyed by the sink path: cleared up front so a
+      // re-run (or a crashed previous run) never unions stale worklist rows
+      // into this run's discovery
       val staging = out + "_worklist"
+      graft.streaming.StreamOps.deleteTree(java.nio.file.Paths.get(staging))
       val cards = spark.readStream
         .option("wholetext", "true").option("maxFilesPerTrigger", "1")
         .text(cardsDir)
@@ -121,17 +125,7 @@ object Main {
         .dropDuplicates("id_negocio") // stateful: batch N emits only new ids
       var cum = 0L
       var total: Option[Long] = None
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      // 4 state partitions + tmpfs checkpoint: the finite drain discipline
-      // documented at StreamOps.drain (production points the checkpoint at
-      // durable storage and sizes state partitions to cores, up front)
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      val shm = new java.io.File("/dev/shm")
-      val ck =
-        if (shm.isDirectory && shm.canWrite)
-          Some(java.nio.file.Files.createTempDirectory(shm.toPath, "graft_seq_ck"))
-        else None
-      try {
+      graft.streaming.StreamOps.withFixtureDrainEnv(spark) { ck =>
         val w = cards.writeStream
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -139,12 +133,15 @@ object Main {
             val rows = batch.persist()
             try {
               val fresh = rows.count() // only ids never seen before this load
-              if (total.isEmpty)
+              if (total.isEmpty) {
                 total = Option(rows.agg(max(col("tm"))).head().get(0))
                   .map(_.asInstanceOf[Long])
-              if (batchId == 0L)
+                // announce the estimate as soon as SOME page supplies the
+                // banner (the reference reads it from the first load; a
+                // malformed first page must not suppress it forever)
                 total.foreach(t =>
                   progress(0L, total, s"Iniciando recolección. Total estimado: $t"))
+              }
               cum += fresh
               rows.select(col("id_negocio"), col("url"))
                 .write.mode("append").parquet(staging)
@@ -156,18 +153,21 @@ object Main {
         ck.foreach(p => w.option("checkpointLocation", p.toString))
         val q = w.start()
         q.awaitTermination()
-      } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        ck.foreach { p =>
-          import scala.jdk.CollectionConverters._
-          val walk = java.nio.file.Files.walk(p)
-          try walk.iterator().asScala.toSeq.reverse
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-          finally walk.close()
-        }
       }
-      val worklist = spark.read.parquet(staging)
-        .join(processed, Seq("id_negocio"), "left_anti")
+      // zero discovered ids (empty cards dir, or every card id-less) leaves
+      // no staging dir: resolve to an empty worklist so the run lands on the
+      // same "sin registros" warning envelope as runSequential, not an error
+      val worklist =
+        (if (new java.io.File(staging).isDirectory)
+          spark.read.parquet(staging)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id_negocio",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("url",
+              org.apache.spark.sql.types.StringType)))))
+          .join(processed, Seq("id_negocio"), "left_anti")
       syntheticPages(worklist.select("id_negocio", "url"))
     }, out)
 
@@ -254,12 +254,18 @@ object Main {
       .filter(leads.columns.contains)
     if (total == 0 || cols.isEmpty)
       return RunResult("warning", "sin registros", 0L)
+    // id order when the sink carries ids; otherwise lexicographic on the
+    // first available column (casting names to long would null every key
+    // and make the "ordered preview" claim partition-dependent)
+    val orderKey =
+      if (cols.head == "id_negocio") col(cols.head).cast("long").asc_nulls_last
+      else col(cols.head).asc_nulls_last
     val preview = leads.select(cols.map(col): _*)
-      .orderBy(col(cols.head).cast("long").asc_nulls_last)
+      .orderBy(orderKey)
       .limit(n).collect()
       .map(r => cols.indices.map(i =>
         Option(r.getString(i)).getOrElse("N/A")).mkString(" | "))
-    RunResult(if (total > 0) "success" else "warning",
+    RunResult("success",
       (s"$total registros; mostrando ${preview.length}" +:
         cols.mkString(" | ") +: preview.toSeq).mkString("\n"),
       total)

@@ -122,16 +122,24 @@ object TolerantDom {
   private[functions] def decodeEntities(s: String): String =
     if (s.indexOf('&') < 0) s
     else {
-      val numeric = "&#(x?[0-9a-fA-F]+);".r
+      // only true numeric refs decode: `&#abc;` (hex digits, no x prefix)
+      // stays literal text, exactly as a browser leaves a malformed NCR
+      val numeric = "&#([0-9]+|[xX][0-9a-fA-F]+);".r
       val n = numeric.replaceAllIn(s, m => {
         val d = m.group(1)
         val cp = try {
           if (d.startsWith("x") || d.startsWith("X")) Integer.parseInt(d.substring(1), 16)
           else Integer.parseInt(d)
-        } catch { case _: NumberFormatException => -1 }
-        if (cp >= 0 && Character.isValidCodePoint(cp))
+        } catch { case _: NumberFormatException => 0x110000 } // overflow = out of range
+        // HTML5 NCR parse errors — null, surrogate range, beyond U+10FFFF —
+        // decode to U+FFFD (what a DOM parser emits), never to a lone
+        // surrogate: Character.isValidCodePoint ACCEPTS surrogates, and
+        // toChars on one would embed ill-formed UTF-16 in extracted fields
+        // that downstream CSV/JSON writers mangle codec-dependently
+        if (cp == 0 || (cp >= 0xD800 && cp <= 0xDFFF) || cp > 0x10FFFF)
+          "�"
+        else
           java.util.regex.Matcher.quoteReplacement(new String(Character.toChars(cp)))
-        else java.util.regex.Matcher.quoteReplacement(m.matched)
       })
       n.replace("&nbsp;", " ").replace("&lt;", "<").replace("&gt;", ">")
         .replace("&quot;", "\"").replace("&apos;", "'").replace("&amp;", "&")

@@ -515,6 +515,12 @@ object EtlOps {
         val tmp = scratchDir("q102_part")
         Tables.orders(s, d)
           .withColumn("order_month", month(col("o_orderdate")))
+          // write clustering: co-locate each partition value before the
+          // partitioned write, so every directory gets one compacted file
+          // instead of one tiny file per upstream task (32× the files, and
+          // at 100 TB the small-files problem that kills the downstream
+          // scan's split planning)
+          .repartition(col("order_month"))
           .write.mode("overwrite")
           .partitionBy("order_month")
           .parquet(tmp)
@@ -556,10 +562,14 @@ object EtlOps {
         val base = Tables.orders(s, d)
           .withColumn("order_year", year(col("o_orderdate")))
           .withColumn("order_month", month(col("o_orderdate")))
+        // write clustering on both generations (q102's rationale): gen B
+        // would otherwise cut year×month dirs × 32 task files of a few KB
         base.filter(col("o_orderkey") % 2 === 0)
           .drop("order_month") // gen A predates the month column's layout
+          .repartition(col("order_year"))
           .write.mode("overwrite").partitionBy("order_year").parquet(tmpA)
         base.filter(col("o_orderkey") % 2 === 1)
+          .repartition(col("order_year"), col("order_month"))
           .write.mode("overwrite")
           .partitionBy("order_year", "order_month").parquet(tmpB)
         val genA = s.read.parquet(tmpA)

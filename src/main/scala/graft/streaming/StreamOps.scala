@@ -118,45 +118,55 @@ object StreamOps {
     tmp
   }
 
-  private def deleteTree(p: java.nio.file.Path): Unit = {
+  private[graft] def deleteTree(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
       val walk = java.nio.file.Files.walk(p)
       try walk.iterator().asScala.toSeq.reverse
         .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      finally walk.close()
+      finally walk.close() // the stream holds directory handles
+    }
+  }
+
+  /** Finite-fixture drain environment, shared by [[drain]] and app-level
+    * paged drains (Main.runSequentialPaged): pins state-store partitions to
+    * 4 and hands the body an ephemeral tmpfs checkpoint, restoring and
+    * cleaning both afterwards.
+    *
+    * 4 state partitions: each one costs a store open + delta commit PER
+    * MICRO-BATCH regardless of data volume (a stream-stream join keeps 4
+    * stores per partition), and a fixture drain is commit-bound, not
+    * data-bound; production sizing scales this with key cardinality BEFORE
+    * the first run and keeps it stable (changing it invalidates the
+    * checkpoint — state partition count is pinned at stream start, and AQE
+    * never applies to stateful plans). The tmpfs checkpoint: the micro-batch
+    * fixed cost is dozens of small WAL/state/commit writes, fsync-bound on
+    * disk; a PRODUCTION stream points this at durable shared storage — the
+    * checkpoint is the exactly-once contract; only a finite fixture drain
+    * may treat it as scratch. */
+  private[graft] def withFixtureDrainEnv[T](s: SparkSession)(
+      body: Option[java.nio.file.Path] => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val shm = new java.io.File("/dev/shm")
+    val ck =
+      if (shm.isDirectory && shm.canWrite)
+        Some(java.nio.file.Files.createTempDirectory(shm.toPath, "graft_drain_ck"))
+      else None
+    try body(ck)
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      ck.foreach(deleteTree)
     }
   }
 
   /** Drain a streaming DataFrame into a memory sink with AvailableNow and
-    * return the materialized result (ST2 quiescence semantics).
-    *
-    * State-store partition count is pinned at stream start (it is NOT
-    * re-sizable later, and AQE never applies to stateful plans), so it must
-    * be sized to the stream's key cardinality up front: 4 covers the fixture
-    * drain with minimal per-partition store/commit overhead (see the inline
-    * note below); a production deployment sizes this to executor cores
-    * before the FIRST run and keeps it stable across restarts (changing it
-    * invalidates the checkpoint). */
+    * return the materialized result (ST2 quiescence semantics). Runs under
+    * [[withFixtureDrainEnv]] — see there for the state-partition and
+    * checkpoint discipline. */
   private def drain(s: SparkSession, streamed: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${runSeq.incrementAndGet()}"
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    // 4 state partitions: each one costs a store open + delta commit PER
-    // MICRO-BATCH regardless of data volume (a stream-stream join keeps 4
-    // stores per partition), and the fixture drain is commit-bound, not
-    // data-bound; production sizing scales this with key cardinality instead
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    // ephemeral drain checkpoint on tmpfs when available: the micro-batch
-    // fixed cost is dozens of small WAL/state/commit writes, fsync-bound on
-    // disk. A PRODUCTION stream points this at durable shared storage — the
-    // checkpoint is the exactly-once contract; only the finite fixture drain
-    // may treat it as scratch.
-    val ckBase = new java.io.File("/dev/shm")
-    val ck =
-      if (ckBase.isDirectory && ckBase.canWrite)
-        Some(java.nio.file.Files.createTempDirectory(ckBase.toPath, s"graft_ck_$name"))
-      else None
-    try {
+    withFixtureDrainEnv(s) { ck =>
       val w = streamed.writeStream
         .format("memory")
         .queryName(name)
@@ -174,15 +184,6 @@ object StreamOps {
         q.recentProgress.iterator
           .flatMap(_.stateOperators).map(_.numRowsRemoved).sum,
         q.recentProgress.length.toLong))
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prev)
-      ck.foreach { p =>
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(p)
-        try walk.iterator().asScala.toSeq.reverse
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-        finally walk.close() // the stream holds directory handles
-      }
     }
     s.table(name)
   }

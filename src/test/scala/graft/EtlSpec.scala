@@ -203,6 +203,18 @@ class EtlSpec extends SparkSpec {
     assert(seq.last._3 == "Recolectados 4 URLs de aprox. 735")
     // K5: the paged run is audited like every other mode
     assert(spark.read.parquet(out + "_audit").count() == 1)
+
+    // re-run against the SAME out path: the worklist staging is cleared up
+    // front, so the second run rediscovers the same 3 leads instead of
+    // unioning with the first run's staged rows (re-run contamination)
+    val r2 = graft.app.Main.runSequentialPaged(spark, cardsDir, processed, out)
+    assert(r2.status == "success" && r2.recordsProcessed == 3)
+
+    // zero discovery (empty cards dir) lands on the same warning envelope
+    // as runSequential — an audited "sin registros" run, not an error
+    val r3 = graft.app.Main.runSequentialPaged(spark, tmp("graft_seq_nopages"),
+      processed, tmp("graft_seq_empty_out"))
+    assert(r3.status == "warning" && r3.recordsProcessed == 0)
   }
 
   test("status mode reports run history + sink listing from the audit table") {

@@ -117,9 +117,15 @@ class GoldenPipelineSpec extends SparkSpec {
     // raw(html) column. Measure it: 15 fields over 3 rows must cost 3
     // parses, not 45. (A small multiple would mean CSE broke — the DOM
     // path would silently parse per FIELD; fail loudly instead.)
+    // nonce-suffix each page: DomExtract's per-thread memo survives across
+    // tests, so a worker thread that parsed these exact fixture strings in
+    // an earlier test would return its memo without counting — unique
+    // content guarantees every row costs exactly one fresh parse here
+    val nonce = s"<!-- ${java.util.UUID.randomUUID()} -->"
     val df = readHtml("detail_page.html")
       .unionAll(readHtml("detail_page_fallbacks.html"))
       .unionAll(readHtml("detail_page_sparse.html"))
+      .withColumn("html", concat(col("html"), lit(nonce)))
     val before = graft.functions.DomHtml.parseCount
     withDomParser {
       df.select(RH.leadRecord(col("html"), lit(1L), lit("u")).as("rec"))

@@ -68,6 +68,24 @@ class DomFuzzSpec extends AnyFunSuite {
     assert(deep.root.text == "text")
   }
 
+  test("numeric character references decode per the HTML5 error rules") {
+    // valid refs decode; null/surrogate/out-of-range decode to U+FFFD (what
+    // a DOM parser emits — never a lone surrogate, which is ill-formed
+    // UTF-16 that downstream CSV/JSON writers mangle codec-dependently);
+    // malformed refs (`&#abc;`: hex digits, no x) stay literal like a
+    // browser leaves them
+    assert(TolerantDom.decodeEntities("&#x41;&#66;") == "AB")
+    assert(TolerantDom.decodeEntities("&#x1F600;") ==
+      new String(Character.toChars(0x1F600)))
+    for (bad <- Seq("&#xD800;", "&#xDFFF;", "&#0;", "&#x110000;",
+        "&#99999999999999999;"))
+      assert(TolerantDom.decodeEntities(bad) == "�", bad)
+    assert(TolerantDom.decodeEntities("&#abc;") == "&#abc;")
+    // the decoded text never contains an unpaired surrogate
+    val out = TolerantDom.parse("<p>a&#xD800;b</p>").root.text
+    assert(out == "a�b")
+  }
+
   // ---- law 3: render∘parse identity under randomized style ---------------
 
   private val tagGen = Gen.oneOf("div", "span", "a", "p", "i", "b", "h1")
