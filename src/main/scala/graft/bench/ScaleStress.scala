@@ -30,6 +30,10 @@ object ScaleStress {
       anchor("start"); htmlExtraction(spark); anchor("end")
       spark.stop(); return
     }
+    if (args.contains("streaming")) {
+      anchor("start"); streamingSection(spark); anchor("end")
+      spark.stop(); return
+    }
     anchor("start")
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.1")
 
@@ -473,8 +477,90 @@ object ScaleStress {
 
     htmlExtraction(spark)
 
+    streamingSection(spark)
+
     anchor("end")
     spark.stop()
+  }
+
+  // Round 12: streaming family at 10× events (10× users, identical window
+  // timeline — user/event ids shift per copy, ts does not). Claims, each
+  // read from the drain's OWN StreamingQueryProgress (DrainInfo), never
+  // inferred from code shape:
+  // (a) windowed-agg state (q42 complete, q149 append) is keyed on
+  //     (window × event_type) — peak resident state must NOT grow with the
+  //     user/event multiplier, only wall time does;
+  // (b) per-user session state (q91 mapGroupsWithState) grows with USERS —
+  //     ~10× peak state at 10× users — because that state IS the live-key
+  //     working set; the scale lever is key parallelism, not eviction;
+  // (c) q149's watermark still evicts at 10× (the bounded-state law from
+  //     StreamingSpec, held under load);
+  // (d) results scale exactly: same (window × type) grid for q42/q149,
+  //     exactly 10× sessions for q91 (copies replay identical per-user
+  //     event sequences).
+  private def streamingSection(spark: SparkSession): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val stressDir = "/tmp/stress_events"
+    val build = "/tmp/stress_events_build"
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    (0 until 10).map(k => raw
+        .withColumn("event_id", col("event_id") + lit(k * 1000000000L))
+        .withColumn("user_id", col("user_id") + lit(k * 1000000L)))
+      .reduce(_ unionByName _)
+      // single file: q149's horizon-sentinel staging copies the fixture as
+      // one file, same as the driver-generated testdata layout
+      .coalesce(1).write.mode("overwrite").parquet(build)
+    val part = new java.io.File(build).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error("stress events write produced no part file"))
+    graft.streaming.StreamOps.deleteTree(java.nio.file.Paths.get(stressDir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stressDir))
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(stressDir, "events.parquet"))
+
+    def run(q: String, label: String, d: String): (Long, graft.streaming.StreamOps.DrainInfo) = {
+      val rows = t(s"$q $label") {
+        graft.SparkEntry.queries(q)(spark, d).count()
+      }
+      (rows, graft.streaming.StreamOps.lastDrainInfo
+        .getOrElse(sys.error(s"$q recorded no drain progress")))
+    }
+
+    // untimed PER-QUERY warmup (the htmlExtraction lesson): standalone, a
+    // first drain pays JIT/codegen + state-store class-loading the full
+    // suite's warm JVM doesn't (measured 5.15 s cold vs 2.79 s warm for the
+    // identical q42 plan), and each of the three queries exercises distinct
+    // stateful operators with their own cold paths
+    for (q <- Seq("q42_stream_tumbling", "q91_stateful_sessions",
+        "q149_stream_topk"))
+      graft.SparkEntry.queries(q)(spark, dir).count()
+
+    for (q <- Seq("q42_stream_tumbling", "q91_stateful_sessions",
+        "q149_stream_topk")) {
+      val (pRows, p) = run(q, "on the plain corpus (reference)", dir)
+      val (sRows, st) = run(q, "on 10x events (10x users)", stressDir)
+      println(s"  rows plain=$pRows stress=$sRows; peak state " +
+        s"plain=${p.maxStateRows} stress=${st.maxStateRows} " +
+        s"evicted=${st.stateRowsRemoved} batches=${st.batches} mode=${st.mode}")
+      if (q == "q91_stateful_sessions") {
+        assert(sRows == 10 * pRows,
+          s"$q: copies must replay to exactly 10x sessions ($pRows -> $sRows)")
+        assert(st.maxStateRows >= 2 * p.maxStateRows
+            && st.maxStateRows <= 15 * p.maxStateRows,
+          s"$q: per-user state should track users (~10x): " +
+            s"${p.maxStateRows} -> ${st.maxStateRows}")
+      } else {
+        assert(sRows == pRows,
+          s"$q: (window x type) grid must be data-volume invariant " +
+            s"($pRows -> $sRows)")
+        assert(st.maxStateRows <= 3 * math.max(p.maxStateRows, 1L),
+          s"$q: window-keyed state grew with volume: " +
+            s"${p.maxStateRows} -> ${st.maxStateRows}")
+      }
+      if (q == "q149_stream_topk")
+        assert(st.mode == "append" && st.stateRowsRemoved > 0,
+          s"$q: watermark eviction not observed under 10x load")
+    }
   }
 
   // Round 12: H1-H11 extraction, regex vs DOM path at 50k pages. The

@@ -45,7 +45,8 @@ object StreamOps {
     * asserts q149's serving path against this (append mode, eviction > 0)
     * so the bounded-state claim is measured, not narrated. */
   private[graft] final case class DrainInfo(
-      mode: String, stateRowsRemoved: Long, batches: Long)
+      mode: String, stateRowsRemoved: Long, batches: Long,
+      maxStateRows: Long)
   @volatile private[graft] var lastDrainInfo: Option[DrainInfo] = None
 
   /** Streaming read of the events fixture: micro-batch parquet source with
@@ -183,7 +184,13 @@ object StreamOps {
         mode,
         q.recentProgress.iterator
           .flatMap(_.stateOperators).map(_.numRowsRemoved).sum,
-        q.recentProgress.length.toLong))
+        q.recentProgress.length.toLong,
+        // peak resident state across micro-batches: the number ScaleStress
+        // bounds at 10× data to prove watermark eviction holds state at
+        // the horizon size, not the stream size
+        q.recentProgress.iterator
+          .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+          .foldLeft(0L)(math.max)))
     }
     s.table(name)
   }
