@@ -42,7 +42,8 @@ object PlanDump {
     "q173_basket_pairs" -> "ONE basket-keyed shuffle (map-side collect_set merge dedupes); a<b pairs explode inside the sorted array — the distinct+self-join twin shuffled lineitem twice",
     "q177_hybrid_rrf" -> "two independent TakeOrdered rankers (lexical + dense under a broadcast query vector); fusion full-outer-joins 20-row sides; corpus never shuffles",
     "q181_release_pipeline" -> "composed release: hash-keyed survivor agg, two frozen-pid grouped ranks, bounded broadcasts, one rollup — corpus text read once, never shuffled",
-    "q183_histogram_quantiles" -> "range table broadcast; (type, bin) counts map-side combined; quantile windows run over the types x 128 metadata table")
+    "q183_histogram_quantiles" -> "range table broadcast; (type, bin) counts map-side combined; quantile windows run over the types x 128 metadata table",
+    "q195_partition_evolution" -> "layout-evolution read: gen A (year dirs) and gen B (year/month dirs) each prune at the directory level (PartitionFilters), union is a plan concat (zero shuffle), one map-side-combined agg; writes cluster by the partition keys (one compacted file per directory)")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outFile) = args.take(2)
