@@ -138,9 +138,12 @@ object Main {
                   .map(_.asInstanceOf[Long])
                 // announce the estimate as soon as SOME page supplies the
                 // banner (the reference reads it from the first load; a
-                // malformed first page must not suppress it forever)
+                // malformed first page must not suppress it forever).
+                // current = cum, not 0: when the banner first appears on a
+                // later page, earlier loads already reported collected rows
+                // and a progress bar driven by `current` must stay monotone
                 total.foreach(t =>
-                  progress(0L, total, s"Iniciando recolección. Total estimado: $t"))
+                  progress(cum, total, s"Iniciando recolección. Total estimado: $t"))
               }
               cum += fresh
               rows.select(col("id_negocio"), col("url"))
@@ -157,17 +160,13 @@ object Main {
       // zero discovered ids (empty cards dir, or every card id-less) leaves
       // no staging dir: resolve to an empty worklist so the run lands on the
       // same "sin registros" warning envelope as runSequential, not an error
-      val worklist =
+      val worklist = {
+        import spark.implicits._
         (if (new java.io.File(staging).isDirectory)
           spark.read.parquet(staging)
-        else spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("id_negocio",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("url",
-              org.apache.spark.sql.types.StringType)))))
+        else Seq.empty[(Long, String)].toDF("id_negocio", "url"))
           .join(processed, Seq("id_negocio"), "left_anti")
+      }
       syntheticPages(worklist.select("id_negocio", "url"))
     }, out)
 

@@ -117,6 +117,20 @@ object TolerantDom {
   private def isNameChar(c: Char): Boolean =
     isNameStart(c) || (c >= '0' && c <= '9') || c == '-' || c == '_' || c == ':'
 
+  /** HTML5 numeric-character-reference-end-state remap: refs in the C1
+    * range 0x80-0x9F decode per the windows-1252 table (a browser turns
+    * `&#146;` in a Word-authored page into U+2019 ', not an invisible
+    * control char). The five code points absent from the spec table
+    * (0x81 0x8D 0x8F 0x90 0x9D) pass through unchanged, as browsers do. */
+  private val ncrRemap: Map[Int, Int] = Map(
+    0x80 -> 0x20AC, 0x82 -> 0x201A, 0x83 -> 0x0192, 0x84 -> 0x201E,
+    0x85 -> 0x2026, 0x86 -> 0x2020, 0x87 -> 0x2021, 0x88 -> 0x02C6,
+    0x89 -> 0x2030, 0x8A -> 0x0160, 0x8B -> 0x2039, 0x8C -> 0x0152,
+    0x8E -> 0x017D, 0x91 -> 0x2018, 0x92 -> 0x2019, 0x93 -> 0x201C,
+    0x94 -> 0x201D, 0x95 -> 0x2022, 0x96 -> 0x2013, 0x97 -> 0x2014,
+    0x98 -> 0x02DC, 0x99 -> 0x2122, 0x9A -> 0x0161, 0x9B -> 0x203A,
+    0x9C -> 0x0153, 0x9E -> 0x017E, 0x9F -> 0x0178)
+
   /** Minimal entity decode (the named set BeautifulSoup always resolves
     * plus decimal/hex numeric refs). `&amp;` last so it can't re-expose. */
   private[functions] def decodeEntities(s: String): String =
@@ -139,7 +153,8 @@ object TolerantDom {
         if (cp == 0 || (cp >= 0xD800 && cp <= 0xDFFF) || cp > 0x10FFFF)
           "�"
         else
-          java.util.regex.Matcher.quoteReplacement(new String(Character.toChars(cp)))
+          java.util.regex.Matcher.quoteReplacement(
+            new String(Character.toChars(ncrRemap.getOrElse(cp, cp))))
       })
       n.replace("&nbsp;", " ").replace("&lt;", "<").replace("&gt;", ">")
         .replace("&quot;", "\"").replace("&apos;", "'").replace("&amp;", "&")

@@ -84,6 +84,13 @@ class DomFuzzSpec extends AnyFunSuite {
     // the decoded text never contains an unpaired surrogate
     val out = TolerantDom.parse("<p>a&#xD800;b</p>").root.text
     assert(out == "a�b")
+    // C1-range refs remap per the HTML5 windows-1252 table: `&#146;` in a
+    // Word-authored page is a right single quote, not an invisible control
+    // char (the exact error class real scraped business pages carry)
+    assert(TolerantDom.decodeEntities("Joe&#146;s Bar") == "Joe’s Bar")
+    assert(TolerantDom.decodeEntities("&#x80;&#133;&#x99;") == "€…™")
+    // the five table-absent code points pass through unchanged, as browsers do
+    assert(TolerantDom.decodeEntities("&#x81;&#x90;") == "\u0081\u0090")
   }
 
   // ---- law 3: render∘parse identity under randomized style ---------------
