@@ -113,16 +113,30 @@ object Main {
       // into this run's discovery
       val staging = out + "_worklist"
       graft.streaming.StreamOps.deleteTree(java.nio.file.Paths.get(staging))
+      // each page contributes its card rows PLUS one per-page sentinel row
+      // (null card) so the total-matches banner reaches foreachBatch even
+      // when every card on the banner-bearing page is a dup or id-less —
+      // without the sentinel, `tm` only rides rows that survive the
+      // stateful dedup, and a banner appearing on an all-overlap page
+      // ("Ver Más" re-lists) would be lost for the whole run
+      val pageSentinel = array(struct(
+        lit(null).cast("long").as("id_negocio"),
+        lit(null).cast("string").as("url")))
       val cards = spark.readStream
         .option("wholetext", "true").option("maxFilesPerTrigger", "1")
         .text(cardsDir)
         .select(
           graft.functions.ReferenceHtml.totalMatches(col("value")).as("tm"),
-          explode(graft.functions.ReferenceHtml.resultCards(
-            col("value"), "https://www.guiacores.com.ar/")).as("c"))
-        .select(col("tm"), col("c.id_negocio"), col("c.url"))
-        .filter(col("id_negocio").isNotNull)
-        .dropDuplicates("id_negocio") // stateful: batch N emits only new ids
+          input_file_name().as("src"),
+          explode(concat(graft.functions.ReferenceHtml.resultCards(
+            col("value"), "https://www.guiacores.com.ar/"), pageSentinel)).as("c"))
+        .select(col("tm"), col("src"), col("c.id_negocio"), col("c.url"))
+        .filter(col("id_negocio").isNotNull || col("url").isNull) // id-less real cards drop; sentinels stay
+        // stateful: batch N emits only never-seen ids; sentinel keys are
+        // per-file, so exactly one survives per page regardless of overlap
+        .withColumn("dedup_key", coalesce(
+          col("id_negocio").cast("string"), concat(lit("page:"), col("src"))))
+        .dropDuplicates("dedup_key")
       var cum = 0L
       var total: Option[Long] = None
       graft.streaming.StreamOps.withFixtureDrainEnv(spark) { ck =>
@@ -132,7 +146,8 @@ object Main {
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
             val rows = batch.persist()
             try {
-              val fresh = rows.count() // only ids never seen before this load
+              val found = rows.filter(col("id_negocio").isNotNull)
+              val fresh = found.count() // only ids never seen before this load
               if (total.isEmpty) {
                 total = Option(rows.agg(max(col("tm"))).head().get(0))
                   .map(_.asInstanceOf[Long])
@@ -146,8 +161,12 @@ object Main {
                   progress(cum, total, s"Iniciando recolección. Total estimado: $t"))
               }
               cum += fresh
-              rows.select(col("id_negocio"), col("url"))
-                .write.mode("append").parquet(staging)
+              // a batch can be sentinel-only (all cards dup/id-less): skip
+              // the write so staging never becomes a part-less parquet dir
+              // that a later read can't infer a schema from
+              if (fresh > 0)
+                found.select(col("id_negocio"), col("url"))
+                  .write.mode("append").parquet(staging)
               progress(cum, total, s"Recolectados $cum URLs" +
                 total.map(t => s" de aprox. $t").getOrElse(""))
             } finally rows.unpersist()
@@ -215,6 +234,31 @@ object Main {
           col("content").cast("string").as("html")),
       out)
 
+  /** Manual mode, URL form — the reference's `manual --url` branch
+    * (src/main.py:310-314, manual_scraper.py:400-414): ONE live page
+    * fetched through the S3/S8 FetchStage client (per-partition client,
+    * E2 retry, E1 drop-on-failure), then the same extract/clean/dedup/CSV
+    * pipeline as every other mode. The id rides the reference's
+    * id-from-url law (contador_id query param); an id-less URL still
+    * processes under id 0, as the reference keys the manual record on the
+    * URL itself. An unreachable URL drops to zero fetched pages and lands
+    * on the audited "sin registros" warning — the reference's
+    * "No se scrapearon datos" envelope — never an unlogged crash. The
+    * client is injectable for offline tests; the CLI uses the live
+    * [[graft.etl.HttpPageClient]]. */
+  def runManualUrl(spark: SparkSession, url: String, out: String,
+      newClient: () => graft.etl.PageClient = () => new graft.etl.HttpPageClient())
+      : RunResult =
+    runPipeline(spark, {
+      import spark.implicits._
+      val worklist = Seq(Tuple1(url)).toDF("url").select(
+        coalesce(
+          graft.functions.CleanFunctions.extractIdFromUrl(col("url")).cast("long"),
+          lit(0L)).as("id_negocio"),
+        col("url"))
+      graft.etl.FetchStage.fetchPages(worklist, newClient)
+    }, out)
+
   /** Status surface — the CLI form of the reference UI's result panel +
     * generated-files section (streamlit_app.py:85-100) over the K5 audit
     * table: per-status run counts and records from scraping_log, the most
@@ -247,11 +291,16 @@ object Main {
     * is the at-rest RESULT view. The collect is `limit(n)`-bounded — a
     * preview, never the sink. */
   def runBrowse(spark: SparkSession, csvDir: String, n: Int): RunResult = {
-    val leads = spark.read.option("header", "true").csv(csvDir)
-    val total = leads.count()
+    val raw = spark.read.option("header", "true").csv(csvDir)
     val cols = Seq("id_negocio", "nombre", "telefonos", "email", "url")
-      .filter(leads.columns.contains)
-    if (total == 0 || cols.isEmpty)
+      .filter(raw.columns.contains)
+    // column check before any job (no scan when nothing is displayable);
+    // cache across the count + top-n jobs so the CSV parses once
+    if (cols.isEmpty) return RunResult("warning", "sin registros", 0L)
+    val leads = raw.persist()
+    try {
+    val total = leads.count()
+    if (total == 0)
       return RunResult("warning", "sin registros", 0L)
     // id order when the sink carries ids; otherwise lexicographic on the
     // first available column (casting names to long would null every key
@@ -268,6 +317,7 @@ object Main {
       (s"$total registros; mostrando ${preview.length}" +:
         cols.mkString(" | ") +: preview.toSeq).mkString("\n"),
       total)
+    } finally leads.unpersist()
   }
 
   def main(args: Array[String]): Unit = {
@@ -281,7 +331,12 @@ object Main {
     // still exit through the JSON envelope + status-2 contract
     val result = try args.toList match {
       case "bulk" :: s :: e :: out :: Nil => runBulk(spark, s.toLong, e.toLong, out)
-      case "manual" :: glob :: out :: Nil => runManual(spark, glob, out)
+      // the reference's mutually-exclusive --url | --file manual group
+      // (main.py:311-313): URL-shaped input takes the live-fetch branch
+      case "manual" :: src :: out :: Nil =>
+        if (src.startsWith("http://") || src.startsWith("https://"))
+          runManualUrl(spark, src, out)
+        else runManual(spark, src, out)
       case "stage-extract" :: s :: e :: raw :: Nil => stageExtract(spark, s.toLong, e.toLong, raw)
       case "stage-transform" :: raw :: tr :: Nil => stageTransform(spark, raw, tr)
       case "stage-load" :: tr :: out :: Nil => stageLoad(spark, tr, out)
@@ -307,7 +362,10 @@ object Main {
       case other =>
         RunResult("error", s"modo no reconocido: ${other.mkString(" ")} " +
           "(uso: bulk <start> <end> <out> | sequential <search-glob> <processed-csv> <out> | " +
-          "sequential-paged <cards-dir> <processed-csv> <out> | manual <glob> <out>)", 0L)
+          "sequential-paged <cards-dir> <processed-csv> <out> | manual <glob-or-url> <out> | " +
+          "stage-extract <start> <end> <raw-dir> | stage-transform <raw-dir> <out-dir> | " +
+          "stage-load <in-dir> <out> | status <audit-parquet> <files-dir> | " +
+          "browse <csv-dir> <n>)", 0L)
     } catch {
       case e: Exception => RunResult("error", s"ETL falló: ${e.getMessage}", 0L)
     }

@@ -502,6 +502,10 @@ object ScaleStress {
     val dir = "/root/testdata/sf0.1"
     val stressDir = "/tmp/stress_events"
     val build = "/tmp/stress_events_build"
+    // raw (pre-normalization) read so the 10x copy keeps the fixture's
+    // physical ts form; needs the same legacy conf Tables.events sets, or a
+    // NANOS-generation fixture fails analysis when this section runs first
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     (0 until 10).map(k => raw
         .withColumn("event_id", col("event_id") + lit(k * 1000000000L))

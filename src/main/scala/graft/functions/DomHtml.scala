@@ -90,10 +90,12 @@ private[functions] object DomExtract {
       all.find(e => e.tag == "i" && e.hasClass("fa") && e.hasClass(iconCls))
         .flatMap(doc.nextElementSibling)
         .filter(a => a.tag == "a" && a.hasClass("search-result-link"))
+    // empty itemprop href falls through to the icon fallback, same as the
+    // regex path's extractOrNull→coalesce (empty → null → next candidate)
     val sitioWeb = all.find(e => e.tag == "a" &&
       e.attr("itemprop").contains("url")).flatMap(_.attr("href"))
-      .orElse(iconAdjacent("fa-cloud").flatMap(_.attr("href")))
       .flatMap(nonEmpty)
+      .orElse(iconAdjacent("fa-cloud").flatMap(_.attr("href")).flatMap(nonEmpty))
 
     // H5: a[onclick="irContacto()"] text, else envelope-adjacent link text;
     // must contain '@'

@@ -78,7 +78,9 @@ final class DomDoc(val root: DomElement) {
   /** All elements in document (pre-)order. */
   val all: Vector[DomElement] = root.descendants
 
-  private val parentOf = {
+  // lazy: only the lead path's sibling lookups need it — the cards path
+  // (every discovery page) reads `all` alone and skips this second walk
+  private lazy val parentOf = {
     val m = new java.util.IdentityHashMap[DomElement, DomElement]()
     var stack: List[DomElement] = root :: Nil
     while (stack.nonEmpty) {
@@ -132,17 +134,23 @@ object TolerantDom {
     0x9C -> 0x0153, 0x9E -> 0x017E, 0x9F -> 0x0178)
 
   /** Minimal entity decode (the named set BeautifulSoup always resolves
-    * plus decimal/hex numeric refs). `&amp;` last so it can't re-expose. */
+    * plus decimal/hex numeric refs) in ONE pass: a replacement's output is
+    * never rescanned, so `&#38;amp;` yields the literal text `&amp;` (as a
+    * browser does) instead of double-decoding to `&` the way chained
+    * replace passes would. Malformed refs (`&#abc;`, unknown names, no
+    * semicolon) stay literal text, exactly as a browser leaves them. */
+  private val entityRef =
+    "&(#(?:[0-9]+|[xX][0-9a-fA-F]+)|nbsp|lt|gt|quot|apos|amp);".r
+
   private[functions] def decodeEntities(s: String): String =
     if (s.indexOf('&') < 0) s
-    else {
-      // only true numeric refs decode: `&#abc;` (hex digits, no x prefix)
-      // stays literal text, exactly as a browser leaves a malformed NCR
-      val numeric = "&#([0-9]+|[xX][0-9a-fA-F]+);".r
-      val n = numeric.replaceAllIn(s, m => {
-        val d = m.group(1)
+    else entityRef.replaceAllIn(s, m => {
+      val body = m.group(1)
+      val out = if (body.charAt(0) == '#') {
+        val d = body.substring(1)
         val cp = try {
-          if (d.startsWith("x") || d.startsWith("X")) Integer.parseInt(d.substring(1), 16)
+          if (d.charAt(0) == 'x' || d.charAt(0) == 'X')
+            Integer.parseInt(d.substring(1), 16)
           else Integer.parseInt(d)
         } catch { case _: NumberFormatException => 0x110000 } // overflow = out of range
         // HTML5 NCR parse errors — null, surrogate range, beyond U+10FFFF —
@@ -150,15 +158,18 @@ object TolerantDom {
         // surrogate: Character.isValidCodePoint ACCEPTS surrogates, and
         // toChars on one would embed ill-formed UTF-16 in extracted fields
         // that downstream CSV/JSON writers mangle codec-dependently
-        if (cp == 0 || (cp >= 0xD800 && cp <= 0xDFFF) || cp > 0x10FFFF)
-          "�"
-        else
-          java.util.regex.Matcher.quoteReplacement(
-            new String(Character.toChars(ncrRemap.getOrElse(cp, cp))))
-      })
-      n.replace("&nbsp;", " ").replace("&lt;", "<").replace("&gt;", ">")
-        .replace("&quot;", "\"").replace("&apos;", "'").replace("&amp;", "&")
-    }
+        if (cp == 0 || (cp >= 0xD800 && cp <= 0xDFFF) || cp > 0x10FFFF) "�"
+        else new String(Character.toChars(ncrRemap.getOrElse(cp, cp)))
+      } else body match {
+        case "nbsp" => " "
+        case "lt"   => "<"
+        case "gt"   => ">"
+        case "quot" => "\""
+        case "apos" => "'"
+        case _      => "&" // "amp" — the only remaining alternative
+      }
+      java.util.regex.Matcher.quoteReplacement(out)
+    })
 
   private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
     var i = math.max(from, 0)
@@ -263,7 +274,15 @@ object TolerantDom {
             // raw-text element: content is code, never extractable text —
             // consume to the matching close tag and emit an empty element
             stack.head.children += DomElement(name, attrs.result(), Vector.empty)
-            val ci = indexOfIgnoreCase(html, "</" + name, i)
+            // the close tag needs a name BOUNDARY after it (whitespace, '/',
+            // '>', or EOF) per the HTML5 tokenizer: `</scripty>` inside a
+            // <script> body is script text, not the close of <script>
+            var ci = indexOfIgnoreCase(html, "</" + name, i)
+            while (ci >= 0 && {
+              val b = ci + 2 + name.length
+              b < n && !html.charAt(b).isWhitespace &&
+                html.charAt(b) != '/' && html.charAt(b) != '>'
+            }) ci = indexOfIgnoreCase(html, "</" + name, ci + 1)
             i = if (ci < 0) n else {
               val g = html.indexOf('>', ci)
               if (g < 0) n else g + 1

@@ -217,6 +217,80 @@ class EtlSpec extends SparkSpec {
     assert(r3.status == "warning" && r3.recordsProcessed == 0)
   }
 
+  test("sequential-paged: a banner appearing only on a later all-overlap " +
+      "page still surfaces the estimate") {
+    // page 1 has cards {21,22} but NO coincidencias banner; page 2 carries
+    // the banner but every card is a dup of page 1 — the estimate must
+    // still surface (it rides the per-page sentinel row, not card rows
+    // that the stateful dedup can drop), and the announce's `current`
+    // stays at the rows already collected (monotone progress bar)
+    val card = (i: Int) =>
+      s"""<div class="card-mobile gc-item"><span class="nombre-comercio">
+         |<a href="index.php?r=search/detail&id=$i">Negocio $i</a></span></div>""".stripMargin('|')
+    val cardsDir = tmp("graft_seq_latebanner")
+    val t0 = System.currentTimeMillis() - 600000L
+    Seq(
+      s"<html><body>${card(21)}\n${card(22)}</body></html>",
+      s"<html><body><h5>La búsqueda ha generado 99 coincidencias</h5>\n${card(21)}\n${card(22)}</body></html>")
+      .zipWithIndex.foreach { case (html, i) =>
+        val dst = new java.io.File(cardsDir, f"load_$i%02d.html")
+        Files.write(dst.toPath, html.getBytes("UTF-8"))
+        assert(dst.setLastModified(t0 + i * 60000L))
+      }
+    val calls = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long], String)]
+    val out = tmp("graft_seq_latebanner_out")
+    val r = graft.app.Main.runSequentialPaged(spark, cardsDir,
+      Seq.empty[Long].toDF("id_negocio"), out,
+      (cur, tot, msg) => calls.synchronized { calls += ((cur, tot, msg)) })
+    assert(r.status == "success" && r.recordsProcessed == 2)
+    assert(calls.toList == List(
+      (2L, None, "Recolectados 2 URLs"),
+      (2L, Some(99L), "Iniciando recolección. Total estimado: 99"),
+      (2L, Some(99L), "Recolectados 2 URLs de aprox. 99")))
+  }
+
+  test("manual --url form: one live page over HTTP through the full " +
+      "pipeline; unreachable URL lands on the warning envelope") {
+    // the reference's mutually-exclusive manual group (main.py:311-313):
+    // --url scrapes ONE page live. An in-process HTTP server stands in for
+    // the site; the fetch rides the real S3/S8 HttpPageClient
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/index.php", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val bytes = page(42L).getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val out = tmp("graft_manual_url")
+      val r = graft.app.Main.runManualUrl(spark,
+        s"http://127.0.0.1:$port/index.php?r=search%2Fdetail&id=42", out,
+        () => new graft.etl.HttpPageClient(timeoutSec = 5))
+      assert(r.status == "success" && r.recordsProcessed == 1)
+      val lead = spark.read.option("header", "true").csv(out).head()
+      // the id rode the reference's id-from-url law, not a synthetic key
+      assert(lead.getAs[String]("id_negocio") == "42")
+      assert(lead.getAs[String]("nombre") == "Biz 42")
+      assert(spark.read.parquet(out + "_audit").count() == 1)
+
+      // unreachable URL: every fetch attempt fails, E1 drops the record,
+      // and the run lands on the audited "sin registros" warning — the
+      // reference's "No se scrapearon datos" envelope, not a crash
+      val out2 = tmp("graft_manual_url_down")
+      val r2 = graft.app.Main.runManualUrl(spark,
+        s"http://127.0.0.1:1/index.php?r=search%2Fdetail&id=7", out2,
+        () => new graft.etl.HttpPageClient(timeoutSec = 1))
+      assert(r2.status == "warning" && r2.recordsProcessed == 0)
+      assert(spark.read.parquet(out2 + "_audit").count() == 1)
+    } finally server.stop(0)
+  }
+
   test("status mode reports run history + sink listing from the audit table") {
     val out = tmp("graft_app_status")
     assert(graft.app.Main.runBulk(spark, 1, 5, out).status == "success")

@@ -176,6 +176,24 @@ class GoldenPipelineSpec extends SparkSpec {
     assert(rx.getAs[scala.collection.Seq[String]]("rubros").isEmpty)
   }
 
+  test("H4 empty itemprop href falls through to the fa-cloud fallback " +
+      "identically on both paths") {
+    // an `<a itemprop="url" href="">` must not shadow the icon fallback:
+    // the regex path nulls the empty capture before coalesce; the DOM path
+    // must apply the same empty-is-absent rule or the two drift on real
+    // pages where the canonical fixture suite can't see it
+    val df = Seq(
+      """<html><body><a itemprop="url" href="">x</a>
+        |<i class="fa fa-cloud"></i> <a class="search-result-link" href="https://fb.example">w</a>
+        |</body></html>""".stripMargin('|')).toDF("html")
+    val rx = df.select(RH.sitioWeb(col("html"))).head().getString(0)
+    val dm = withDomParser {
+      df.select(RH.sitioWeb(col("html"))).head().getString(0)
+    }
+    assert(rx == "https://fb.example")
+    assert(dm == rx)
+  }
+
   test("B3 malformed search results: DOM path reads all 5 cards, regex " +
       "only the canonical 3") {
     val page = readHtml("search_results_malformed.html")

@@ -91,6 +91,27 @@ class DomFuzzSpec extends AnyFunSuite {
     assert(TolerantDom.decodeEntities("&#x80;&#133;&#x99;") == "€…™")
     // the five table-absent code points pass through unchanged, as browsers do
     assert(TolerantDom.decodeEntities("&#x81;&#x90;") == "\u0081\u0090")
+    // ONE decode pass, never a rescan of a replacement's output: `&#38;amp;`
+    // is the literal text `&amp;` (a browser decodes each ref exactly once),
+    // and `&amp;#146;` is the literal text `&#146;` \u2014 the two orderings that
+    // break under any chained two-pass numeric-then-named implementation
+    assert(TolerantDom.decodeEntities("&#38;amp;") == "&amp;")
+    assert(TolerantDom.decodeEntities("&amp;#146;") == "&#146;")
+    assert(TolerantDom.decodeEntities("&#38;lt;b&#38;gt;") == "&lt;b&gt;")
+  }
+
+  test("raw-text close-tag scan requires a name boundary (HTML5 tokenizer)") {
+    // `</scripty` inside a <script> body is script text, not the close of
+    // <script>: the scan must keep looking for a close tag whose name is
+    // followed by whitespace, '/', '>' or EOF
+    val d = TolerantDom.parse("""<script>var re = "</scripty";</script><h1>T</h1>""")
+    assert(d.root.text == "T")
+    assert(d.all.map(_.tag) == Vector("script", "h1"))
+    // whitespace and solidus after the name still close the element
+    assert(TolerantDom.parse("<script>x</script ><p>ok</p>").root.text == "ok")
+    assert(TolerantDom.parse("<style>.a{}</style/><p>ok</p>").root.text == "ok")
+    // unterminated raw text (boundary never satisfied) runs to EOF, totality intact
+    assert(TolerantDom.parse("<script>a</scripty>b").root.text == "")
   }
 
   // ---- law 3: render∘parse identity under randomized style ---------------
