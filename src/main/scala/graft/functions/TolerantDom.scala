@@ -133,14 +133,51 @@ object TolerantDom {
     0x98 -> 0x02DC, 0x99 -> 0x2122, 0x9A -> 0x0161, 0x9B -> 0x203A,
     0x9C -> 0x0153, 0x9E -> 0x017E, 0x9F -> 0x0178)
 
-  /** Minimal entity decode (the named set BeautifulSoup always resolves
-    * plus decimal/hex numeric refs) in ONE pass: a replacement's output is
-    * never rescanned, so `&#38;amp;` yields the literal text `&amp;` (as a
-    * browser does) instead of double-decoding to `&` the way chained
-    * replace passes would. Malformed refs (`&#abc;`, unknown names, no
-    * semicolon) stay literal text, exactly as a browser leaves them. */
+  /** Named refs BeautifulSoup resolves that real pages on a SPANISH
+    * business directory actually carry: the XML five, the full HTML 4
+    * Latin-1 block (`&ntilde;` `&eacute;` … — U+00A0-U+00FF in table
+    * order), and the common punctuation/symbol set (dashes, curly quotes,
+    * ellipsis, euro, trade). Unknown names stay literal text, as a browser
+    * leaves them. */
+  private val namedEntities: Map[String, Int] = {
+    val latin1 = Seq( // HTML 4 Latin-1 names, in codepoint order from U+00A0
+      "nbsp", "iexcl", "cent", "pound", "curren", "yen", "brvbar", "sect",
+      "uml", "copy", "ordf", "laquo", "not", "shy", "reg", "macr", "deg",
+      "plusmn", "sup2", "sup3", "acute", "micro", "para", "middot", "cedil",
+      "sup1", "ordm", "raquo", "frac14", "frac12", "frac34", "iquest",
+      "Agrave", "Aacute", "Acirc", "Atilde", "Auml", "Aring", "AElig",
+      "Ccedil", "Egrave", "Eacute", "Ecirc", "Euml", "Igrave", "Iacute",
+      "Icirc", "Iuml", "ETH", "Ntilde", "Ograve", "Oacute", "Ocirc",
+      "Otilde", "Ouml", "times", "Oslash", "Ugrave", "Uacute", "Ucirc",
+      "Uuml", "Yacute", "THORN", "szlig", "agrave", "aacute", "acirc",
+      "atilde", "auml", "aring", "aelig", "ccedil", "egrave", "eacute",
+      "ecirc", "euml", "igrave", "iacute", "icirc", "iuml", "eth", "ntilde",
+      "ograve", "oacute", "ocirc", "otilde", "ouml", "divide", "oslash",
+      "ugrave", "uacute", "ucirc", "uuml", "yacute", "thorn", "yuml")
+      .zipWithIndex.map { case (n, i) => n -> (0xA0 + i) }
+    val punct = Seq(
+      "quot" -> 34, "amp" -> 38, "apos" -> 39, "lt" -> 60, "gt" -> 62,
+      "OElig" -> 338, "oelig" -> 339, "Scaron" -> 352, "scaron" -> 353,
+      "Yuml" -> 376, "fnof" -> 402, "circ" -> 710, "tilde" -> 732,
+      "ensp" -> 8194, "emsp" -> 8195, "thinsp" -> 8201, "zwnj" -> 8204,
+      "zwj" -> 8205, "lrm" -> 8206, "rlm" -> 8207, "ndash" -> 8211,
+      "mdash" -> 8212, "lsquo" -> 8216, "rsquo" -> 8217, "sbquo" -> 8218,
+      "ldquo" -> 8220, "rdquo" -> 8221, "bdquo" -> 8222, "dagger" -> 8224,
+      "Dagger" -> 8225, "bull" -> 8226, "hellip" -> 8230, "permil" -> 8240,
+      "prime" -> 8242, "Prime" -> 8243, "lsaquo" -> 8249, "rsaquo" -> 8250,
+      "oline" -> 8254, "frasl" -> 8260, "euro" -> 8364, "trade" -> 8482,
+      "minus" -> 8722)
+    (latin1 ++ punct).toMap
+  }
+
+  /** Entity decode (the named table above plus decimal/hex numeric refs)
+    * in ONE pass: a replacement's output is never rescanned, so `&#38;amp;`
+    * yields the literal text `&amp;` (as a browser does) instead of
+    * double-decoding to `&` the way chained replace passes would.
+    * Malformed refs (`&#abc;`, unknown names, no semicolon) stay literal
+    * text, exactly as a browser leaves them. */
   private val entityRef =
-    "&(#(?:[0-9]+|[xX][0-9a-fA-F]+)|nbsp|lt|gt|quot|apos|amp);".r
+    "&(#(?:[0-9]+|[xX][0-9a-fA-F]+)|[a-zA-Z][a-zA-Z0-9]*);".r
 
   private[functions] def decodeEntities(s: String): String =
     if (s.indexOf('&') < 0) s
@@ -160,13 +197,9 @@ object TolerantDom {
         // that downstream CSV/JSON writers mangle codec-dependently
         if (cp == 0 || (cp >= 0xD800 && cp <= 0xDFFF) || cp > 0x10FFFF) "�"
         else new String(Character.toChars(ncrRemap.getOrElse(cp, cp)))
-      } else body match {
-        case "nbsp" => " "
-        case "lt"   => "<"
-        case "gt"   => ">"
-        case "quot" => "\""
-        case "apos" => "'"
-        case _      => "&" // "amp" — the only remaining alternative
+      } else namedEntities.get(body) match {
+        case Some(cp) => new String(Character.toChars(cp))
+        case None     => m.matched // unknown name: literal text, untouched
       }
       java.util.regex.Matcher.quoteReplacement(out)
     })

@@ -98,6 +98,16 @@ class DomFuzzSpec extends AnyFunSuite {
     assert(TolerantDom.decodeEntities("&#38;amp;") == "&amp;")
     assert(TolerantDom.decodeEntities("&amp;#146;") == "&#146;")
     assert(TolerantDom.decodeEntities("&#38;lt;b&#38;gt;") == "&lt;b&gt;")
+    // the HTML 4 named table a Spanish business directory actually uses:
+    // accented Latin-1 names decode exactly as BeautifulSoup resolves them
+    assert(TolerantDom.decodeEntities("Se&ntilde;or Caf&eacute; N&ordm; 3") ==
+      "Señor Café Nº 3")
+    assert(TolerantDom.decodeEntities("&Aacute;lvarez &amp; C&iacute;a &copy;") ==
+      "Álvarez & Cía ©")
+    assert(TolerantDom.decodeEntities("a &ndash; b &hellip; &euro;5 &trade;") ==
+      "a – b … €5 ™")
+    // unknown names are literal text, untouched — as a browser leaves them
+    assert(TolerantDom.decodeEntities("&foo; &nosuchref;") == "&foo; &nosuchref;")
   }
 
   test("raw-text close-tag scan requires a name boundary (HTML5 tokenizer)") {
