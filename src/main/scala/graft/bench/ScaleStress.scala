@@ -34,6 +34,10 @@ object ScaleStress {
       anchor("start"); streamingSection(spark); anchor("end")
       spark.stop(); return
     }
+    if (args.contains("graph")) {
+      anchor("start"); graphSection(spark); anchor("end")
+      spark.stop(); return
+    }
     anchor("start")
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.1")
 
@@ -498,6 +502,55 @@ object ScaleStress {
   // (d) results scale exactly: same (window × type) grid for q42/q149,
   //     exactly 10× sessions for q91 (copies replay identical per-user
   //     event sequences).
+  /** `runMain graft.bench.ScaleStress graph` — the triangle family at 10×
+    * edges. The stress corpus is 10 DISJOINT replicas of the co-purchase
+    * graph (orderkey AND partkey shifted per copy), the distributed-scaling
+    * shape: graph operators partition by key, and disconnected replicas are
+    * exactly the work a cluster spreads. Laws:
+    *  (a) correctness-at-scale: every top-10 row of the 10× run must reduce
+    *      (part mod the replica shift) to a row of the BASE top-10 with the
+    *      same triangle count — replicas can only interleave copies of the
+    *      base's best rows, never mint new counts; a join bug that crosses
+    *      replica boundaries (spurious inter-copy edges/triangles) breaks
+    *      this loudly;
+    *  (b) measured wall growth at 10× edges is printed for STRESS.md — the
+    *      support-filtered edge build is one groupBy + per-basket pair
+    *      explode (linear in baskets), and the two triangle equi-joins
+    *      partition by vertex key, so growth should track edges, not
+    *      edges². */
+  private def graphSection(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.1"
+    val stress = "/tmp/stress_graph"
+    val orderShift = 100000000L
+    val partShift = 10000000L
+    val li = graft.Tables.lineitem(spark, dir)
+    val maxPart = li.agg(max(col("l_partkey"))).head().getLong(0)
+    require(maxPart < partShift, s"replica shift too small for partkey $maxPart")
+    (0 until 10).map(k => li
+        .withColumn("l_orderkey", col("l_orderkey") + lit(k * orderShift))
+        .withColumn("l_partkey", col("l_partkey") + lit(k * partShift)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$stress/lineitem.parquet")
+    println("  baskets base=" + li.select("l_orderkey").distinct().count() +
+      " stress=" + spark.read.parquet(s"$stress/lineitem.parquet")
+        .select("l_orderkey").distinct().count())
+    val base = t("q176 triangles on the plain sf0.1 basket graph") {
+      graft.SparkEntry.queries("q176_triangle_count")(spark, dir).collect()
+    }
+    val big = t("q176 triangles on 10 disjoint graph replicas (10x edges)") {
+      graft.SparkEntry.queries("q176_triangle_count")(spark, stress).collect()
+    }
+    val baseSet = base.map(r => (r.getLong(0), r.getLong(1))).toSet
+    big.foreach { r =>
+      val reduced = (r.getLong(0) % partShift, r.getLong(1))
+      require(baseSet.contains(reduced),
+        s"10x row ${(r.getLong(0), r.getLong(1))} reduces to $reduced, " +
+          s"absent from the base top-10 — inter-replica contamination")
+    }
+    println("  top10 rows at 10x all reduce to base top-10 rows: OK")
+  }
+
   private def streamingSection(spark: SparkSession): Unit = {
     val dir = "/root/testdata/sf0.1"
     val stressDir = "/tmp/stress_events"
