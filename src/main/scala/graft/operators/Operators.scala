@@ -17,27 +17,42 @@ object Operators {
     * shape that survives 100 TB (a join-then-filter explodes on hot keys).
     *
     * Right value columns are appended with `asof_` prefix.
+    *
+    * The right values ride ONE nullable struct marker, non-null exactly on
+    * right rows, so the running `last(ignoreNulls)` fills the latest right
+    * ROW forward as a unit. Two failure modes a per-column fill has that
+    * this shape closes: a right row whose value column is genuinely NULL
+    * must NOT resurrect an older non-null value (the marker struct is
+    * non-null, wins the fill, and its field reads NULL — the as-of
+    * contract's answer), and right columns never enter the union under
+    * their own names, so left/right name collisions (same ts name, shared
+    * value-column names) cannot break the projection.
     */
   def asOfJoinBackward(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String): DataFrame = {
     val valueCols = right.columns.filter(c => c != key && c != rightTs).toSeq
-    val lTagged = valueCols.foldLeft(
-      left.withColumn("__ts", col(leftTs)).withColumn("__src", lit(1)))(
-      (df, c) => df.withColumn(s"__v_$c", lit(null).cast(right.schema(c).dataType)))
+    if (valueCols.isEmpty) return left
+    val rvType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType)))
     val leftCols = left.columns.toSeq
-    val rTagged = leftCols.filterNot(c => c == key).foldLeft(
-      right.withColumn("__ts", col(rightTs)).withColumn("__src", lit(0)))(
+    val lTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__src", lit(1))
+      .withColumn("__rv", lit(null).cast(rvType))
+    val rTagged = leftCols.filterNot(_ == key).foldLeft(
+      right.select(col(key), col(rightTs).as("__ts"), lit(0).as("__src"),
+        struct(valueCols.map(col): _*).as("__rv")))(
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-      .withColumnsRenamed(valueCols.map(c => c -> s"__v_$c").toMap)
-      .drop(rightTs)
-    val unioned = lTagged.unionByName(rTagged.select(lTagged.columns.toIndexedSeq.map(col): _*))
+    val unioned = lTagged.unionByName(
+      rTagged.select(lTagged.columns.toIndexedSeq.map(col): _*))
     // right rows sort before left rows at equal ts → inclusive (<=) semantics
     val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__src"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(unioned)((df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w)))
-    filled.filter(col("__src") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
+    unioned.withColumn("__rvf", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col("__rvf").getField(c).as(s"asof_$c")): _*)
   }
 
   /** Bounded range join: equi key carries the shuffle, the time band stays a
@@ -102,9 +117,12 @@ object Operators {
     var last: Throwable = null
     var i = 0
     while (i < attempts) {
+      // NonFatal only: a VM error must not re-run on a broken heap, a task
+      // interrupt must cancel now (not after two more 5 s sleeps), and a
+      // caller's non-local return is control flow, not a failure
       try return f
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           last = e; i += 1
           if (i < attempts && delayMs > 0) Thread.sleep(delayMs)
       }
@@ -156,12 +174,17 @@ object Operators {
     if (n == 0) return (ranged.withColumn(rankCol, lit(0L)).drop("__pid"), 0L)
     var acc = 0L
     val offsets = counts.map { case (b, c) => val o = acc; acc += c; (b, o) }
-    val offMap = map(offsets.flatMap { case (b, o) => Seq(lit(b), lit(o)) }.toIndexedSeq: _*)
+    // broadcast hash join on the ≤P-row offsets frame: O(1) per row. A
+    // map() literal with element_at is a linear scan of the literal per
+    // row (Catalyst GetMapValue) — O(rows × P), the groupedPrefixSum
+    // lesson applied here too.
+    import df.sparkSession.implicits._
+    val offDf = offsets.toSeq.toDF("__opid", "__off")
     val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
     (ranged
-      .withColumn(rankCol,
-        row_number().over(w).cast("long") + element_at(offMap, col("__pid")))
-      .drop("__pid"), n)
+      .join(broadcast(offDf), col("__pid") === col("__opid"))
+      .withColumn(rankCol, row_number().over(w).cast("long") + col("__off"))
+      .drop("__pid", "__opid", "__off"), n)
   }
 
   /** Profile-driven salt width — the q103 skew probe wired into the plan.
@@ -197,7 +220,11 @@ object Operators {
       val total = math.max(1L, row.getLong(1))
       val ratio = (row.getLong(0) * p + total - 1) / total
       val clamped = math.min(maxB.toLong, math.max(1L, ratio)).toInt
-      Integer.highestOneBit(clamped * 2 - 1) // next power of two >= clamped
+      // next power of two >= clamped, re-clamped so a non-power-of-two
+      // maxB is still honored (pow2 rounding must not out-split the
+      // caller's explicit cap: maxB=100, ratio=70 → 64, never 128)
+      math.min(Integer.highestOneBit(clamped * 2 - 1),
+        Integer.highestOneBit(math.max(1, maxB)))
     }
   }
 
@@ -326,6 +353,12 @@ object Operators {
         require(!r.isNullAt(1),
           s"groupedPrefixSum contract: null value in group column " +
             s"'$groupCol' — groups must be non-null")
+        // an all-NULL value slice sums to NULL — fail as loudly as the
+        // null-group gate above, not with a bare NPE from getLong
+        require(!r.isNullAt(2),
+          s"groupedPrefixSum contract: '$valueCol' is NULL for every row " +
+            s"of a ($groupCol=${r.getString(1)}) slice — values must be " +
+            "non-null (running sums over NULLs have no defined cum)")
         (r.getInt(0), r.getString(1), r.getLong(2))
       }
     if (slices.isEmpty) return ranged.drop("__pid").withColumn(cumCol, lit(0L))

@@ -192,7 +192,14 @@ object StreamOps {
           .map(p => p.stateOperators.map(_.numRowsTotal).sum)
           .foldLeft(0L)(math.max)))
     }
-    s.table(name)
+    // hand back the materialized result, then drop the catalog entry: the
+    // DataFrame's analyzed plan keeps the sink relation alive for exactly
+    // as long as the caller holds it, while an undropped temp view would
+    // pin every drain's full result in driver memory for the session
+    // lifetime (one more per query per bench pass)
+    val out = s.table(name)
+    s.catalog.dropTempView(name)
+    out
   }
 
   val qs: Map[String, Q] = Map(
@@ -498,7 +505,13 @@ object StreamOps {
             }
           }
           .toDF("doc_id", "eval_id", "inter", "uni")
-        drain(s, flagged, "append").orderBy("doc_id", "eval_id")
+        val out = drain(s, flagged, "append").orderBy("doc_id", "eval_id")
+        // the drained sink is materialized rows — the index broadcasts are
+        // done; release them deterministically rather than by driver-GC
+        // luck (a long session re-running this query re-ships them fresh)
+        bcB.destroy()
+        bcS.destroy()
+        out
       },
       oracle = Some(graft.queries.TextOps.fuzzyDecontamOracleSql),
       doc = "streaming ingest decontamination: stateless per-doc kernel " +
@@ -530,7 +543,9 @@ object StreamOps {
           }
           .toDF("doc_id", "n_bigrams", "avg_count", "familiarity_milli",
             "kept")
-        drain(s, scored, "append").orderBy("doc_id")
+        val out = drain(s, scored, "append").orderBy("doc_id")
+        bc.destroy() // the sink is materialized — release the model now
+        out
       },
       oracle = Some(graft.queries.TextOps.bigramLmOracleSql),
       doc = "streaming quality gate: q113's familiarity law served " +

@@ -26,6 +26,29 @@ class OperatorsSpec extends SparkSpec {
       (2L, 50.0, None))))        // ts(5): no quote yet
   }
 
+  test("asOfJoinBackward: a NULL right value is the answer, not a gap to " +
+      "fill from an older row") {
+    // the as-of contract is "latest right ROW at or before left.ts" — if
+    // that row's value column is NULL, asof_* must read NULL; a per-column
+    // ignoreNulls fill would silently resurrect the older 10.0
+    val left = Seq((1L, ts(30))).toDF("key", "lts")
+    val right = Seq((1L, ts(10), Some(10.0)), (1L, ts(20), None))
+      .toDF("key", "rts", "price")
+    val out = Operators.asOfJoinBackward(left, right, "key", "lts", "rts")
+      .select($"key", $"asof_price").as[(Long, Option[Double])].collect()
+    assert(out.sameElements(Array((1L, None))))
+  }
+
+  test("asOfJoinBackward: left and right may share the timestamp name " +
+      "(and value-column names)") {
+    val left = Seq((1L, ts(30), 7.0)).toDF("key", "ts", "price")
+    val right = Seq((1L, ts(20), 42.0)).toDF("key", "ts", "price")
+    val out = Operators.asOfJoinBackward(left, right, "key", "ts", "ts")
+      .select($"key", $"price", $"asof_price")
+      .as[(Long, Double, Option[Double])].collect()
+    assert(out.sameElements(Array((1L, 7.0, Some(42.0)))))
+  }
+
   test("rangeJoin never plans a cartesian") {
     val a = Seq((1L, 10L), (2L, 20L)).toDF("k", "t1")
     val b = Seq((1L, 12L), (1L, 100L), (2L, 19L)).toDF("k2", "t2")
@@ -107,6 +130,16 @@ class OperatorsSpec extends SparkSpec {
       it.map(i => Operators.retry(attempts = 2, delayMs = 0) { i * 2 })
     }.reduce(_ + _)
     assert(out == 9900)
+
+    // fatal errors are NOT retried: a broken heap must fail now, not
+    // re-run twice more on it (NonFatal boundary)
+    var calls3 = 0
+    intercept[OutOfMemoryError] {
+      Operators.retry(attempts = 3, delayMs = 0) {
+        calls3 += 1; throw new OutOfMemoryError("simulated")
+      }
+    }
+    assert(calls3 == 1, s"fatal error was retried $calls3 times")
   }
 
   test("saltedJoin equals plain join (hot-key spread, no row loss/dup)") {
@@ -194,6 +227,10 @@ class OperatorsSpec extends SparkSpec {
     assert(Operators.saltWidth(mildTail, Seq($"k")) == 1)
     // empty input degenerates safely
     assert(Operators.saltWidth(Seq.empty[(String, Int)].toDF("k", "v"), Seq($"k")) == 1)
+    // a non-power-of-two maxB is a HARD cap: the ratio here is the full P,
+    // clamped to 3, and pow2 rounding must round DOWN to 2 — never up to 4
+    // past the caller's explicit bound
+    assert(Operators.saltWidth(oneHot, Seq($"k"), maxB = 3) == 2)
   }
 
   test("saltedJoinAuto equals the plain join on skewed and uniform inputs") {
@@ -262,6 +299,15 @@ class OperatorsSpec extends SparkSpec {
         rows.toDF("g", "v", "ord"), "g", "v", Seq(col("ord")), "cum").count()
     }
     assert(ex.getMessage.contains("null"))
+
+    // an all-NULL value slice sums to NULL: same loud contract failure,
+    // not a bare NullPointerException from the driver-side getLong
+    val nullVals = Seq(("a", Some(1L), 1L), ("b", None, 2L), ("b", None, 3L))
+    val ex2 = intercept[IllegalArgumentException] {
+      Operators.groupedPrefixSum(
+        nullVals.toDF("g", "v", "ord"), "g", "v", Seq(col("ord")), "cum").count()
+    }
+    assert(ex2.getMessage.contains("non-null"))
   }
 
   test("groupedPrefixSum offset lookup is a broadcast join, not a map literal") {
@@ -276,6 +322,22 @@ class OperatorsSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
     assert(!plan.contains("map_from_arrays") && !out.queryExecution.analyzed
+      .expressions.exists(_.find(_.prettyName == "map").isDefined),
+      "offset lookup still uses a map literal")
+  }
+
+  test("totalRank offset lookup is a broadcast join, not a map literal") {
+    import spark.implicits._
+    // same O(1)-per-row requirement as groupedPrefixSum: at production
+    // partition counts an element_at over a P-entry literal map is an
+    // O(rows x P) scan in the final projection
+    val rows = (1 to 500).map(i => (i.toLong, s"t$i")).toDF("v", "tie")
+    val (ranked, n) = Operators.totalRank(rows, "v", Seq(col("tie")))
+    ranked.count()
+    assert(n == 500L)
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!ranked.queryExecution.analyzed
       .expressions.exists(_.find(_.prettyName == "map").isDefined),
       "offset lookup still uses a map literal")
   }
