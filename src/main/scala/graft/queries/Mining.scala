@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.functions.TextHash.{charHash, tokens}
@@ -24,6 +24,22 @@ object Mining {
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(string_split($expr,''), c -> CAST(ascii(c) AS BIGINT))),
        |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
+
+  /** The squaring-scramble finisher (derivation at q170): short "id:x"
+    * strings never wrap charHash's modulus, and an unwrapped polynomial
+    * hash is monotone in its last character — h → h²·2654435761 mod P
+    * forces the wrap and decorrelates shared prefixes. ONE definition per
+    * engine, shared by every consumer (q170/q178/q179/q181/q192), so a
+    * single-digit drift can't break exactly one query's hash gate in a
+    * way that reads as a data bug. h < P ≈ 2^30 keeps both steps under
+    * 2^62 — no int64 overflow in either engine. */
+  private[queries] def scramble(h: Column): Column =
+    h * h % 1000000007L * 2654435761L % 1000000007L
+
+  /** [[scramble]]'s DuckDB replica, digit-for-digit. `e` is spliced twice —
+    * pass a plain column reference, not a computed expression. */
+  private[queries] def duckScramble(e: String): String =
+    s"$e * $e % 1000000007 * 2654435761 % 1000000007"
 
   /** q169's corpus scoring, shared with the q177 hybrid fusion: per doc,
     * the summed integer BM25-milli over the fixed query vocabulary plus the
@@ -128,11 +144,17 @@ object Mining {
   }
 
   /** q177/q196's dense ranker: top-20 docs by cosine against doc 0's
-    * embedding (vec_id ≡ doc_id), ranked. */
+    * embedding (vec_id ≡ doc_id), ranked. Zero vectors are excluded on
+    * BOTH sides before the kernel (the family convention, and CosineSim's
+    * documented nonzero precondition): a zero vector's cosine is NaN in
+    * Spark but NULL in DuckDB (0/0), and the two sort to OPPOSITE ends —
+    * NaN largest, NULL last — so an unfiltered zero row would silently
+    * split the top-20 sets across engines. */
   private def denseTop20(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vec = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
+      .filter(Vectors.norm2(col("embedding")) > 0)
     val qv = vec.filter(col("vec_id") === 0)
       .select(col("embedding").as("qemb"))
     vec.filter(col("vec_id") =!= 0)
@@ -153,13 +175,15 @@ object Mining {
       SELECT doc_id, CAST(row_number() OVER
                (ORDER BY score_milli DESC, doc_id) AS INT) AS lex_rank
       FROM bm25 ORDER BY score_milli DESC, doc_id LIMIT 20),
-    qv AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+    nzv AS (SELECT vec_id, embedding FROM embeddings
+            WHERE ${Vectors.sqlNorm2("embedding")} > 0),
+    qv AS (SELECT embedding AS qemb FROM nzv WHERE vec_id = 0),
     cosed AS (
       SELECT vec_id AS doc_id,
              ${Vectors.sqlDot("embedding", "qemb")}
                / (sqrt(${Vectors.sqlNorm2("embedding")})
                   * sqrt(${Vectors.sqlNorm2("qemb")})) AS cos
-      FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
+      FROM nzv CROSS JOIN qv WHERE vec_id <> 0),
     dense AS (
       SELECT doc_id, CAST(row_number() OVER
                (ORDER BY cos DESC, doc_id) AS INT) AS vec_rank
@@ -226,8 +250,7 @@ object Mining {
           .withColumn("h",
             charHash(concat_ws(":", col("doc_id"), col("shard"))))
           .select(col("doc_id"), col("shard"),
-            ((col("h") * col("h") % 1000000007L * 2654435761L
-              % 1000000007L) * 100 + col("shard")).as("hkey"))
+            (scramble(col("h")) * 100 + col("shard")).as("hkey"))
         val assigned = hashed.groupBy(col("doc_id")).agg(
           max_by(col("shard"), when(col("shard") <= 15, col("hkey")))
             .as("shard16"),
@@ -244,8 +267,7 @@ object Mining {
           FROM documents CROSS JOIN (SELECT unnest(range(0, 17)) AS shard)),
         h AS (
           SELECT doc_id, shard,
-                 h * h % 1000000007 * 2654435761 % 1000000007 * 100 + shard
-                   AS hkey
+                 ${duckScramble("h")} * 100 + shard AS hkey
           FROM h0),
         a AS (
           SELECT doc_id,
@@ -623,8 +645,7 @@ object Mining {
         val keyed = Tables.documents(s, d)
           .select(col("source"), col("doc_id"),
             charHash(concat_ws(":", col("source"), col("doc_id"))).as("h"))
-          .withColumn("skey",
-            col("h") * col("h") % 1000000007L * 2654435761L % 1000000007L)
+          .withColumn("skey", scramble(col("h")))
           .withColumn("__one", lit(1L))
         graft.operators.Operators.groupedPrefixSum(
           keyed, "source", "__one", Seq(col("skey"), col("doc_id")), "r")
@@ -639,7 +660,7 @@ object Mining {
           FROM documents),
         k AS (
           SELECT source, doc_id,
-                 h * h % 1000000007 * 2654435761 % 1000000007 AS skey
+                 ${duckScramble("h")} AS skey
           FROM h),
         r AS (
           SELECT source, doc_id, skey,
@@ -669,8 +690,7 @@ object Mining {
       run = (s, d) => {
         val h2 = Tables.documents(s, d)
           .select(col("source"), col("n_chars"),
-            (charHash(col("text")) * charHash(col("text"))
-              % 1000000007L * 2654435761L % 1000000007L).as("h2"))
+            scramble(charHash(col("text"))).as("h2"))
         h2.rollup(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).as("total_chars"),
@@ -687,7 +707,7 @@ object Mining {
           FROM documents),
         k AS (
           SELECT source, n_chars,
-                 h * h % 1000000007 * 2654435761 % 1000000007 AS h2
+                 ${duckScramble("h")} AS h2
           FROM h)
         SELECT coalesce(source, '<ALL>') AS source,
                count(*) AS n_docs,
@@ -812,8 +832,7 @@ object Mining {
           .filter(col("cum") * 10 <= col("total_chars") * 9)
         // (3) eval holdout: exact-2 per source by scrambled hash
         val keyed = head
-          .withColumn("skey",
-            col("h") * col("h") % 1000000007L * 2654435761L % 1000000007L)
+          .withColumn("skey", scramble(col("h")))
           .withColumn("__one", lit(1L))
         val ranked = graft.operators.Operators.groupedPrefixSum(
           keyed, "source", "__one", Seq(col("skey"), col("doc_id")), "r")
@@ -852,7 +871,7 @@ object Mining {
         head AS (
           SELECT * FROM cum WHERE cum * 10 <= total_chars * 9),
         keyed AS (
-          SELECT *, h * h % 1000000007 * 2654435761 % 1000000007 AS skey
+          SELECT *, ${duckScramble("h")} AS skey
           FROM head),
         ranked AS (
           SELECT *, row_number() OVER (PARTITION BY source
@@ -1436,8 +1455,7 @@ object Mining {
           .select(col("event_type"), col("event_id"),
             unix_micros(col("ts")).as("us"))
           .withColumn("arr", col("us")
-            + (h * h % 1000000007L * 2654435761L % 1000000007L % 7200L)
-              * 1000000L)
+            + (scramble(h) % 7200L) * 1000000L)
           .withColumn("hwm", max(col("us")).over(w))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
@@ -1448,14 +1466,14 @@ object Mining {
           .orderBy("event_type")
       },
       oracle = Some(s"""
-        WITH ev AS (
+        WITH ev0 AS (
           SELECT event_type, event_id, epoch_us(ts) AS us,
-                 epoch_us(ts)
-                   + ${duckCharHash("CAST(event_id AS VARCHAR)")}
-                     * ${duckCharHash("CAST(event_id AS VARCHAR)")}
-                     % 1000000007 * 2654435761 % 1000000007 % 7200
-                     * 1000000 AS arr
+                 ${duckCharHash("CAST(event_id AS VARCHAR)")} AS h
           FROM events),
+        ev AS (
+          SELECT event_type, event_id, us,
+                 us + ${duckScramble("h")} % 7200 * 1000000 AS arr
+          FROM ev0),
         a AS (
           SELECT event_type, us,
                  max(us) OVER (PARTITION BY event_type

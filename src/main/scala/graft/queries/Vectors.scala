@@ -29,7 +29,7 @@ import graft.{Q, Tables}
 object Vectors {
 
   /** Sequential-fold squared norm in double (matches oracle bit-for-bit). */
-  private def norm2(v: Column): Column =
+  private[queries] def norm2(v: Column): Column =
     aggregate(transform(v, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
@@ -1419,8 +1419,12 @@ object Vectors {
             memberCos(col("label"), col("embedding")).as("cm"))
           .groupBy(col("label"))
           .agg(count(lit(1)).as("n"),
-            // +1000 shift keeps the dividend non-negative (cos ≥ -1), so
-            // Spark's truncating DIV and DuckDB's floor // agree exactly
+            // +1000 shift keeps the dividend non-negative. Both engines
+            // truncate integer division TOWARD ZERO (Spark DIV ≡ DuckDB
+            // //, verified incl. negatives) — but truncation on a mixed-
+            // sign dividend is not the averaging law we want: the shift
+            // makes every dividend non-negative so truncate ≡ floor and
+            // the average is the well-defined floor-mean on both sides
             expr("sum(cm + 1000) DIV count(1) - 1000").as("intra_avg_milli"))
         // confusability: nearest other centroid by the same double law —
         // a |labels|² driver computation (bounded metadata)
@@ -1433,11 +1437,14 @@ object Vectors {
           }
           math.floor(1000.0 * (dot / (math.sqrt(na) * math.sqrt(nb)))).toLong
         }
-        val nearest = centArr.map { case (l, cv) =>
-          val best = centArr.filter(_._1 != l)
+        // flatMap + headOption: a single-label corpus has no "other"
+        // centroid — the label yields no row, matching the oracle's empty
+        // a.label <> b.label pair set instead of crashing on .head
+        val nearest = centArr.flatMap { case (l, cv) =>
+          centArr.filter(_._1 != l)
             .map { case (m, cw) => (centCos(cv, cw), m) }
-            .sortBy { case (cos, m) => (-cos, m) }.head
-          (l, best._2.toLong, best._1)
+            .sortBy { case (cos, m) => (-cos, m) }.headOption
+            .map(best => (l, best._2.toLong, best._1))
         }.toSeq.toDF("label", "nearest_label", "inter_cos_milli")
         intra.join(broadcast(nearest), Seq("label"))
           .withColumn("margin_milli", col("intra_avg_milli") - col("inter_cos_milli"))
@@ -1764,10 +1771,7 @@ object Vectors {
       col("embedding").as("emb_x"))
     val y = clustered.select(col("cl"), col("vec_id").as("y_id"),
       col("cos_c").as("y_cos_c"), col("embedding").as("emb_y"))
-    val cosPair = org.apache.spark.sql.GraftColumnBridge.column(
-      graft.plans.CosineSim(
-        org.apache.spark.sql.GraftColumnBridge.expression(col("emb_x")),
-        org.apache.spark.sql.GraftColumnBridge.expression(col("emb_y"))))
+    val cosPair = cosSim(col("emb_x"), col("emb_y"))
     // dropped = has a tau-duplicate that precedes it in retention order
     val dropped = x.join(y,
         x("cl") === y("cl") &&
