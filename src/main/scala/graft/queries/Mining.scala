@@ -36,6 +36,11 @@ object Mining {
   private[queries] def scramble(h: Column): Column =
     h * h % 1000000007L * 2654435761L % 1000000007L
 
+  /** [[scramble]] for a JVM-side long (broadcast serving kernels that
+    * replay the column law, e.g. q119's DSIR scorer). */
+  private[queries] def scrambleLong(h: Long): Long =
+    h * h % 1000000007L * 2654435761L % 1000000007L
+
   /** [[scramble]]'s DuckDB replica, digit-for-digit. `e` is spliced twice —
     * pass a plain column reference, not a computed expression. */
   private[queries] def duckScramble(e: String): String =

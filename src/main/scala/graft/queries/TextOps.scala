@@ -117,6 +117,33 @@ object TextOps {
     }
   }
 
+  /** Corpus distinct-window document frequency (w, n_docs) — the dominant
+    * shuffle of the exact-substring family, shared by q106 (dup stats),
+    * q110 (span removal) and q121 (novelty). Before this slot each of the
+    * three rebuilt the identical corpus-scale aggregation; a real pipeline
+    * materializes the frequency table once next to the window cache it
+    * derives from. Same single-slot (session, dir) policy + stage row as
+    * every other staged intermediate (keyed on the window-hash mode via
+    * the underlying cache rebuild). */
+  private var windowFreqCache: Option[(SparkSession, String, String, DataFrame)] = None
+
+  private def windowFreq(s: SparkSession, d: String): DataFrame = synchronized {
+    val mode = windowHashMode
+    windowFreqCache match {
+      case Some((sess, dir, m, df)) if (sess eq s) && dir == d && m == mode => df
+      case prev => timedStage("window_freq_build") {
+        prev.foreach(_._4.unpersist(blocking = false))
+        val f = docWindowArrays(s, d)
+          .select(col("doc_id"), explode(col("dwins")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("n_docs"))
+          .persist()
+        f.count()
+        windowFreqCache = Some((s, d, mode, f))
+        f
+      }
+    }
+  }
+
   // ---- shared Jaccard-pair plumbing (q35 exact, q36 LSH-verified) ----------
 
   /** (doc_id, shingle-hash) pairs, distinct per doc — the candidate unit.
@@ -197,10 +224,12 @@ object TextOps {
     val m0 = if (graft.MetricsTap.enabled) Some(graft.MetricsTap.snapshot()) else None
     val t0 = System.nanoTime()
     frameChildNs.push(0L)
+    var popped = false // own-frame pop happened: the catch must not pop again
     try {
       val r = f
       val elapsed = System.nanoTime() - t0
       val childNs = frameChildNs.pop()
+      popped = true
       if (frameChildNs.nonEmpty)
         frameChildNs.push(frameChildNs.pop() + elapsed)
       stageTimes(name) =
@@ -228,7 +257,10 @@ object TextOps {
       }
       r
     } catch { // pop the frame on failure too, or the orphan entry corrupts
-      case t: Throwable => frameChildNs.pop(); throw t // later attributions
+      // later attributions — but ONLY our own frame: an exception thrown
+      // after the success-path pop (the metrics flush can throw on a bus
+      // stall) must not steal the parent's frame or pop an empty stack
+      case t: Throwable => if (!popped) frameChildNs.pop(); throw t
     }
   }
 
@@ -278,12 +310,18 @@ object TextOps {
     pairsCache = None
     windowCache.foreach(_._4.unpersist(blocking = false))
     windowCache = None
+    windowFreqCache.foreach(_._4.unpersist(blocking = false))
+    windowFreqCache = None
     labelsCache.foreach(p => graft.Checkpoints.release(p._3))
     labelsCache = None
     bigramDfCache.foreach(p => graft.Checkpoints.release(p._3._1))
     bigramDfCache = None
     famCache.foreach(p => graft.Checkpoints.release(p._3))
     famCache = None
+    // normally freed by jaccardPairsCached right after the pair build; a
+    // FAILED build leaves it behind, and this is the cleanup of last resort
+    lastClasses.foreach(_.unpersist(blocking = false))
+    lastClasses = None
   }
 
   // The thresholded pair table is ALSO a shared intermediate: q35 emits it
@@ -459,7 +497,11 @@ object TextOps {
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = docShingles(s, d)
     val classes = shingleClasses(sh).persist()
-    lastClasses = Some(classes) // freed by jaccardPairsCached post-build
+    // freed by jaccardPairsCached post-build; if a PREVIOUS build failed
+    // before that point, its entry is still here — release it rather than
+    // overwrite it into a session-lifetime cache leak
+    lastClasses.foreach(_.unpersist(blocking = false))
+    lastClasses = Some(classes)
     val reps = classes.select(col("rep").as("doc_id"))
     val repSh = sh.join(reps, Seq("doc_id"), "left_semi")
     val repArr = docShingleArrays(s, d).join(reps, Seq("doc_id"), "left_semi")
@@ -744,16 +786,26 @@ object TextOps {
 
   /** q113's familiarity law as a pure kernel — (n_bigrams, avg_count,
     * familiarity_milli) for one text. Integer-for-integer identical to the
-    * q113 column expressions (same DIVs on the same longs), so the batch
-    * and streaming modes emit the same rows. */
+    * batch path: bigrams are CODE-POINT pairs (Spark's length()/substring()
+    * index code points, so a non-BMP char is ONE position — UTF-16 unit
+    * indexing would mint half-surrogate bigrams and a different n), and a
+    * model-absent bigram drops out of BOTH the count and the sum, exactly
+    * as the batch inner join does. */
   private[graft] def bigramScore(model: Map[String, Long], cmax: Long,
       text: String): (Long, Long, Long) = {
-    val n = math.max(text.length.toLong - 1L, 0L)
+    var n = 0L
     var acc = 0L
+    val len = text.length
+    var prev = -1 // UTF-16 start index of the previous code point
     var i = 0
-    while (i < text.length - 1) {
-      acc += model(text.substring(i, i + 2))
-      i += 1
+    while (i < len) {
+      val step = Character.charCount(text.codePointAt(i))
+      if (prev >= 0) model.get(text.substring(prev, i + step)).foreach { c =>
+        acc += c
+        n += 1
+      }
+      prev = i
+      i += step
     }
     val avg = if (n > 0) acc / n else 0L
     (n, avg, avg * 1000L / cmax)
@@ -999,9 +1051,13 @@ object TextOps {
               .otherwise("de").as("detected"))
         val cell = detected.groupBy(col("declared"), col("detected"))
           .agg(count(lit(1)).as("n"))
-        val per = detected.groupBy(col("declared"))
-          .agg(count(lit(1)).as("n_declared"))
-        cell.join(per, Seq("declared"))
+        // n_declared = Σn over the confusion cells: a window over the
+        // |langs|²-row cell table, NOT a second aggregation of the corpus
+        // projection — the detector scan/tokenize runs exactly once
+        val wDecl = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("declared"))
+        cell
+          .withColumn("n_declared", sum(col("n")).over(wDecl))
           .withColumn("agree_milli",
             expr("CASE WHEN declared = detected THEN n * 1000 DIV n_declared ELSE 0 END"))
           .select(col("declared"), col("detected"), col("n"),
@@ -2891,11 +2947,11 @@ object TextOps {
     "q106_window_dedup" -> Q(
       run = (s, d) => {
         val base = docWindowArrays(s, d)
-        // distinct windows per doc, exploded — consumed by the frequency agg
-        // AND the per-doc rollup (query-scoped, released by the driver)
-        val wd = graft.Checkpoints.localCheckpoint(
-          base.select(col("doc_id"), explode(col("dwins")).as("w")))
-        val freq = wd.groupBy(col("w")).agg(count(lit(1)).as("n_docs"))
+        // the frequency table comes from the SHARED staged build (q110 and
+        // q121 consume the same one); the per-doc explode reads straight
+        // off the persisted window cache — one consumer, no checkpoint
+        val freq = windowFreq(s, d)
+        val wd = base.select(col("doc_id"), explode(col("dwins")).as("w"))
         val perDoc = wd.join(freq, Seq("w"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_distinct_windows"),
@@ -3058,9 +3114,7 @@ object TextOps {
         // hashes on a dirty one), and broadcasting it keeps the corpus-
         // sized positional side from shuffling in the join below.
         val dupW = graft.Checkpoints.localCheckpoint(
-          docWindowArrays(s, d)
-            .select(col("doc_id"), explode(col("dwins")).as("w"))
-            .groupBy(col("w")).agg(count(lit(1)).as("n_docs"))
+          windowFreq(s, d)
             .filter(col("n_docs") >= 2)
             .select(col("w")))
         // positional windows (0-based start, straight off the shared cache —
@@ -3463,9 +3517,14 @@ object TextOps {
       run = (s, d) => {
         val V = 1024
         val target = "src0"
+        // scrambled bucket key (the determinism-notes rule): short tokens
+        // never wrap charHash's modulus, and an unwrapped polynomial hash
+        // is monotone in its last character — raw `% V` would collapse
+        // real vocabulary into a last-character-correlated band of the
+        // bucket space, biasing the target-vs-raw ratio table
         val model = docTokens(s, d)
           .select(col("source"), explode(col("toks")).as("tok"))
-          .withColumn("b", charHash(col("tok")) % V)
+          .withColumn("b", Mining.scramble(charHash(col("tok"))) % V)
           .groupBy(col("b")).agg(
             sum(when(col("source") === target, 1L).otherwise(0L)).as("ct"),
             sum(when(col("source") =!= target, 1L).otherwise(0L)).as("cr"))
@@ -3492,7 +3551,8 @@ object TextOps {
           var acc = 0L
           var i = 0
           while (i < toks.length) {
-            acc += rr((graft.functions.TextHash.polyHash(toks(i)) % V).toInt)
+            acc += rr((Mining.scrambleLong(
+              graft.functions.TextHash.polyHash(toks(i))) % V).toInt)
             i += 1
           }
           acc
@@ -3516,12 +3576,16 @@ object TextOps {
         WITH tok AS (
           SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
           FROM documents),
+        b0 AS (
+          SELECT doc_id, source,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))),
+              (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+          FROM tok),
         b AS (
           SELECT doc_id, source,
-            (list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))),
-              (acc, c) -> (acc * 31 + c) % 1000000007)) % 1024 AS b
-          FROM tok),
+                 h * h % 1000000007 * 2654435761 % 1000000007 % 1024 AS b
+          FROM b0),
         model AS (
           SELECT b,
                  count(*) FILTER (WHERE source = 'src0') AS ct,
@@ -3569,11 +3633,10 @@ object TextOps {
     "q121_novelty_select" -> Q(
       run = (s, d) => {
         val base = docWindowArrays(s, d)
-        // distinct windows per doc, exploded — consumed by the frequency
-        // agg AND the per-doc rollup (query-scoped, driver sweeps it)
-        val wd = graft.Checkpoints.localCheckpoint(
-          base.select(col("doc_id"), explode(col("dwins")).as("w")))
-        val freq = wd.groupBy(col("w")).agg(count(lit(1)).as("n_docs"))
+        // shared staged frequency table (q106/q110 consume the same one);
+        // the per-doc explode reads straight off the persisted window cache
+        val freq = windowFreq(s, d)
+        val wd = base.select(col("doc_id"), explode(col("dwins")).as("w"))
         val perDoc = wd.join(freq, Seq("w"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_distinct_windows"),

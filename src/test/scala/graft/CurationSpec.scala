@@ -119,6 +119,25 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("bounded-metadata"))
   }
 
+  test("bigramScore kernel: code-point bigrams and model-membership " +
+      "counting, matching the batch law on non-BMP text") {
+    // Spark's length()/substring() index CODE POINTS: the batch fit on
+    // "a😀b" yields bigrams {a😀, 😀b} (n=2). A UTF-16-unit kernel would
+    // mint half-surrogate bigrams absent from the model (crash or n=3).
+    val emoji = new String(Character.toChars(0x1F600)) // 😀 (non-BMP)
+    val text = s"a${emoji}b"
+    val model = Map(s"a$emoji" -> 3L, s"${emoji}b" -> 1L)
+    assert(graft.queries.TextOps.bigramScore(model, 3L, text) ==
+      ((2L, 2L, 666L))) // n=2, avg=(3+1)/2=2, 2*1000/3=666
+    // a model-absent bigram drops from BOTH the count and the sum, the
+    // batch inner join's behavior — never a NoSuchElementException
+    assert(graft.queries.TextOps.bigramScore(
+      Map(s"a$emoji" -> 3L), 3L, text) == ((1L, 3L, 1000L)))
+    // degenerate inputs
+    assert(graft.queries.TextOps.bigramScore(model, 3L, "") == ((0L, 0L, 0L)))
+    assert(graft.queries.TextOps.bigramScore(model, 3L, emoji) == ((0L, 0L, 0L)))
+  }
+
   test("q136: sweep is monotone, anchored at the full corpus, brackets q113") {
     val rows = SparkEntry.queries("q136_quality_sweep")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
