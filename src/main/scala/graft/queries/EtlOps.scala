@@ -15,11 +15,11 @@ import graft.functions.{CleanFunctions => CF, HtmlFunctions => HF}
   */
 object EtlOps {
 
-  /** Per-JVM scratch dir for the sink round-trip queries (q101/q102):
-    * unique per process (no cross-process overwrite races or /tmp ownership
-    * clashes between concurrent graft JVMs), reused across invocations
-    * within the JVM (mode-overwrite keeps rewrites safe), and removed on
-    * exit — disk usage is bounded at one copy per live JVM. */
+  /** Per-JVM scratch root for the sink round-trip queries (q101/q102/
+    * q195): unique per process (no cross-process overwrite races or /tmp
+    * ownership clashes between concurrent graft JVMs), handed out as
+    * per-invocation generation subdirs by [[scratchDir]] (keep-2
+    * retention), and removed on exit. */
   private lazy val scratchRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_scratch")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -32,8 +32,34 @@ object EtlOps {
     }))
     p
   }
-  private[queries] def scratchDir(name: String): String =
-    scratchRoot.resolve(name).toString
+  // generation counters + live dirs per scratch name (keep-2 retention)
+  private val scratchGen =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private val scratchLive = new java.util.HashMap[String, java.util.ArrayDeque[java.nio.file.Path]]()
+
+  /** A FRESH per-invocation subdir for `name`, with keep-2 retention: a
+    * shared fixed path under mode-overwrite would let one thread's rewrite
+    * delete part files a sibling thread's read plan already listed (the
+    * intra-JVM race the per-process scratchRoot can't cover). Generation
+    * N-1 stays on disk while N is written; N-2 is deleted here, so disk
+    * stays bounded at two generations per name per live JVM. */
+  private[queries] def scratchDir(name: String): String = synchronized {
+    val gen = scratchGen.computeIfAbsent(name,
+      _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+    val p = scratchRoot.resolve(s"${name}_g$gen")
+    val dq = scratchLive.computeIfAbsent(name,
+      _ => new java.util.ArrayDeque[java.nio.file.Path]())
+    dq.addLast(p)
+    while (dq.size() > 2) {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(dq.removeFirst().toFile)
+    }
+    p.toString
+  }
 
   /** 10 deterministic digits per customer (phone raw material). */
   private val digits10 = "lpad(CAST(c_custkey AS STRING), 10, '3')"
@@ -455,9 +481,9 @@ object EtlOps {
     // streams; only the final summary aggregates.
     "q101_csv_roundtrip" -> Q(
       run = (s, d) => {
-        // per-JVM scratch path (see scratchRoot): re-runs within the JVM
-        // reuse it instead of leaking a fresh temp copy per invocation, and
-        // concurrent JVMs never collide on a shared /tmp name
+        // per-invocation scratch generation (see scratchDir): concurrent
+        // JVMs never collide on a shared /tmp name, and a concurrent
+        // invocation in THIS JVM never overwrites files this run reads
         val tmp = scratchDir("q101_csv_rt")
         val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
         Tables.orders(s, d)

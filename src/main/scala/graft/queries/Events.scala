@@ -740,7 +740,13 @@ object Events {
         ev.crossJoin(broadcast(frontier))
           .withColumn("weeks_old",
             expr("least((gmax - sec) DIV 604800, 62L)"))
-          .withColumn("w", expr("1000 DIV CAST(pow(2, weeks_old) AS BIGINT)"))
+          // 2^weeks_old as an integer SHIFT: pow() is a double, and a
+          // one-ulp-low libm result would truncate to 2^k - 1 on the
+          // Spark side while DuckDB's cast rounds — the float-free form
+          // the "no floats anywhere" law actually requires
+          .withColumn("w",
+            expr("1000 DIV shiftleft(CAST(1 AS BIGINT), " +
+              "CAST(weeks_old AS INT))"))
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_events"),
             sum(col("w")).as("decayed_score"))
@@ -752,8 +758,9 @@ object Events {
           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
         g AS (SELECT max(sec) AS gmax FROM ev)
         SELECT user_id, count(*) AS n_events,
-               CAST(sum(1000 // CAST(pow(2, least((g.gmax - sec) // 604800, 62))
-                 AS BIGINT)) AS BIGINT) AS decayed_score
+               CAST(sum(1000 // (CAST(1 AS BIGINT)
+                 << CAST(least((g.gmax - sec) // 604800, 62) AS INT)))
+                 AS BIGINT) AS decayed_score
         FROM ev CROSS JOIN g
         GROUP BY user_id
         ORDER BY decayed_score DESC, user_id LIMIT 20"""),

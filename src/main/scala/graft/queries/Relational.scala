@@ -31,15 +31,28 @@ object Relational {
   private def moneySum(c: Column): Column =
     graft.MoneyOut.col(sum(dec(c)))
 
-  // (session, canonical-fixture-path) pairs whose bucketed layout tables
-  // (q151) are already registered this session — the write-once contract.
-  // Keyed on the PATH, not a hash of it: two fixture dirs must never share
-  // a slot no matter what their hashes do.
+  // sessions whose bucketed layout tables (q151) are already registered,
+  // each with its set of canonical fixture paths — the write-once
+  // contract. WEAK session keys (the Checkpoints registry rule): this
+  // static gate must never be the thing keeping a discarded SparkSession's
+  // whole SessionState graph reachable. Keyed on the PATH, not a hash of
+  // it: two fixture dirs must never share a slot.
   private val bucketedReady =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+    new java.util.WeakHashMap[SparkSession, java.util.Set[String]]()
+  private def layoutReady(s: SparkSession, p: String): Boolean =
+    Relational.synchronized {
+      val set = bucketedReady.get(s)
+      set != null && set.contains(p)
+    }
+  private def markLayoutReady(s: SparkSession, p: String): Unit =
+    Relational.synchronized {
+      bucketedReady.computeIfAbsent(s,
+        _ => new java.util.HashSet[String]()).add(p)
+    }
   /** Test hook: clears the in-session write-once gate so a spec can drive
     * the fresh-catalog reuse path without building a second JVM. */
-  private[graft] def resetBucketedGate(): Unit = bucketedReady.clear()
+  private[graft] def resetBucketedGate(): Unit =
+    Relational.synchronized(bucketedReady.clear())
 
   private val LayoutVersion = 1
   private val LayoutBuckets = 8
@@ -75,8 +88,8 @@ object Relational {
       .map("%02x".format(_)).mkString
     val ot = s"graft_bkt_orders_$digest"
     val lt = s"graft_bkt_lineitem_$digest"
-    if (!bucketedReady.contains((s, canonical))) Relational.synchronized {
-      if (!bucketedReady.contains((s, canonical))) {
+    if (!layoutReady(s, canonical)) Relational.synchronized {
+      if (!layoutReady(s, canonical)) {
         val wh = java.net.URI.create(
           s.conf.get("spark.sql.warehouse.dir")).getPath
         val root = java.nio.file.Paths.get(
@@ -87,11 +100,32 @@ object Relational {
             () => Tables.orders(s, d)),
           (lt, root.resolve("lineitem"), "l_orderkey",
             () => Tables.lineitem(s, d)))
+        // CROSS-PROCESS exclusion around check-and-build: two graft JVMs
+        // sharing a warehouse must not interleave rebuilds — a manifest
+        // written last would bless a mix of both jobs' bucket files that
+        // every later session silently reuses. The lock file lives BESIDE
+        // the digest root so the rebuild's delete-tree can't remove it
+        // mid-hold. (In-JVM exclusion is the enclosing synchronized.)
+        java.nio.file.Files.createDirectories(root.getParent)
+        val lockCh = java.nio.channels.FileChannel.open(
+          root.getParent.resolve(s"$digest.lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        val lock = lockCh.lock()
+        try {
+        // valid iff the manifest records EXACT field values (delimiter-
+        // terminated — a raw substring probe would accept "buckets":80 for
+        // 8) AND every table dir still holds part files (a manifest can
+        // outlive files a /tmp reaper pruned; registering over a partial
+        // layout returns silently short aggregates)
         val reusable = java.nio.file.Files.exists(manifest) && {
           val txt = java.nio.file.Files.readString(manifest)
           txt.contains("\"fixture\":\"" + canonical + "\"") &&
-            txt.contains("\"buckets\":" + LayoutBuckets) &&
-            txt.contains("\"version\":" + LayoutVersion)
+            txt.contains("\"buckets\":" + LayoutBuckets + ",") &&
+            txt.contains("\"version\":" + LayoutVersion + ",")
+        } && specs.forall { case (_, loc, _, _) =>
+          val fs = loc.toFile.listFiles()
+          fs != null && fs.exists(_.getName.startsWith("part-"))
         }
         if (reusable) {
           // files are a complete, matching layout — (re-)register the
@@ -127,7 +161,8 @@ object Relational {
             s"""{"version":$LayoutVersion,"fixture":"$canonical",""" +
               s""""buckets":$LayoutBuckets,"tables":["$ot","$lt"]}""" + "\n")
         }
-        bucketedReady.add((s, canonical))
+        } finally { lock.release(); lockCh.close() }
+        markLayoutReady(s, canonical)
       }
     }
     (ot, lt)
