@@ -71,8 +71,7 @@ object LeadPipeline {
   def clean(leads: DataFrame): DataFrame =
     leads
       .withColumn("nombre", CF.cleanText(CF.naToNull(col("nombre"))))
-      .withColumn("telefonos",
-        array_distinct(filter(transform(col("telefonos"), p => CF.normalizePhone(p)), _.isNotNull)))
+      .withColumn("telefonos", CF.cleanPhoneArray(col("telefonos")))
       .withColumn("email", CF.validEmail(CF.naToNull(col("email"))))
       .withColumn("sitio_web", CF.normalizeUrl(CF.naToNull(col("sitio_web"))))
       .withColumn("facebook", CF.cleanSocial(col("facebook")))
@@ -98,7 +97,8 @@ object LeadPipeline {
 
   /** K1 CSV sink: header + egress sentinel restore + deterministic order. */
   def loadCsv(leads: DataFrame, path: String): Unit = {
-    val stringified = leads.schema.fields.foldLeft(leads) { (df, f) =>
+    val ordered = leads.orderBy(col("id_negocio"))
+    val stringified = ordered.schema.fields.foldLeft(ordered) { (df, f) =>
       f.dataType match {
         case ArrayType(_, _) =>
           df.withColumn(f.name,
@@ -112,7 +112,9 @@ object LeadPipeline {
           df.withColumn(f.name, CF.nullToNa(col(f.name).cast(StringType)))
       }
     }
-    stringified.orderBy("id_negocio")
+    // order on the ORIGINAL (numeric) id before stringification — ordering
+    // the stringified column would sort ids lexicographically (2 > 10)
+    stringified
       .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
   }
 
@@ -129,8 +131,11 @@ object LeadPipeline {
   /** Crash-safe table swap: stage is renamed into place instead of
     * overwriting the live target (Overwrite deletes the target first, so a
     * crash mid-write would destroy it). rename is a metadata-only move on
-    * posix/HDFS — a crash leaves either the old or the new table complete,
-    * never a half-deleted one — and staging/old dirs are always removed. */
+    * posix/HDFS. A complete copy always survives: either at the target, or
+    * — if a crash lands between the two renames — at `target__old`, which
+    * [[recoverOld]] restores before the next upsert's existence probe (so
+    * the window can never read as "no table" and rebuild from incoming
+    * only). A failed stage rename restores the old table in-line. */
   private def swapIn(spark: SparkSession, staging: String, target: String): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -138,27 +143,47 @@ object LeadPipeline {
     try {
       if (fs.exists(old)) fs.delete(old, true)
       val hadOld = fs.exists(tgt) && fs.rename(tgt, old)
-      if (!fs.rename(stg, tgt))
+      if (!fs.rename(stg, tgt)) {
+        if (hadOld) fs.rename(old, tgt) // restore the live table before failing
         throw new java.io.IOException(s"swapIn: rename $staging -> $target failed")
+      }
       if (hadOld) fs.delete(old, true)
     } finally if (fs.exists(stg)) fs.delete(stg, true)
   }
 
+  /** Crash recovery for [[swapIn]]'s rename window: a kill between its two
+    * renames leaves the live table at `target__old` and nothing at the
+    * target. Restore it; called by every target-existence probe. */
+  private def recoverOld(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(target.toString + "__old")
+    if (!fs.exists(target) && fs.exists(old) && !fs.rename(old, target))
+      throw new java.io.IOException(
+        s"recoverOld: rename $old -> $target failed")
+  }
+
   /** K4 upsert: MERGE semantics against a parquet target without a lakehouse
-    * dep — full-outer merge, incoming wins (manual_scraper.py:241-295). */
+    * dep — full-outer merge, the incoming ROW wins (the reference's
+    * `DO UPDATE SET c = EXCLUDED.c`, manual_scraper.py:241-295, and the
+    * JdbcUpsert dialects): an incoming NULL field CLEARS the stored value,
+    * which per-column coalesce would silently keep forever. The existence
+    * probe is a filesystem check, never a swallowed read — a transient
+    * read failure must abort the run, not silently rebuild the table from
+    * the incoming batch alone. */
   def upsert(spark: SparkSession, incoming: DataFrame, targetPath: String, key: String): Unit = {
-    val exists = try {
-      spark.read.parquet(targetPath).count() >= 0
-    } catch { case _: Exception => false }
+    val tgt = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverOld(fs, tgt) // a swapIn killed mid-rename parks the table at __old
     val merged =
-      if (!exists) incoming
+      if (!fs.exists(tgt)) incoming
       else {
         val existing = spark.read.parquet(targetPath)
         val cols = incoming.columns
         existing.alias("e")
           .join(incoming.alias("i"), col(s"e.$key") === col(s"i.$key"), "full_outer")
           .select(cols.toIndexedSeq.map(c =>
-            coalesce(col(s"i.$c"), col(s"e.$c")).as(c)): _*)
+            when(col(s"i.$key").isNotNull, col(s"i.$c"))
+              .otherwise(col(s"e.$c")).as(c)): _*)
       }
     // two-phase write: merge result must be materialized before replacing
     // the input path (Spark cannot read+overwrite the same location lazily);
@@ -178,7 +203,12 @@ object LeadPipeline {
       targetPath: String, key: String, buckets: Int = 64): Unit = {
     val withBucket = incoming.withColumn("__bucket",
       pmod(xxhash64(col(key)), lit(buckets.toLong)))
-    val exists = new java.io.File(targetPath).exists()
+    // Hadoop FS existence, not java.io.File: hdfs://... and s3a://...
+    // targets always read as "absent" through File, sending every
+    // incremental upsert down the initial-write branch
+    val tgtP = new org.apache.hadoop.fs.Path(targetPath)
+    val exists = tgtP.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(tgtP)
     if (!exists) {
       withBucket.write.partitionBy("__bucket").parquet(targetPath)
     } else {
@@ -187,9 +217,11 @@ object LeadPipeline {
       val existing = spark.read.parquet(targetPath)
         .filter(col("__bucket").isin(affected.toIndexedSeq: _*)) // partition-pruned scan
       val cols = incoming.columns
+      // incoming ROW wins (EXCLUDED.c semantics, same as [[upsert]])
       val merged = existing.alias("e")
         .join(withBucket.alias("i"), col(s"e.$key") === col(s"i.$key"), "full_outer")
-        .select((cols.map(c => coalesce(col(s"i.$c"), col(s"e.$c")).as(c)) :+
+        .select((cols.map(c => when(col(s"i.$key").isNotNull, col(s"i.$c"))
+            .otherwise(col(s"e.$c")).as(c)) :+
           coalesce(col("i.__bucket"), col("e.__bucket")).as("__bucket")).toIndexedSeq: _*)
       // staging is still required (can't read+overwrite the same partitions
       // lazily), but the overwrite is dynamic — only affected __bucket dirs
@@ -238,9 +270,17 @@ object LeadPipeline {
     * [[upsert]]: the compacted copy is staged, then renamed in (crash-safe). */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): Unit = {
-    val dir = new java.io.File(path)
-    val bytes = Option(dir.listFiles()).map(_.filter(_.isFile)
-      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum).getOrElse(0L)
+    // Hadoop FS size, recursive: a java.io listing reads 0 bytes on remote
+    // filesystems — and ceil(0/target) = 1 would rewrite a multi-TB table
+    // through ONE task. A partitioned layout is refused loudly: this flat
+    // rewrite would silently destroy its directory structure.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.listStatus(p).exists(s =>
+        s.isDirectory && s.getPath.getName.contains("=")),
+      s"compact: $path has a partitioned layout — compact per partition " +
+        "(a flat rewrite would destroy the directory structure)")
+    val bytes = fs.getContentSummary(p).getLength
     val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val tmp = path + "__compacting"
     spark.read.parquet(path).repartition(parts)

@@ -19,7 +19,12 @@ object CleanFunctions {
 
   /** Ingress: map the reference's 'N/A'/empty sentinels to null. */
   def naToNull(c: Column): Column =
-    when(c.isNull || trim(c) === "" || c === NA, lit(null: String)).otherwise(c)
+    // whitespace-wide blank check (Python's strip(), the reference's law):
+    // Spark's trim strips only spaces, so a tab/NBSP-only value would
+    // otherwise slip past the sentinel mapping — the same trap F1's
+    // collapse-before-trim note documents
+    when(c.isNull || trim(regexp_replace(c, "\\s+", " ")) === "" || c === NA,
+      lit(null: String)).otherwise(c)
 
   /** Egress: restore the reference's 'N/A' sentinel (bulk_scraper.py:116). */
   def nullToNa(c: Column): Column = coalesce(c, lit(NA))
@@ -68,10 +73,14 @@ object CleanFunctions {
 
   /** F6 multi-phone pipeline (business_transformer.py:91-94): split on comma,
     * normalize each, drop invalid, keep first-occurrence order, dedup. */
-  def cleanPhones(c: Column): Column = {
-    val normalized = transform(split(c, ","), p => normalizePhone(trim(p)))
-    array_distinct(filter(normalized, _.isNotNull))
-  }
+  def cleanPhones(c: Column): Column =
+    cleanPhoneArray(transform(split(c, ","), p => trim(p)))
+
+  /** The array-level core of [[cleanPhones]], shared with callers whose
+    * phones already arrive as an array (LeadPipeline.clean) — one place for
+    * the normalize/filter/distinct law. */
+  def cleanPhoneArray(arr: Column): Column =
+    array_distinct(filter(transform(arr, p => normalizePhone(p)), _.isNotNull))
 
   /** F6 at CSV egress: comma-joined string, 'N/A' when empty. */
   def phonesToString(arr: Column): Column =

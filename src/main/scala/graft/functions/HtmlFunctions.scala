@@ -43,10 +43,14 @@ object HtmlFunctions {
     nullif(m, lit(""))
   }
 
-  /** H6 — first social link for a domain (bulk_scraper.py:159-162). */
+  /** H6 — first social link for a domain (bulk_scraper.py:159-162).
+    * The domain's dots are escaped (the oracle mirror already does this):
+    * unescaped, `facebook.com` would match any char at the dot and a
+    * `facebookXcom...` href would extract as the facebook field. */
   def htmlSocial(html: Column, domain: String): Column =
     nullif(regexp_extract(html,
-      s"""<a href="(https?://(?:www\\.)?$domain[^"]*)"""", 1), lit(""))
+      s"""<a href="(https?://(?:www\\.)?${domain.replace(".", "\\.")}[^"]*)"""",
+      1), lit(""))
 
   /** H7 — opening hours: clock-icon sibling span + F13 status-word cleanup
     * (bulk_scraper.py:164-176). */

@@ -48,16 +48,22 @@ object TextHash {
     org.apache.spark.sql.GraftColumnBridge.column(
       graft.plans.PolyHash(org.apache.spark.sql.GraftColumnBridge.expression(c)))
 
-  /** Order-sensitive hash of a token array: fold(acc*131 + charHash(tok)) mod P. */
+  /** Order-sensitive hash of a token array: fold(acc*131 + charHash(tok)) mod P.
+    * Null-in-null-out (split(NULL) is a null array — the guard every sibling
+    * kernel carries). */
   def tokenSeqHash(tokens: Column): Column =
-    udf((toks: Seq[String]) => tokenFold(toks)).apply(tokens)
+    udf((toks: Seq[String]) =>
+      if (toks == null) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(tokenFold(toks))).apply(tokens)
 
   /** Order-insensitive content fingerprint: tokenSeqHash over the sorted
     * distinct token set — equal iff two documents have the same vocabulary.
     * (Scala sort = codepoint-lexicographic, matching ANSI list_sort binary
-    * collation for ASCII/BMP input.) */
+    * collation for ASCII/BMP input.) Null-in-null-out. */
   def contentHash(tokens: Column): Column =
-    udf((toks: Seq[String]) => tokenFold(toks.distinct.sorted)).apply(tokens)
+    udf((toks: Seq[String]) =>
+      if (toks == null) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(tokenFold(toks.distinct.sorted))).apply(tokens)
 
   /** Reference expression forms (Catalyst HOF folds) — semantics oracle for
     * the JVM kernels above; see TextHashSpec's equivalence property. */

@@ -131,7 +131,9 @@ object EtlOps {
                  trim(regexp_replace(raw_name, '\\s+', ' ', 'g')) AS nombre,
                  list_filter(list_transform(string_split(raw_phone, ','),
                    p -> ${sqlNormPhone("trim(p)")}), x -> x IS NOT NULL) AS phones,
-                 CASE WHEN raw_email IS NULL OR trim(raw_email) = '' OR raw_email = 'N/A' THEN NULL
+                 CASE WHEN raw_email IS NULL
+                        OR trim(regexp_replace(raw_email, '\\s+', ' ', 'g')) = ''
+                        OR raw_email = 'N/A' THEN NULL
                       WHEN regexp_matches(raw_email, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$$')
                       THEN raw_email ELSE NULL END AS email,
                  CASE WHEN lower(raw_social) LIKE '%guiacores%' THEN NULL

@@ -20,6 +20,11 @@ class CleanFunctionsSpec extends SparkSpec {
     assert(one(naToNull($"c"), "  ") == null)
     assert(one(naToNull($"c"), "hola") == "hola")
     assert(one(naToNull($"c"), null) == null)
+    // whitespace-wide blank law (Python strip semantics): tab/newline-only
+    // values are blanks too — Spark's space-only trim alone misses them
+    assert(one(naToNull($"c"), "\t") == null)
+    assert(one(naToNull($"c"), " \t\n ") == null)
+    assert(one(naToNull($"c"), "\ta\t") == "\ta\t")
   }
 
   test("nullToNa restores sentinel") {

@@ -90,6 +90,15 @@ class EtlSpec extends SparkSpec {
     LeadPipeline.upsert(spark, v2, out, "id")
     val got = spark.read.parquet(out).as[(Long, String, Double)].collect().sortBy(_._1)
     assert(got.sameElements(Array((1L, "new", 11.0), (2L, "keep", 20.0), (3L, "ins", 30.0))))
+
+    // the incoming ROW wins, nulls included (EXCLUDED.c semantics — the
+    // reference's DO UPDATE and JdbcUpsert's law): a business that removed
+    // its email must not keep the stale one via per-column coalesce
+    val v3 = Seq((1L, null.asInstanceOf[String], 12.0)).toDF("id", "name", "score")
+    LeadPipeline.upsert(spark, v3, out, "id")
+    val r1 = spark.read.parquet(out).filter($"id" === 1L).head()
+    assert(r1.isNullAt(r1.fieldIndex("name")), "incoming NULL did not clear the field")
+    assert(r1.getDouble(r1.fieldIndex("score")) == 12.0)
   }
 
   test("upsert/compact leave no staging or swap debris next to the table") {
