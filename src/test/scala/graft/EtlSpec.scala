@@ -101,6 +101,25 @@ class EtlSpec extends SparkSpec {
     assert(r1.getDouble(r1.fieldIndex("score")) == 12.0)
   }
 
+  test("upsert recovers a table parked at __old by a swap killed mid-rename") {
+    // simulate the swapIn crash window: the live table was renamed to
+    // target__old and the process died before the stage rename — the next
+    // upsert must restore it and MERGE, never treat the target as absent
+    // and rebuild from the incoming batch alone (silent data loss)
+    val out = tmp("graft_recover") + "/t"
+    val v1 = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "score")
+    LeadPipeline.upsert(spark, v1, out, "id")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(out),
+      new org.apache.hadoop.fs.Path(out + "__old")))
+    LeadPipeline.upsert(spark, Seq((3L, "c", 3.0)).toDF("id", "name", "score"), out, "id")
+    val got = spark.read.parquet(out).as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(got.sameElements(Array((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))),
+      s"pre-crash rows lost: ${got.mkString(",")}")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(out + "__old")))
+  }
+
   test("upsert/compact leave no staging or swap debris next to the table") {
     val base = tmp("graft_swap")
     val out = base + "/t"
