@@ -197,6 +197,18 @@ object Bench {
       Seq(passAnchor(1), passAnchor(2), passAnchor(3)),
       HostAnchor.NominalParallelMs)
     def fmt(v: Double) = f"$v%.3f"
+    // env-derived strings (sfDir) and exception messages can carry quotes/
+    // backslashes — escape them or the whole record stops being parseable
+    // JSON (the same rule app.Main's envelope already applies)
+    def jstr(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     def toJson(rs: Seq[(String, Double)]) = rs
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -225,7 +237,7 @@ object Bench {
     // failures surface in BOTH records: the driver's tail parser sees
     // n_failed on the compact line, the judge sees names in the detail
     val failedJson = failed.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + k + "\":\"" + jstr(v) + "\"" }.mkString("{", ",", "}")
     val failMark = if (failed.isEmpty) "" else s""","n_failed":${failed.size}"""
     val anchorsJson = anchors.toSeq
       .map { case (k, (s, p)) =>
@@ -238,7 +250,7 @@ object Bench {
     val slowdownsJson = passSlowdowns.map(fmt).mkString("[", ",", "]")
     val anchorBlock =
       s""","anchors":$anchorsJson,"anchor_nominal":{"single_ms":${fmt(HostAnchor.NominalSingleMs)},"par_ms":${fmt(HostAnchor.NominalParallelMs)}},"pass_slowdowns":$slowdownsJson,"queries_norm":${toJson(resultsNorm)},"total_norm":${fmt(totalNorm)}"""
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"stages":$stages,"query_metrics":$metricsJson,"failed":$failedJson$failMark$anchorBlock,"storage":[${storageLog.mkString(",")}]$onlyMark,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"stages":$stages,"query_metrics":$metricsJson,"failed":$failedJson$failMark$anchorBlock,"storage":[${storageLog.mkString(",")}]$onlyMark,"sf":"${jstr(sfDir)}"}"""
     // subset runs go to their own file: the full-suite BENCH_DETAIL.json is
     // the graded record and a debugging subset must never clobber it
     val detailFile =
@@ -246,8 +258,12 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailFile), full + "\n")
     catch { case _: Throwable => () }
-    val slow = results.sortBy(-_._2).take(25).sortBy(_._1)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_norm":${fmt(totalNorm)},"queries":${toJson(slow)},"sf":"$sfDir","n_queries":${results.size}$failMark$onlyMark,"detail":"$detailFile"}""")
+    // the compact line reports QUERIES: stage rows stay in the detail
+    // record's maps, but they must not inflate n_queries or displace a
+    // real query from the capped top-25 window the driver's tail parses
+    val queryRows = results.filterNot(_._1.startsWith("stage:"))
+    val slow = queryRows.sortBy(-_._2).take(25).sortBy(_._1)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_norm":${fmt(totalNorm)},"queries":${toJson(slow)},"sf":"${jstr(sfDir)}","n_queries":${queryRows.size}$failMark$onlyMark,"detail":"$detailFile"}""")
     graft.queries.TextOps.releaseShingles()
     Checkpoints.releaseScoped()
     spark.stop()

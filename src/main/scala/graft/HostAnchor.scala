@@ -74,10 +74,11 @@ object HostAnchor {
     * One run only — under real contention there is no "clean" repeat to
     * min() toward, and the contention IS the signal. */
   def parallel(threads: Int): Double = {
-    val results = new Array[Double](threads)
     val t0 = System.nanoTime()
-    val ts = (0 until threads).map { i =>
-      val t = new Thread(() => results(i) = once())
+    val ts = (0 until threads).map { _ =>
+      // per-thread times are not collected — the wall-to-join IS the
+      // measurement; once()'s @volatile sink already defeats JIT elision
+      val t = new Thread(() => { once(); () })
       t.setDaemon(true); t.start(); t
     }
     ts.foreach(_.join())

@@ -10,16 +10,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** Full inventory: name → query (Spark plan + optional DuckDB oracle). */
-  def registry: Map[String, Q] =
-    graft.queries.Relational.qs ++
-      graft.queries.Functions.qs ++
-      graft.queries.Events.qs ++
-      graft.queries.TextOps.qs ++
-      graft.queries.Vectors.qs ++
-      graft.queries.Mining.qs ++
-      graft.queries.EtlOps.qs ++
-      graft.streaming.StreamOps.qs ++
-      graft.multimodal.MultimodalOps.qs
+  def registry: Map[String, Q] = {
+    val modules = Seq(
+      graft.queries.Relational.qs,
+      graft.queries.Functions.qs,
+      graft.queries.Events.qs,
+      graft.queries.TextOps.qs,
+      graft.queries.Vectors.qs,
+      graft.queries.Mining.qs,
+      graft.queries.EtlOps.qs,
+      graft.streaming.StreamOps.qs,
+      graft.multimodal.MultimodalOps.qs)
+    val all = modules.reduce(_ ++ _)
+    // a duplicate name across modules would silently last-win and one query
+    // would VANISH from the suite (no Verify row, no bench row, no driver
+    // anomaly) — fail fast instead, naming the collision
+    require(all.size == modules.map(_.size).sum, {
+      val dups = modules.flatMap(_.keys)
+        .groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+      s"duplicate query names across modules: ${dups.mkString(", ")}"
+    })
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

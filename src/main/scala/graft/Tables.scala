@@ -94,7 +94,12 @@ object MoneyOut {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{round, lit}
 
-  /** Spark side: decimal sum -> engine-stable DOUBLE. */
+  /** Spark side: decimal sum -> engine-stable DOUBLE.
+    *
+    * CONTRACT: `c` must be DECIMAL (sum the column as decimal(18,6) first).
+    * On a DOUBLE input the law is NOT engine-stable: round(x,2)*100 can land
+    * at .99999… in IEEE, where Spark's bigint cast truncates and DuckDB's
+    * rounds — the exact floor-before-cast trap in the determinism notes. */
   def col(c: Column): Column =
     (round(c, 2) * lit(100)).cast("bigint").cast("double") / lit(100.0)
 

@@ -48,8 +48,12 @@ object DirectorySource {
   val localidades: IndexedSeq[String] = Vector("Santa Fe", "Rosario",
     "Rafaela", "Venado Tuerto", "Reconquista", "Esperanza")
 
-  def rubroOf(id: Long): String = rubros(((id * 7) % 8).toInt)
-  def localidadOf(id: Long): String = localidades(((id * 13) % 6).toInt)
+  // floorMod: a wrap-around negative product (id > Long.MaxValue/13) must
+  // index deterministically, never throw IndexOutOfBounds from a signed %
+  def rubroOf(id: Long): String =
+    rubros(java.lang.Math.floorMod(id * 7, 8L).toInt)
+  def localidadOf(id: Long): String =
+    localidades(java.lang.Math.floorMod(id * 13, 6L).toInt)
   def hasEmailOf(id: Long): Boolean = id % 3 == 0
 
   def valueOf(field: String, id: Long): Any = field match {
@@ -61,6 +65,26 @@ object DirectorySource {
     case "url" => UTF8String.fromString(
       s"https://directory.example/detail?id=$id")
   }
+
+  // constant-string values pre-encoded ONCE (a scan must not re-encode the
+  // same 14 UTF8Strings per row)
+  private val rubroU8: Array[UTF8String] =
+    rubros.map(UTF8String.fromString).toArray
+  private val localidadU8: Array[UTF8String] =
+    localidades.map(UTF8String.fromString).toArray
+
+  /** Field generator resolved ONCE per reader — the per-row path does no
+    * string matching and no constant re-encoding (same values as
+    * [[valueOf]], which stays the readable law). */
+  private[sources] def generator(field: String): Long => Any = field match {
+    case "id" => (i: Long) => i
+    case "nombre" => (i: Long) => UTF8String.fromString(s"Negocio $i")
+    case "rubro" => (i: Long) => rubroU8(java.lang.Math.floorMod(i * 7, 8L).toInt)
+    case "localidad" => (i: Long) => localidadU8(java.lang.Math.floorMod(i * 13, 6L).toInt)
+    case "has_email" => (i: Long) => hasEmailOf(i)
+    case "url" => (i: Long) =>
+      UTF8String.fromString(s"https://directory.example/detail?id=$i")
+  }
 }
 
 private class DirectoryTable extends Table with SupportsRead {
@@ -68,11 +92,17 @@ private class DirectoryTable extends Table with SupportsRead {
   override def schema(): StructType = DirectorySource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DirectoryScanBuilder(
-      options.getLong("start_id", 1L),
-      options.getLong("end_id", 5000L),
-      options.getLong("chunk_size", 1000L))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val start = options.getLong("start_id", 1L)
+    val end = options.getLong("end_id", 5000L)
+    val chunk = options.getLong("chunk_size", 1000L)
+    // loud option contract: chunk_size <= 0 would either crash the Range
+    // constructor (0) or return a silently EMPTY scan (negative); a
+    // negative start breaks the overflow-safe chunking arithmetic
+    require(chunk > 0, s"chunk_size must be positive, got $chunk")
+    require(start >= 0, s"start_id must be non-negative, got $start")
+    new DirectoryScanBuilder(start, end, chunk)
+  }
 }
 
 private class DirectoryScanBuilder(var startId: Long, var endId: Long,
@@ -99,9 +129,17 @@ private class DirectoryScanBuilder(var startId: Long, var endId: Long,
                 _: LessThan | _: LessThanOrEqual) =>
         val consumed = f match {
           case EqualTo("id", v) => longOf(v).map(l => { startId = startId.max(l); endId = endId.min(l) })
-          case GreaterThan("id", v) => longOf(v).map(l => startId = startId.max(l + 1))
+          // strict bounds at the Long extremes are UNSATISFIABLE, not a
+          // wrapping l±1: GreaterThan(MaxValue) would compute MinValue and
+          // the consumed filter would then be enforced NOWHERE — a silent
+          // wrong result (the scan keeps the filter, Spark gets no residual)
+          case GreaterThan("id", v) => longOf(v).map(l =>
+            if (l == Long.MaxValue) { startId = 1L; endId = 0L }
+            else startId = startId.max(l + 1))
           case GreaterThanOrEqual("id", v) => longOf(v).map(l => startId = startId.max(l))
-          case LessThan("id", v) => longOf(v).map(l => endId = endId.min(l - 1))
+          case LessThan("id", v) => longOf(v).map(l =>
+            if (l == Long.MinValue) { startId = 1L; endId = 0L }
+            else endId = endId.min(l - 1))
           case LessThanOrEqual("id", v) => longOf(v).map(l => endId = endId.min(l))
           case _ => None
         }
@@ -133,7 +171,11 @@ private class DirectoryScan(startId: Long, endId: Long, chunkSize: Long,
   override def planInputPartitions(): Array[InputPartition] =
     if (endId < startId) Array.empty
     else (startId to endId by chunkSize)
-      .map(lo => IdChunk(lo, (lo + chunkSize - 1).min(endId)): InputPartition)
+      // overflow-safe hi: lo + chunkSize - 1 can wrap negative when endId
+      // sits near Long.MaxValue; the subtraction form never overflows
+      // (0 <= lo <= endId by the builder's start_id >= 0 contract)
+      .map(lo => IdChunk(lo,
+        if (endId - lo >= chunkSize) lo + chunkSize - 1 else endId): InputPartition)
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -148,6 +190,11 @@ private class DirectoryReaderFactory(fields: Array[String],
     val chunk = p.asInstanceOf[IdChunk]
     new PartitionReader[InternalRow] {
       private var id = chunk.lo - 1
+      // per-field generators resolved ONCE per reader: the old per-row
+      // fromSeq over a fresh string-matched IndexedSeq re-encoded the same
+      // constant strings on every row — pure per-row garbage at scale
+      private val gens: Array[Long => Any] =
+        fields.map(DirectorySource.generator)
 
       private def matches(i: Long): Boolean = pushed.forall {
         case EqualTo("rubro", v) => DirectorySource.rubroOf(i) == v
@@ -161,8 +208,12 @@ private class DirectoryReaderFactory(fields: Array[String],
         while (id <= chunk.hi && !matches(id)) id += 1
         id <= chunk.hi
       }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(fields.toIndexedSeq.map(DirectorySource.valueOf(_, id)))
+      override def get(): InternalRow = {
+        val vals = new Array[Any](gens.length)
+        var i = 0
+        while (i < gens.length) { vals(i) = gens(i)(id); i += 1 }
+        InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+      }
       override def close(): Unit = ()
     }
   }
