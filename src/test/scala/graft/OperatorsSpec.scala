@@ -39,6 +39,40 @@ class OperatorsSpec extends SparkSpec {
     assert(out.sameElements(Array((1L, None))))
   }
 
+  test("asOfJoinBackward equals the brute-force as-of law on randomized " +
+      "inputs (nulls, ties, shared keys)") {
+    // property law: for every left row, the asof_* values are exactly the
+    // latest right row's (ts <= left.ts, right-at-equal-ts wins), nulls
+    // preserved — checked against a driver-side brute force on a seeded
+    // random corpus dense in ties and null values
+    val rnd = new scala.util.Random(42)
+    val leftRows = Seq.tabulate(200)(i =>
+      (rnd.nextInt(8).toLong, ts(rnd.nextInt(40)), i.toLong))
+    val rightRows = Seq.tabulate(150)(_ =>
+      (rnd.nextInt(8).toLong, ts(rnd.nextInt(40)),
+        if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(100).toDouble)))
+    val left = leftRows.toDF("key", "lts", "row_id")
+    val right = rightRows.toDF("key", "rts", "price")
+    val got = Operators.asOfJoinBackward(left, right, "key", "lts", "rts")
+      .select($"row_id", $"asof_price")
+      .as[(Long, Option[Double])].collect().toMap
+    leftRows.foreach { case (k, lt, id) =>
+      val cands = rightRows.filter(r => r._1 == k && !r._2.after(lt))
+      if (cands.isEmpty)
+        assert(got(id).isEmpty, s"key=$k lts=$lt: got ${got(id)}, want none")
+      else {
+        // rows tied at the max qualifying ts rank arbitrarily among
+        // themselves (as with any rank) — accept any of their values,
+        // INCLUDING a null (a latest-row null is the answer, never a gap
+        // to fill from an older row)
+        val mx = cands.map(_._2.getTime).max
+        val valid = cands.filter(_._2.getTime == mx).map(_._3).toSet
+        assert(valid.contains(got(id)),
+          s"key=$k lts=$lt: got ${got(id)}, want one of $valid")
+      }
+    }
+  }
+
   test("asOfJoinBackward: left and right may share the timestamp name " +
       "(and value-column names)") {
     val left = Seq((1L, ts(30), 7.0)).toDF("key", "ts", "price")
