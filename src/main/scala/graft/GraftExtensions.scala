@@ -46,6 +46,10 @@ object GraftExtensions {
       }
     })
     spark.udf.register("clean_text", (s: String) =>
-      if (s == null) null else s.trim.replaceAll("\\s+", " "))
+      // collapse BEFORE trim with the shared Unicode class (CF.Ws): Java's
+      // String.trim strips only ≤ U+0020, so trim-then-collapse would leave
+      // a leading NBSP behind as a space — the Column form's exact order
+      if (s == null) null
+      else s.replaceAll(s"${graft.functions.CleanFunctions.Ws}+", " ").trim)
   }
 }

@@ -17,13 +17,28 @@ object CleanFunctions {
 
   val NA = "N/A"
 
+  /** The whitespace class of the reference's law — Python str.strip()/
+    * str.isspace(), which is the full Unicode White_Space set (NBSP, the
+    * typographic spaces U+2000–200A, ideographic space U+3000, …) plus the
+    * \x1C–\x1F separators. Spelled out EXPLICITLY rather than via \s:
+    * Java's \s is ASCII-only (a U+00A0-only value would bypass the
+    * sentinel mapping — real Word-authored pages carry NBSP), and RE2's \s
+    * lacks even \x0B, so an engine-native shorthand on either side would
+    * silently diverge. \t-\r covers 09–0D (tab LF VT FF CR). */
+  private[graft] val Ws = "[\\t-\\r \\u001C-\\u001F\\u0085\\u00A0\\u1680" +
+    "\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]"
+  /** [[Ws]]'s DuckDB/RE2 replica, character-for-character — splice into
+    * oracle SQL wherever the cleanText/naToNull law is mirrored. */
+  private[graft] val DuckWs = "[\\t-\\r \\x{001C}-\\x{001F}\\x{0085}" +
+    "\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}" +
+    "\\x{205F}\\x{3000}]"
+
   /** Ingress: map the reference's 'N/A'/empty sentinels to null. */
   def naToNull(c: Column): Column =
     // whitespace-wide blank check (Python's strip(), the reference's law):
-    // Spark's trim strips only spaces, so a tab/NBSP-only value would
-    // otherwise slip past the sentinel mapping — the same trap F1's
-    // collapse-before-trim note documents
-    when(c.isNull || trim(regexp_replace(c, "\\s+", " ")) === "" || c === NA,
+    // a tab/NBSP-only value must not slip past the sentinel mapping — the
+    // same trap F1's collapse-before-trim note documents
+    when(c.isNull || trim(regexp_replace(c, s"$Ws+", " ")) === "" || c === NA,
       lit(null: String)).otherwise(c)
 
   /** Egress: restore the reference's 'N/A' sentinel (bulk_scraper.py:116). */
@@ -31,11 +46,13 @@ object CleanFunctions {
 
   /** F1 clean_text — collapse internal whitespace, trim
     * (reference src/transformers/business_transformer.py:25-29).
-    * Collapse BEFORE trim: Spark's trim strips only spaces, so a leading tab
-    * would survive trim-then-collapse and break idempotence (the reference's
-    * Python .strip() removes all whitespace classes). */
+    * Collapse BEFORE trim: Spark's trim strips only spaces, so a leading
+    * tab or NBSP would survive trim-then-collapse and break idempotence
+    * (the reference's Python .strip() removes all whitespace classes —
+    * the collapse maps every [[Ws]] run to ONE plain space, after which
+    * the spaces-only trim is exact). */
   def cleanText(c: Column): Column =
-    trim(regexp_replace(c, "\\s+", " "))
+    trim(regexp_replace(c, s"$Ws+", " "))
 
   /** F2 normalize_phone (business_transformer.py:31-49): strip non-digits;
     * <10 digits → null; 10 digits → XXX-XXXX-XXX ([0:3][3:7][7:]);

@@ -139,8 +139,7 @@ object TolerantDom {
     * order), and the common punctuation/symbol set (dashes, curly quotes,
     * ellipsis, euro, trade). Unknown names stay literal text, as a browser
     * leaves them. */
-  private val namedEntities: Map[String, Int] = {
-    val latin1 = Seq( // HTML 4 Latin-1 names, in codepoint order from U+00A0
+  private val latin1Names = Seq( // HTML 4 Latin-1 names, codepoint order from U+00A0
       "nbsp", "iexcl", "cent", "pound", "curren", "yen", "brvbar", "sect",
       "uml", "copy", "ordf", "laquo", "not", "shy", "reg", "macr", "deg",
       "plusmn", "sup2", "sup3", "acute", "micro", "para", "middot", "cedil",
@@ -154,9 +153,21 @@ object TolerantDom {
       "ecirc", "euml", "igrave", "iacute", "icirc", "iuml", "eth", "ntilde",
       "ograve", "oacute", "ocirc", "otilde", "ouml", "divide", "oslash",
       "ugrave", "uacute", "ucirc", "uuml", "yacute", "thorn", "yuml")
+
+  /** The HTML5 legacy set (§13.2 named-character-reference state): the
+    * refs browsers decode WITHOUT a trailing semicolon — exactly the
+    * Latin-1 block plus quot/amp/lt/gt and the spec's six uppercase
+    * variants. Real Word-authored pages carry e.g. `&ntilde` bare. */
+  private val legacyNames: Seq[String] = latin1Names ++
+    Seq("quot", "amp", "lt", "gt", "AMP", "COPY", "GT", "LT", "QUOT", "REG")
+
+  private val namedEntities: Map[String, Int] = {
+    val latin1 = latin1Names
       .zipWithIndex.map { case (n, i) => n -> (0xA0 + i) }
     val punct = Seq(
       "quot" -> 34, "amp" -> 38, "apos" -> 39, "lt" -> 60, "gt" -> 62,
+      "AMP" -> 38, "COPY" -> 169, "GT" -> 62, "LT" -> 60, "QUOT" -> 34,
+      "REG" -> 174,
       "OElig" -> 338, "oelig" -> 339, "Scaron" -> 352, "scaron" -> 353,
       "Yuml" -> 376, "fnof" -> 402, "circ" -> 710, "tilde" -> 732,
       "ensp" -> 8194, "emsp" -> 8195, "thinsp" -> 8201, "zwnj" -> 8204,
@@ -174,17 +185,44 @@ object TolerantDom {
     * in ONE pass: a replacement's output is never rescanned, so `&#38;amp;`
     * yields the literal text `&amp;` (as a browser does) instead of
     * double-decoding to `&` the way chained replace passes would.
-    * Malformed refs (`&#abc;`, unknown names, no semicolon) stay literal
-    * text, exactly as a browser leaves them. */
+    *
+    * Semicolon rules, per HTML5's named-character-reference state with
+    * THIS table: a `name;` ref decodes iff `name` is in the table; an
+    * unknown `name;` (and any bare name) decodes its longest LEGACY-set
+    * prefix and leaves the rest literal (the spec's "&notit" → "¬it"
+    * behavior — `&ntilde` without the semicolon is what Word-authored
+    * pages actually emit). In an ATTRIBUTE value a legacy ref followed by
+    * an ASCII alphanumeric or `=` stays literal (the spec rule that keeps
+    * `?a=1&copy=2` URLs intact). Numeric refs still require the
+    * semicolon — a deliberate simplification; `&#65` bare is vanishingly
+    * rare next to bare `&nbsp`/`&ntilde`. Malformed refs (`&#abc;`,
+    * unknown names with no legacy prefix) stay literal text. */
   private val entityRef =
-    "&(#(?:[0-9]+|[xX][0-9a-fA-F]+)|[a-zA-Z][a-zA-Z0-9]*);".r
+    ("&(#(?:[0-9]+|[xX][0-9a-fA-F]+);|[a-zA-Z][a-zA-Z0-9]*;|" +
+      // legacy bare names, longest-first so the alternation is greedy
+      legacyNames.sortBy(n => (-n.length, n)).mkString("|") + ")").r
 
-  private[functions] def decodeEntities(s: String): String =
+  /** Longest legacy prefix of `name`, with the decoded char and the
+    * literal remainder — None when no legacy name prefixes it. */
+  private def legacyPrefix(name: String): Option[(String, String)] = {
+    var len = math.min(name.length, 6) // longest legacy name is 6 chars
+    while (len >= 2) { // shortest (lt/gt/GT/LT) is 2
+      val p = name.substring(0, len)
+      if (legacySet.contains(p))
+        return Some((new String(Character.toChars(namedEntities(p))),
+          name.substring(len)))
+      len -= 1
+    }
+    None
+  }
+  private val legacySet: Set[String] = legacyNames.toSet
+
+  private[functions] def decodeEntities(s: String, inAttr: Boolean = false): String =
     if (s.indexOf('&') < 0) s
     else entityRef.replaceAllIn(s, m => {
       val body = m.group(1)
       val out = if (body.charAt(0) == '#') {
-        val d = body.substring(1)
+        val d = body.substring(1, body.length - 1) // drop '#' and ';'
         val cp = try {
           if (d.charAt(0) == 'x' || d.charAt(0) == 'X')
             Integer.parseInt(d.substring(1), 16)
@@ -197,9 +235,29 @@ object TolerantDom {
         // that downstream CSV/JSON writers mangle codec-dependently
         if (cp == 0 || (cp >= 0xD800 && cp <= 0xDFFF) || cp > 0x10FFFF) "�"
         else new String(Character.toChars(ncrRemap.getOrElse(cp, cp)))
-      } else namedEntities.get(body) match {
-        case Some(cp) => new String(Character.toChars(cp))
-        case None     => m.matched // unknown name: literal text, untouched
+      } else if (body.endsWith(";")) {
+        val name = body.substring(0, body.length - 1)
+        namedEntities.get(name) match {
+          case Some(cp) => new String(Character.toChars(cp))
+          // unknown name;: a browser consumes its longest legacy prefix
+          // ("&copyright;" → "©right;"); no legacy prefix → literal text
+          case None => legacyPrefix(name) match {
+            case Some((ch, rest)) => ch + rest + ";"
+            case None             => m.matched
+          }
+        }
+      } else {
+        // bare legacy ref (the alternation only matches known legacy
+        // names). Attribute rule: followed by ASCII alnum or '=' it is
+        // NOT a character reference — "?a=1&copy=2" stays a URL.
+        val next = m.end
+        val blocked = inAttr && next < s.length && {
+          val c = s.charAt(next)
+          c == '=' || (c >= '0' && c <= '9') ||
+            (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+        }
+        if (blocked) m.matched
+        else new String(Character.toChars(namedEntities(body)))
       }
       java.util.regex.Matcher.quoteReplacement(out)
     })
@@ -299,7 +357,8 @@ object TolerantDom {
                   avalue = html.substring(vs, j)
                 }
               }
-              if (aname.nonEmpty) attrs += aname -> decodeEntities(avalue)
+              if (aname.nonEmpty)
+                attrs += aname -> decodeEntities(avalue, inAttr = true)
             }
           }
           i = j

@@ -128,11 +128,11 @@ object EtlOps {
           FROM customer),
         cleaned AS (
           SELECT c_custkey AS id_negocio,
-                 trim(regexp_replace(raw_name, '\\s+', ' ', 'g')) AS nombre,
+                 trim(regexp_replace(raw_name, '${CF.DuckWs}+', ' ', 'g')) AS nombre,
                  list_filter(list_transform(string_split(raw_phone, ','),
                    p -> ${sqlNormPhone("trim(p)")}), x -> x IS NOT NULL) AS phones,
                  CASE WHEN raw_email IS NULL
-                        OR trim(regexp_replace(raw_email, '\\s+', ' ', 'g')) = ''
+                        OR trim(regexp_replace(raw_email, '${CF.DuckWs}+', ' ', 'g')) = ''
                         OR raw_email = 'N/A' THEN NULL
                       WHEN regexp_matches(raw_email, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$$')
                       THEN raw_email ELSE NULL END AS email,
@@ -223,7 +223,7 @@ object EtlOps {
                nullif(regexp_extract(html, '<a href="(https?://(?:www\\.)?instagram\\.com[^"]*)"', 1), '') AS instagram,
                nullif(trim(regexp_replace(regexp_replace(
                  regexp_extract(html, '<span class="horarios">([^<]*)</span>', 1),
-                 '\\b(Abierto|Cerrado)\\b', '', 'g'), '\\s+', ' ', 'g')), '') AS horarios,
+                 '\\b(Abierto|Cerrado)\\b', '', 'g'), '${CF.DuckWs}+', ' ', 'g')), '') AS horarios,
                CAST(regexp_extract(html, 'data-lat="([^"]*)"', 1) AS DOUBLE) AS latitud,
                CAST(regexp_extract(html, 'data-lng="([^"]*)"', 1) AS DOUBLE) AS longitud,
                array_to_string(regexp_extract_all(html, '<a class="search-result-link">([^<]*)</a>', 1), ', ') AS rubros

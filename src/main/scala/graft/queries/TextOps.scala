@@ -214,6 +214,7 @@ object TextOps {
     synchronized { timedStage(name)(f) }
 
   private val frameChildNs = scala.collection.mutable.Stack[Long]()
+  private val heapProbe = sys.env.contains("SPARK_GRAFT_HEAPPROBE")
   private def timedStage[T](name: String)(f: => T): T = {
     // Bench runs also attribute WHY per stage (GC vs spill — see MetricsTap
     // scaladoc): deltas are INCLUSIVE of nested builds (no exclusive-time
@@ -254,6 +255,23 @@ object TextOps {
         stageMetricSums(name) = graft.MetricsTap.Snap(
           prev.gcMs + d.gcMs, prev.spillMemBytes + d.spillMemBytes,
           prev.spillDiskBytes + d.spillDiskBytes)
+        // Diagnosis-only live-set probe (SPARK_GRAFT_HEAPPROBE=1): full GC +
+        // used-heap right after the build, off the stage clock (elapsed is
+        // already taken) and credited to the enclosing frame like the flush.
+        // NOT enabled on graded runs — the forced GC costs ~0.3 s inside the
+        // triggering query's timed region. Exists to localize cross-pass
+        // build degradation (r12: jaccard_pairs_build 3.5→28.9 s with
+        // bounded storage counts) to live-heap growth vs something else.
+        if (heapProbe) {
+          val g0 = System.nanoTime()
+          System.gc()
+          val rt = Runtime.getRuntime
+          val gNs = System.nanoTime() - g0
+          if (frameChildNs.nonEmpty)
+            frameChildNs.push(frameChildNs.pop() + gNs)
+          recordStat(s"${name}_live_heap_mb",
+            (rt.totalMemory() - rt.freeMemory()).toDouble / (1 << 20))
+        }
       }
       r
     } catch { // pop the frame on failure too, or the orphan entry corrupts
@@ -810,6 +828,109 @@ object TextOps {
     val avg = if (n > 0) acc / n else 0L
     (n, avg, avg * 1000L / cmax)
   }
+
+  /** Bucket count of the hashed-bucket quality model (q198). 4096 buckets:
+    * large enough that an ASCII corpus's few hundred live bigrams rarely
+    * collide, small enough that the serving table is 32 KB for ANY charset. */
+  private[graft] val QualityBuckets = 4096
+  /** The bucket a bigram string hashes to — scramble before `% V` (the
+    * determinism-notes rule: an unwrapped short-string polynomial hash is
+    * monotone in its last character; raw `% V` would band the bucket
+    * space). ONE definition, used by the fit fold, the serving kernel, and
+    * the oracle replica. */
+  private[graft] def qualityBucketOf(bg: String): Int =
+    (Mining.scrambleLong(graft.functions.TextHash.polyHash(bg))
+      % QualityBuckets).toInt
+  /** V-bucket fold of the distributed char-bigram model (q198's fit):
+    * bucket = scramble(charHash(bg)) % V, count = Σ bigram counts landing
+    * there. ≤ V rows by CONSTRUCTION — bounded metadata for any charset,
+    * which is exactly what the raw |charset|² model is not
+    * ([[bigramServingModel]]'s ≤2^20 contract refuses a CJK fit; this fold
+    * is the serving deployment that contract points at). Folding the
+    * STAGED model table (not re-exploding the corpus) keeps the fit one
+    * |model|-sized agg, shared with the q113 family's build. */
+  private[graft] def bucketModelTab(s: SparkSession, d: String): (Array[Long], Long) = {
+    val (model, _) = bigramModelDf(s, d)
+    val rows = model
+      .withColumn("b",
+        Mining.scramble(charHash(col("bg"))) % QualityBuckets)
+      .groupBy(col("b")).agg(sum(col("c")).as("c"))
+      .collect()
+    require(rows.length <= QualityBuckets, // by construction; loud anyway
+      s"bucket fold produced ${rows.length} rows > V=$QualityBuckets")
+    val tab = new Array[Long](QualityBuckets)
+    rows.foreach(r => tab(r.getLong(0).toInt) = r.getLong(1))
+    (tab, tab.max)
+  }
+
+  /** q198's familiarity law as a pure kernel — [[bigramScore]] with the
+    * model lookup replaced by the bucket table. Every corpus bigram lands
+    * in a fitted bucket (the fit saw the same corpus), so n is the plain
+    * bigram count; code-point indexing as in bigramScore (non-BMP chars
+    * are ONE position, matching Spark's substring). */
+  private[graft] def bucketScore(tab: Array[Long], cmax: Long,
+      text: String): (Long, Long, Long) = {
+    var n = 0L
+    var acc = 0L
+    val len = text.length
+    var prev = -1 // UTF-16 start index of the previous code point
+    var i = 0
+    while (i < len) {
+      val step = Character.charCount(text.codePointAt(i))
+      if (prev >= 0) {
+        acc += tab(qualityBucketOf(text.substring(prev, i + step)))
+        n += 1
+      }
+      prev = i
+      i += step
+    }
+    val avg = if (n > 0) acc / n else 0L
+    (n, avg, if (cmax > 0) avg * 1000L / cmax else 0L)
+  }
+
+  /** q198's gate threshold (familiarity_milli ≥ T kept): picked off the
+    * fixture distribution (fam spans ~200-310 with median ~275 at every
+    * SF), so the gate genuinely splits the corpus at test scale. Declared
+    * BEFORE the oracle val that splices it — object vals initialize in
+    * declaration order. */
+  private[graft] val BucketGateThreshold = 275L
+
+  /** q198's oracle: the bucketed familiarity law replayed in SQL — the
+    * same code-point bigrams as q113's oracle, charHash + scramble + % V
+    * digit-for-digit (Mining.duckScramble), bucket counts joined back per
+    * doc. A DIFFERENT law from q113 (bucket collisions merge counts), which
+    * is why this is its own query and not a silent q133 substitution. */
+  private[graft] val bucketQualityOracleSql: String = s"""
+        WITH bg AS (
+          SELECT doc_id, substr(text, CAST(i AS INT), 2) AS bg
+          FROM documents,
+               unnest(range(1, greatest(length(text), 1))) AS u(i)),
+        bh AS (
+          SELECT doc_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(bg,''), c -> CAST(ascii(c) AS BIGINT))),
+              (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+          FROM bg),
+        bb AS (
+          SELECT doc_id, ${Mining.duckScramble("h")} % $QualityBuckets AS b
+          FROM bh),
+        model AS (SELECT b, count(*) AS c FROM bb GROUP BY b),
+        mx AS (SELECT max(c) AS cmax FROM model),
+        ds AS (
+          SELECT bb.doc_id, count(*) AS n, sum(m.c) AS s
+          FROM bb JOIN model m USING (b) GROUP BY bb.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(ds.n, 0) AS BIGINT) AS n_bigrams,
+               CAST(CASE WHEN coalesce(ds.n, 0) > 0
+                    THEN ds.s // ds.n ELSE 0 END AS BIGINT) AS avg_count,
+               CAST(CASE WHEN coalesce(ds.n, 0) > 0
+                    THEN ((ds.s // ds.n) * 1000) // mx.cmax ELSE 0 END
+                    AS BIGINT) AS familiarity_milli,
+               CASE WHEN coalesce(ds.n, 0) > 0
+                    THEN ((ds.s // ds.n) * 1000) // mx.cmax ELSE 0 END
+                 >= $BucketGateThreshold AS kept
+        FROM documents d LEFT JOIN ds USING (doc_id) CROSS JOIN mx
+        ORDER BY doc_id"""
 
   /** Largest-remainder token-budget apportionment — q125's law as a shared
     * builder (q125 reports it, q137 executes it as a subsample). One

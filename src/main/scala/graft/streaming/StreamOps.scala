@@ -19,9 +19,14 @@ import graft.Q
   * Streaming correctness is therefore oracle-checked, not just smoke-tested.
   *
   * Scale notes: the parquet source splits by file/rowgroup (maxFilesPerTrigger
-  * caps batch size at 100 TB); watermarks bound the dedup/window state store;
-  * complete-mode output here is only for the finite fixture drain — a
-  * production sink would run append mode with the same plan.
+  * caps batch size at 100 TB); watermarks bound the dedup/window state store.
+  * Output-mode policy (StreamingSpec enforces it as a sweep): any drain whose
+  * state grows with stream LIFETIME serves in append mode with watermark
+  * eviction (q42/q149 via the horizon sentinel, q64's join state); complete
+  * mode survives only where the retained state is provably BOUNDED by a
+  * dimension, not by time — q43 (watermark-bounded dedup keys + |types|
+  * counts), q100 (|mktsegment × type| rows), q184 (fixed ≤ |types| × 128
+  * sketch cells).
   */
 object StreamOps {
 
@@ -97,6 +102,10 @@ object StreamOps {
     val raw = s.read.parquet(src.toString)
     val rawTs = raw.schema("ts").dataType
     val mx = raw.agg(max(col("ts"))).head()
+    // max over zero rows is NULL — fail with the envelope's vocabulary, not
+    // the opaque NPE the raw getLong/getAs would throw three lines later
+    require(!mx.isNullAt(0),
+      s"empty events fixture at $src — no horizon sentinel can be derived")
     val sentinelTs: Any = rawTs match {
       case LongType => mx.getLong(0) + 3L * 86400L * 1000000000L // nanos
       case TimestampNTZType => mx.getAs[java.time.LocalDateTime](0).plusDays(3)
@@ -206,17 +215,30 @@ object StreamOps {
 
     // Watermarked tumbling-window aggregation as a real streaming query.
     // Same result as the batch twin (q27) — one plan, two execution modes.
+    // Served in APPEND mode through the q149 horizon-sentinel shape: a
+    // window row is emitted exactly once when the watermark passes its end
+    // and its state row is EVICTED, so state holds only the open windows
+    // inside the watermark horizon — independent of stream lifetime. The
+    // old complete-mode drain retained every (window × type) row for the
+    // life of the stream (the state shape that is unbounded at 100×
+    // timescale); the sentinel closes the fixture's trailing windows the
+    // way the next arrivals would on a production stream.
     "q42_stream_tumbling" -> Q(
       run = (s, d) => {
-        val agg = eventsStream(s, d)
-          .withWatermark("ts", "1 hour")
-          .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
-          .agg(
-            count(lit(1)).as("n"),
-            graft.MoneyOut.col(sum(col("value").cast("decimal(18,6)"))).as("value_sum"))
-          .select(col("window.start").as("bucket_start"),
-            col("event_type"), col("n"), col("value_sum"))
-        drain(s, agg, "complete").orderBy("bucket_start", "event_type")
+        val srcDir = withHorizonSentinel(s, d)
+        try {
+          val agg = eventsStreamFrom(s, d, srcDir.toString, "*.parquet")
+            .withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+            .agg(
+              count(lit(1)).as("n"),
+              graft.MoneyOut.col(sum(col("value").cast("decimal(18,6)"))).as("value_sum"))
+            .select(col("window.start").as("bucket_start"),
+              col("event_type"), col("n"), col("value_sum"))
+          drain(s, agg, "append")
+            .filter(col("event_type") =!= horizonType)
+            .orderBy("bucket_start", "event_type")
+        } finally deleteTree(srcDir)
       },
       oracle = Some("""
         SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
@@ -550,6 +572,44 @@ object StreamOps {
       oracle = Some(graft.queries.TextOps.bigramLmOracleSql),
       doc = "streaming quality gate: q113's familiarity law served " +
         "against arriving docs from a pinned broadcast model"),
+
+    // The LARGE-CHARSET streaming quality gate — q133's serving shape with
+    // the raw |charset|² model replaced by its V-bucket hash fold
+    // (bucket = scramble(charHash(bg)) % 4096, counts summed per bucket).
+    // q133's broadcast model is bounded-metadata ONLY under its ≤2^20
+    // contract; a CJK/multilingual corpus (~10⁸ possible bigrams) refuses
+    // it. The bucket fold is ≤ 4096 entries (32 KB) by CONSTRUCTION for
+    // any charset, so THIS gate serves multilingual ingest where q133
+    // cannot. It is a genuinely different law (collisions merge counts),
+    // so it lands as its own oracle query rather than a silent q133
+    // substitution — CurationSpec proves the CJK case end-to-end through
+    // this streaming path. Same stateless serving plan as q133/q117:
+    // pinned broadcast artifact, per-doc kernel, no state store, append
+    // mode exactly-once.
+    "q198_stream_bucket_quality" -> Q(
+      run = (s, d) => {
+        import s.implicits._
+        val (tab, cmax) = graft.queries.TextOps.bucketModelTab(s, d)
+        val bc = s.sparkContext.broadcast(tab)
+        val scored = documentsStream(s, d)
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .map { case (docId, text) =>
+            val (n, avg, fam) = graft.queries.TextOps
+              .bucketScore(bc.value, cmax, text)
+            (docId, n, avg, fam,
+              fam >= graft.queries.TextOps.BucketGateThreshold)
+          }
+          .toDF("doc_id", "n_bigrams", "avg_count", "familiarity_milli",
+            "kept")
+        val out = drain(s, scored, "append").orderBy("doc_id")
+        bc.destroy() // the sink is materialized — release the table now
+        out
+      },
+      oracle = Some(graft.queries.TextOps.bucketQualityOracleSql),
+      doc = "hashed-bucket streaming quality gate: the bigram familiarity " +
+        "law over a fixed V=4096 bucket fold — bounded serving metadata " +
+        "for ANY charset (the large-charset form q133's contract refuses)"),
 
     // Streaming mergeable histogram quantile sketch: q183's law with FIXED
     // bin edges (width 4 over [0, 512), clamped) running as a stateful

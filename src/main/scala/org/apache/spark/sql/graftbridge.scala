@@ -58,6 +58,18 @@ object GraftListenerBridge {
     catch { case _: java.util.concurrent.TimeoutException => () }
 }
 
+/** Broadcast-block residency gauge. Dead broadcast relations (one per
+  * broadcast join) stay resident in the block manager until a DRIVER GC
+  * clears the weak refs the ContextCleaner waits on — invisible to the
+  * public getPersistentRDDs/getRDDStorageInfo gauges, which is how the r12
+  * cross-pass bench degradation hid. `SparkContext.env` and `BlockManager`
+  * are private[spark]; this package (org.apache.spark.sql) sits inside
+  * that scope, the same shim pattern as the bridges above. */
+object GraftBlockBridge {
+  def broadcastBlockCount(sc: org.apache.spark.SparkContext): Int =
+    sc.env.blockManager.getMatchingBlockIds(_.isBroadcast).size
+}
+
 object GraftRddBridge {
   /** The materialized RDD behind a localCheckpoint'd Dataset; None for any
     * other plan shape. ROOT-only match, deliberately: a derived frame

@@ -25,6 +25,11 @@ class CleanFunctionsSpec extends SparkSpec {
     assert(one(naToNull($"c"), "\t") == null)
     assert(one(naToNull($"c"), " \t\n ") == null)
     assert(one(naToNull($"c"), "\ta\t") == "\ta\t")
+    // Unicode whitespace (Python's isspace set): NBSP / narrow-NBSP /
+    // ideographic-space-only values are blanks too — Java's ASCII-only \s
+    // missed these until the explicit Ws class (round 13)
+    assert(one(naToNull($"c"), "\u00A0") == null)
+    assert(one(naToNull($"c"), "\u00A0\u00A0\u202F\u3000") == null)
   }
 
   test("nullToNa restores sentinel") {
@@ -36,6 +41,10 @@ class CleanFunctionsSpec extends SparkSpec {
     assert(one(cleanText($"c"), "  a   b \t c ") == "a b c")
     // idempotence
     assert(one(cleanText(cleanText($"c")), "  a   b ") == "a b")
+    // NBSP and typographic spaces collapse and trim like the reference's
+    // Python .strip()/split() — leading NBSP must not survive as a space
+    assert(one(cleanText($"c"), "\u00A0a\u00A0\u00A0b\u00A0") == "a b")
+    assert(one(cleanText($"c"), "a\u202F\u202Fb\u3000c") == "a b c")
   }
 
   test("normalizePhone groups 10 digits as 3-4-3 (F2)") {

@@ -64,14 +64,13 @@ class CurationSpec extends SparkSpec {
     }
   }
 
-  test("q113: large-charset corpus scores through the distributed model " +
-      "(the pre-round-12 driver-map fit refused it)") {
+  // CJK-style corpus whose DISTINCT bigram count exceeds 2^20 — natural
+  // multilingual text, not binary junk: 1100 ideographs, each doc i
+  // interleaving char i with the full alphabet, so all 1100² ordered
+  // pairs occur. Built once; shared by the q113 (batch join path) and
+  // q198 (streaming bucket gate) large-charset cases.
+  private lazy val cjkFixture: (Seq[(Long, String, String, String, Long)], String) = {
     import spark.implicits._
-    // CJK-style corpus whose DISTINCT bigram count exceeds 2^20 — natural
-    // multilingual text, not binary junk: 1100 ideographs, each doc i
-    // interleaving char i with the full alphabet, so all 1100² ordered
-    // pairs occur. The old collect()-to-Map fit required ≤ 2^20 entries
-    // and threw here; the join-path model is just a 1.21M-row table.
     val alpha = (0 until 1100).map(i => (0x4E00 + i).toChar)
     val docs = alpha.zipWithIndex.map { case (a, i) =>
       val sb = new StringBuilder(2 * alpha.length)
@@ -79,8 +78,27 @@ class CurationSpec extends SparkSpec {
       (i.toLong, sb.toString, "zh", "s0", sb.length.toLong)
     }
     val dir = java.nio.file.Files.createTempDirectory("graft_cjk").toString
+    // a single FILE named documents.parquet, like the driver's fixtures:
+    // the streaming source reads the dir with pathGlobFilter
+    // "documents.parquet", which matches leaf file names — a directory-
+    // shaped write would leave only part-*.parquet leaves and stream
+    // zero rows
+    val build = java.nio.file.Paths.get(dir, "_build")
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(build.toString)
+    val part = new java.io.File(build.toString).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(fail("fixture write produced no part file"))
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(dir, "documents.parquet"))
+    (docs, dir)
+  }
+
+  test("q113: large-charset corpus scores through the distributed model " +
+      "(the pre-round-12 driver-map fit refused it)") {
+    // the old collect()-to-Map fit required ≤ 2^20 entries and threw on
+    // this corpus; the join-path model is just a 1.21M-row table
+    val (docs, dir) = cjkFixture
 
     // exact driver replay of the law (test-side truth — the TEST may hold
     // the 1.21M-entry map; the engine must not)
@@ -117,6 +135,59 @@ class CurationSpec extends SparkSpec {
       graft.queries.TextOps.bigramServingModel(spark, dir)
     }
     assert(e.getMessage.contains("bounded-metadata"))
+  }
+
+  test("q198: the bucket gate splits the corpus; kept is the gate") {
+    val rows = SparkEntry.queries("q198_stream_bucket_quality")(spark, sf)
+      .collect()
+    val dropped = rows.count(!_.getBoolean(4))
+    assert(dropped > 0, "threshold flags nothing — gate is vacuous")
+    assert(dropped < rows.length, "threshold drops everything — gate is broken")
+    rows.foreach { r =>
+      assert(r.getBoolean(4) ==
+        (r.getLong(3) >= graft.queries.TextOps.BucketGateThreshold),
+        s"kept disagrees with familiarity_milli: $r")
+    }
+  }
+
+  test("q198: large-charset corpus serves through the STREAMING bucket " +
+      "gate (the deployment q133's refusing contract points at)") {
+    val (docs, dir) = cjkFixture
+    // independent driver replay of the bucketed law: array fold over the
+    // raw text — shares only the bucket hash primitive with the engine
+    // (polyHash ≡ charHash is TextHashSpec's property), not the DataFrame
+    // fit or the serving kernel's loop. The corpus is BMP-only, so the
+    // UTF-16 substring here equals the kernel's code-point pairs.
+    val V = graft.queries.TextOps.QualityBuckets
+    val bcounts = new Array[Long](V)
+    docs.foreach { case (_, t, _, _, _) =>
+      var i = 0
+      while (i < t.length - 1) {
+        bcounts(graft.queries.TextOps.qualityBucketOf(t.substring(i, i + 2))) += 1L
+        i += 1
+      }
+    }
+    val cmax = bcounts.max
+    val expect = docs.map { case (id, t, _, _, _) =>
+      val n = (t.length - 1).toLong
+      var sSum = 0L
+      var i = 0
+      while (i < t.length - 1) {
+        sSum += bcounts(
+          graft.queries.TextOps.qualityBucketOf(t.substring(i, i + 2)))
+        i += 1
+      }
+      val avg = if (n > 0) sSum / n else 0L
+      val fam = avg * 1000L / cmax
+      (id, n, avg, fam, fam >= graft.queries.TextOps.BucketGateThreshold)
+    }.toSet
+    val got = SparkEntry.queries("q198_stream_bucket_quality")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(got == expect,
+      s"bucket-gate scores diverge from the exact law: " +
+        s"sample=${(got -- expect).take(3)}")
   }
 
   test("bigramScore kernel: code-point bigrams and model-membership " +

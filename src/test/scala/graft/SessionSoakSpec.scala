@@ -70,6 +70,69 @@ class SessionSoakSpec extends SparkSpec {
     }
   }
 
+  test("dead broadcast residency: invisible to the RDD registry, " +
+      "reclaimed only by a driver GC (the r12 bench signature)") {
+    // The round-12 cross-pass degradation, pinned at the mechanism level:
+    // every broadcast join leaves blocks RESIDENT in the block manager
+    // after its query ends — invisible to getPersistentRDDs (not an RDD)
+    // and to getRDDStorageInfo (not RDD storage) — until a DRIVER GC
+    // clears the weak refs Spark's ContextCleaner waits on. A session of
+    // short queries on a big heap almost never full-GCs organically, so
+    // dead blocks (and the cleaner's whole backlog) accumulate all
+    // session; r12's record showed jaccard_pairs_build 3.5→8.6→28.9 s
+    // with live heap and RDD storage both bounded, and the r13 probe run
+    // measured the same build FLAT once full GCs ran in-session. Bench's
+    // fix is an off-the-clock System.gc() every 24 queries; a production
+    // session sets spark.cleaner.periodicGC.interval down from its
+    // 30-minute default.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    def broadcastBlocks: Int = org.apache.spark.sql.GraftBlockBridge
+      .broadcastBlockCount(spark.sparkContext)
+    flush()
+    System.gc()
+    // settle: the cleaner drains its reference queue asynchronously
+    val t0 = System.nanoTime()
+    var base = broadcastBlocks
+    while ({ val b = broadcastBlocks; val changed = b != base; base = b
+      changed && System.nanoTime() - t0 < 10e9 }) Thread.sleep(250)
+    val regBase = spark.sparkContext.getPersistentRDDs.size
+    val fact = spark.range(0, 1000).toDF("id")
+    // hold the plans (and thus their broadcast relations) strongly while
+    // the soak runs — the deterministic stand-in for "a pass of queries
+    // whose broadcasts got promoted before dying"
+    val held = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    (1 to 12).foreach { i =>
+      val dim = spark.range(0, 50000).select($"id", lit(i).as("tag"))
+      val joined = fact.join(broadcast(dim), "id")
+      // execute THROUGH joined's own QueryExecution so the materialized
+      // broadcast stays strongly held by the plan we keep — df.count()
+      // would build a separate aggregate plan whose broadcast can die
+      // young and be cleaned mid-loop
+      joined.queryExecution.toRdd.count()
+      held += joined
+    }
+    val grown = broadcastBlocks
+    assert(spark.sparkContext.getPersistentRDDs.size == regBase,
+      "RDD registry saw the broadcasts — the 'invisible to the registry' " +
+        "premise of this detector no longer holds")
+    assert(grown >= base + 12,
+      s"broadcast blocks did not accumulate ($base -> $grown) — soak " +
+        "too small to prove anything")
+    // dereference, then the hygiene GC: residency must return to baseline
+    held.clear()
+    System.gc()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var now = broadcastBlocks
+    while (now > base && System.nanoTime() < deadline) {
+      Thread.sleep(250); now = broadcastBlocks
+    }
+    assert(now <= base,
+      s"hygiene GC did not reclaim dead broadcasts: " +
+        s"$base -> $grown -> $now broadcast blocks")
+  }
+
   test("a bypassing localCheckpoint would be caught (detector sensitivity)") {
     // Negative control: prove the probe actually detects the failure mode
     // the soak guards against — a raw df.localCheckpoint() with no release.

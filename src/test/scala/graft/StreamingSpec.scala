@@ -192,4 +192,90 @@ class StreamingSpec extends SparkSpec {
     // micro-batch: fixture batch + sentinel batch (+ no-data flush batches)
     assert(info.batches >= 2, s"expected >= 2 micro-batches, saw ${info.batches}")
   }
+
+  test("q42 serves in append mode with measured watermark eviction") {
+    // the last lifetime-growing complete-mode drain, restructured round 13
+    // through the q149 horizon-sentinel shape — assert it from the drain's
+    // own progress, same evidence standard as the q149 test above
+    graft.streaming.StreamOps.lastDrainInfo = None
+    val rows = SparkEntry.queries("q42_stream_tumbling")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the horizon sentinel's own row must never reach the served result
+    assert(!rows.exists(_.getString(1) == graft.streaming.StreamOps.horizonType))
+    val info = graft.streaming.StreamOps.lastDrainInfo
+      .getOrElse(fail("q42 recorded no drain progress"))
+    assert(info.mode == "append",
+      s"q42 serving drain ran in '${info.mode}', not append")
+    assert(info.stateRowsRemoved > 0,
+      "append drain evicted no state rows — watermark eviction not observed")
+  }
+
+  test("RocksDB state store: q149 and q64 drain to identical results (A/B)") {
+    // The default HDFSBackedStateStoreProvider keeps every state row on the
+    // EXECUTOR HEAP — at 100 TB the stream-stream join and windowed-agg
+    // state (q64/q91/q149 shapes) outgrows it long before CPU is the
+    // bottleneck. RocksDB spills state to local disk with a bounded block
+    // cache, which is the production posture for large state. Results must
+    // be IDENTICAL either way — the provider is a storage engine, not a
+    // semantics change — and the provider is a standard per-query conf
+    // (spark.sql.streaming.stateStore.providerClass) picked up at stream
+    // start, so flipping it needs no engine code change.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+    def run(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+    val names = Seq("q149_stream_topk", "q64_stream_stream_join")
+    val underDefault = names.map(n => n -> run(n)).toMap
+    underDefault.values.foreach(rows => assert(rows.nonEmpty))
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, rocks)
+    try names.foreach { n =>
+      graft.streaming.StreamOps.lastDrainInfo = None
+      val got = run(n)
+      assert(got == underDefault(n),
+        s"$n diverges under the RocksDB state store")
+      // the drain really ran stateful work under the flipped provider
+      // (not a degenerate empty stream agreeing with itself)
+      val info = graft.streaming.StreamOps.lastDrainInfo
+        .getOrElse(fail(s"$n recorded no drain under RocksDB"))
+      assert(info.maxStateRows > 0,
+        s"$n held no state under RocksDB — A/B proved nothing")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("output-mode sweep: complete mode only over provably bounded state") {
+    // Policy (StreamOps header): a drain whose state grows with stream
+    // LIFETIME must serve in append/update mode with watermark eviction;
+    // complete mode is allowed ONLY where the retained state is bounded by
+    // a data dimension, and the bound must be named here. A new streaming
+    // query added with a complete-mode drain fails this sweep until its
+    // bound is argued or its mode fixed.
+    val boundedComplete = Map(
+      "q43_stream_dedup" ->
+        "watermark-bounded dedup keys + |event types| count rows",
+      "q100_stream_enrich" -> "|mktsegment x event_type| rows",
+      "q184_stream_histogram" -> "fixed-size sketch <= |types| x 128 bins")
+    var drains = 0
+    graft.streaming.StreamOps.qs.keys.toSeq.sorted.foreach { name =>
+      graft.streaming.StreamOps.lastDrainInfo = None
+      SparkEntry.queries(name)(spark, sf).count()
+      graft.streaming.StreamOps.lastDrainInfo match {
+        case None => // q44's shape: the batch twin living in the streaming
+        // module (its streaming form is proven above) — nothing to sweep
+        case Some(info) =>
+          drains += 1
+          if (info.mode == "complete")
+            assert(boundedComplete.contains(name),
+              s"$name drains in complete mode without a named state bound " +
+                "— lifetime-growing state must serve in append mode")
+      }
+    }
+    // the sweep actually swept (a refactor that stops recording DrainInfo
+    // must not turn this test vacuous)
+    assert(drains >= 8, s"only $drains drains observed across the registry")
+  }
 }

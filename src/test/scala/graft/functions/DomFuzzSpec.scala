@@ -110,6 +110,37 @@ class DomFuzzSpec extends AnyFunSuite {
     assert(TolerantDom.decodeEntities("&foo; &nosuchref;") == "&foo; &nosuchref;")
   }
 
+  test("legacy refs decode without the semicolon (HTML5 legacy set)") {
+    // Word-authored pages carry bare &ntilde / &nbsp — the HTML5 legacy
+    // set (Latin-1 + quot/amp/lt/gt + the uppercase six) decodes with no
+    // trailing semicolon, longest name first
+    assert(TolerantDom.decodeEntities("Se&ntilde or") == "Señ or")
+    assert(TolerantDom.decodeEntities("a&nbsp b") == "a\u00A0 b")
+    assert(TolerantDom.decodeEntities("x &amp y &AMP z") == "x & y & z")
+    // the spec's "&notit" example: the longest legacy PREFIX is consumed
+    assert(TolerantDom.decodeEntities("I'm &notit") == "I'm ¬it")
+    // an unknown name WITH a semicolon consumes its legacy prefix too
+    assert(TolerantDom.decodeEntities("&copyright;") == "©right;")
+    // apos is NOT in the legacy set — bare &apos stays literal
+    assert(TolerantDom.decodeEntities("&apos x") == "&apos x")
+    // attribute rule: a bare legacy ref followed by ASCII alnum or '='
+    // is not a reference — URLs keep their query strings intact
+    assert(TolerantDom.decodeEntities("?a=1&copy=2", inAttr = true)
+      == "?a=1&copy=2")
+    assert(TolerantDom.decodeEntities("?a=1&copy", inAttr = true) == "?a=1©")
+    assert(TolerantDom.decodeEntities("I'm &notit", inAttr = true)
+      == "I'm &notit")
+    // in TEXT the same string DOES decode — browser parity both ways
+    assert(TolerantDom.decodeEntities("?a=1&copy=2") == "?a=1©=2")
+    // end-to-end through parse: attribute vs text context
+    val doc = TolerantDom.parse(
+      """<a href="?id=1&copy=2">&ntilde and &copy</a>""")
+    val a = doc.all.find(_.tag == "a")
+      .getOrElse(fail("no <a> parsed"))
+    assert(a.attr("href").contains("?id=1&copy=2"))
+    assert(a.text == "ñ and ©")
+  }
+
   test("raw-text close-tag scan requires a name boundary (HTML5 tokenizer)") {
     // `</scripty` inside a <script> body is script text, not the close of
     // <script>: the scan must keep looking for a close tag whose name is
