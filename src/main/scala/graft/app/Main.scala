@@ -137,7 +137,17 @@ object Main {
         .withColumn("dedup_key", coalesce(
           col("id_negocio").cast("string"), concat(lit("page:"), col("src"))))
         .dropDuplicates("dedup_key")
-      var cum = 0L
+      // foreachBatch is AT-LEAST-ONCE: a task failure mid-write replays the
+      // batch with the SAME batchId. Idempotency contract here: each batch
+      // writes to its own batch=<id> subdirectory in OVERWRITE mode (a
+      // replay replaces its partial output instead of appending duplicate
+      // worklist rows), and the progress counter is a per-batchId map whose
+      // values are SUMMED (a replay overwrites its entry instead of
+      // double-counting). Both stay O(new) per load — no re-scan of
+      // everything collected — and the map is one long per load, bounded
+      // driver metadata.
+      val freshByBatch = scala.collection.mutable.LinkedHashMap[Long, Long]()
+      def cum: Long = freshByBatch.values.sum
       var total: Option[Long] = None
       graft.streaming.StreamOps.withFixtureDrainEnv(spark) { ck =>
         val w = cards.writeStream
@@ -160,13 +170,13 @@ object Main {
                 total.foreach(t =>
                   progress(cum, total, s"Iniciando recolección. Total estimado: $t"))
               }
-              cum += fresh
+              freshByBatch(batchId) = fresh
               // a batch can be sentinel-only (all cards dup/id-less): skip
-              // the write so staging never becomes a part-less parquet dir
+              // the write so staging never holds a part-less parquet subdir
               // that a later read can't infer a schema from
               if (fresh > 0)
                 found.select(col("id_negocio"), col("url"))
-                  .write.mode("append").parquet(staging)
+                  .write.mode("overwrite").parquet(s"$staging/batch=$batchId")
               progress(cum, total, s"Recolectados $cum URLs" +
                 total.map(t => s" de aprox. $t").getOrElse(""))
             } finally rows.unpersist()
@@ -182,7 +192,10 @@ object Main {
       val worklist = {
         import spark.implicits._
         (if (new java.io.File(staging).isDirectory)
-          spark.read.parquet(staging)
+          // the batch=<id> layout reads back as a partitioned dataset;
+          // project the payload columns (the synthetic `batch` partition
+          // column is write-idempotency plumbing, not worklist schema)
+          spark.read.parquet(staging).select("id_negocio", "url")
         else Seq.empty[(Long, String)].toDF("id_negocio", "url"))
           .join(processed, Seq("id_negocio"), "left_anti")
       }

@@ -38,6 +38,10 @@ object ScaleStress {
       anchor("start"); graphSection(spark); anchor("end")
       spark.stop(); return
     }
+    if (args.contains("multimodal")) {
+      anchor("start"); multimodalSection(spark); anchor("end")
+      spark.stop(); return
+    }
     anchor("start")
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.1")
 
@@ -623,6 +627,105 @@ object ScaleStress {
   // Round 12: H1-H11 extraction, regex vs DOM path at 50k pages. The
   // regex path is whole-stage-codegen'd; the DOM path is one tolerant
   // parse per page inside a UDF (-Dgraft.htmlParser=dom). Three claims:
+  // ---- multimodal family at 10× images (round 13: the last family
+  // without a 10× row). Corpus: 10 shifted copies of the sf0.1 docs with a
+  // copy-distinct leading codepoint (copies become same-content images at
+  // DIFFERENT dims — the resize-invariant near-dup structure, not trivial
+  // exact clones), PLUS a planted thumbnail flood: every doc_id divisible
+  // by 63 gets the same "ZZ~" 3-codepoint prefix, so ~790 images share
+  // identical dims AND content — ONE maximally hot (block, value)
+  // pigeonhole key whose true pair set is quadratic BY CONSTRUCTION.
+  // Claims measured, not narrated:
+  //  (a) in-run combinatorial bound (the retrieval tf-bound convention):
+  //      the block join's candidate rows equal Σ_buckets C(m,2) computed
+  //      from the block table — an equi-join on (blk, bv), never a
+  //      cartesian, even under the hot key;
+  //  (b) the hot key is real (m ≥ 700 measured) and every flood pair
+  //      survives to the output (pairs ≥ C(m_hot, 2)) — the quadratic rows
+  //      ARE the answer, so the plan is output-proportional;
+  //  (c) wall vs the no-flood 10× reference shows what the hot key costs
+  //      under AQE (SURVEY §9 predicted salt-or-AQE absorbs it).
+  private def multimodalSection(spark: SparkSession): Unit = {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.1")
+    val plainDir = "/tmp/stress_mm_plain"
+    val floodDir = "/tmp/stress_mm_flood"
+    val tenX = (0 until 10).map { k =>
+      docs.withColumn("doc_id", col("doc_id") + lit(k * 1000000L))
+        .withColumn("text", concat(lit(('A' + k).toChar.toString), col("text")))
+    }.reduce(_ unionByName _)
+    tenX.write.mode("overwrite").parquet(s"$plainDir/documents.parquet")
+    tenX.withColumn("text",
+        when(pmod(col("doc_id"), lit(63L)) === 0L,
+          concat(lit("ZZ~"), col("text"))).otherwise(col("text")))
+      .write.mode("overwrite").parquet(s"$floodDir/documents.parquet")
+
+    // (a) + (b): block table, class stats, and the candidate bounds —
+    // computed independently here (pure arithmetic over the block table)
+    // and asserted in-run, the retrieval tf-bound convention. This section
+    // is what DISCOVERED the round-13 q122 restructure: the first
+    // measurement showed the member-level block join generating 175.7M
+    // candidate rows from 16,667 images whose distinct-hash count was 11
+    // (one natural (blk,bv) bucket held m=9,347) — quadratic in images.
+    // q122 now collapses identical hashes into dup classes and pigeonholes
+    // REPS (see MultimodalOps), so candidate work is bounded by
+    // |distinct hashes|², asserted here.
+    val mm = graft.multimodal.MultimodalOps
+    val blocks = graft.Checkpoints.localCheckpoint(
+      mm.aHashBlocks(mm.mediaTable(spark, floodDir)))
+    val nImg = blocks.count()
+    // what the old member-level join would have generated, for contrast
+    val naiveBound = blocks.select(col("media_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("m"))
+      .agg(sum(expr("m * (m - 1) div 2"))).head().getLong(0)
+    val classes = blocks.groupBy(col("b0"), col("b1"), col("b2"), col("b3"))
+      .agg(count(lit(1)).as("m")).persist()
+    val k = classes.count()
+    val m0 = classes.agg(max(col("m"))).head().getLong(0)
+    // the rep-level candidate set q122 actually generates (cold buckets +
+    // hot sub-buckets over one row per distinct hash), measured by running
+    // the factored candidate stage itself
+    val repCandidates = mm.nearDupRepPairs(
+      blocks.groupBy(col("b0"), col("b1"), col("b2"), col("b3"))
+        .agg(min(col("media_id")).as("media_id"))
+        .select(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3")))
+      .count()
+    println(s"STRESS q122 10x: images=$nImg distinctHashes=$k maxClass=$m0 " +
+      s"oldMemberJoinRows=$naiveBound repCandidates=$repCandidates")
+    // candidate work bounded by distinct-hash combinatorics, never images
+    assert(repCandidates <= k * (k - 1) / 2,
+      s"rep candidates $repCandidates exceed C($k,2) — class collapse broken")
+    // the flood's identical-hash class: every within-class pair is a
+    // hamming-0 output row, so the final answer must carry >= C(m0, 2)
+    assert(m0 >= 700, s"thumbnail flood did not land: max dup class m0=$m0")
+    classes.unpersist()
+    graft.Checkpoints.release(blocks)
+
+    t("q122 aHash at 10x images + thumbnail flood (1 hot key, m~790)") {
+      val pairs = graft.SparkEntry
+        .queries("q122_image_ahash_neardup")(spark, floodDir).count()
+      println(s"  pairs=$pairs (flood class alone is C($m0,2)=${m0 * (m0 - 1) / 2})")
+      assert(pairs >= m0 * (m0 - 1) / 2,
+        "flood pairs missing from the output — the hot key lost rows")
+    }
+    t("q122 aHash at 10x images, no flood (reference)") {
+      println("  pairs=" + graft.SparkEntry
+        .queries("q122_image_ahash_neardup")(spark, plainDir).count())
+    }
+    t("q51 media metadata at 10x") {
+      println("  rows=" + graft.SparkEntry
+        .queries("q51_media_metadata")(spark, plainDir).count())
+    }
+    t("q67 media resize at 10x") {
+      println("  rows=" + graft.SparkEntry
+        .queries("q67_media_resize")(spark, plainDir).count())
+    }
+    t("q148 audio features at 10x") {
+      println("  rows=" + graft.SparkEntry
+        .queries("q148_audio_features")(spark, plainDir).count())
+    }
+  }
+
   // (a) the DOM opt-in costs a bounded constant factor, not an order of
   // magnitude; (b) on canonical markup both paths produce the IDENTICAL
   // 17-field record set (asserted by hash, 50k pages); (c) on malformed

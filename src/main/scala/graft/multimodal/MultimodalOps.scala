@@ -333,6 +333,75 @@ object MultimodalOps {
       .select(col("media_id"), col("media_type"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(every))).as("frame_idx"))
 
+  /** (blk, bv) bucket-size threshold above which q122's pigeonhole join
+    * refines by 12-bit sub-blocks (derivation at q122). 1024 caps a cold
+    * bucket's candidate contribution at C(1024,2) ≈ 0.5M while fixture-
+    * scale natural buckets (tens of members) never pay the second level. */
+  private[graft] val HotBucket = 1024L
+
+  /** The exact hamming ≤ 3 pair set over DISTINCT-hash rows (q122's
+    * inter-class stage): 4×16-bit pigeonhole equi-join, with buckets past
+    * `hotBucket` joined on a second pigeonhole level — a qualifying pair's
+    * ≤ 3 differing bits all lie in the 48 bits OUTSIDE the shared block,
+    * so 4 sub-blocks of 12 bits force ≥ 1 identical sub-block (exact; the
+    * device that collapses degenerate shared-block values across distinct
+    * hashes). Input: (media_id, b0..b3) with DISTINCT (b0..b3) per row;
+    * output: (ra, rb, hamming) with ra < rb and hamming ∈ [1, 3].
+    * Factored out so MultimodalSpec can drive the hot path with a tiny
+    * threshold against a brute-force oracle. */
+  private[graft] def nearDupRepPairs(reps: DataFrame,
+      hotBucket: Long = HotBucket): DataFrame = {
+    val ex = reps.select(col("media_id"), col("b0"), col("b1"),
+        col("b2"), col("b3"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .withColumnRenamed("pos", "blk")
+      .withColumnRenamed("col", "bv")
+    val sizes = ex.groupBy(col("blk"), col("bv"))
+      .agg(count(lit(1)).as("m"))
+    val tagged = ex.join(sizes, Seq("blk", "bv"))
+    // the 48 bits OUTSIDE the bucket's block, as one long — both pair
+    // members exclude the SAME blk, so the layout is pair-consistent.
+    // BIGINT casts: Spark's << on INT masks the shift amount to 5 bits
+    // (Java semantics), so an int << 32 would be a silent no-op
+    val rem = expr(
+      """CASE blk
+         |  WHEN 0 THEN (CAST(b1 AS BIGINT) << 32) | (CAST(b2 AS BIGINT) << 16) | CAST(b3 AS BIGINT)
+         |  WHEN 1 THEN (CAST(b0 AS BIGINT) << 32) | (CAST(b2 AS BIGINT) << 16) | CAST(b3 AS BIGINT)
+         |  WHEN 2 THEN (CAST(b0 AS BIGINT) << 32) | (CAST(b1 AS BIGINT) << 16) | CAST(b3 AS BIGINT)
+         |  ELSE        (CAST(b0 AS BIGINT) << 32) | (CAST(b1 AS BIGINT) << 16) | CAST(b2 AS BIGINT)
+         |END""".stripMargin)
+    def joined(src: DataFrame, keys: Seq[String]) = {
+      val a = src.select((keys.map(col) :+ col("media_id").as("ra") :+
+        col("b0").as("a0") :+ col("b1").as("a1") :+ col("b2").as("a2") :+
+        col("b3").as("a3")): _*)
+      val b = src.select((keys.map(col) :+ col("media_id").as("rb") :+
+        col("b0").as("c0") :+ col("b1").as("c1") :+ col("b2").as("c2") :+
+        col("b3").as("c3")): _*)
+      a.join(b, keys).filter(col("ra") < col("rb"))
+        .select(col("ra"), col("rb"), col("a0"), col("a1"),
+          col("a2"), col("a3"), col("c0"), col("c1"), col("c2"), col("c3"))
+    }
+    val cold = joined(tagged.filter(col("m") <= hotBucket),
+      Seq("blk", "bv"))
+    val hot = joined(
+      tagged.filter(col("m") > hotBucket)
+        .withColumn("rem", rem)
+        .select(col("media_id"), col("b0"), col("b1"), col("b2"),
+          col("b3"), col("blk"), col("bv"),
+          posexplode(array((0 until 4).map(j =>
+            expr(s"(rem >> ${12 * j}) & 4095")): _*)))
+        .withColumnRenamed("pos", "sblk")
+        .withColumnRenamed("col", "sbv"),
+      Seq("blk", "bv", "sblk", "sbv"))
+    cold.unionByName(hot)
+      .distinct()
+      .withColumn("hamming", expr(
+        "CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)"))
+      .filter(col("hamming") <= 3 && col("hamming") >= 1)
+      .select(col("ra"), col("rb"), col("hamming"))
+  }
+
   val qs: Map[String, Q] = Map(
 
     // Typed-metadata analytics over the DECODED features. Image rows run a
@@ -505,39 +574,67 @@ object MultimodalOps {
     // equi-join, never a cross join. 100 TB shape: media bytes never
     // shuffle (the hash is extracted in the narrow mapPartitions decode
     // stage; only 4 small ints move); the block join shuffles 4 rows per
-    // image; a hot (blk, value) key — millions of near-identical thumbnails
-    // — is the same structural skew q35/q96 handle (salt or AQE skew-join),
-    // and the verify step is O(1) integer ops per candidate.
+    // image.
+    //
+    // SCALE STRUCTURE (round 13, driven by the 10× ScaleStress
+    // measurement): aHash bits are STRUCTURED, not hash-mixed — real image
+    // populations carry huge identical-hash classes (thumbnail floods,
+    // re-encodes) and degenerate shared block values. At 10× images the
+    // member-level block join generated 175.7M candidate rows from a
+    // 16,667-image corpus whose distinct-hash count was ELEVEN — quadratic
+    // in images where it should be quadratic only in distinct hashes.
+    // Salting can't help (the quadratic CANDIDATES are the problem, not
+    // the shuffle). Two exact devices, both q35's dedup discipline applied
+    // to images:
+    //  1. DUP-CLASS COLLAPSE: group identical hashes first; the pigeonhole
+    //     join runs on one REP per distinct hash, and member pairs are
+    //     expanded afterwards — candidate work scales with |distinct
+    //     hashes|², never |images|²; a flood's within-class pairs are
+    //     emitted directly (they ARE the answer, hamming 0).
+    //  2. HOT-BUCKET SUB-REFINEMENT: a (blk, bv) rep-bucket past
+    //     [[HotBucket]] joins on a second pigeonhole level — a qualifying
+    //     pair's <= 3 differing bits all lie in the 48 bits OUTSIDE the
+    //     shared block, so 4 sub-blocks of 12 force >= 1 identical
+    //     sub-block (still exact). Degenerate block values across DISTINCT
+    //     hashes collapse: those members differ widely elsewhere.
     "q122_image_ahash_neardup" -> Q(
       run = (s, d) => {
-        // decode+hash once; the block join reads it twice (query-scoped
-        // checkpoint — driver sweeps it). The decode table is a shared-
-        // build-shaped cost (whole-corpus PNG decode), so it is stage-
-        // timed: Bench reports it as stage:ahash_blocks_build and q122's
-        // own trend line measures only the pigeonhole join + verify.
+        // decode+hash once; the class/pigeonhole path reads it twice
+        // (query-scoped checkpoint — driver sweeps it). The decode table
+        // is a shared-build-shaped cost (whole-corpus PNG decode), so it
+        // is stage-timed: Bench reports it as stage:ahash_blocks_build and
+        // q122's own trend line measures only the join + verify.
         val blocks = graft.queries.TextOps.timedBuild("ahash_blocks_build") {
           graft.Checkpoints.localCheckpoint(aHashBlocks(mediaTable(s, d)))
         }
-        val ex = blocks.select(col("media_id"), col("b0"), col("b1"),
-            col("b2"), col("b3"),
-            posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
-          .withColumnRenamed("pos", "blk")
-          .withColumnRenamed("col", "bv")
-        val a = ex.select(col("media_id").as("media_a"), col("b0").as("a0"),
-          col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"),
-          col("blk"), col("bv"))
-        val b = ex.select(col("media_id").as("media_b"), col("b0").as("c0"),
-          col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"),
-          col("blk"), col("bv"))
-        a.join(b, Seq("blk", "bv"))
-          .filter(col("media_a") < col("media_b"))
-          .select(col("media_a"), col("media_b"), col("a0"), col("a1"),
-            col("a2"), col("a3"), col("c0"), col("c1"), col("c2"), col("c3"))
-          .distinct()
-          .withColumn("hamming", expr(
-            "CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
-              "bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)"))
-          .filter(col("hamming") <= 3)
+        val classes = graft.Checkpoints.localCheckpoint(
+          blocks.groupBy(col("b0"), col("b1"), col("b2"), col("b3"))
+            .agg(min(col("media_id")).as("rep"),
+              collect_list(col("media_id")).as("members")))
+        // within-class: identical hashes, hamming 0 — expanded directly
+        val mA = classes.select(col("rep"), explode(col("members")).as("da"))
+        val mB = classes.select(col("rep"), explode(col("members")).as("db"))
+        val within = mA.join(mB, Seq("rep"))
+          .filter(col("da") < col("db"))
+          .select(col("da").as("media_a"), col("db").as("media_b"),
+            lit(0L).as("hamming"))
+        // inter-class: pigeonhole join over REPS (one row per distinct
+        // hash), cold buckets direct, hot buckets sub-block refined
+        val interReps = nearDupRepPairs(classes.select(
+          col("rep").as("media_id"), col("b0"), col("b1"), col("b2"),
+          col("b3")))
+        // expand rep pairs to member pairs (each member pair belongs to
+        // exactly ONE class pair, so no cross-class dedup is needed)
+        val inter = interReps
+          .join(classes.select(col("rep").as("ra"),
+            col("members").as("ms_a")), Seq("ra"))
+          .join(classes.select(col("rep").as("rb"),
+            col("members").as("ms_b")), Seq("rb"))
+          .select(explode(col("ms_a")).as("da"), col("ms_b"), col("hamming"))
+          .select(col("da"), explode(col("ms_b")).as("db"), col("hamming"))
+          .select(least(col("da"), col("db")).as("media_a"),
+            greatest(col("da"), col("db")).as("media_b"), col("hamming"))
+        within.unionByName(inter)
           .select(col("media_a"), col("media_b"), col("hamming"),
             (col("hamming") === 0).as("is_exact"))
           .orderBy("media_a", "media_b")

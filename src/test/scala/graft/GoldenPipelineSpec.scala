@@ -285,4 +285,107 @@ class GoldenPipelineSpec extends SparkSpec {
       assert(g == e, s"\n got: $g\nwant: $e")
     }
   }
+
+  // ---- The reference's live selector probe (debug_selector.py:8-58),
+  // replayed over the fixtures on BOTH extraction paths. The probe is the
+  // selector inventory the reference actually debugged against real pages:
+  // body-text contains 'coincidencias'; every element whose direct text
+  // carries it (tag, class, text); the advanced-search opener
+  // a[data-target="#formBusquedaAvazada"]; the modal by id; and the
+  // modal's <input> inventory as (type, name, id). One record law, two
+  // implementations — regex (the reference's BeautifulSoup-free fallback
+  // style) and the tolerant DOM — asserted identical on every well-formed
+  // fixture, closing the last behavioral seam between the parsers.
+
+  private case class Probe(
+      bodyHasCoincidencias: Boolean,
+      coincidenciasEls: Seq[(String, String, String)], // (tag, class, text)
+      hasAdvancedOpener: Boolean,
+      modalTag: Option[String],
+      modalInputs: Seq[(String, String, String)]) // (type, name, id)
+
+  private val ModalId = "formBusquedaAvazada" // [sic] — the site's own typo
+
+  private def regexProbe(html: String): Probe = {
+    def attrOf(tagBody: String, name: String): String =
+      ("""\b""" + name + "=\"([^\"]*)\"").r
+        .findFirstMatchIn(tagBody).map(_.group(1)).getOrElse("")
+    val bodyText = html.replaceAll("<[^>]*>", " ")
+    val els = ("""<([a-zA-Z][a-zA-Z0-9]*)([^>]*)>([^<]*coincidencias[^<]*)""").r
+      .findAllMatchIn(html)
+      .map(m => (m.group(1).toLowerCase, attrOf(m.group(2), "class"),
+        m.group(3).trim)).toSeq
+    val opener = ("""<a\b[^>]*data-target="#""" + ModalId + "\"").r
+      .findFirstIn(html).isDefined
+    val modal = ("""<([a-zA-Z][a-zA-Z0-9]*)\b[^>]*\bid="""" + ModalId + "\"").r
+      .findFirstMatchIn(html)
+    val inputs = modal.toSeq.flatMap { m =>
+      // the probe reads inputs INSIDE the modal: scope the scan to the
+      // modal's form, the way the reference's regex fallbacks slice regions
+      val region = html.substring(m.start)
+      val end = region.indexOf("</form>")
+      val scoped = if (end >= 0) region.substring(0, end) else region
+      """<input\b([^>]*)>""".r.findAllMatchIn(scoped)
+        .map(mm => (attrOf(mm.group(1), "type"), attrOf(mm.group(1), "name"),
+          attrOf(mm.group(1), "id"))).toSeq
+    }
+    Probe(bodyText.contains("coincidencias"), els, opener,
+      modal.map(_.group(1).toLowerCase), inputs)
+  }
+
+  private def domProbe(html: String): Probe = {
+    import graft.functions.{TolerantDom, DomText}
+    val doc = TolerantDom.parse(html)
+    val all = doc.root +: doc.all
+    val els = all.flatMap { e =>
+      e.children.collect {
+        case DomText(t) if t.contains("coincidencias") =>
+          (e.tag, e.attr("class").getOrElse(""), t.trim)
+      }
+    }
+    val modal = all.find(_.attr("id").contains(ModalId))
+    val inputs = modal.toSeq.flatMap(_.descendants.filter(_.tag == "input")
+      .map(i => (i.attr("type").getOrElse(""), i.attr("name").getOrElse(""),
+        i.attr("id").getOrElse(""))))
+    Probe(
+      doc.root.text.contains("coincidencias"),
+      els,
+      all.exists(e => e.tag == "a" &&
+        e.attr("data-target").contains("#" + ModalId)),
+      modal.map(_.tag),
+      inputs)
+  }
+
+  test("debug_selector probe: regex and DOM paths agree on every " +
+      "well-formed fixture; the advanced-search page pins the inventory") {
+    val pages = Seq("detail_page.html", "detail_page_fallbacks.html",
+      "detail_page_sparse.html", "search_results.html",
+      "search_results_page2.html", "search_results_page3.html",
+      "search_advanced.html")
+    pages.foreach { p =>
+      val html = readHtml(p).head().getString(0)
+      val (rx, dm) = (regexProbe(html), domProbe(html))
+      assert(rx == dm, s"$p: probe records diverge\n regex: $rx\n   dom: $dm")
+    }
+    // the advanced-search fixture reproduces the probe's real findings:
+    // banner text found, the opener anchor, the modal div, and its input
+    // inventory (hidden route + text fields + the 'con mail' checkbox +
+    // submit) in document order
+    val adv = domProbe(readHtml("search_advanced.html").head().getString(0))
+    assert(adv.bodyHasCoincidencias)
+    assert(adv.hasAdvancedOpener)
+    assert(adv.modalTag.contains("div"))
+    assert(adv.coincidenciasEls == Seq(
+      ("h5", "text-primary", "La búsqueda ha generado 735 coincidencias"),
+      ("p", "footer-note", "Refiná la búsqueda si hay demasiadas coincidencias")))
+    assert(adv.modalInputs == Seq(
+      ("hidden", "r", ""),
+      ("text", "b", "busqueda-b"),
+      ("text", "L", "busqueda-localidad"),
+      ("checkbox", "con_mail", "busqueda-con-mail"),
+      ("submit", "", "busqueda-enviar")))
+    // and F14 still reads the banner on this page (same totalMatches law)
+    assert(readHtml("search_advanced.html")
+      .select(RH.totalMatches(col("html"))).head().getLong(0) == 735L)
+  }
 }

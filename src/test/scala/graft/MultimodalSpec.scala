@@ -180,6 +180,42 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.values.count(_._3 > 0) > 0, "no doc crosses the midpoint")
   }
 
+  test("q122 rep pigeonhole: hot-bucket sub-refinement is exact " +
+      "(brute-force law, degenerate shared-block bucket)") {
+    // 70+ distinct hashes ALL sharing block 0 (one degenerate bucket, the
+    // shape the 10x stress found in the wild with m=9,347), with planted
+    // hamming-2 neighbours in the other blocks. hotBucket=8 forces the
+    // bucket through the sub-block refinement; hotBucket=2^20 keeps it on
+    // the direct join — both must equal the brute-force pair set, which
+    // is the exactness proof for the refinement lemma (<= 3 diffs outside
+    // the shared block => >= 1 identical 12-bit sub-block).
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = scala.collection.mutable.LinkedHashSet.empty[(Int, Int, Int, Int)]
+    while (base.size < 64)
+      base += ((0, rnd.nextInt(65536), rnd.nextInt(65536), rnd.nextInt(65536)))
+    val planted = base.take(10).toSeq.map { case (b0, b1, b2, b3) =>
+      (b0, b1 ^ 1, b2 ^ 2, b3) // hamming 2 from its source row
+    }
+    val all = (base.toSeq ++ planted).distinct.zipWithIndex
+      .map { case ((b0, b1, b2, b3), i) => (i.toLong, b0, b1, b2, b3) }
+    val reps = all.toDF("media_id", "b0", "b1", "b2", "b3")
+    val want = (for {
+      a <- all; b <- all if a._1 < b._1
+      d = Integer.bitCount(a._2 ^ b._2) + Integer.bitCount(a._3 ^ b._3) +
+        Integer.bitCount(a._4 ^ b._4) + Integer.bitCount(a._5 ^ b._5)
+      if d >= 1 && d <= 3
+    } yield (a._1, b._1, d.toLong)).toSet
+    assert(want.size >= 10, s"planted neighbours missing: ${want.size}")
+    def run(h: Long) = MultimodalOps.nearDupRepPairs(reps, hotBucket = h)
+      .as[(Long, Long, Long)].collect().toSet
+    val hot = run(8L)
+    val cold = run(1L << 20)
+    assert(hot == want, s"hot path diverges: missing=${(want -- hot).take(3)} " +
+      s"extra=${(hot -- want).take(3)}")
+    assert(cold == want, "cold path diverges from brute force")
+  }
+
   test("features stay small: binary column dropped before any wide op") {
     val media = MultimodalOps.mediaTable(spark, sf)
     val feats = MultimodalOps.extractFeatures(media)
