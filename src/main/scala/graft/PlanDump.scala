@@ -29,7 +29,7 @@ object PlanDump {
     "q113_bigram_lm" -> "serving reads the STAGED scored table (checkpoint scan + egress sort, no join/agg — PlanSpec pins it); the build behind it is round-12 join-path scoring: (doc_id, bg) equi-joins the distributed |charset|² model (AQE-broadcast while small), per-doc re-agg, cmax as a 1-row broadcast — no driver model, no charset bound",
     "q114_pq_topk" -> "joinless ADC codes scan; exact rerank broadcasts the (queries×R) shortlist",
     "q119_dsir_weights" -> "bounded hashed-feature model broadcast; serving pass joinless and aggregate-free",
-    "q122_image_ahash_neardup" -> "decode+hash in the narrow stage (binary never shuffles); pigeonhole block equi-join",
+    "q122_image_ahash_neardup" -> "decode+hash in the narrow stage (binary never shuffles); dup-class collapse then rep-level pigeonhole equi-join (candidates bounded by distinct hashes, not images); member-pair expansion",
     "q128_ingest_dedup" -> "fixed-size arrival batch broadcasts (hashes, bands, shingle arrays); corpus streams",
     "q129_kmeans_train" -> "per-iteration: narrow assignment under broadcast codebook + one (cluster,dim) map-side-combined shuffle",
     "q137_budget_sample" -> "grouped prefix sum: ONE range exchange on (source, hash); windows partition by the frozen pid, never by source alone — no per-source single-task stage",
