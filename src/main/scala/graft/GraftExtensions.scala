@@ -46,10 +46,14 @@ object GraftExtensions {
       }
     })
     spark.udf.register("clean_text", (s: String) =>
-      // collapse BEFORE trim with the shared Unicode class (CF.Ws): Java's
-      // String.trim strips only ≤ U+0020, so trim-then-collapse would leave
-      // a leading NBSP behind as a space — the Column form's exact order
+      // collapse BEFORE trim with the shared Unicode class (CF.Ws), then
+      // strip SPACES only — the Column form's exact law. Java String.trim
+      // is wrong on both ends here: it strips every char <= U+0020 (a
+      // leading U+0001 control char would vanish where the Column trim()
+      // and Python .strip() keep it), and it misses nothing after the
+      // collapse anyway (each whitespace run is already one plain space).
       if (s == null) null
-      else s.replaceAll(s"${graft.functions.CleanFunctions.Ws}+", " ").trim)
+      else s.replaceAll(s"${graft.functions.CleanFunctions.Ws}+", " ")
+        .stripPrefix(" ").stripSuffix(" "))
   }
 }

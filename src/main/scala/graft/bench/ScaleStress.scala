@@ -682,19 +682,42 @@ object ScaleStress {
       .agg(count(lit(1)).as("m")).persist()
     val k = classes.count()
     val m0 = classes.agg(max(col("m"))).head().getLong(0)
-    // the rep-level candidate set q122 actually generates (cold buckets +
-    // hot sub-buckets over one row per distinct hash), measured by running
-    // the factored candidate stage itself
-    val repCandidates = mm.nearDupRepPairs(
-      blocks.groupBy(col("b0"), col("b1"), col("b2"), col("b3"))
-        .agg(min(col("media_id")).as("media_id"))
-        .select(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3")))
-      .count()
+    // the rep-level candidate ROWS q122's join generates, computed
+    // arithmetically from the rep block table (cold buckets contribute
+    // C(m,2); hot buckets C(m',2) per 12-bit sub-bucket) — the same number
+    // the (blk,bv[,sblk,sbv]) equi-join produces, derived WITHOUT running
+    // it, so the assert is falsifiable: a broken class collapse (reps =
+    // images) would blow this up to the old member-level number
+    val reps = blocks.groupBy(col("b0"), col("b1"), col("b2"), col("b3"))
+      .agg(min(col("media_id")).as("media_id"))
+      .select(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3"))
+      .persist()
+    val repEx = reps.select(col("media_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("m"))
+    // fixture reps never exceed HotBucket, so the cold term IS the join's
+    // candidate count; the hot term is asserted zero to keep this honest
+    val hotBuckets = repEx.filter(col("m") > mm.HotBucket).count()
+    assert(hotBuckets == 0,
+      s"$hotBuckets rep buckets past HotBucket — the cold-only candidate " +
+        "arithmetic below no longer matches the join; extend it")
+    val repCandRows = repEx
+      .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)))
+      .head().getLong(0)
+    // verified output pairs of the factored stage, for the survival check
+    val repPairs = mm.nearDupRepPairs(reps).count()
+    reps.unpersist()
     println(s"STRESS q122 10x: images=$nImg distinctHashes=$k maxClass=$m0 " +
-      s"oldMemberJoinRows=$naiveBound repCandidates=$repCandidates")
-    // candidate work bounded by distinct-hash combinatorics, never images
-    assert(repCandidates <= k * (k - 1) / 2,
-      s"rep candidates $repCandidates exceed C($k,2) — class collapse broken")
+      s"oldMemberJoinRows=$naiveBound repCandidateRows=$repCandRows " +
+      s"repVerifiedPairs=$repPairs")
+    // candidate work bounded by distinct-hash combinatorics, never images:
+    // every (blk,bv) bucket holds <= k reps, so 4 block indexes bound the
+    // join at 4 * C(k,2) — and on this corpus it must also sit orders of
+    // magnitude under the member-level join it replaced
+    assert(repCandRows <= 2L * k * (k - 1),
+      s"rep candidate rows $repCandRows exceed 4*C($k,2) — class collapse broken")
+    assert(repCandRows * 1000 <= naiveBound,
+      s"rep candidates $repCandRows not << member-level $naiveBound")
     // the flood's identical-hash class: every within-class pair is a
     // hamming-0 output row, so the final answer must carry >= C(m0, 2)
     assert(m0 >= 700, s"thumbnail flood did not land: max dup class m0=$m0")

@@ -187,35 +187,22 @@ object TolerantDom {
     * double-decoding to `&` the way chained replace passes would.
     *
     * Semicolon rules, per HTML5's named-character-reference state with
-    * THIS table: a `name;` ref decodes iff `name` is in the table; an
-    * unknown `name;` (and any bare name) decodes its longest LEGACY-set
-    * prefix and leaves the rest literal (the spec's "&notit" → "¬it"
-    * behavior — `&ntilde` without the semicolon is what Word-authored
-    * pages actually emit). In an ATTRIBUTE value a legacy ref followed by
-    * an ASCII alphanumeric or `=` stays literal (the spec rule that keeps
+    * THIS table: a `name;` ref decodes iff `name` is in the table
+    * (unknown `name;` stays literal — see the branch comment for why the
+    * full-table browser's prefix consumption is deliberately NOT
+    * replicated); a BARE name decodes its longest legacy-set match and
+    * leaves the rest literal (the spec's "&notit" → "¬it" behavior —
+    * `&ntilde` without the semicolon is what Word-authored pages actually
+    * emit). In an ATTRIBUTE value a bare legacy ref followed by an ASCII
+    * alphanumeric or `=` stays literal (the spec rule that keeps
     * `?a=1&copy=2` URLs intact). Numeric refs still require the
     * semicolon — a deliberate simplification; `&#65` bare is vanishingly
     * rare next to bare `&nbsp`/`&ntilde`. Malformed refs (`&#abc;`,
-    * unknown names with no legacy prefix) stay literal text. */
+    * unknown names) stay literal text. */
   private val entityRef =
     ("&(#(?:[0-9]+|[xX][0-9a-fA-F]+);|[a-zA-Z][a-zA-Z0-9]*;|" +
       // legacy bare names, longest-first so the alternation is greedy
       legacyNames.sortBy(n => (-n.length, n)).mkString("|") + ")").r
-
-  /** Longest legacy prefix of `name`, with the decoded char and the
-    * literal remainder — None when no legacy name prefixes it. */
-  private def legacyPrefix(name: String): Option[(String, String)] = {
-    var len = math.min(name.length, 6) // longest legacy name is 6 chars
-    while (len >= 2) { // shortest (lt/gt/GT/LT) is 2
-      val p = name.substring(0, len)
-      if (legacySet.contains(p))
-        return Some((new String(Character.toChars(namedEntities(p))),
-          name.substring(len)))
-      len -= 1
-    }
-    None
-  }
-  private val legacySet: Set[String] = legacyNames.toSet
 
   private[functions] def decodeEntities(s: String, inAttr: Boolean = false): String =
     if (s.indexOf('&') < 0) s
@@ -239,12 +226,14 @@ object TolerantDom {
         val name = body.substring(0, body.length - 1)
         namedEntities.get(name) match {
           case Some(cp) => new String(Character.toChars(cp))
-          // unknown name;: a browser consumes its longest legacy prefix
-          // ("&copyright;" → "©right;"); no legacy prefix → literal text
-          case None => legacyPrefix(name) match {
-            case Some((ch, rest)) => ch + rest + ";"
-            case None             => m.matched
-          }
+          // unknown name; stays LITERAL — a deliberate deviation from a
+          // full-table browser, which would consume a legacy prefix
+          // ("&copyright;" really renders "©right;"). With THIS partial
+          // table, prefix-consuming would corrupt genuine HTML5 entities
+          // we simply don't carry ("&notin;" → "¬in;" where a browser
+          // renders ∉, and "&ltrif;" would inject a literal '<'); leaving
+          // them literal is visibly recoverable either way.
+          case None => m.matched
         }
       } else {
         // bare legacy ref (the alternation only matches known legacy

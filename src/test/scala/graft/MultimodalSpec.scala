@@ -194,8 +194,13 @@ class MultimodalSpec extends SparkSpec {
     val base = scala.collection.mutable.LinkedHashSet.empty[(Int, Int, Int, Int)]
     while (base.size < 64)
       base += ((0, rnd.nextInt(65536), rnd.nextInt(65536), rnd.nextInt(65536)))
+    // planted neighbours differ in ALL THREE non-shared blocks (hamming 3,
+    // one bit each): block 0 is then the ONLY shared block, so these pairs
+    // are recoverable EXCLUSIVELY through the hot bucket — a broken hot
+    // path cannot be bailed out by an incidental cold (blk, bv) match,
+    // which a b3-preserving plant would have allowed
     val planted = base.take(10).toSeq.map { case (b0, b1, b2, b3) =>
-      (b0, b1 ^ 1, b2 ^ 2, b3) // hamming 2 from its source row
+      (b0, b1 ^ 1, b2 ^ 2, b3 ^ 4)
     }
     val all = (base.toSeq ++ planted).distinct.zipWithIndex
       .map { case ((b0, b1, b2, b3), i) => (i.toLong, b0, b1, b2, b3) }

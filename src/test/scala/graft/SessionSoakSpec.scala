@@ -91,11 +91,19 @@ class SessionSoakSpec extends SparkSpec {
       .broadcastBlockCount(spark.sparkContext)
     flush()
     System.gc()
-    // settle: the cleaner drains its reference queue asynchronously
+    // settle: the cleaner drains its reference queue asynchronously —
+    // SLEEP BEFORE each re-read, or back-to-back reads are equal and the
+    // loop exits before the cleaner has done anything, capturing an
+    // inflated baseline that deflates mid-soak
     val t0 = System.nanoTime()
     var base = broadcastBlocks
-    while ({ val b = broadcastBlocks; val changed = b != base; base = b
-      changed && System.nanoTime() - t0 < 10e9 }) Thread.sleep(250)
+    var settled = false
+    while (!settled && System.nanoTime() - t0 < 10L * 1000 * 1000 * 1000) {
+      Thread.sleep(250)
+      val b = broadcastBlocks
+      settled = b == base
+      base = b
+    }
     val regBase = spark.sparkContext.getPersistentRDDs.size
     val fact = spark.range(0, 1000).toDF("id")
     // hold the plans (and thus their broadcast relations) strongly while

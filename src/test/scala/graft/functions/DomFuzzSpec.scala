@@ -119,8 +119,12 @@ class DomFuzzSpec extends AnyFunSuite {
     assert(TolerantDom.decodeEntities("x &amp y &AMP z") == "x & y & z")
     // the spec's "&notit" example: the longest legacy PREFIX is consumed
     assert(TolerantDom.decodeEntities("I'm &notit") == "I'm ¬it")
-    // an unknown name WITH a semicolon consumes its legacy prefix too
-    assert(TolerantDom.decodeEntities("&copyright;") == "©right;")
+    // an unknown name WITH a semicolon stays LITERAL — deliberate
+    // deviation from a full-table browser (which renders "©right;"):
+    // prefix-consuming with a PARTIAL table would corrupt genuine HTML5
+    // entities it doesn't carry ("&notin;" → "¬in;" where a browser has ∉)
+    assert(TolerantDom.decodeEntities("&copyright;") == "&copyright;")
+    assert(TolerantDom.decodeEntities("&notin;") == "&notin;")
     // apos is NOT in the legacy set — bare &apos stays literal
     assert(TolerantDom.decodeEntities("&apos x") == "&apos x")
     // attribute rule: a bare legacy ref followed by ASCII alnum or '='
