@@ -61,6 +61,17 @@ object ScaleStress {
     t("q36 LSH on 50k docs, 10 exact copies each") {
       println("  pairs=" + graft.SparkEntry.queries("q36_minhash_lsh")(spark, dir).count())
     }
+    // q37 on the same corpus: every doc's simhash class has >= 10 members
+    // (10 exact copies), the shape that made the pre-round-13 member-level
+    // block join quadratic in docs; the class-collapsed plan pigeonholes
+    // one rep per distinct signature and emits the quadratic TRUE pair set
+    // as within-class expansion
+    t("q37 simhash on 50k docs, 10 exact copies each") {
+      println("  pairs=" + graft.SparkEntry.queries("q37_simhash")(spark, dir).count())
+    }
+    t("q37 simhash on the plain 5k-doc corpus") {
+      println("  pairs=" + graft.SparkEntry.queries("q37_simhash")(spark, "/root/testdata/sf0.1").count())
+    }
     t("q36 LSH on the plain 5k-doc corpus") {
       println("  pairs=" + graft.SparkEntry.queries("q36_minhash_lsh")(spark, "/root/testdata/sf0.1").count())
     }

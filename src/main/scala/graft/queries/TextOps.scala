@@ -1860,19 +1860,42 @@ object TextOps {
         }
         val sigs = docTokens(s, d)
           .select(col("doc_id"), simhashOf(col("toks")).as("simhash"))
-        val blocks = sigs.select(col("doc_id"), col("simhash"),
-            explode(sequence(lit(0), lit(3))).as("b"))
-          .select(col("doc_id"), col("simhash"), col("b"),
-            expr("shiftright(simhash, CAST(b AS INT) * 12) & 4095").as("blk"))
-        val cand = blocks.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
-            col("b"), col("blk"))
-          .join(blocks.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
-            col("b"), col("blk")), Seq("b", "blk"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b")).distinct()
-        cand
-          .withColumn("hamming", expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)"))
-          .filter(col("hamming") <= 3)
+        // Dup-class collapse + rep-level pigeonhole (round 13 — q122's
+        // restructure applied to text simhash, same reasoning: identical
+        // signatures — re-posted boilerplate, mirror dumps — make the
+        // member-level block join quadratic in DOCS where the law bounds
+        // it by distinct signatures; ScaleStress' 10-exact-copies corpus
+        // is exactly that shape). nearDupRepPairs is block-width-agnostic:
+        // the four 12-bit blocks ride the same 16-bit packing slots, the
+        // sub-pigeonhole lemma only needs a pair-consistent layout, and
+        // its hamming is bit_count(sig_a ^ sig_b) because the blocks
+        // partition the 48 bits.
+        val classes = graft.Checkpoints.localCheckpoint(
+          sigs.groupBy(col("simhash"))
+            .agg(min(col("doc_id")).as("rep"),
+              collect_list(col("doc_id")).as("members")))
+        val mA = classes.select(col("rep"), explode(col("members")).as("da"))
+        val mB = classes.select(col("rep"), explode(col("members")).as("db"))
+        val within = mA.join(mB, Seq("rep"))
+          .filter(col("da") < col("db"))
+          .select(col("da").as("doc_a"), col("db").as("doc_b"),
+            lit(0L).as("hamming"))
+        val interReps = graft.multimodal.MultimodalOps.nearDupRepPairs(
+          classes.select(col("rep").as("media_id"),
+            expr("CAST(simhash & 4095 AS INT)").as("b0"),
+            expr("CAST((simhash >> 12) & 4095 AS INT)").as("b1"),
+            expr("CAST((simhash >> 24) & 4095 AS INT)").as("b2"),
+            expr("CAST((simhash >> 36) & 4095 AS INT)").as("b3")))
+        val inter = interReps
+          .join(classes.select(col("rep").as("ra"),
+            col("members").as("ms_a")), Seq("ra"))
+          .join(classes.select(col("rep").as("rb"),
+            col("members").as("ms_b")), Seq("rb"))
+          .select(explode(col("ms_a")).as("da"), col("ms_b"), col("hamming"))
+          .select(col("da"), explode(col("ms_b")).as("db"), col("hamming"))
+          .select(least(col("da"), col("db")).as("doc_a"),
+            greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+        within.unionByName(inter)
           .select(col("doc_a"), col("doc_b"), col("hamming"))
           .orderBy("doc_a", "doc_b")
       },
@@ -1911,7 +1934,9 @@ object TextOps {
         SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
         FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
         ORDER BY doc_a, doc_b"""),
-      doc = "48-bit SimHash + 12-bit-block pigeonhole candidate join"),
+      doc = "48-bit SimHash near-dup: dup-class collapse + rep-level " +
+        "12-bit-block pigeonhole (candidates bounded by distinct " +
+        "signatures, not docs)"),
 
     // Character-n-gram language ID — the fasttext-style profile technique
     // itself (q32 is the stopword-vote variant): doc trigrams equi-join a
