@@ -1,21 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  // Streaming drains carry 2-3x run-to-run variance from state-store commit
-  // and micro-batch scheduling I/O that min-of-2 doesn't absorb (round-6
-  // driver run: q64 5.6s vs 1.9s same code) — these get a third timed pass.
-  // Derived from the registry (every query in the streaming module runs a
-  // drain), not a hand-list: q149/q184 silently missed the clamp when this
-  // was maintained by hand.
-  private val streamingQueries: Set[String] =
-    graft.streaming.StreamOps.qs.keySet
-
-  // Third-pass variance clamp: the streaming registry (drain I/O variance,
-  // above) plus the groupedPrefixSum consumers, whose r11 broadcast-offsets
-  // change sits close to the noise floor at sf0.1 — min-of-3 keeps their
-  // trend lines readable (VERDICT r11 #7).
-  private val thirdPassQueries: Set[String] =
-    streamingQueries ++ Set("q108_sequence_packing", "q137_budget_sample")
+  // Pass count is 3 FULL passes since round 13 (min per query across all
+  // three). History: streaming drains always needed min-of-3 (2-3× state-
+  // store/scheduling variance, round-6 driver run q64 5.6 s vs 1.9 s same
+  // code), and round 11 added the groupedPrefixSum consumers; round 13
+  // widened it to the whole suite after two clean-anchor runs of identical
+  // code measured 113.3 vs 122.5 s normalized — the spread is long-tail
+  // micro-noise (+30-60 ms on dozens of sub-second queries, no
+  // concentrated delta) that min-of-2 under-filters and the anchor
+  // normalizer cannot see. The third pass costs ~60 s wall and tightens
+  // min() for every row, which is what round-over-round trend lines read.
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -202,9 +197,7 @@ object Bench {
     }
     val p1 = pass(_ => true); boundary("pass1")
     val p2 = pass(_ => true); boundary("pass2")
-    // third pass for the variance-clamped subset (streaming registry +
-    // groupedPrefixSum consumers; see thirdPassQueries)
-    val p3 = pass(thirdPassQueries); boundary("pass3_min3_subset")
+    val p3 = pass(_ => true); boundary("pass3")
     // a failed query's fail-fast wall time (often milliseconds) must not
     // flow into min()/total and make a broken suite read as fast — failures
     // are reported in `failed`/n_failed only, never in the timing record
