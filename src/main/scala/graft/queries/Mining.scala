@@ -1133,13 +1133,22 @@ object Mining {
     // values are RAW inputs, so they hash bit-exactly across engines.
     "q186_grouped_exact_percentiles" -> Q(
       run = (s, d) => {
+        // NULL values are excluded EXPLICITLY on both sides: Spark orders
+        // NULLs FIRST ascending while DuckDB's ORDER BY defaults to NULLS
+        // LAST, so one NULL value would shift every rank in its group and
+        // flip the p50/p95 picks engine-dependently. A percentile over
+        // absent measurements has no meaning anyway — the filter IS the
+        // law, not a workaround. n counts the same filtered set.
         val ev = Tables.events(s, d)
+          .filter(col("value").isNotNull)
           .select(col("event_type"), col("value"), col("event_id"))
           .withColumn("__one", lit(1L))
         val ranked = graft.operators.Operators.groupedPrefixSum(
           ev, "event_type", "__one",
           Seq(col("value"), col("event_id")), "r")
-        val ns = Tables.events(s, d).groupBy(col("event_type"))
+        val ns = Tables.events(s, d)
+          .filter(col("value").isNotNull)
+          .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"))
         ranked.join(broadcast(ns), Seq("event_type"))
           .filter(col("r") === expr("(n + 1) div 2")
@@ -1158,7 +1167,7 @@ object Mining {
                  CAST(row_number() OVER (PARTITION BY event_type
                    ORDER BY value, event_id) AS BIGINT) AS r,
                  count(*) OVER (PARTITION BY event_type) AS n
-          FROM events)
+          FROM events WHERE value IS NOT NULL)
         SELECT event_type, CAST(n AS BIGINT) AS n,
                min(CASE WHEN r = (n + 1) // 2 THEN value END) AS p50,
                min(CASE WHEN r = (19 * n + 19) // 20 THEN value END) AS p95
@@ -1325,20 +1334,30 @@ object Mining {
               .otherwise(0L)).as("s2"),
             sum(when(col("event_type") === "error",
               col("c") * col("c")).otherwise(0L)).as("q2"))
+          // degenerate-denominator guards, the q172/q182 family convention
+          // (CASE WHEN den = 0 THEN 0): an empty arm zeroes n1*n2, and two
+          // constant-valued arms zero the pooled-variance term — without
+          // the guard each engine applies its own division-by-zero
+          // semantics instead of the documented law
           .withColumn("diff_milli_cents", expr(
-            """CAST((CAST(1000 AS DECIMAL(38,0)) * s1 * n2
-              | - CAST(1000 AS DECIMAL(38,0)) * s2 * n1)
-              | div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"""
+            """CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(0 AS BIGINT)
+              | ELSE CAST((CAST(1000 AS DECIMAL(38,0)) * s1 * n2
+              |   - CAST(1000 AS DECIMAL(38,0)) * s2 * n1)
+              |   div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT) END"""
               .stripMargin))
           .withColumn("z2_milli", expr(
-            """CAST((CAST(1000 AS DECIMAL(38,0))
+            """CASE WHEN ((CAST(n1 AS DECIMAL(38,0)) * q1 - CAST(s1 AS DECIMAL(38,0)) * s1)
+              |        * n2 * n2 * (n2 - 1)
+              |      + (CAST(n2 AS DECIMAL(38,0)) * q2 - CAST(s2 AS DECIMAL(38,0)) * s2)
+              |        * n1 * n1 * (n1 - 1)) = 0 THEN CAST(0 AS BIGINT)
+              | ELSE CAST((CAST(1000 AS DECIMAL(38,0))
               |   * (CAST(s1 AS DECIMAL(38,0)) * n2 - CAST(s2 AS DECIMAL(38,0)) * n1)
               |   * (CAST(s1 AS DECIMAL(38,0)) * n2 - CAST(s2 AS DECIMAL(38,0)) * n1)
               |   * (n1 - 1) * (n2 - 1))
               | div ((CAST(n1 AS DECIMAL(38,0)) * q1 - CAST(s1 AS DECIMAL(38,0)) * s1)
               |        * n2 * n2 * (n2 - 1)
               |      + (CAST(n2 AS DECIMAL(38,0)) * q2 - CAST(s2 AS DECIMAL(38,0)) * s2)
-              |        * n1 * n1 * (n1 - 1)) AS BIGINT)""".stripMargin))
+              |        * n1 * n1 * (n1 - 1)) AS BIGINT) END""".stripMargin))
           .select(col("n1"), col("n2"), col("diff_milli_cents"),
             col("z2_milli"))
       },
@@ -1363,14 +1382,18 @@ object Mining {
               AS HUGEINT) AS q2
           FROM c)
         SELECT n1, n2,
-               CAST((1000 * s1 * n2 - 1000 * s2 * n1)
-                 // (CAST(n1 AS HUGEINT) * n2) AS BIGINT)
+               CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST((1000 * s1 * n2 - 1000 * s2 * n1)
+                   // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) END
                  AS diff_milli_cents,
-               CAST((1000 * (s1 * n2 - s2 * n1) * (s1 * n2 - s2 * n1)
-                      * (n1 - 1) * (n2 - 1))
-                 // ((n1 * q1 - s1 * s1) * n2 * n2 * (n2 - 1)
-                    + (n2 * q2 - s2 * s2) * n1 * n1 * (n1 - 1))
-                 AS BIGINT) AS z2_milli
+               CASE WHEN ((n1 * q1 - s1 * s1) * n2 * n2 * (n2 - 1)
+                      + (n2 * q2 - s2 * s2) * n1 * n1 * (n1 - 1)) = 0
+                 THEN CAST(0 AS BIGINT)
+                 ELSE CAST((1000 * (s1 * n2 - s2 * n1) * (s1 * n2 - s2 * n1)
+                        * (n1 - 1) * (n2 - 1))
+                   // ((n1 * q1 - s1 * s1) * n2 * n2 * (n2 - 1)
+                      + (n2 * q2 - s2 * s2) * n1 * n1 * (n1 - 1))
+                   AS BIGINT) END AS z2_milli
         FROM p"""),
       doc = "A/B effect size (purchase vs error values): exact integer " +
         "mean-difference + Welch z-squared in milli — the experimentation " +

@@ -114,13 +114,15 @@ object Vectors {
     * scramble (an unscrambled short-string hash has parity biased by the
     * last character). The SAME values are pinned into the oracle SQL as
     * literal lists, so both engines fold identical ±1 sequences. */
-  private def srpSigns: Array[Array[Int]] = {
-    val P = 1000000007L
+  private def srpSigns: Array[Array[Int]] =
+    // scramble via the ONE shared definition (Mining.scrambleLong) — a
+    // private re-inline of the constant chain here would be the exact
+    // single-consumer drift hazard the consolidation note in Mining warns
+    // about
     Array.tabulate(SrpBits, 64) { (b, i) =>
-      val h = graft.functions.TextHash.polyHash(s"$b:$i")
-      if ((h * h % P * 2654435761L % P) % 2 == 0) 1 else -1
+      if (Mining.scrambleLong(
+          graft.functions.TextHash.polyHash(s"$b:$i")) % 2 == 0) 1 else -1
     }
-  }
 
   /** q189's multi-probe XOR masks: Hamming distance ≤ 2 from the query's
     * own bucket (1 + 6 + 15 = 22 of 64 buckets), in deterministic order. */
@@ -1316,7 +1318,13 @@ object Vectors {
             dot += a * b; na += a * a; nb += b * b
             i += 1
           }
-          math.floor(1000.0 * (dot / (math.sqrt(na) * math.sqrt(nb)))).toLong
+          // zero-norm guard (the determinism-notes rule): a half whose
+          // vectors are all zero gives 0/0 — Spark's floor(NaN).toLong
+          // would silently emit 0 while DuckDB's 0/0 is NULL. Define the
+          // degenerate cosine as 0 EXPLICITLY on both sides (oracle:
+          // COALESCE at egress) so the law is engine-independent.
+          if (na == 0.0 || nb == 0.0) 0L
+          else math.floor(1000.0 * (dot / (math.sqrt(na) * math.sqrt(nb)))).toLong
         }
         perLabel
           .filter(col("n_a") > 0 && col("n_b") > 0)
@@ -1370,8 +1378,8 @@ object Vectors {
         SELECT label,
                CAST(n_a AS BIGINT) AS n_a,
                CAST(n_b AS BIGINT) AS n_b,
-               CAST(floor(1000.0 * mean_cos) AS BIGINT) AS mean_cos_milli,
-               CAST(floor(1000.0 * energy_cos) AS BIGINT) AS energy_cos_milli
+               COALESCE(CAST(floor(1000.0 * mean_cos) AS BIGINT), 0) AS mean_cos_milli,
+               COALESCE(CAST(floor(1000.0 * energy_cos) AS BIGINT), 0) AS energy_cos_milli
         FROM m ORDER BY label"""),
       doc = "embedding drift monitor: per-label mean-centroid and energy-" +
         "profile cosines between two snapshots (exact integer-sum replay)"),
@@ -1413,7 +1421,11 @@ object Vectors {
             dot += x * s0; nx += x * x; nc += s0 * s0
             i += 1
           }
-          math.floor(1000.0 * (dot / (math.sqrt(nx) * math.sqrt(nc)))).toLong
+          // members are zero-norm-excluded (vecs()), but a CENTROID can
+          // still be exactly zero (per-dim floor sums cancelling) — same
+          // 0/0 cross-engine hazard as q132; define it as 0 on both sides
+          if (nx == 0.0 || nc == 0.0) 0L
+          else math.floor(1000.0 * (dot / (math.sqrt(nx) * math.sqrt(nc)))).toLong
         }
         val intra = v.select(col("label"),
             memberCos(col("label"), col("embedding")).as("cm"))
@@ -1435,7 +1447,8 @@ object Vectors {
             dot += x * y; na += x * x; nb += y * y
             i += 1
           }
-          math.floor(1000.0 * (dot / (math.sqrt(na) * math.sqrt(nb)))).toLong
+          if (na == 0.0 || nb == 0.0) 0L // zero centroid: same rule as above
+          else math.floor(1000.0 * (dot / (math.sqrt(na) * math.sqrt(nb)))).toLong
         }
         // flatMap + headOption: a single-label corpus has no "other"
         // centroid — the label yields no row, matching the oracle's empty
@@ -1476,12 +1489,16 @@ object Vectors {
                        (acc, x) -> acc + x))
                     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                        list_transform(range(1, 65), i -> c.cv[i] * c.cv[i])),
-                       (acc, x) -> acc + x))))) AS BIGINT) AS cm
+                       (acc, x) -> acc + x))))) AS BIGINT) AS cm_raw
           FROM v JOIN cent c USING (label)),
+        member_g AS (
+          -- zero-centroid 0/0 is NULL here but 0 by the engine's guarded
+          -- kernel — COALESCE keeps the law engine-independent
+          SELECT label, COALESCE(cm_raw, 0) AS cm FROM member),
         intra AS (
           SELECT label, count(*) AS n,
                  sum(cm + 1000) // count(*) - 1000 AS intra_avg_milli
-          FROM member GROUP BY label),
+          FROM member_g GROUP BY label),
         pairs AS (
           SELECT a.label,
                  b.label AS other,
@@ -1494,12 +1511,13 @@ object Vectors {
                        (acc, x) -> acc + x))
                     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                        list_transform(range(1, 65), i -> b.cv[i] * b.cv[i])),
-                       (acc, x) -> acc + x))))) AS BIGINT) AS cc
+                       (acc, x) -> acc + x))))) AS BIGINT) AS cc_raw
           FROM cent a JOIN cent b ON a.label <> b.label),
+        pairs_g AS (SELECT label, other, COALESCE(cc_raw, 0) AS cc FROM pairs),
         near AS (
           SELECT label, other AS nearest_label, cc AS inter_cos_milli
           FROM (SELECT *, row_number() OVER (PARTITION BY label
-                  ORDER BY cc DESC, other) AS rn FROM pairs)
+                  ORDER BY cc DESC, other) AS rn FROM pairs_g)
           WHERE rn = 1)
         SELECT i.label,
                CAST(i.n AS BIGINT) AS n,
