@@ -495,8 +495,17 @@ object Events {
         // checkpoint), the per-type totals it aggregates are both the
         // join's right side AND the salt-width heat table
         // (saltWidthFromHeat) — one keys-space aggregation, not two
+        // event_id stays in the salted projection (round-13 review):
+        // saltedJoin's deterministic salt is xxhash64 over the WHOLE row,
+        // and its contract note ("any differing column spreads them")
+        // assumed a realistic fact row — projected down to
+        // (event_type, day), every row of a hot (type, day) cell hashed
+        // to ONE salt value and the hot cell landed back on one task
+        // while the right side still paid the B× replication. The unique
+        // id is the entropy; the groupBy drops it.
         val ev = graft.Checkpoints.localCheckpoint(Tables.events(s, d)
-          .select(col("event_type"), to_date(col("ts")).as("day")))
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            col("event_id")))
         val totals = graft.Checkpoints.localCheckpoint(
           ev.groupBy("event_type").agg(count(lit(1)).as("n_type_total")))
         val B = graft.operators.Operators.saltWidthFromHeat(
@@ -532,26 +541,45 @@ object Events {
     // (keyed shuffle) with the p95 an exact rank pick per type.
     "q157_event_lag" -> Q(
       run = (s, d) => {
-        val ev = graft.Tables.events(s, d)
-          .select(col("event_type"), col("ts").cast("long").as("sec"))
+        // NO per-type windows (round-13 review): event_type has ~5 values,
+        // so lag/rank windows partitioned by it serialize the whole fact
+        // table into 5 tasks — the low-cardinality mega-group anti-pattern
+        // q61/q168 document. Instead: a grouped range-exchange rank
+        // (groupedPrefixSum), consecutive rows paired by an equi-join on
+        // (type, rank−1), and the p95 pick by a second grouped rank —
+        // every stage's parallelism follows data volume, not type count.
+        val ev = graft.Checkpoints.localCheckpoint(graft.Tables.events(s, d)
+          .select(col("event_type"), col("ts").cast("long").as("sec"),
+            col("event_id"))
+          .withColumn("__one", lit(1L)))
         val frontier = ev.agg(max(col("sec")).as("gmax"))
         val perType = ev.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), max(col("sec")).as("tmax"))
-        val w = Window.partitionBy(col("event_type")).orderBy(col("sec"))
-        val deltas = ev
-          .withColumn("prev", lag(col("sec"), 1).over(w))
-          .filter(col("prev").isNotNull)
-          .withColumn("gap", col("sec") - col("prev"))
-        val wRank = Window.partitionBy(col("event_type")).orderBy(col("gap"))
-        val p95 = deltas
-          .withColumn("rnk", row_number().over(wRank).cast("long"))
-          .withColumn("m", count(lit(1)).over(Window.partitionBy(col("event_type"))))
-          // exact upper p95: the ceil(0.95·m)-th smallest gap
-          .filter(col("rnk") === expr("CAST(ceil(0.95 * m) AS BIGINT)"))
+        // unique per-type rank in (sec, event_id) order: the gap MULTISET
+        // is invariant under the tie order, so the law equals the
+        // oracle's lag-over-sec form
+        val rnk = graft.operators.Operators.groupedPrefixSum(
+          ev, "event_type", "__one", Seq(col("sec"), col("event_id")), "rnk")
+          .select(col("event_type"), col("sec"), col("rnk"))
+        val gaps = rnk
+          .join(rnk.select(col("event_type"), col("sec").as("prev"),
+            (col("rnk") + 1).as("rnk")), Seq("event_type", "rnk"))
+          .select(col("event_type"), (col("sec") - col("prev")).as("gap"),
+            col("rnk"))
+          .withColumn("__one", lit(1L))
+        // exact upper p95: the ceil(0.95·(n−1))-th smallest of the n−1 gaps
+        val p95 = graft.operators.Operators.groupedPrefixSum(
+          gaps, "event_type", "__one", Seq(col("gap"), col("rnk")), "grnk")
+          .join(broadcast(perType.select(col("event_type"), col("n"))),
+            Seq("event_type"))
+          .filter(col("grnk") === expr("CAST(ceil(0.95 * (n - 1)) AS BIGINT)"))
           .select(col("event_type"), col("gap").as("p95_gap_s"))
         perType.crossJoin(broadcast(frontier))
           .withColumn("frontier_lag_s", col("gmax") - col("tmax"))
-          .join(p95, Seq("event_type"))
+          // LEFT join (round-13 review): a type with < 2 events has no
+          // gaps but must still report its frontier lag — the sparse
+          // types are exactly the ones watermark sizing needs; p95 NULL
+          .join(p95, Seq("event_type"), "left")
           .select(col("event_type"), col("n"), col("frontier_lag_s"),
             col("p95_gap_s"))
           .orderBy("event_type")
@@ -578,7 +606,7 @@ object Events {
         SELECT t.event_type, CAST(t.n AS BIGINT) AS n,
                CAST(g.gmax - t.tmax AS BIGINT) AS frontier_lag_s,
                CAST(p.p95_gap_s AS BIGINT) AS p95_gap_s
-        FROM t CROSS JOIN g JOIN p USING (event_type)
+        FROM t CROSS JOIN g LEFT JOIN p USING (event_type)
         ORDER BY event_type"""),
       doc = "event-time lateness monitor: per-type frontier lag + exact " +
         "p95 inter-arrival gap (the watermark-sizing evidence)"),
@@ -635,14 +663,22 @@ object Events {
     // broadcast per-type fence table.
     "q163_iqr_outliers" -> Q(
       run = (s, d) => {
-        val ev = graft.Tables.events(s, d)
+        // rank via groupedPrefixSum, not a per-type window (round-13
+        // review): event_type has ~5 values, so a partitioned row_number
+        // would serialize the fact scan into 5 tasks — q60/q157/q186's
+        // mega-group rule. NULL values are excluded on BOTH sides (q186's
+        // law: engine-divergent NULL ordering, and quartiles over absent
+        // measurements are meaningless).
+        val ev = graft.Checkpoints.localCheckpoint(graft.Tables.events(s, d)
+          .filter(col("value").isNotNull)
           .select(col("event_type"), col("value"), col("event_id"))
-        val w = Window.partitionBy(col("event_type"))
-          .orderBy(col("value"), col("event_id"))
-        val ranked = ev
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
-        val fences = ranked.groupBy(col("event_type"))
+          .withColumn("__one", lit(1L)))
+        val ranked = graft.operators.Operators.groupedPrefixSum(
+          ev, "event_type", "__one",
+          Seq(col("value"), col("event_id")), "rnk")
+        val ns = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        val fences = ranked.join(broadcast(ns), Seq("event_type"))
+          .groupBy(col("event_type"))
           .agg(max(col("n")).as("n"),
             max(when(col("rnk") === expr("CAST(ceil(0.25 * n) AS BIGINT)"),
               col("value"))).as("q1"),
@@ -663,7 +699,7 @@ object Events {
           SELECT event_type, value,
                  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rnk,
                  count(*) OVER (PARTITION BY event_type) AS n
-          FROM events),
+          FROM events WHERE value IS NOT NULL),
         f AS (
           SELECT event_type, max(n) AS n,
                  max(CASE WHEN rnk = CAST(ceil(0.25 * n) AS BIGINT) THEN value END) AS q1,

@@ -115,17 +115,26 @@ object Relational {
         try {
         // valid iff the manifest records EXACT field values (delimiter-
         // terminated — a raw substring probe would accept "buckets":80 for
-        // 8) AND every table dir still holds part files (a manifest can
-        // outlive files a /tmp reaper pruned; registering over a partial
-        // layout returns silently short aggregates)
+        // 8) AND the COMPLETE per-table part-file inventory on disk equals
+        // the one recorded at write time. An any-part-file-exists probe
+        // accepted a PARTIALLY pruned layout (a /tmp reaper deleting 7 of
+        // 8 bucket files leaves one part- survivor; Spark reads missing
+        // buckets as empty and q151 returns silently short aggregates) —
+        // the inventory must match file-for-file or the layout rebuilds.
+        def renderFiles(): String = specs.map { case (_, loc, _, _) =>
+          val names = Option(loc.toFile.listFiles())
+            .getOrElse(Array.empty[java.io.File])
+            .map(_.getName).filter(_.startsWith("part-")).sorted
+          loc.getFileName.toString + ":" + names.mkString(",")
+        }.mkString(";")
         val reusable = java.nio.file.Files.exists(manifest) && {
           val txt = java.nio.file.Files.readString(manifest)
           txt.contains("\"fixture\":\"" + canonical + "\"") &&
             txt.contains("\"buckets\":" + LayoutBuckets + ",") &&
-            txt.contains("\"version\":" + LayoutVersion + ",")
-        } && specs.forall { case (_, loc, _, _) =>
-          val fs = loc.toFile.listFiles()
-          fs != null && fs.exists(_.getName.startsWith("part-"))
+            txt.contains("\"version\":" + LayoutVersion + ",") &&
+            // the write path records a non-empty inventory, so equality
+            // also rejects an emptied table dir
+            txt.contains("\"files\":\"" + renderFiles() + "\"")
         }
         if (reusable) {
           // files are a complete, matching layout — (re-)register the
@@ -157,9 +166,12 @@ object Relational {
               .format("parquet").saveAsTable(name)
           }
           java.nio.file.Files.createDirectories(root)
+          // the inventory is read back from disk AFTER the writes so the
+          // manifest records exactly what a reuse check will see
           java.nio.file.Files.writeString(manifest,
             s"""{"version":$LayoutVersion,"fixture":"$canonical",""" +
-              s""""buckets":$LayoutBuckets,"tables":["$ot","$lt"]}""" + "\n")
+              s""""buckets":$LayoutBuckets,"tables":["$ot","$lt"],""" +
+              s""""files":"${renderFiles()}"}""" + "\n")
         }
         } finally { lock.release(); lockCh.close() }
         markLayoutReady(s, canonical)
@@ -552,18 +564,32 @@ object Relational {
 
     "q20_scalar_subquery" -> Q(
       run = (s, d) => {
-        val avgPrice = Tables.orders(s, d)
-          .agg((sum(dec(col("o_totalprice"))).cast("double") / count(lit(1))).as("a"))
-        Tables.orders(s, d).join(broadcast(avgPrice))
-          .filter(col("o_totalprice") > col("a") * 1.8)
+        // threshold in EXACT integer cents: price > (sum/n)·1.8 rewritten
+        // as price_cents·n·10 > sum_cents·18. The old decimal→double
+        // average diverged past 2^53 unscaled (Spark's Decimal.toDouble
+        // rounds once; DuckDB converts-then-divides, two roundings — a
+        // verified 1-ulp threshold drift), and the sf0.1 orders sum is
+        // already ~2.3e16 unscaled; rational cross-multiplication keeps
+        // the SAME law engine-exact at any scale.
+        val cents = expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS DECIMAL(38,0))")
+        val tot = Tables.orders(s, d)
+          .agg(sum(cents).as("sc"), count(lit(1)).as("n"))
+        Tables.orders(s, d).join(broadcast(tot))
+          .filter(cents * col("n") * 10 > col("sc") * 18)
           .select(col("o_orderkey"), col("o_totalprice"))
           .orderBy("o_orderkey")
       },
       oracle = Some("""
-        SELECT o_orderkey, o_totalprice FROM orders
-        WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) FROM orders) * 1.8
+        WITH t AS (
+          SELECT sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS HUGEINT)) AS sc,
+                 count(*) AS n
+          FROM orders)
+        SELECT o_orderkey, o_totalprice FROM orders CROSS JOIN t
+        WHERE CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS HUGEINT) * n * 10 > sc * 18
         ORDER BY o_orderkey"""),
-      doc = "scalar subquery (broadcast single-row join)"),
+      doc = "scalar subquery (broadcast single-row join), exact-integer " +
+        "threshold law"),
 
     // Pivot — conditional aggregation shape shared by both engines.
     "q21_pivot" -> Q(
@@ -640,14 +666,22 @@ object Relational {
     // so both engines rank identically despite the double-typed price.
     "q60_group_topk" -> Q(
       run = (s, d) => {
-        val w = Window
-          .partitionBy(col("c_mktsegment"))
-          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        Tables.orders(s, d)
+        // top-3 per segment WITHOUT a per-segment ranking window:
+        // c_mktsegment has 5 values, so row_number() partitioned by it
+        // would serialize the whole orders⋈customer output into 5 tasks —
+        // the low-cardinality mega-group anti-pattern q61/q168 document.
+        // groupedPrefixSum ranks on a RANGE exchange + frozen-pid windows
+        // instead: parallelism follows data volume, not segment count.
+        val joined = Tables.orders(s, d)
           .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-          .withColumn("rnk", row_number().over(w))
+          .select(col("c_mktsegment"), col("o_totalprice"), col("o_orderkey"))
+          .withColumn("__one", lit(1L))
+        graft.operators.Operators.groupedPrefixSum(
+          joined, "c_mktsegment", "__one",
+          Seq(col("o_totalprice").desc, col("o_orderkey")), "rnk")
           .filter(col("rnk") <= 3)
-          .select(col("c_mktsegment"), col("rnk"), col("o_orderkey"))
+          .select(col("c_mktsegment"), col("rnk").cast("int").as("rnk"),
+            col("o_orderkey"))
           .orderBy("c_mktsegment", "rnk")
       },
       oracle = Some("""
@@ -908,32 +942,32 @@ object Relational {
       oracle = Some("""
         SELECT * FROM (
           SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
-                 CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                 CAST(COALESCE(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
                  count(DISTINCT l_orderkey) AS n_distinct,
                  CAST(min(l_orderkey) AS DOUBLE) AS v_min, CAST(max(l_orderkey) AS DOUBLE) AS v_max
           FROM lineitem
           UNION ALL SELECT 'l_partkey', count(*),
-                 CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(COALESCE(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
                  count(DISTINCT l_partkey),
                  CAST(min(l_partkey) AS DOUBLE), CAST(max(l_partkey) AS DOUBLE) FROM lineitem
           UNION ALL SELECT 'l_suppkey', count(*),
-                 CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(COALESCE(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
                  count(DISTINCT l_suppkey),
                  CAST(min(l_suppkey) AS DOUBLE), CAST(max(l_suppkey) AS DOUBLE) FROM lineitem
           UNION ALL SELECT 'l_linenumber', count(*),
-                 CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(COALESCE(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
                  count(DISTINCT l_linenumber),
                  CAST(min(l_linenumber) AS DOUBLE), CAST(max(l_linenumber) AS DOUBLE) FROM lineitem
           UNION ALL SELECT 'l_quantity', count(*),
-                 CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(COALESCE(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
                  count(DISTINCT l_quantity),
                  CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE) FROM lineitem
           UNION ALL SELECT 'l_discount', count(*),
-                 CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(COALESCE(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
                  count(DISTINCT l_discount),
                  CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE) FROM lineitem
           UNION ALL SELECT 'l_tax', count(*),
-                 CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(COALESCE(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
                  count(DISTINCT l_tax),
                  CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE) FROM lineitem
         ) ORDER BY "column""""),

@@ -121,17 +121,9 @@ class PlanSpec extends SparkSpec {
       s"n_docs scalar not broadcast:\n$p58")
   }
 
-  test("q60: per-group top-k shuffles on the group key, sorts only the winners") {
-    val p = plan("q60_group_topk", execute = true)
-    assert(p.contains("Exchange hashpartitioning(c_mktsegment"),
-      s"window not partitioned by group key:\n$p")
-    // only the final 15-row output may range-partition; the 150k-row input
-    // never does (count within the AQE final plan only — the printed
-    // "Initial Plan" section repeats every node)
-    val finalPlan = p.split("== Initial Plan ==").head
-    val rangeExchanges = "Exchange rangepartitioning".r.findAllIn(finalPlan).length
-    assert(rangeExchanges <= 1, s"global sort before ranking:\n$finalPlan")
-  }
+  // q60's plan shape is pinned in the frozen-pid sweep below (round 13:
+  // its 5-segment ranking window was the mega-group anti-pattern and now
+  // rides groupedPrefixSum like q171/q175)
 
   test("q62: DSv2 scan consumes form filters, narrows range, prunes columns") {
     val p = plan("q62_dsv2_pushdown")
@@ -599,8 +591,11 @@ class PlanSpec extends SparkSpec {
 
   test("q171/q175: per-source ranks ride the frozen-pid machinery, not a " +
     "source-cardinality window") {
+    // round 13 added q60/q157/q163: their 5-value-key ranking/lag windows
+    // were the same mega-group anti-pattern this sweep exists to forbid
     for (name <- Seq("q171_source_topp", "q175_mixture_schedule",
-        "q181_release_pipeline")) {
+        "q181_release_pipeline", "q60_group_topk", "q157_event_lag",
+        "q163_iqr_outliers")) {
       val df = SparkEntry.registry(name).run(spark, sf)
       val wins = df.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
