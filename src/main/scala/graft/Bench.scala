@@ -238,6 +238,19 @@ object Bench {
     def toJson(rs: Seq[(String, Double)]) = rs
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // per-pass raw times per row, pass-aligned (null where the row didn't
+    // appear in that pass — e.g. a stage row whose build didn't re-trigger).
+    // The reader computes normalized per-pass values as raw/pass_slowdowns[i]
+    // and the per-row SPREAD (max-min over passes): bench_compare uses it to
+    // suppress round-over-round delta rows smaller than the row's own
+    // measured noise, so identical-code runs compare flat (judge r13 #2)
+    val passRows: Seq[Map[String, Double]] =
+      Seq(timed(p1), timed(p2), timed(p3)).map(_.toMap)
+    val allNames = passRows.flatMap(_.keys).distinct.sorted
+    val passesJson = allNames.map { n =>
+      "\"" + n + "\":[" + passRows.map(m =>
+        m.get(n).map(fmt).getOrElse("null")).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     // Round-1 post-mortem: the driver keeps only a ~2 KB tail of stdout and
     // parses the JSON line from it; with all 84 queries inline the line was
     // ~2.6 KB and the head (with "metric") fell off the window → parsed:null.
@@ -276,7 +289,7 @@ object Bench {
     val slowdownsJson = passSlowdowns.map(fmt).mkString("[", ",", "]")
     val anchorBlock =
       s""","anchors":$anchorsJson,"anchor_nominal":{"single_ms":${fmt(HostAnchor.NominalSingleMs)},"par_ms":${fmt(HostAnchor.NominalParallelMs)}},"pass_slowdowns":$slowdownsJson,"queries_norm":${toJson(resultsNorm)},"total_norm":${fmt(totalNorm)}"""
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"stages":$stages,"query_metrics":$metricsJson,"failed":$failedJson$failMark$anchorBlock,"storage":[${storageLog.mkString(",")}]$onlyMark,"sf":"${jstr(sfDir)}"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_passes":3,"queries":${toJson(results)},"queries_passes":$passesJson,"stages":$stages,"query_metrics":$metricsJson,"failed":$failedJson$failMark$anchorBlock,"storage":[${storageLog.mkString(",")}]$onlyMark,"sf":"${jstr(sfDir)}"}"""
     // subset runs go to their own file: the full-suite BENCH_DETAIL.json is
     // the graded record and a debugging subset must never clobber it
     val detailFile =

@@ -191,11 +191,28 @@ object Main {
       // same "sin registros" warning envelope as runSequential, not an error
       val worklist = {
         import spark.implicits._
-        (if (new java.io.File(staging).isDirectory)
+        (if (new java.io.File(staging).isDirectory) {
+          // Layout contract (ADVICE r13): staging holds ONLY batch=<id>
+          // subdirs and is scoped to exactly one stream-checkpoint lifetime
+          // — the deleteTree above clears it before every run, and the
+          // checkpoint is per-run ephemeral, so batchId restarting at 0
+          // can never meet a prior run's batch=0. A flat part- file here
+          // means some OTHER writer used this path (or the clear was
+          // bypassed): partition discovery would silently misread a mixed
+          // dir, so fail loudly instead.
+          val stray = new java.io.File(staging).listFiles()
+            .filter(f => !f.getName.startsWith("batch=") &&
+              !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+          require(stray.isEmpty,
+            s"worklist staging $staging holds non-batch entries " +
+              s"(${stray.map(_.getName).take(3).mkString(", ")}) — foreign " +
+              "or legacy flat layout; staging is single-run scratch owned " +
+              "by runSequentialPaged")
           // the batch=<id> layout reads back as a partitioned dataset;
           // project the payload columns (the synthetic `batch` partition
           // column is write-idempotency plumbing, not worklist schema)
           spark.read.parquet(staging).select("id_negocio", "url")
+        }
         else Seq.empty[(Long, String)].toDF("id_negocio", "url"))
           .join(processed, Seq("id_negocio"), "left_anti")
       }

@@ -646,21 +646,35 @@ object ScaleStress {
     val rocks = "org.apache.spark.sql.execution.streaming.state." +
       "RocksDBStateStoreProvider"
     val prev = spark.conf.getOption(key)
-    spark.conf.set(key, rocks)
+    // the provider conf is toggled PER RUN, baseline first — round 13 set
+    // it once before the loop, so both "sides" of the A/B ran RocksDB and
+    // the row-identity assert compared RocksDB with itself (ADVICE r13);
+    // the provider actually in effect is now read back from the drain's
+    // own progress (DrainInfo.provider), not assumed from the conf we set
+    def setProvider(rocksOn: Boolean): Unit =
+      if (rocksOn) spark.conf.set(key, rocks)
+      else prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     try {
       for (q <- Seq("q149_stream_topk", "q91_stateful_sessions")) {
-        val (defRows, _) = run(q, "10x events, default state store", stressDir)
+        setProvider(rocksOn = false)
+        val (defRows, defInfo) = run(q, "10x events, default state store", stressDir)
+        setProvider(rocksOn = true)
         val (rRows, rInfo) = run(q, "10x events, RocksDB state store", stressDir)
-        println(s"  rows default=$defRows rocksdb=$rRows; rocksdb peak " +
-          s"state=${rInfo.maxStateRows} evicted=${rInfo.stateRowsRemoved}")
+        println(s"  rows default=$defRows rocksdb=$rRows; peak state " +
+          s"default=${defInfo.maxStateRows} rocksdb=${rInfo.maxStateRows} " +
+          s"evicted=${rInfo.stateRowsRemoved}")
+        assert(defInfo.provider == "HDFSBackedStateStoreProvider",
+          s"$q baseline did not run the default provider: ${defInfo.provider}")
+        assert(rInfo.provider == "RocksDBStateStoreProvider",
+          s"$q A-side did not run RocksDB: ${rInfo.provider}")
         assert(rRows == defRows,
           s"$q diverges under RocksDB at 10x: $defRows -> $rRows")
         assert(rInfo.maxStateRows > 0, s"$q held no state under RocksDB")
       }
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    } finally setProvider(rocksOn = false)
   }
 
   // Round 12: H1-H11 extraction, regex vs DOM path at 50k pages. The

@@ -70,8 +70,34 @@ class SessionSoakSpec extends SparkSpec {
     }
   }
 
+  /** Whether `System.gc()` actually runs a collection on this JVM: allocate
+    * a sentinel, hold only a WeakReference, and see if explicit GC clears
+    * it. Under -XX:+DisableExplicitGC (or an exotic collector that defers)
+    * the sentinel survives — and the dead-broadcast test below, whose whole
+    * mechanism is "a driver GC clears the weak refs", would fail spuriously
+    * rather than prove anything (ADVICE r13). The same probe result governs
+    * Bench's every-24-queries hygiene tick: if this returns false in an
+    * environment, that tick is a no-op there and
+    * spark.cleaner.periodicGC.interval is the production lever instead. */
+  private def explicitGcWorks: Boolean = {
+    var sentinel = new Array[Byte](1 << 16)
+    val ref = new java.lang.ref.WeakReference[AnyRef](sentinel)
+    sentinel = null
+    var tries = 0
+    while (ref.get() != null && tries < 5) {
+      System.gc(); tries += 1; Thread.sleep(50)
+    }
+    ref.get() == null
+  }
+
   test("dead broadcast residency: invisible to the RDD registry, " +
       "reclaimed only by a driver GC (the r12 bench signature)") {
+    // cancel (not fail) where explicit GC is disabled: the detector's
+    // premise — System.gc() triggers the full GC the cleaner waits on —
+    // does not hold there, so neither outcome would be evidence
+    assume(explicitGcWorks,
+      "System.gc() does not collect on this JVM (DisableExplicitGC?) — " +
+        "the driver-GC reclamation mechanism cannot be exercised here")
     // The round-12 cross-pass degradation, pinned at the mechanism level:
     // every broadcast join leaves blocks RESIDENT in the block manager
     // after its query ends — invisible to getPersistentRDDs (not an RDD)
@@ -133,8 +159,13 @@ class SessionSoakSpec extends SparkSpec {
     System.gc()
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     var now = broadcastBlocks
+    var sinceGc = 0
     while (now > base && System.nanoTime() < deadline) {
       Thread.sleep(250); now = broadcastBlocks
+      // one GC may promote-but-not-clear some refs; re-kick every ~2s
+      // while waiting rather than betting the whole deadline on one shot
+      sinceGc += 1
+      if (sinceGc >= 8) { sinceGc = 0; System.gc() }
     }
     assert(now <= base,
       s"hygiene GC did not reclaim dead broadcasts: " +

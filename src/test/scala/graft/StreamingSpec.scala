@@ -226,7 +226,19 @@ class StreamingSpec extends SparkSpec {
     def run(name: String): Seq[String] =
       SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
     val names = Seq("q149_stream_topk", "q64_stream_stream_join")
-    val underDefault = names.map(n => n -> run(n)).toMap
+    val underDefault = names.map { n =>
+      graft.streaming.StreamOps.lastDrainInfo = None
+      val rows = run(n)
+      // the baseline really ran the provider it claims to A/B against —
+      // detected from the stream's own progress metrics, the evidence the
+      // r13 ScaleStress A/B lacked when a mis-ordered conf.set made both
+      // sides RocksDB (ADVICE r13)
+      val info = graft.streaming.StreamOps.lastDrainInfo
+        .getOrElse(fail(s"$n recorded no drain under the default provider"))
+      assert(info.provider == "HDFSBackedStateStoreProvider",
+        s"$n baseline ran '${info.provider}', not the default provider")
+      n -> rows
+    }.toMap
     underDefault.values.foreach(rows => assert(rows.nonEmpty))
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, rocks)
@@ -239,6 +251,8 @@ class StreamingSpec extends SparkSpec {
       // (not a degenerate empty stream agreeing with itself)
       val info = graft.streaming.StreamOps.lastDrainInfo
         .getOrElse(fail(s"$n recorded no drain under RocksDB"))
+      assert(info.provider == "RocksDBStateStoreProvider",
+        s"$n A-side ran '${info.provider}', not RocksDB")
       assert(info.maxStateRows > 0,
         s"$n held no state under RocksDB — A/B proved nothing")
     } finally prev match {

@@ -12,6 +12,17 @@ the host term, so a residual delta is attributable to code. Older records
 (pre-round-10) have no anchors — the tool falls back to raw-only for them
 and says so.
 
+Noise gating (round 14): records since round 14 carry queries_passes (the
+per-pass raw time of every row, the values min() collapses) and n_passes.
+A row's SPREAD = max-min over its normalized per-pass times — the measured
+run-to-run noise of that row in that very record. A round-over-round delta
+smaller than the spread of either record is not attributable to code (the
+r13 finding: two clean runs of IDENTICAL code read 113.3 vs 122.5s
+normalized, all of it long-tail micro-noise), so such rows are suppressed
+from the regression/improvement tables and excluded from the filtered
+total. The table header reports both the plain and the spread-filtered
+totals; identical-code A/B runs should read within ~2% on the filtered one.
+
 --stress mode (the round-13 workflow promotion): renders the delta table as
 a markdown block — stage rows included, so a shared-build regression is
 attributed to its stage: row instead of smearing over its consumers — and
@@ -28,20 +39,81 @@ def load(path):
         return json.load(f)
 
 
+def spreads(rec, normalized):
+    """name -> max-min over the record's per-pass times (normalized per
+    pass when the record carries anchors and the caller compares normalized
+    units). {} for pre-round-14 records without queries_passes."""
+    qp = rec.get("queries_passes")
+    if not qp:
+        return {}
+    slow = rec.get("pass_slowdowns")
+    out = {}
+    for name, per_pass in qp.items():
+        vals = []
+        for i, t in enumerate(per_pass):
+            if t is None:
+                continue
+            f = slow[i] if (normalized and slow and i < len(slow)) else 1.0
+            vals.append(t / f if f > 0 else t)
+        if len(vals) >= 2:
+            out[name] = max(vals) - min(vals)
+    return out
+
+
 def deltas(old, new):
-    """(ratio, name, old_s, new_s) for every shared timing row, normalized
-    when both records carry anchors; stage: rows ride along untouched."""
+    """(ratio, name, old_s, new_s, spread) for every shared timing row,
+    normalized when both records carry anchors; stage: rows ride along
+    untouched. spread = the larger of the two records' per-row spreads
+    (0.0 when neither record has per-pass data)."""
     both = set(old.get("queries", {})) & set(new.get("queries", {}))
     have_norm = "queries_norm" in old and "queries_norm" in new
     key = "queries_norm" if have_norm else "queries"
+    sp_old = spreads(old, have_norm)
+    sp_new = spreads(new, have_norm)
     rows = []
     for q in both:
         o = old[key].get(q, old["queries"][q])
         n = new[key].get(q, new["queries"][q])
         if o > 0:
-            rows.append((n / o, q, o, n))
+            sp = max(sp_old.get(q, 0.0), sp_new.get(q, 0.0))
+            rows.append((n / o, q, o, n, sp))
     rows.sort(key=lambda t: -t[0])
     return rows, have_norm
+
+
+def attributable(rows):
+    """Split rows into (signal, noise): a row is signal when |new-old|
+    exceeds its own measured spread. Rows with no spread data (spread 0,
+    pre-r14 records on both sides) always count as signal — no evidence to
+    suppress on."""
+    signal = [r for r in rows if abs(r[3] - r[2]) > r[4]]
+    noise = [r for r in rows if abs(r[3] - r[2]) <= r[4]]
+    return signal, noise
+
+
+def filtered_totals(old, new, rows):
+    """(old_total, plain_new_total, filtered_new_total): the filtered total
+    replays only the attributable per-row deltas on top of the old total,
+    so noise-sized movement on dozens of rows cannot masquerade as a suite
+    trend."""
+    have_norm = "queries_norm" in old and "queries_norm" in new
+    o_tot = old.get("total_norm" if have_norm else "value", old["value"])
+    n_tot = new.get("total_norm" if have_norm else "value", new["value"])
+    signal, _ = attributable(rows)
+    filt = o_tot + sum(n - o for _, _, o, n, _ in signal)
+    return o_tot, n_tot, filt
+
+
+def pass_count_note(old, new):
+    po, pn = old.get("n_passes"), new.get("n_passes")
+    if po is not None and pn is not None and po != pn:
+        return (f"WARNING: records taken under different pass counts "
+                f"({po} vs {pn}) — min-of-N shifts with N, so per-row "
+                "ratios conflate the method change with code deltas.")
+    if po is None or pn is None:
+        return ("note: a record predates n_passes (pre-round-14); both "
+                "rounds 13-14 ran min-of-3.")
+    return None
 
 
 MARK_BEGIN = "<!-- bench-compare:begin -->"
@@ -57,29 +129,41 @@ def markdown_block(old, new, top_n=10):
                  "BENCH_DETAIL.json, not a subset/stress record)?")
     units = "anchor-normalized" if have_norm else "RAW (a record lacks anchors)"
     med = statistics.median(r for r, *_ in rows)
+    signal, noise = attributable(rows)
+    o_tot, n_tot, filt = filtered_totals(old, new, rows)
     out = [MARK_BEGIN,
            "### Round-over-round bench comparison (generated by "
            "tools/bench_compare.py)",
            "",
            f"Totals: {old['value']}s -> {new['value']}s raw; "
            f"{old.get('total_norm', 'n/a')}s -> "
-           f"{new.get('total_norm', 'n/a')}s normalized. "
+           f"{new.get('total_norm', 'n/a')}s normalized; "
+           f"spread-filtered {o_tot:.1f}s -> {filt:.1f}s "
+           f"({filt / o_tot:.3f}x, {len(signal)} attributable rows, "
+           f"{len(noise)} suppressed as within-spread noise). "
            f"Median per-row ratio {med:.3f} "
            "(uniform shift = host-like; concentrated = code-like). "
-           f"Deltas below are {units}; `stage:` rows are the shared builds, "
-           "so a build regression is attributed to its stage row rather "
-           "than smeared over consumer queries.",
-           "",
-           f"Worst {top_n} regressions:",
-           "",
-           "| row | old s | new s | ratio |",
-           "|---|---|---|---|"]
-    for r, q, o, n in rows[:top_n]:
-        out.append(f"| {q} | {o:.3f} | {n:.3f} | {r:.2f}x |")
-    out += ["", f"Best {top_n} improvements:", "",
-            "| row | old s | new s | ratio |", "|---|---|---|---|"]
-    for r, q, o, n in rows[-top_n:][::-1]:
-        out.append(f"| {q} | {o:.3f} | {n:.3f} | {r:.2f}x |")
+           f"Deltas below are {units}; a row's spread is max-min over its "
+           "own per-pass times, and rows whose delta sits inside the "
+           "spread of either record are suppressed; `stage:` rows are the "
+           "shared builds, so a build regression is attributed to its "
+           "stage row rather than smeared over consumer queries.",
+           ""]
+    note = pass_count_note(old, new)
+    if note:
+        out += [note, ""]
+    regs = [r for r in signal if r[0] > 1][:top_n]
+    out += [f"Worst {len(regs)} attributable regressions:", "",
+            "| row | old s | new s | ratio | spread s |",
+            "|---|---|---|---|---|"]
+    for r, q, o, n, sp in regs:
+        out.append(f"| {q} | {o:.3f} | {n:.3f} | {r:.2f}x | {sp:.3f} |")
+    imps = [r for r in signal if r[0] <= 1][-top_n:][::-1]
+    out += ["", f"Best {len(imps)} attributable improvements:", "",
+            "| row | old s | new s | ratio | spread s |",
+            "|---|---|---|---|---|"]
+    for r, q, o, n, sp in imps:
+        out.append(f"| {q} | {o:.3f} | {n:.3f} | {r:.2f}x | {sp:.3f} |")
     only_new = sorted(set(new.get("queries", {})) - set(old.get("queries", {})))
     if only_new:
         out += ["", "New rows this round: " + ", ".join(only_new)]
@@ -127,18 +211,29 @@ def main():
                  if anc else " (no anchors: pre-round-10 record)")
         print(f'{label}: total={d["value"]}s'
               f' total_norm={d.get("total_norm", "n/a")}s'
-              f' n={len(d.get("queries", {}))}{anc_s}')
+              f' n={len(d.get("queries", {}))}'
+              f' passes={d.get("n_passes", "?")}{anc_s}')
 
+    note = pass_count_note(old, new)
+    if note:
+        print(note)
     rows, have_norm = deltas(old, new)
+    signal, noise = attributable(rows)
+    o_tot, n_tot, filt = filtered_totals(old, new, rows)
+    print(f"\nspread filter: {len(signal)} attributable rows, "
+          f"{len(noise)} suppressed (delta inside the row's own per-pass "
+          f"spread); filtered total {o_tot:.1f}s -> {filt:.1f}s "
+          f"({filt / o_tot:.3f}x) vs plain {n_tot if isinstance(n_tot, str) else round(n_tot, 1)}s")
     print(f'\nper-query deltas ({ "normalized" if have_norm else "RAW — at least one record lacks anchors" }),'
-          f' worst {top_n} regressions first:')
-    for r, q, o, n in rows[:top_n]:
-        print(f"  {q:32s} {o:7.3f} -> {n:7.3f}  {r:5.2f}x")
+          f' worst {top_n} attributable regressions first (spread in [..]):')
+    for r, q, o, n, sp in signal[:top_n]:
+        print(f"  {q:32s} {o:7.3f} -> {n:7.3f}  {r:5.2f}x  [{sp:.3f}]")
     print("  ...")
-    for r, q, o, n in rows[-5:]:
-        print(f"  {q:32s} {o:7.3f} -> {n:7.3f}  {r:5.2f}x")
+    for r, q, o, n, sp in signal[-5:]:
+        print(f"  {q:32s} {o:7.3f} -> {n:7.3f}  {r:5.2f}x  [{sp:.3f}]")
     import statistics
-    print(f"\nmedian ratio: {statistics.median(r for r, *_ in rows):.3f}"
+    print(f"\nmedian ratio (all shared rows): "
+          f"{statistics.median(r for r, *_ in rows):.3f}"
           f"  (uniform shift = host-like; concentrated = code-like)")
 
 
