@@ -92,7 +92,7 @@ object SuiteScale {
     graft.streaming.StreamOps.deleteTree(java.nio.file.Paths.get(build))
   }
 
-  private val StageMarker = "_SUITE_SCALE_STAGED_v1"
+  private val StageMarker = "_SUITE_SCALE_STAGED_v2" // v2: embedding sign flips
 
   def stage(spark: SparkSession): Unit = {
     val marker = new java.io.File(TenXDir, StageMarker)
@@ -156,13 +156,26 @@ object SuiteScale {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     require(dim > Copies, s"embedding dim $dim too small for circular shifts")
     require(maxOf(emb, "label") < 10000, "label shift too small")
+    // copy transform = circular shift by k THEN a per-(copy, index) ±1
+    // sign flip — both orthogonal, so each copy's INTERNAL cosine
+    // structure is exactly the original's. The sign flip is load-bearing:
+    // the fixtures' synthetic vectors are smooth, so a bare small-lag
+    // rotation still correlates with the original (first staging attempt
+    // measured q38's pair count at 116× base = cross-copy near-dups);
+    // pseudo-random sign patterns turn cross-copy inner products into
+    // random-sign sums that scatter near zero, restoring the linear
+    // (≈10×) true-pair law the growth measurement needs.
+    def signFlipped(c: org.apache.spark.sql.Column, k: Int) =
+      transform(c, (x, i) =>
+        (x * (lit(1) - lit(2) * pmod(xxhash64(lit(k), i), lit(2)))
+          .cast("float")).cast("float"))
     writeDir(replicate(emb)((df, k) => df
       .withColumn("vec_id", col("vec_id") + lit(k * vecShift))
       .withColumn("embedding",
         if (k == 0) col("embedding")
-        else concat(
+        else signFlipped(concat(
           slice(col("embedding"), k + 1, dim - k),
-          slice(col("embedding"), 1, k)))
+          slice(col("embedding"), 1, k)), k))
       .withColumn("label", (col("label") + lit(k * 10000)).cast("int"))),
       "embeddings")
 
@@ -218,6 +231,10 @@ object SuiteScale {
 
     val only = args.find(_.startsWith("only="))
       .map(_.stripPrefix("only=").split(",").map(_.trim).toSet)
+    only.foreach { sel => // a typo'd name must fail, not silently shrink
+      val unknown = sel -- graft.SparkEntry.queries.keySet // the subset
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+    }
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     require(names.nonEmpty, "no queries selected")
