@@ -78,21 +78,23 @@ object SuiteScale {
   private def writeDir(df: DataFrame, table: String): Unit =
     df.write.mode("overwrite").parquet(s"$TenXDir/$table.parquet")
 
-  /** Write as ONE parquet file named `<table>.parquet` — the streaming
-    * sources filter on that exact leaf name, and a directory-shaped write
-    * streams zero rows silently. */
-  private def writeSingleFile(df: DataFrame, table: String): Unit = {
-    val build = s"$TenXDir/_build_$table"
-    df.coalesce(1).write.mode("overwrite").parquet(build)
-    val part = new java.io.File(build).listFiles()
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .getOrElse(sys.error(s"$table staging produced no part file"))
-    java.nio.file.Files.move(part.toPath,
-      java.nio.file.Paths.get(TenXDir, s"$table.parquet"))
-    graft.streaming.StreamOps.deleteTree(java.nio.file.Paths.get(build))
+  /** Stamp ascending mod-times over a directory dataset's part files in
+    * name order, so a file stream source replays them as ordered
+    * micro-batches. For a range-partitioned write, part index = range
+    * index, so name order IS event-time order — the production file-stream
+    * shape (log rotation: one time-contiguous file per interval), which
+    * keeps watermark advancement between batches from dropping anything. */
+  private def stampOrderedMtimes(table: String): Unit = {
+    val parts = new java.io.File(TenXDir, s"$table.parquet").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 60000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + i * 60000L)
+    }
   }
 
-  private val StageMarker = "_SUITE_SCALE_STAGED_v2" // v2: embedding sign flips
+  private val StageMarker = "_SUITE_SCALE_STAGED_v3" // v3: multi-file events/documents
 
   def stage(spark: SparkSession): Unit = {
     val marker = new java.io.File(TenXDir, StageMarker)
@@ -140,17 +142,30 @@ object SuiteScale {
 
     // events: raw read (pre-ts-normalization) so the copy keeps the
     // fixture's physical ts form; user_id shares the customer shift so the
-    // stream-static enrichment join hits at the original rate
+    // stream-static enrichment join hits at the original rate. Staged as a
+    // DIRECTORY of time-range-split parts (repartitionByRange on ts) with
+    // ascending mod-times: batch scans get 10-way split parallelism (the
+    // single-file v2 staging serialized every events scan + per-row kernel
+    // onto ONE core — q71 read 20× instead of its true slope) and the
+    // watermarked streaming consumers see time-ordered micro-batches, the
+    // production arrival order.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$BaseDir/events.parquet")
-    writeSingleFile(replicate(ev)((df, k) => df
+    writeDir(replicate(ev)((df, k) => df
       .withColumn("event_id", col("event_id") + lit(k * eventShift))
-      .withColumn("user_id", col("user_id") + lit(k * custShift))), "events")
+      .withColumn("user_id", col("user_id") + lit(k * custShift)))
+      .repartitionByRange(Copies, col("ts")), "events")
+    stampOrderedMtimes("events")
 
+    // documents: directory dataset too (scan parallelism); its streaming
+    // consumers (q117/q133/q198) are stateless per-doc kernels, so file
+    // order is irrelevant there
     val docs = graft.Tables.documents(spark, BaseDir)
-    writeSingleFile(replicate(docs)((df, k) => df
+    writeDir(replicate(docs)((df, k) => df
       .withColumn("doc_id", col("doc_id") + lit(k * docShift))
-      .withColumn("text", rotated(col("text"), k))), "documents")
+      .withColumn("text", rotated(col("text"), k)))
+      .repartition(Copies * 2), "documents")
+    stampOrderedMtimes("documents")
 
     val emb = graft.Tables.embeddings(spark, BaseDir)
     val dim = emb.select(size(col("embedding"))).head().getInt(0)

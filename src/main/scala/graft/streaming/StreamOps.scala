@@ -70,11 +70,26 @@ object StreamOps {
       srcDir: String, glob: String): DataFrame = {
     val rawTs = graft.Tables.eventsRawTsType(s, schemaDir)
     graft.Tables.normalizeEventsTs(
-      s.readStream
-        .schema(eventsRawSchema(rawTs))
-        .option("pathGlobFilter", glob)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(srcDir))
+      streamRead(s, srcDir, glob, eventsRawSchema(rawTs)))
+  }
+
+  /** Streaming parquet read tolerant of BOTH fixture layouts: `<dir>/<leaf>`
+    * as a single file (the driver-testdata layout — glob on the leaf name
+    * selects it among sibling tables) or as a DIRECTORY of part files (the
+    * many-files shape every corpus has at scale; SuiteScale's 10× staging
+    * uses it for scan parallelism). The old glob-only read silently
+    * streamed ZERO rows off a directory-shaped fixture (part-* leaf names
+    * never match the table glob). Watermarked consumers need arrival order
+    * ≈ event-time order exactly as in production; a directory fixture
+    * provides it via mod-time-ordered, time-range-split part files
+    * (SuiteScale stages them that way), while single-file fixtures are
+    * one batch and trivially ordered. */
+  private def streamRead(s: SparkSession, dir: String, glob: String,
+      schema: StructType): DataFrame = {
+    val reader = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    val leaf = new java.io.File(dir, glob)
+    if (!glob.contains("*") && leaf.isDirectory) reader.parquet(leaf.getPath)
+    else reader.option("pathGlobFilter", glob).parquet(dir)
   }
 
   /** Event type of the drain-horizon sentinel (filtered out of any served
@@ -103,8 +118,16 @@ object StreamOps {
     // bench passes): round 13 paid the full fixture copy + 1-row max agg
     // once PER DRAIN (6× per bench run), the recoverable half of the
     // append-mode premium (judge r13 #3). Keyed on mtime+size so a test
-    // that rewrites a fixture in place gets a fresh staging.
-    val key = (src.toAbsolutePath.toString, f.lastModified(), f.length())
+    // that rewrites a fixture in place gets a fresh staging; a
+    // directory-shaped fixture keys on its part inventory's aggregate
+    // (count + total size + newest mtime).
+    val key =
+      if (f.isDirectory) {
+        val parts = partFiles(f)
+        (src.toAbsolutePath.toString,
+          parts.map(_.lastModified()).foldLeft(0L)(math.max),
+          parts.length.toLong + (parts.map(_.length()).sum << 8))
+      } else (src.toAbsolutePath.toString, f.lastModified(), f.length())
     sentinelCache.synchronized {
       sentinelCache.get(key) match {
         case Some(p) if p.toFile.isDirectory => return p
@@ -136,12 +159,41 @@ object StreamOps {
     }
   }
 
+  /** Part files of a directory-shaped fixture in NAME order — Spark's
+    * part numbering follows partition index, which for the range-ordered
+    * staging layout (SuiteScale) is event-time order. */
+  private def partFiles(d: java.io.File): Array[java.io.File] =
+    d.listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+
   private def stageHorizonSentinel(s: SparkSession, dir: String): java.nio.file.Path = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Files.createTempDirectory("graft_q149_src_")
     val src = Paths.get(dir, "events.parquet")
-    val cp = tmp.resolve("events.parquet")
-    Files.copy(src, cp, StandardCopyOption.REPLACE_EXISTING)
+    val srcF = src.toFile
+    // single-file fixture: one copied batch. Directory fixture: every part
+    // copied under ASCENDING mod-times in name order (= the staging
+    // layout's time-range order), so the drain replays the files as the
+    // micro-batches a production file stream would see — watermark
+    // advancement between batches stays correct because each file's rows
+    // are later than the previous file's.
+    val lastCopied: java.io.File =
+      if (srcF.isDirectory) {
+        val parts = partFiles(srcF)
+        require(parts.nonEmpty, s"no part files in directory fixture $src")
+        val base = System.currentTimeMillis()
+        parts.zipWithIndex.map { case (p, i) =>
+          val cp = tmp.resolve(f"part-$i%05d.parquet")
+          Files.copy(p.toPath, cp, StandardCopyOption.REPLACE_EXISTING)
+          cp.toFile.setLastModified(base + i * 60000L)
+          cp.toFile
+        }.last
+      } else {
+        val cp = tmp.resolve("events.parquet")
+        Files.copy(src, cp, StandardCopyOption.REPLACE_EXISTING)
+        cp.toFile
+      }
     // raw-typed horizon: max ts over the fixture — one bounded 1-row agg,
     // the drain-time stand-in for wall-clock "now"
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -170,7 +222,7 @@ object StreamOps {
     Files.move(part.toPath, dst)
     new java.io.File(build.toString).listFiles().foreach(_.delete())
     Files.deleteIfExists(build)
-    dst.toFile.setLastModified(cp.toFile.lastModified() + 60000L)
+    dst.toFile.setLastModified(lastCopied.lastModified() + 60000L)
     tmp
   }
 
@@ -737,9 +789,5 @@ object StreamOps {
     StructField("n_chars", LongType)))
 
   private def documentsStream(s: SparkSession, dir: String): DataFrame =
-    s.readStream
-      .schema(documentsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
+    streamRead(s, dir, "documents.parquet", documentsSchema)
 }

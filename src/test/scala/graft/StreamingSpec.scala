@@ -210,6 +210,54 @@ class StreamingSpec extends SparkSpec {
       "append drain evicted no state rows — watermark eviction not observed")
   }
 
+  test("directory-shaped events fixture streams identically to single-file") {
+    // The many-files layout every corpus has at scale: events.parquet as a
+    // DIRECTORY of time-range-split parts with ascending mod-times (the
+    // production file-stream arrival order — log rotation). The streaming
+    // sources' dir-tolerant read (StreamOps.streamRead + the sentinel
+    // staging's ordered part copies) must produce EXACTLY the single-file
+    // layout's rows: each micro-batch holds only rows later than the
+    // previous batch's, so watermark advancement between batches drops
+    // nothing. A wrong file order would silently lose trailing windows —
+    // this pins the law on the stateful drains (q42 windowed agg + q43
+    // watermarked dedup + q64 stream-stream join).
+    val dirFixture = Files.createTempDirectory("graft_dirfix_").toFile
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$sf/events.parquet")
+      raw.repartitionByRange(3, col("ts")).write
+        .parquet(s"${dirFixture.getPath}/events.parquet")
+      // customer table rides along for q100-style dims; only events needed
+      // by the three queries under test, but documents keeps doc streams
+      // runnable if this fixture is reused
+      val parts = new java.io.File(dirFixture, "events.parquet").listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      assert(parts.length == 3, s"expected 3 range parts, got ${parts.length}")
+      val base = System.currentTimeMillis() - 3600000L
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(base + i * 60000L) }
+      for (q <- Seq("q42_stream_tumbling", "q43_stream_dedup",
+          "q64_stream_stream_join")) {
+        val single = SparkEntry.queries(q)(spark, sf)
+          .collect().map(_.toString).toSeq
+        val dir = SparkEntry.queries(q)(spark, dirFixture.getPath)
+          .collect().map(_.toString).toSeq
+        assert(dir == single,
+          s"$q diverges on the directory-shaped fixture " +
+            s"(${dir.size} vs ${single.size} rows)")
+        assert(single.nonEmpty)
+      }
+      // the dir-shaped drain really ran multi-batch (3 parts + sentinel
+      // for q64's shape-free check use the last drain info)
+      val info = graft.streaming.StreamOps.lastDrainInfo
+        .getOrElse(fail("no drain progress recorded"))
+      assert(info.batches >= 3,
+        s"directory fixture drained in ${info.batches} batches — " +
+          "multi-file replay not exercised")
+    } finally graft.streaming.StreamOps.deleteTree(dirFixture.toPath)
+  }
+
   test("RocksDB state store: q149 and q64 drain to identical results (A/B)") {
     // The default HDFSBackedStateStoreProvider keeps every state row on the
     // EXECUTOR HEAP — at 100 TB the stream-stream join and windowed-agg
