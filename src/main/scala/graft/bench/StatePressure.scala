@@ -16,16 +16,17 @@ import org.apache.spark.sql.SparkSession
   *   sbt package
   *   /opt/spark/bin/spark-submit --master 'local[8]' --driver-memory 700m \
   *     --class graft.bench.StatePressure target/scala-2.13/<jar> \
-  *     default q64_stream_stream_join /tmp/graft_sf1x
+  *     default q64_stream_stream_join 50
   *   ... repeat with `rocksdb` — same heap, same corpus.
   *
   * Query choice: q64's stream-stream interval join holds BOTH filtered
-  * sides in state until the watermark passes (~4M rows on the SuiteScale
-  * 10× corpus) — state grows with data volume, the shape that hits the
-  * heap ceiling. q149 is the contrast row: its watermark-EVICTED window
-  * state peaks at ~21k rows regardless of corpus size, so it completes
-  * under either provider at any heap — bounded-state design, not the
-  * provider, is its scaling story.
+  * sides in state until the watermark passes — on the single-batch
+  * pressure corpus (see [[stagePressure]]) that is the FULL corpus's
+  * views+purchases at peak, the shape that hits the heap ceiling. q149
+  * is the contrast row: its watermark-EVICTED window state peaks at ~21k
+  * rows regardless of corpus size, so it completes under either provider
+  * at any heap — bounded-state design, not the provider, is its scaling
+  * story.
   *
   * Exit codes: 0 = drained (prints wall, rows, peak state, provider from
   * the drain's own progress); 1 = failed (OOM/GC-overhead kills land here
@@ -33,12 +34,46 @@ import org.apache.spark.sql.SparkSession
   * cells survive. */
 object StatePressure {
 
+  /** Stage `mult` shifted copies of the sf0.1 events fixture as ONE
+    * single-file-batch corpus: the whole stream arrives in one micro-batch,
+    * so the watermark cannot advance mid-stream and evict early — peak
+    * state = the full join/agg state, the worst case a production stream
+    * hits when ingest outruns event time (backfill, replay, catch-up).
+    * The time-range-split 10× staging is the OPPOSITE shape (continuous
+    * eviction, q64 peak ~44k rows) — good design posture, useless for
+    * measuring the heap ceiling. */
+  private def stagePressure(spark: SparkSession, mult: Int): String = {
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft_pressure_${mult}x"
+    val marker = new java.io.File(dir, "_STAGED")
+    if (marker.isFile) return dir
+    graft.streaming.StreamOps.deleteTree(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    val build = s"$dir/_build"
+    (0 until mult).map(k => raw
+        .withColumn("event_id", col("event_id") + lit(k * 1000000000L))
+        .withColumn("user_id", col("user_id") + lit(k * 1000000L)))
+      .reduce(_ unionByName _)
+      .coalesce(1).write.mode("overwrite").parquet(build)
+    val part = new java.io.File(build).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error("pressure staging produced no part file"))
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    graft.streaming.StreamOps.deleteTree(java.nio.file.Paths.get(build))
+    // customer table for stream-static shapes, if ever needed here
+    java.nio.file.Files.writeString(marker.toPath, "staged\n")
+    dir
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: StatePressure <default|rocksdb> <queryName> [sfDir]")
+      "usage: StatePressure <default|rocksdb> <queryName> [mult]")
     val provider = args(0)
     val query = args(1)
-    val dir = if (args.length > 2) args(2) else "/tmp/graft_sf1x"
+    val mult = if (args.length > 2) args(2).toInt else 50
 
     val spark = SparkSession.builder()
       // master comes from spark-submit (--master local[N]); default for
@@ -57,9 +92,10 @@ object StatePressure {
       case other => sys.error(s"unknown provider $other")
     }
 
+    val dir = stagePressure(spark, mult)
     val heapMb = Runtime.getRuntime.maxMemory() / (1 << 20)
     println(s"StatePressure: $query under '$provider' provider, " +
-      s"heap ${heapMb}MB, corpus $dir")
+      s"heap ${heapMb}MB, corpus $dir (${mult}x events, single batch)")
     val t0 = System.nanoTime()
     val rows = graft.SparkEntry.queries(query)(spark, dir).count()
     val dt = (System.nanoTime() - t0) / 1e9
