@@ -46,7 +46,18 @@ object StatePressure {
     import org.apache.spark.sql.functions._
     val dir = s"/tmp/graft_pressure_${mult}x"
     val marker = new java.io.File(dir, "_STAGED")
-    if (marker.isFile) return dir
+    val src = new java.io.File("/root/testdata/sf0.1/events.parquet")
+    // marker records the source fixture's identity: a regenerated fixture
+    // invalidates the staged corpus instead of silently feeding stale data
+    val fp = s"${src.lastModified()}:${src.length()}:$mult"
+    if (marker.isFile &&
+        java.nio.file.Files.readString(marker.toPath) == fp) return dir
+    // staging inside the MEASURED (heap-constrained) JVM would record a
+    // staging OOM as a provider failure — refuse, and have the caller
+    // pre-stage once with a roomy heap (`stage-only` arg, any provider)
+    require(Runtime.getRuntime.maxMemory() >= (1L << 31),
+      s"pressure corpus not staged at $dir and this JVM's heap is " +
+        "constrained — run once with `stage-only` under a normal heap first")
     graft.streaming.StreamOps.deleteTree(java.nio.file.Paths.get(dir))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -64,16 +75,19 @@ object StatePressure {
       java.nio.file.Paths.get(dir, "events.parquet"))
     graft.streaming.StreamOps.deleteTree(java.nio.file.Paths.get(build))
     // customer table for stream-static shapes, if ever needed here
-    java.nio.file.Files.writeString(marker.toPath, "staged\n")
+    java.nio.file.Files.writeString(marker.toPath, fp)
     dir
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2,
-      "usage: StatePressure <default|rocksdb> <queryName> [mult]")
-    val provider = args(0)
-    val query = args(1)
-    val mult = if (args.length > 2) args(2).toInt else 50
+    require(args.length >= 1,
+      "usage: StatePressure <default|rocksdb> <queryName> [mult] | stage-only [mult]")
+    val stageOnly = args(0) == "stage-only"
+    val provider = if (stageOnly) "default" else args(0)
+    val query = if (stageOnly) "" else args(1)
+    val mult =
+      if (stageOnly) args.drop(1).headOption.map(_.toInt).getOrElse(50)
+      else if (args.length > 2) args(2).toInt else 50
 
     val spark = SparkSession.builder()
       // master comes from spark-submit (--master local[N]); default for
@@ -93,6 +107,9 @@ object StatePressure {
     }
 
     val dir = stagePressure(spark, mult)
+    if (stageOnly) {
+      println(s"pressure corpus staged at $dir"); spark.stop(); return
+    }
     val heapMb = Runtime.getRuntime.maxMemory() / (1 << 20)
     println(s"StatePressure: $query under '$provider' provider, " +
       s"heap ${heapMb}MB, corpus $dir (${mult}x events, single batch)")
@@ -104,6 +121,14 @@ object StatePressure {
     println(f"RESULT provider=$provider query=$query heap_mb=$heapMb " +
       f"wall_s=$dt%.1f rows=$rows peak_state=${info.maxStateRows} " +
       f"evicted=${info.stateRowsRemoved} ran=${info.provider}")
+    // the drain materializes its result into an in-heap memory sink: the
+    // measurement isolates the STATE term only while output stays small
+    // relative to state (q64: 8.6k rows vs 2.0M state rows). A large
+    // output would OOM either provider identically and mask the crossover.
+    if (rows > info.maxStateRows / 10)
+      println(s"WARNING: result rows ($rows) not small vs peak state " +
+        s"(${info.maxStateRows}) — the in-heap sink term is no longer " +
+        "negligible; this cell does not isolate the state store")
     spark.stop()
   }
 }

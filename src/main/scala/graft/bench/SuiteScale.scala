@@ -96,9 +96,25 @@ object SuiteScale {
 
   private val StageMarker = "_SUITE_SCALE_STAGED_v3" // v3: multi-file events/documents
 
+  /** Fingerprint of the SOURCE fixtures (per-table mtime+size): stored in
+    * the staging marker so a driver fixture REGENERATION (it has happened —
+    * round 9) invalidates the staged 10× corpus instead of silently mixing
+    * old 10× data into a growth slope against new sf0.1 data. */
+  private def sourceFingerprint(): String =
+    new java.io.File(BaseDir).listFiles().sortBy(_.getName).map { f =>
+      val sz = if (f.isDirectory) f.listFiles().map(_.length()).sum else f.length()
+      val mt = if (f.isDirectory) f.listFiles().map(_.lastModified()).foldLeft(0L)(math.max)
+               else f.lastModified()
+      s"${f.getName}:$mt:$sz"
+    }.mkString("\n")
+
   def stage(spark: SparkSession): Unit = {
     val marker = new java.io.File(TenXDir, StageMarker)
-    if (marker.isFile) { println(s"10x fixtures already staged at $TenXDir"); return }
+    val fp = sourceFingerprint()
+    if (marker.isFile &&
+        java.nio.file.Files.readString(marker.toPath) == fp) {
+      println(s"10x fixtures already staged at $TenXDir"); return
+    }
     println(s"staging 10x fixtures at $TenXDir ...")
     graft.streaming.StreamOps.deleteTree(java.nio.file.Paths.get(TenXDir))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(TenXDir))
@@ -151,6 +167,8 @@ object SuiteScale {
     // production arrival order.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$BaseDir/events.parquet")
+    require(maxOf(ev, "event_id") < eventShift, "eventShift too small")
+    require(maxOf(ev, "user_id") < custShift, "custShift too small for user_id")
     writeDir(replicate(ev)((df, k) => df
       .withColumn("event_id", col("event_id") + lit(k * eventShift))
       .withColumn("user_id", col("user_id") + lit(k * custShift)))
@@ -161,6 +179,7 @@ object SuiteScale {
     // consumers (q117/q133/q198) are stateless per-doc kernels, so file
     // order is irrelevant there
     val docs = graft.Tables.documents(spark, BaseDir)
+    require(maxOf(docs, "doc_id") < docShift, "docShift too small")
     writeDir(replicate(docs)((df, k) => df
       .withColumn("doc_id", col("doc_id") + lit(k * docShift))
       .withColumn("text", rotated(col("text"), k)))
@@ -171,6 +190,7 @@ object SuiteScale {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     require(dim > Copies, s"embedding dim $dim too small for circular shifts")
     require(maxOf(emb, "label") < 10000, "label shift too small")
+    require(maxOf(emb, "vec_id") < vecShift, "vecShift too small")
     // copy transform = circular shift by k THEN a per-(copy, index) ±1
     // sign flip — both orthogonal, so each copy's INTERNAL cosine
     // structure is exactly the original's. The sign flip is load-bearing:
@@ -194,7 +214,7 @@ object SuiteScale {
       .withColumn("label", (col("label") + lit(k * 10000)).cast("int"))),
       "embeddings")
 
-    java.nio.file.Files.writeString(marker.toPath, "staged\n")
+    java.nio.file.Files.writeString(marker.toPath, fp)
     println("staging done:")
     new java.io.File(TenXDir).listFiles().sortBy(_.getName).foreach { f =>
       val sz =
@@ -286,9 +306,15 @@ object SuiteScale {
       java.nio.file.Paths.get("SUITE_SCALE.json"),
       s"""{"scales":["sf0.01","sf0.1","10x-sf0.1"],"queries":{${rowsOut.mkString(",")}}}\n""")
 
-    println(f"\ntotals: sf0.01 ${small.values.map(_.sec).sum}%.1f s, " +
-      f"sf0.1 ${base.values.map(_.sec).sum}%.1f s, " +
-      f"10x ${big.values.map(_.sec).sum}%.1f s over ${names.size} queries")
+    // totals EXCLUDE failed queries' fail-fast walls (Bench.timed()'s rule:
+    // a broken suite must not read as fast); the failed list prints below
+    val ok = names.filter(n =>
+      small(n).rows >= 0 && base(n).rows >= 0 && big(n).rows >= 0)
+    def tot(m: Map[String, Cell]) = ok.map(m(_).sec).sum
+    println(f"\ntotals (over ${ok.size} of ${names.size} queries" +
+      (if (ok.size < names.size) ", FAILURES EXCLUDED" else "") +
+      f"): sf0.01 ${tot(small)}%.1f s, sf0.1 ${tot(base)}%.1f s, " +
+      f"10x ${tot(big)}%.1f s")
     println("\nworst 20 by 10x/sf0.1 time ratio " +
       "(r_small = sf0.1/sf0.01 for contrast; rows ratio = output growth):")
     println(f"${"query"}%-28s ${"t0.1"}%7s ${"t10x"}%7s ${"r_big"}%6s " +

@@ -42,9 +42,12 @@ def run_case(con, case):
 
     ddl_cols = [f"{c} VARCHAR" for c in cols] + (
         [f"{touch} TIMESTAMP"] if touch else [])
-    con.execute(f"DROP TABLE IF EXISTS {table}")
-    con.execute(f"CREATE TABLE {table} ({', '.join(ddl_cols)}, "
-                f"PRIMARY KEY ({', '.join(keys)}))")
+
+    def recreate():
+        con.execute(f"DROP TABLE IF EXISTS {table}")
+        con.execute(f"CREATE TABLE {table} ({', '.join(ddl_cols)}, "
+                    f"PRIMARY KEY ({', '.join(keys)}))")
+    recreate()
 
     def params(row):
         # the dialect's own bind order (JdbcUpsert binds row values the
@@ -68,6 +71,11 @@ def run_case(con, case):
             exec_sql = sql.replace(f"{touch} = CURRENT_TIMESTAMP",
                                    f"{touch} = now()")
             assert exec_sql != sql
+        # either way the probe may have inserted its v0_* row — reset so
+        # the insert-path assertion below starts from an empty table (on a
+        # more-compliant engine where the verbatim form binds, the probe
+        # row would otherwise fail the single-row check spuriously)
+        recreate()
 
     row_a = [f"a_{c}" for c in cols]
     row_b = [f"b_{c}" for c in cols]
