@@ -20,8 +20,15 @@ object Main {
     * sandbox default client generates the same deterministic page a live
     * client would fetch, so every mode runs offline and reproducibly while
     * exercising the real per-partition fetch/retry/drop plumbing. */
-  private def syntheticPages(worklist: DataFrame): DataFrame =
-    graft.etl.FetchStage.fetchPages(worklist)
+  private def syntheticPages(worklist: DataFrame): DataFrame = {
+    // E2 retry knobs from the env-backed config layer (the reference's
+    // retry_on_error max_attempts/delay, .env RETRY_ATTEMPTS /
+    // RETRY_DELAY_MS) — previously rendered by GraftConfig but wired
+    // nowhere, so live fetches retried with zero backoff (review r14)
+    val cfg = graft.etl.GraftConfig.load()
+    graft.etl.FetchStage.fetchPages(worklist,
+      attempts = cfg.retryAttempts, delayMs = cfg.retryDelayMs)
+  }
 
   /** E4+K5 contract shared by every mode and stage runner: the body's
     * RunResult — or the error envelope from a thrown exception — is ALWAYS
@@ -232,21 +239,30 @@ object Main {
       RunResult("success", s"extracción completada", spark.read.json(rawDir).count())
     }
 
+  /** Cast a JSON stage file back to the canonical lead schema —
+    * schema-on-read at EVERY stage boundary (§1.2): spark.read.json leaves
+    * timestamps as ISO strings, and a stage that skips this cast feeds
+    * StringType downstream, where e.g. loadCsv's F12 reference egress
+    * (`yyyy-MM-dd HH:mm:ss`) only fires on TimestampType — the staged and
+    * single-run pipelines would emit format-divergent CSVs for identical
+    * data (review r14). */
+  private def canonicalize(raw: DataFrame): DataFrame =
+    LeadPipeline.leadSchema.fields.foldLeft(raw) { (df, f) =>
+      if (raw.columns.contains(f.name)) df.withColumn(f.name, col(f.name).cast(f.dataType))
+      else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+
   def stageTransform(spark: SparkSession, rawDir: String, transformedDir: String): RunResult =
     audited(spark, transformedDir) {
-      val raw = spark.read.json(rawDir) // schema-on-read
-      val canonical = LeadPipeline.leadSchema.fields.foldLeft(raw) { (df, f) =>
-        if (raw.columns.contains(f.name)) df.withColumn(f.name, col(f.name).cast(f.dataType))
-        else df.withColumn(f.name, lit(null).cast(f.dataType))
-      }
-      val cleaned = LeadPipeline.dedup(LeadPipeline.clean(canonical), "url")
+      val cleaned = LeadPipeline.dedup(
+        LeadPipeline.clean(canonicalize(spark.read.json(rawDir))), "url")
       cleaned.write.mode("overwrite").json(transformedDir)
       RunResult("success", "transformación completada", spark.read.json(transformedDir).count())
     }
 
   def stageLoad(spark: SparkSession, transformedDir: String, out: String): RunResult =
     audited(spark, out) {
-      val transformed = spark.read.json(transformedDir)
+      val transformed = canonicalize(spark.read.json(transformedDir))
       LeadPipeline.loadCsv(transformed, out)
       RunResult("success", "carga completada",
         spark.read.option("header", "true").csv(out).count())
@@ -286,7 +302,9 @@ object Main {
           graft.functions.CleanFunctions.extractIdFromUrl(col("url")).cast("long"),
           lit(0L)).as("id_negocio"),
         col("url"))
-      graft.etl.FetchStage.fetchPages(worklist, newClient)
+      val cfg = graft.etl.GraftConfig.load()
+      graft.etl.FetchStage.fetchPages(worklist, newClient,
+        attempts = cfg.retryAttempts, delayMs = cfg.retryDelayMs)
     }, out)
 
   /** Status surface — the CLI form of the reference UI's result panel +

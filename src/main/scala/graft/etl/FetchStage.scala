@@ -52,6 +52,10 @@ final class SyntheticPageClient extends PageClient {
   * connection pool is reused across the partition's whole worklist — the
   * HTTP analog of the reference's per-worker WebDriver reuse. Compose with
   * [[ThrottledClient]] for the ST6 politeness gap. */
+/** Body-stream completion markers for [[HttpPageClient]]'s bounded read. */
+private case object BodyDone
+private final case class BodyError(t: Throwable)
+
 final class HttpPageClient(timeoutSec: Int, userAgent: String = "graft-fetch/1.0",
     maxBodyBytes: Int = 8 << 20) extends PageClient {
   def this() = this(GraftConfig.load().timeoutSec)
@@ -81,33 +85,79 @@ final class HttpPageClient(timeoutSec: Int, userAgent: String = "graft-fetch/1.0
     // executor). Truncation beats rejection: the extractors' selectors live
     // in the head of the document, and a partial page degrades to partial
     // fields rather than an E1 drop.
+    //
+    // ofPublisher + queue-with-deadline, not ofInputStream + read():
+    // HttpRequest.timeout covers HEADER delivery only, and
+    // InputStream.read() has no socket read timeout in java.net.http — a
+    // server that sends 200 + headers then stalls mid-body would block the
+    // Spark task FOREVER, outside the reach of the E2 retry and the E1
+    // per-record drop (review r14). The publisher form lets every wait be
+    // a bounded poll against one whole-fetch deadline, after which the
+    // subscription is cancelled and the fetch fails like any other IO
+    // error (retry → drop).
     val resp = http.send(req,
-      java.net.http.HttpResponse.BodyHandlers.ofInputStream())
-    val in = resp.body()
+      java.net.http.HttpResponse.BodyHandlers.ofPublisher())
+    if (resp.statusCode() / 100 != 2) {
+      throw new java.io.IOException(
+        s"HTTP ${resp.statusCode()} fetching id=$id $url")
+    }
+    val cs = { // charset from Content-Type; UTF-8 when absent/unknown
+      val ct = resp.headers().firstValue("content-type").orElse("")
+      val m = java.util.regex.Pattern.compile("charset=([^;\\s]+)",
+        java.util.regex.Pattern.CASE_INSENSITIVE).matcher(ct)
+      if (m.find())
+        // RFC 9110 allows a quoted value: charset="windows-1252"
+        try java.nio.charset.Charset.forName(
+          m.group(1).replaceAll("^\"|\"$", ""))
+        catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
+      else java.nio.charset.StandardCharsets.UTF_8
+    }
+    val queue = new java.util.concurrent.LinkedBlockingQueue[AnyRef]()
+    val sub = new java.util.concurrent.atomic.AtomicReference[
+      java.util.concurrent.Flow.Subscription]()
+    resp.body().subscribe(
+      new java.util.concurrent.Flow.Subscriber[
+          java.util.List[java.nio.ByteBuffer]] {
+        def onSubscribe(s: java.util.concurrent.Flow.Subscription): Unit = {
+          sub.set(s); s.request(1)
+        }
+        def onNext(item: java.util.List[java.nio.ByteBuffer]): Unit = {
+          queue.put(item); sub.get().request(1)
+        }
+        def onError(t: Throwable): Unit = queue.put(BodyError(t))
+        def onComplete(): Unit = queue.put(BodyDone)
+      })
+    val deadline = System.nanoTime() + timeoutSec.toLong * 1000000000L
+    val buf = new java.io.ByteArrayOutputStream()
     try {
-      if (resp.statusCode() / 100 != 2)
-        throw new java.io.IOException(
-          s"HTTP ${resp.statusCode()} fetching id=$id $url")
-      val cs = { // charset from Content-Type; UTF-8 when absent/unknown
-        val ct = resp.headers().firstValue("content-type").orElse("")
-        val m = java.util.regex.Pattern.compile("charset=([^;\\s]+)",
-          java.util.regex.Pattern.CASE_INSENSITIVE).matcher(ct)
-        if (m.find())
-          // RFC 9110 allows a quoted value: charset="windows-1252"
-          try java.nio.charset.Charset.forName(
-            m.group(1).replaceAll("^\"|\"$", ""))
-          catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
-        else java.nio.charset.StandardCharsets.UTF_8
-      }
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](8192)
-      var n = in.read(chunk)
-      while (n >= 0 && buf.size < maxBodyBytes) {
-        buf.write(chunk, 0, math.min(n, maxBodyBytes - buf.size))
-        n = if (buf.size < maxBodyBytes) in.read(chunk) else -1
+      var open = true
+      while (open && buf.size < maxBodyBytes) {
+        val waitNs = deadline - System.nanoTime()
+        val item =
+          if (waitNs <= 0) null
+          else queue.poll(waitNs, java.util.concurrent.TimeUnit.NANOSECONDS)
+        item match {
+          case null =>
+            throw new java.io.IOException(
+              s"body read timed out after ${timeoutSec}s fetching id=$id $url")
+          case BodyDone => open = false
+          case BodyError(t) =>
+            throw new java.io.IOException(s"body stream failed: $url", t)
+          case bufs: java.util.List[_] =>
+            bufs.forEach { b =>
+              val bb = b.asInstanceOf[java.nio.ByteBuffer]
+              val take = math.min(bb.remaining(), maxBodyBytes - buf.size)
+              if (take > 0) {
+                val arr = new Array[Byte](take)
+                bb.get(arr)
+                buf.write(arr)
+              }
+            }
+        }
       }
       new String(buf.toByteArray, cs)
-    } finally in.close()
+    } finally Option(sub.get()).foreach(s =>
+      try s.cancel() catch { case _: Throwable => () })
   }
 
   /** JDK 17's HttpClient has no close(); its selector thread + pool retire

@@ -276,6 +276,11 @@ object LeadPipeline {
     // rewrite would silently destroy its directory structure.
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a swapIn killed mid-rename (possibly THIS function's own previous
+    // run) parks the live table at __old — recover it here too, not only
+    // on the upsert path: a compact-only or append-only workflow would
+    // otherwise fail on the missing target forever (review r14)
+    recoverOld(fs, p)
     require(!fs.listStatus(p).exists(s =>
         s.isDirectory && s.getPath.getName.contains("=")),
       s"compact: $path has a partitioned layout — compact per partition " +

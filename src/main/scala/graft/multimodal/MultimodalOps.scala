@@ -508,7 +508,14 @@ object MultimodalOps {
     "q148_audio_features" -> Q(
       run = (s, d) => {
         import s.implicits._
-        Tables.documents(s, d).filter(col("doc_id") % 3 === 1)
+        // empty/NULL text = no clip, filtered on BOTH sides: DuckDB's
+        // string_split('', '') yields [''] (one element, ascii('') = 0),
+        // so an unfiltered empty doc would read n_frames=1/mean=128000 in
+        // the oracle vs Spark's 0/0 — a latent hash-gate divergence the
+        // current fixtures (min length 44) never trip (review r14; q51's
+        // mediaTable defends the same degenerate input)
+        Tables.documents(s, d)
+          .filter(col("doc_id") % 3 === 1 && length(col("text")) > 0)
           .select(col("doc_id"), col("text"))
           // spread the encode work like mediaTable does — the fixture
           // parquet is one input split
@@ -538,7 +545,7 @@ object MultimodalOps {
           SELECT doc_id,
                  list_transform(string_split(text, ''),
                    ch -> (ascii(ch) * 2) % 256) AS xs
-          FROM documents WHERE doc_id % 3 = 1),
+          FROM documents WHERE doc_id % 3 = 1 AND len(text) > 0),
         st AS (
           SELECT doc_id, len(xs) AS n,
                  list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -59,18 +59,26 @@ object StreamOps {
   @volatile private[graft] var lastDrainInfo: Option[DrainInfo] = None
 
   /** Streaming read of the events fixture: micro-batch parquet source with
-    * the same ts normalization as the batch path (Tables.events). */
-  private def eventsStream(s: SparkSession, dir: String): DataFrame =
-    eventsStreamFrom(s, dir, dir, "events.parquet")
+    * the same ts normalization as the batch path (Tables.events).
+    * `rateLimited = false` for consumers whose law is batch-shaped over the
+    * finite fixture (q91): an unthrottled AvailableNow drain ingests every
+    * file in ONE batch regardless of fixture layout, so sessions cannot
+    * split at micro-batch boundaries (measured on the 10× directory
+    * fixture: throttled emitted 954,790 rows vs the batch law's 954,650 —
+    * 140 boundary fragments). Cross-batch session continuation remains
+    * spec-proven via MemoryStream (StreamingSpec). */
+  private def eventsStream(s: SparkSession, dir: String,
+      rateLimited: Boolean = true): DataFrame =
+    eventsStreamFrom(s, dir, dir, "events.parquet", rateLimited)
 
   /** Same source, reading `srcDir` (globbed) with the fixture at
     * `schemaDir` supplying the declared ts type — the q149 scratch-dir
     * variant where the watched directory also holds the horizon sentinel. */
   private def eventsStreamFrom(s: SparkSession, schemaDir: String,
-      srcDir: String, glob: String): DataFrame = {
+      srcDir: String, glob: String, rateLimited: Boolean = true): DataFrame = {
     val rawTs = graft.Tables.eventsRawTsType(s, schemaDir)
     graft.Tables.normalizeEventsTs(
-      streamRead(s, srcDir, glob, eventsRawSchema(rawTs)))
+      streamRead(s, srcDir, glob, eventsRawSchema(rawTs), rateLimited))
   }
 
   /** Streaming parquet read tolerant of BOTH fixture layouts: `<dir>/<leaf>`
@@ -154,12 +162,26 @@ object StreamOps {
     }
     val staged = stageHorizonSentinel(s, dir)
     sentinelCache.synchronized {
+      sentinelCache.get(key) match {
+        case Some(p) if p.toFile.isDirectory =>
+          // a concurrent staging of the same key won: keep the winner,
+          // retire OUR copy (deferred — see graveyard) instead of leaking
+          // an orphan temp dir (review r14)
+          sentinelGraveyard += staged
+          return p
+        case _ => ()
+      }
       // an unbounded cache would leak a fixture copy per distinct test dir
-      // over a long session; evict oldest beyond a small working set
+      // over a long session; retire the least-recently-used beyond a small
+      // working set. Retired dirs go to the GRAVEYARD (deleted at JVM
+      // exit), never deleteTree'd inline: an in-flight drain may still be
+      // streaming from an evicted path, and yanking its files mid-drain
+      // would fail the query for a cache-policy reason (review r14).
+      // Residual disk is bounded by the session's distinct fixture count.
       while (sentinelCache.size >= 8) {
         val (k0, p0) = sentinelCache.head
         sentinelCache.remove(k0)
-        deleteTree(p0)
+        sentinelGraveyard += p0
       }
       sentinelCache(key) = staged
     }
@@ -168,11 +190,14 @@ object StreamOps {
 
   private val sentinelCache =
     scala.collection.mutable.LinkedHashMap[(String, Long, Long), java.nio.file.Path]()
+  private val sentinelGraveyard =
+    scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
   sys.addShutdownHook {
     sentinelCache.synchronized {
-      sentinelCache.values.foreach(p =>
+      (sentinelCache.values ++ sentinelGraveyard).foreach(p =>
         try deleteTree(p) catch { case _: Throwable => () })
       sentinelCache.clear()
+      sentinelGraveyard.clear()
     }
   }
 
@@ -299,7 +324,16 @@ object StreamOps {
         .trigger(Trigger.AvailableNow())
       ck.foreach(p => w.option("checkpointLocation", p.toString))
       val q = w.start()
-      q.awaitTermination()
+      // a failing drain must not leak its partial memory sink: the temp
+      // view (and the rows it pins on the driver) would otherwise stay
+      // registered for the session lifetime — exactly the accumulation
+      // the post-drain dropTempView exists to prevent, minus the failure
+      // path (review r14)
+      try q.awaitTermination()
+      catch { case t: Throwable =>
+        try s.catalog.dropTempView(name) catch { case _: Throwable => () }
+        throw t
+      }
       // evidence for StreamingSpec's serving-shape asserts: the output
       // mode this drain ran in, how many state rows the watermark evicted
       // across its micro-batches, and the batch count — read from the
@@ -516,7 +550,11 @@ object StreamOps {
       run = (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-        val ev = eventsStream(s, d)
+        // unthrottled: the finite drain must be single-batch so sessions
+        // never split at micro-batch boundaries (see eventsStream scaladoc);
+        // the cross-batch continuation contract is StreamingSpec's
+        // MemoryStream multi-batch test
+        val ev = eventsStream(s, d, rateLimited = false)
           .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
           .as[(Long, Long, Long)]
         def sessions(user: Long, rows: Iterator[(Long, Long, Long)],
@@ -649,13 +687,12 @@ object StreamOps {
             }
           }
           .toDF("doc_id", "eval_id", "inter", "uni")
-        val out = drain(s, flagged, "append").orderBy("doc_id", "eval_id")
         // the drained sink is materialized rows — the index broadcasts are
         // done; release them deterministically rather than by driver-GC
-        // luck (a long session re-running this query re-ships them fresh)
-        bcB.destroy()
-        bcS.destroy()
-        out
+        // luck (a long session re-running this query re-ships them fresh).
+        // finally: a FAILING drain must release them too (review r14)
+        try drain(s, flagged, "append").orderBy("doc_id", "eval_id")
+        finally { bcB.destroy(); bcS.destroy() }
       },
       oracle = Some(graft.queries.TextOps.fuzzyDecontamOracleSql),
       doc = "streaming ingest decontamination: stateless per-doc kernel " +
@@ -687,9 +724,10 @@ object StreamOps {
           }
           .toDF("doc_id", "n_bigrams", "avg_count", "familiarity_milli",
             "kept")
-        val out = drain(s, scored, "append").orderBy("doc_id")
-        bc.destroy() // the sink is materialized — release the model now
-        out
+        // sink is materialized after the drain — release the model even
+        // when the drain fails (review r14)
+        try drain(s, scored, "append").orderBy("doc_id")
+        finally bc.destroy()
       },
       oracle = Some(graft.queries.TextOps.bigramLmOracleSql),
       doc = "streaming quality gate: q113's familiarity law served " +
@@ -724,9 +762,8 @@ object StreamOps {
           }
           .toDF("doc_id", "n_bigrams", "avg_count", "familiarity_milli",
             "kept")
-        val out = drain(s, scored, "append").orderBy("doc_id")
-        bc.destroy() // the sink is materialized — release the table now
-        out
+        try drain(s, scored, "append").orderBy("doc_id")
+        finally bc.destroy() // released even on a failing drain (review r14)
       },
       oracle = Some(graft.queries.TextOps.bucketQualityOracleSql),
       doc = "hashed-bucket streaming quality gate: the bigram familiarity " +
