@@ -120,6 +120,12 @@ object Bpe {
       .toDF("syms", "freq")
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // outputs of every COMMITTED merge: a batch member whose concatenation
+    // equals one of these re-creates an existing symbol, so applying it
+    // GROWS the counts of that symbol's neighbor pairs — counts the
+    // batch's snapshot cannot see. Within-batch interactions are covered
+    // by the `used` sets; this covers the cross-round case (review r14).
+    val committedOutputs = scala.collection.mutable.Set.empty[String]
     var continue = true
     while (continue && merges.length < nMerges) {
       // adjacent-pair counts weighted by word frequency; deterministic
@@ -150,13 +156,20 @@ object Bpe {
       var firstSkipN = -1L // count of the first overlap-skipped entry
       while (!overlapped && idx < entries.length && accepted.length < want) {
         val (a, b, n) = entries(idx)
-        if (accepted.nonEmpty && (used(a) || used(b) || used(a + b))) {
+        if (accepted.nonEmpty &&
+            (used(a) || used(b) || used(a + b) ||
+              (exact && committedOutputs(a + b)))) {
           if (exact) overlapped = true
           else { if (firstSkipN < 0) firstSkipN = n; idx += 1 }
         } else {
           accepted += ((a, b, n))
           used += a; used += b; used += (a + b)
           idx += 1
+          // exact mode: a merge that re-creates an EXISTING symbol changes
+          // neighbor-pair counts in ways sequential training would see at
+          // its next recount — close the batch right after it (it may lead
+          // the batch, since sequential would also merge it first)
+          if (exact && committedOutputs(a + b)) overlapped = true
         }
       }
       // Largest count sequential training could see OUTSIDE the accepted
@@ -186,6 +199,7 @@ object Bpe {
       if (batch.isEmpty) continue = false
       else {
         merges ++= batch
+        committedOutputs ++= batch.map { case (a, b) => a + b }
         val bmap = batch.map { case (a, b) => (a, b) -> (a + b) }.toMap
         val applyMerge = udf { syms: Seq[String] =>
           val out = scala.collection.mutable.ArrayBuffer.empty[String]

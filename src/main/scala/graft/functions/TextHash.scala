@@ -51,19 +51,25 @@ object TextHash {
   /** Order-sensitive hash of a token array: fold(acc*131 + charHash(tok)) mod P.
     * Null-in-null-out (split(NULL) is a null array — the guard every sibling
     * kernel carries). */
-  def tokenSeqHash(tokens: Column): Column =
-    udf((toks: Seq[String]) =>
-      if (toks == null) null.asInstanceOf[java.lang.Long]
-      else java.lang.Long.valueOf(tokenFold(toks))).apply(tokens)
+  // UDF objects cached in vals (the shingleHashesUdf convention, applied
+  // uniformly — review r14): a fresh udf() per column-building call pays
+  // closure + encoder setup at every plan build and defeats reference-
+  // equality CSE for identical subtrees
+  private val tokenSeqHashUdf = udf((toks: Seq[String]) =>
+    if (toks == null) null.asInstanceOf[java.lang.Long]
+    else java.lang.Long.valueOf(tokenFold(toks)))
+
+  def tokenSeqHash(tokens: Column): Column = tokenSeqHashUdf(tokens)
 
   /** Order-insensitive content fingerprint: tokenSeqHash over the sorted
     * distinct token set — equal iff two documents have the same vocabulary.
     * (Scala sort = codepoint-lexicographic, matching ANSI list_sort binary
     * collation for ASCII/BMP input.) Null-in-null-out. */
-  def contentHash(tokens: Column): Column =
-    udf((toks: Seq[String]) =>
-      if (toks == null) null.asInstanceOf[java.lang.Long]
-      else java.lang.Long.valueOf(tokenFold(toks.distinct.sorted))).apply(tokens)
+  private val contentHashUdf = udf((toks: Seq[String]) =>
+    if (toks == null) null.asInstanceOf[java.lang.Long]
+    else java.lang.Long.valueOf(tokenFold(toks.distinct.sorted)))
+
+  def contentHash(tokens: Column): Column = contentHashUdf(tokens)
 
   /** Reference expression forms (Catalyst HOF folds) — semantics oracle for
     * the JVM kernels above; see TextHashSpec's equivalence property. */
@@ -154,23 +160,46 @@ object TextHash {
     out
   }
 
+  // per-w memo: the UDF closes over w, so one cached instance per distinct
+  // window width (a handful session-wide)
+  private val winnowUdfs =
+    new java.util.concurrent.ConcurrentHashMap[Int, org.apache.spark.sql.expressions.UserDefinedFunction]()
+
   /** [[winnowKernel]] as a column function. */
   def winnowFingerprints(toks: Column, w: Int): Column =
-    udf((ts: Seq[String]) => winnowKernel(ts, w)).apply(toks)
+    winnowUdfs.computeIfAbsent(w,
+      ww => udf((ts: Seq[String]) => winnowKernel(ts, ww))).apply(toks)
+
+  private val shingleSeqHashesUdf =
+    udf((ts: Seq[String]) => shingleHashSeqKernel(ts))
 
   /** [[shingleHashSeqKernel]] as a column function: POSITIONAL (non-
     * distinct) 3-gram hashes — for consumers that count occurrences
     * (q140 diversity) rather than set-intersect. */
-  def shingleSeqHashes(toks: Column): Column =
-    udf((ts: Seq[String]) => shingleHashSeqKernel(ts)).apply(toks)
+  def shingleSeqHashes(toks: Column): Column = shingleSeqHashesUdf(toks)
 
   private val shingleHashesUdf =
     udf((toks: Seq[String]) => shingleHashKernel(toks))
 
   /** Canonical text normalization for exact dedup: lowercase, collapse
-    * whitespace runs, trim (the reference's clean_text, F1, applied globally). */
+    * whitespace runs, trim (the reference's clean_text, F1, applied
+    * globally). Two rules inherited from CleanFunctions (review r14 —
+    * this function previously used neither):
+    *   - the EXPLICIT [[CleanFunctions.Ws]] class, not Java's `\s`: the
+    *     oracle mirrors this law in DuckDB/RE2, whose `\s` lacks \x0B, so
+    *     an engine-native shorthand on either side silently diverges on a
+    *     vertical-tab document;
+    *   - collapse BEFORE trim: Spark's trim strips only spaces, so a
+    *     leading tab/NBSP would survive trim-then-collapse as a leading
+    *     space and two reference-identical texts would fingerprint apart.
+    * Oracle twin: [[duckNormalizeSql]]. */
   def normalizeText(c: Column): Column =
-    regexp_replace(trim(lower(c)), "\\s+", " ")
+    trim(regexp_replace(lower(c), s"${CleanFunctions.Ws}+", " "))
+
+  /** [[normalizeText]]'s DuckDB replica — splice into oracle SQL wherever
+    * the exact-dedup fingerprint law is mirrored. */
+  def duckNormalizeSql(col: String): String =
+    s"trim(regexp_replace(lower($col), '${CleanFunctions.DuckWs}+', ' ', 'g'))"
 
   /** Word n-gram shingles (distinct), the MinHash/Jaccard unit.
     * Spark's sequence(1, k) descends when k < 1, so short docs need the

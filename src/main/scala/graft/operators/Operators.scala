@@ -46,8 +46,14 @@ object Operators {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
     val unioned = lTagged.unionByName(
       rTagged.select(lTagged.columns.toIndexedSeq.map(col): _*))
-    // right rows sort before left rows at equal ts → inclusive (<=) semantics
-    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__src"))
+    // right rows sort before left rows at equal ts → inclusive (<=)
+    // semantics. __rv as the final sort term: multiple right rows tied on
+    // (key, ts) would otherwise rank in shuffle-arrival order and last()
+    // would pick a run-to-run-arbitrary one (review r14) — the struct
+    // tie-break makes the pick deterministic (greatest value struct wins),
+    // which the randomized-law spec's "any tie member" contract contains
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__src"), col("__rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned.withColumn("__rvf", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__src") === 1)
@@ -92,6 +98,16 @@ object Operators {
     * a count, which partial aggregation already collapses map-side. */
   def saltedAgg(df: DataFrame, key: String, buckets: Int,
       aggs: Map[String, String]): DataFrame = {
+    // enforce the scaladoc's algebraic contract: a non-algebraic function
+    // (avg, percentile, count_distinct …) re-applied over partials is
+    // silently WRONG (unweighted avg-of-partial-avgs), not slower —
+    // loud rejection beats silent corruption (review r14)
+    val algebraic = Set("sum", "count", "min", "max")
+    val bad = aggs.values.filterNot(f => algebraic(f.toLowerCase)).toSeq
+    require(bad.isEmpty,
+      s"saltedAgg: non-algebraic aggregate(s) ${bad.mkString(", ")} — " +
+        "partial-then-merge is only correct for sum/count/min/max " +
+        "(decompose avg into sum+count at the call site)")
     val salted = df.withColumn("__salt",
       pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(buckets.toLong)))
     val partial = salted.groupBy(col(key), col("__salt"))

@@ -25,6 +25,14 @@ import graft.operators.Operators.broadcastIfSmall
   */
 object TextOps {
 
+  /** DuckDB replica of charHash's normalize step (TextHash.normalizeText),
+    * spliced into every exact-dedup oracle — one definition, seven
+    * consumers, so the explicit whitespace class and collapse-before-trim
+    * order can never drift per-site (review r14: the old per-site `\s+`
+    * shorthand diverged from RE2 on \x0B, and trim-then-collapse broke
+    * idempotence on leading tabs/NBSP). */
+  private val duckNormText: String = duckNormalizeSql("text")
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on",
     "for", "with")
 
@@ -1299,11 +1307,11 @@ object TextOps {
             (col("doc_id") =!= col("canonical_id")).as("is_duplicate"))
           .orderBy("doc_id")
       },
-      oracle = Some("""
+      oracle = Some(s"""
         WITH hashed AS (
           SELECT doc_id,
             list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),''),
+              list_transform(string_split(${duckNormText},''),
                 c -> CAST(ascii(c) AS BIGINT))),
               (acc, c) -> (acc * 31 + c) % 1000000007) AS h
           FROM documents),
@@ -2358,7 +2366,7 @@ object TextOps {
         WITH hashed AS (
           SELECT doc_id,
             list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),''),
+              list_transform(string_split(${duckNormText},''),
                 c -> CAST(ascii(c) AS BIGINT))),
               (acc, c) -> (acc * 31 + c) % $P) AS fp
           FROM documents),
@@ -2783,11 +2791,11 @@ object TextOps {
           .select(col("doc_id"), col("fingerprint"))
           .orderBy("doc_id")
       },
-      oracle = Some("""
+      oracle = Some(s"""
         WITH hashed AS (
           SELECT doc_id,
             list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),''),
+              list_transform(string_split(${duckNormText},''),
                 c -> CAST(ascii(c) AS BIGINT))),
               (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
           FROM documents)
@@ -2854,7 +2862,7 @@ object TextOps {
         WITH hashed AS (
           SELECT doc_id,
             list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),''),
+              list_transform(string_split(${duckNormText},''),
                 c -> CAST(ascii(c) AS BIGINT))),
               (acc, c) -> (acc * 31 + c) % $P) AS h
           FROM documents),
@@ -3029,7 +3037,7 @@ object TextOps {
           SELECT doc_id, lang,
                  string_split(text, ' ') AS toks,
                  list_reduce(list_prepend(CAST(0 AS BIGINT),
-                   list_transform(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),''),
+                   list_transform(string_split(${duckNormText},''),
                      c -> CAST(ascii(c) AS BIGINT))),
                    (acc, c) -> (acc * 31 + c) % 1000000007) AS h
           FROM documents),
@@ -3591,11 +3599,11 @@ object TextOps {
             col("n_chars_sum"), col("n_en"), col("n_dup_docs"), col("dup_milli"))
           .orderBy("source")
       },
-      oracle = Some("""
+      oracle = Some(s"""
         WITH hashed AS (
           SELECT doc_id, source, lang, n_chars,
             list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),''),
+              list_transform(string_split(${duckNormText},''),
                 c -> CAST(ascii(c) AS BIGINT))),
               (acc, c) -> (acc * 31 + c) % 1000000007) AS h,
             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
@@ -4098,7 +4106,7 @@ object TextOps {
         hx AS (
           SELECT doc_id,
             list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),''),
+              list_transform(string_split(${duckNormText},''),
                 c -> CAST(ascii(c) AS BIGINT))),
               (acc, c) -> (acc * 31 + c) % 1000000007) AS h
           FROM documents),
