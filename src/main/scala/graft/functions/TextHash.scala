@@ -182,24 +182,32 @@ object TextHash {
     udf((toks: Seq[String]) => shingleHashKernel(toks))
 
   /** Canonical text normalization for exact dedup: lowercase, collapse
-    * whitespace runs, trim (the reference's clean_text, F1, applied
-    * globally). Two rules inherited from CleanFunctions (review r14 —
-    * this function previously used neither):
-    *   - the EXPLICIT [[CleanFunctions.Ws]] class, not Java's `\s`: the
-    *     oracle mirrors this law in DuckDB/RE2, whose `\s` lacks \x0B, so
-    *     an engine-native shorthand on either side silently diverges on a
-    *     vertical-tab document;
+    * whitespace runs, trim. Two review-r14 rules:
     *   - collapse BEFORE trim: Spark's trim strips only spaces, so a
-    *     leading tab/NBSP would survive trim-then-collapse as a leading
-    *     space and two reference-identical texts would fingerprint apart.
-    * Oracle twin: [[duckNormalizeSql]]. */
+    *     leading tab would survive trim-then-collapse as a leading space
+    *     and two otherwise-identical texts would fingerprint apart
+    *     (idempotence: normalizeText(normalizeText(x)) == normalizeText(x));
+    *   - the whitespace CLASS is pinned to Java's `\s` = `[\t-\r ]` and the
+    *     oracle twin spells that class out explicitly for RE2
+    *     ([[duckNormalizeSql]]): the engines' native `\s` shorthands
+    *     DIFFER on \x0B (Java includes it, RE2 doesn't), so one side must
+    *     not use a shorthand the other can't replicate. Java's built-in
+    *     `\s` is kept on the Spark side because it is measurably ~30%
+    *     faster than any explicit class in java.util.regex (probed r14:
+    *     q34/q95/q150 0.52→0.94 s under the wide class) and `[\t-\r ]` is
+    *     its exact RE2 spelling. The fingerprint law is therefore
+    *     ASCII-whitespace scoped by design — unicode-wide cleaning (NBSP
+    *     etc.) is the ETL surface's job ([[CleanFunctions.cleanText]],
+    *     which pays the full [[CleanFunctions.Ws]] class where F1
+    *     fidelity, not fingerprint speed, is the point. */
   def normalizeText(c: Column): Column =
-    trim(regexp_replace(lower(c), s"${CleanFunctions.Ws}+", " "))
+    trim(regexp_replace(lower(c), "\\s+", " "))
 
   /** [[normalizeText]]'s DuckDB replica — splice into oracle SQL wherever
-    * the exact-dedup fingerprint law is mirrored. */
+    * the exact-dedup fingerprint law is mirrored. `[\t-\r ]` IS Java `\s`,
+    * spelled so RE2 implements the identical set (incl. \x0B). */
   def duckNormalizeSql(col: String): String =
-    s"trim(regexp_replace(lower($col), '${CleanFunctions.DuckWs}+', ' ', 'g'))"
+    s"trim(regexp_replace(lower($col), '[\\t-\\r ]+', ' ', 'g'))"
 
   /** Word n-gram shingles (distinct), the MinHash/Jaccard unit.
     * Spark's sequence(1, k) descends when k < 1, so short docs need the

@@ -27,10 +27,11 @@ object TextOps {
 
   /** DuckDB replica of charHash's normalize step (TextHash.normalizeText),
     * spliced into every exact-dedup oracle — one definition, seven
-    * consumers, so the explicit whitespace class and collapse-before-trim
-    * order can never drift per-site (review r14: the old per-site `\s+`
-    * shorthand diverged from RE2 on \x0B, and trim-then-collapse broke
-    * idempotence on leading tabs/NBSP). */
+    * consumers, so the whitespace-class spelling and collapse-before-trim
+    * order can never drift per-site (review r14: the old per-site RE2
+    * `\s+` shorthand diverged from the Spark side's Java `\s` on \x0B,
+    * and trim-then-collapse broke idempotence on leading tabs; see
+    * TextHash.normalizeText's scaladoc for the pinned law). */
   private val duckNormText: String = duckNormalizeSql("text")
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on",

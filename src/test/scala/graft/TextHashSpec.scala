@@ -47,6 +47,29 @@ class TextHashSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(sizes.sameElements(Array(0, 0, 2)))
   }
 
+  test("normalizeText: idempotent, collapse-before-trim, \\x0B in the " +
+      "pinned class (review r14)") {
+    import spark.implicits._
+    val cases = Seq(
+      "\tfoo  bar ",       // leading tab: trim-then-collapse left " foo bar"
+      "a" + "\u000B" + "b", // \x0B: Java \s has it; oracle spells [\t-\r ]
+      "  A\r\nB\u000B C ", // mixed runs + case
+      "plain text", "", " \t ")
+    val got = cases.toDF("t")
+      .select(graft.functions.TextHash.normalizeText($"t").as("n"))
+      .as[String].collect().toSeq
+    assert(got == Seq("foo bar", "a b", "a b c", "plain text", "", ""))
+    // idempotence: a second pass is the identity
+    val again = got.toDF("t")
+      .select(graft.functions.TextHash.normalizeText($"t").as("n"))
+      .as[String].collect().toSeq
+    assert(again == got)
+    // the oracle twin spells Java's \s exactly — guard the rendered SQL
+    // so a future edit can't silently reintroduce an engine shorthand
+    assert(graft.functions.TextHash.duckNormalizeSql("text") ==
+      "trim(regexp_replace(lower(text), '[\\t-\\r ]+', ' ', 'g'))")
+  }
+
   test("composed shingle hashes == charHash of the materialized shingle strings") {
     // the O(1)-per-shingle composition must equal hashing the concatenated
     // string character by character, duplicates collapsed, for any tokens
