@@ -207,7 +207,11 @@ object Main {
           // means some OTHER writer used this path (or the clear was
           // bypassed): partition discovery would silently misread a mixed
           // dir, so fail loudly instead.
-          val stray = new java.io.File(staging).listFiles()
+          // listFiles() returns null on a race (dir removed after the
+          // isDirectory check) or an IO error — degrade to the empty
+          // worklist path rather than NPE'ing inside the guard (advice r15)
+          val stray = Option(new java.io.File(staging).listFiles())
+            .getOrElse(Array.empty[java.io.File])
             .filter(f => !f.getName.startsWith("batch=") &&
               !f.getName.startsWith(".") && !f.getName.startsWith("_"))
           require(stray.isEmpty,

@@ -98,6 +98,21 @@ final class HttpPageClient(timeoutSec: Int, userAgent: String = "graft-fetch/1.0
     val resp = http.send(req,
       java.net.http.HttpResponse.BodyHandlers.ofPublisher())
     if (resp.statusCode() / 100 != 2) {
+      // The connection is only released back to the pool once the body
+      // publisher is consumed or its subscription cancelled; throwing with
+      // an unsubscribed publisher pins a connection (plus buffered body
+      // bytes) until GC — and the E2 retry loop hammers exactly this path
+      // against a failing server, one stuck connection per attempt
+      // (advice r15). Cancel-on-subscribe drops the body eagerly.
+      resp.body().subscribe(
+        new java.util.concurrent.Flow.Subscriber[
+            java.util.List[java.nio.ByteBuffer]] {
+          def onSubscribe(s: java.util.concurrent.Flow.Subscription): Unit =
+            s.cancel()
+          def onNext(item: java.util.List[java.nio.ByteBuffer]): Unit = ()
+          def onError(t: Throwable): Unit = ()
+          def onComplete(): Unit = ()
+        })
       throw new java.io.IOException(
         s"HTTP ${resp.statusCode()} fetching id=$id $url")
     }

@@ -47,13 +47,23 @@ object Operators {
     val unioned = lTagged.unionByName(
       rTagged.select(lTagged.columns.toIndexedSeq.map(col): _*))
     // right rows sort before left rows at equal ts → inclusive (<=)
-    // semantics. __rv as the final sort term: multiple right rows tied on
-    // (key, ts) would otherwise rank in shuffle-arrival order and last()
-    // would pick a run-to-run-arbitrary one (review r14) — the struct
-    // tie-break makes the pick deterministic (greatest value struct wins),
-    // which the randomized-law spec's "any tie member" contract contains
+    // semantics. A struct of the right value columns as the final sort term:
+    // multiple right rows tied on (key, ts) would otherwise rank in
+    // shuffle-arrival order and last() would pick a run-to-run-arbitrary one
+    // (review r14) — the struct tie-break makes the pick deterministic
+    // (greatest value struct wins), which the randomized-law spec's "any tie
+    // member" contract contains. Only ORDERABLE value columns participate:
+    // a MapType (or other unordered) column in the sort struct fails
+    // analysis outright, and this operator must keep accepting such schemas
+    // (advice r15) — those columns ride along in __rv but not in the order.
+    val orderableVals = valueCols.filter(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+        right.schema(c).dataType))
+    val tieBreak =
+      if (orderableVals.isEmpty) Nil
+      else Seq(struct(orderableVals.map(c => col("__rv").getField(c)): _*))
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts"), col("__src"), col("__rv"))
+      .orderBy(col("__ts") +: col("__src") +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned.withColumn("__rvf", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__src") === 1)

@@ -100,4 +100,43 @@ class BenchNormSpec extends AnyFunSuite {
     assert(BenchNorm.median(Seq(3.0, 1.0, 2.0)) === 2.0)
     assert(BenchNorm.median(Seq(1.0, 2.0, 3.0, 10.0)) === 2.5)
   }
+
+  test("passValid: anchors above the degraded ratio mark their pass") {
+    // the r14 record's shape: passes 1-2 bracketed by 678/867 ms anchors
+    // against a 533.5 nominal (1.27x/1.63x), pass 3 clean
+    val valid = BenchNorm.passValid(
+      Seq(Nominal * 1.27, Nominal * 1.63, Nominal * 1.05), Nominal)
+    assert(valid === Seq(false, false, true))
+    // the documented clean-window band (≤ ~1.1x) always reads valid
+    assert(BenchNorm.passValid(
+      Seq(Nominal, Nominal * 1.1, Nominal * 0.95), Nominal)
+      .forall(identity))
+  }
+
+  test("minPreferringValid: the graded min never silently comes from a " +
+    "degraded pass") {
+    // qA's all-pass min (1.0) sits in degraded pass 1; the record must
+    // take the clean-pass 1.4 instead. qB's min is already clean.
+    val p1 = Seq("qA" -> 1.0, "qB" -> 9.0)   // degraded
+    val p2 = Seq("qA" -> 1.5, "qB" -> 3.0)   // valid
+    val p3 = Seq("qA" -> 1.4, "qB" -> 3.2)   // valid
+    val (rows, fellBack) = BenchNorm.minPreferringValid(
+      Seq(p1, p2, p3), Seq(false, true, true))
+    assert(rows.toMap === Map("qA" -> 1.4, "qB" -> 3.0))
+    assert(fellBack.isEmpty)
+    // a stage row whose build only triggered in the degraded pass falls
+    // back to it — and is NAMED, so the record can say which mins are
+    // host-window-tainted
+    val p1b = p1 :+ ("stage:build" -> 4.0)
+    val (rows2, fellBack2) = BenchNorm.minPreferringValid(
+      Seq(p1b, p2, p3), Seq(false, true, true))
+    assert(rows2.toMap.apply("stage:build") === 4.0)
+    assert(fellBack2 === Set("stage:build"))
+    // every pass degraded: all rows fall back (min over all passes), all
+    // named — the record degrades loudly instead of dropping data
+    val (rows3, fellBack3) = BenchNorm.minPreferringValid(
+      Seq(p1, p2, p3), Seq(false, false, false))
+    assert(rows3.toMap === Map("qA" -> 1.0, "qB" -> 3.0))
+    assert(fellBack3 === Set("qA", "qB"))
+  }
 }

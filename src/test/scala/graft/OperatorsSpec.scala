@@ -83,6 +83,32 @@ class OperatorsSpec extends SparkSpec {
     assert(out.sameElements(Array((1L, 7.0, Some(42.0)))))
   }
 
+  test("asOfJoinBackward accepts non-orderable right value columns " +
+      "(MapType rides along, excluded from the tie-break order)") {
+    // regression (advice r15): the deterministic (key, ts)-tie-break sorts
+    // by a struct of right value columns — a MapType column in that struct
+    // fails analysis, but map-valued payloads are a legitimate schema for
+    // a generic as-of join. Non-orderable columns must still be CARRIED,
+    // just not ORDERED by.
+    val left = Seq((1L, ts(30))).toDF("key", "lts")
+    val right = Seq(
+      (1L, ts(10), Map("a" -> 1), 5.0),
+      (1L, ts(20), Map("b" -> 2), 6.0))
+      .toDF("key", "rts", "attrs", "score")
+    val out = Operators.asOfJoinBackward(left, right, "key", "lts", "rts")
+      .select($"key", $"asof_attrs", $"asof_score")
+      .as[(Long, Map[String, Int], Double)].collect()
+    assert(out.sameElements(Array((1L, Map("b" -> 2), 6.0))))
+    // all-non-orderable values: tie-break degrades to (ts, src) only —
+    // the join must still analyze and return the latest row's map
+    val rightAllMaps = Seq((1L, ts(20), Map("x" -> 9)))
+      .toDF("key", "rts", "attrs")
+    val out2 = Operators.asOfJoinBackward(left, rightAllMaps,
+      "key", "lts", "rts")
+      .select($"asof_attrs").as[Map[String, Int]].collect()
+    assert(out2.sameElements(Array(Map("x" -> 9))))
+  }
+
   test("rangeJoin never plans a cartesian") {
     val a = Seq((1L, 10L), (2L, 20L)).toDF("k", "t1")
     val b = Seq((1L, 12L), (1L, 100L), (2L, 19L)).toDF("k2", "t2")

@@ -42,16 +42,22 @@ def load(path):
 def spreads(rec, normalized):
     """name -> max-min over the record's per-pass times (normalized per
     pass when the record carries anchors and the caller compares normalized
-    units). {} for pre-round-14 records without queries_passes."""
+    units). Records since round 15 carry pass_valid (anchor-gated at record
+    time); when ≥2 passes are valid, the spread is computed over VALID
+    passes only — a degraded pass's inflation is host noise and must not
+    widen the suppression window around the clean measurement the min now
+    comes from. {} for pre-round-14 records without queries_passes."""
     qp = rec.get("queries_passes")
     if not qp:
         return {}
     slow = rec.get("pass_slowdowns")
+    valid = rec.get("pass_valid")
+    use_valid = bool(valid) and sum(valid) >= 2
     out = {}
     for name, per_pass in qp.items():
         vals = []
         for i, t in enumerate(per_pass):
-            if t is None:
+            if t is None or (use_valid and i < len(valid) and not valid[i]):
                 continue
             f = slow[i] if (normalized and slow and i < len(slow)) else 1.0
             vals.append(t / f if f > 0 else t)
