@@ -110,7 +110,18 @@ object Bench {
     // shingle+pair build once per pass and q36/q81 reuse it within the pass
     // (the pipeline-run attribution) — without this, pass 2 would time pure
     // cache hits and min() would erase the build cost from the total
+    // in-pass host-anchor samples, taken off the clock at each hygiene-GC
+    // tick: boundary anchors sample ~0.5 s instants around a ~50 s pass,
+    // and a MID-pass host window can evade both (measured r15 probe: a
+    // sustained second-half-of-pass-3 window inflated 69 rows 1.3-2.4×
+    // while the bracketing anchors read 572/634 ms — under the 1.2 gate).
+    // ~8 samples per pass make pass validity see what the pass actually
+    // ran under, not just its endpoints.
+    val inPassAnchors = Seq.fill(3)(
+      scala.collection.mutable.ArrayBuffer.empty[Double])
+    var passIdx = -1 // 0-based; set by the p1/p2/p3 calls below
     def pass(keep: String => Boolean): Seq[(String, Double)] = {
+      passIdx += 1
       graft.queries.TextOps.releaseShingles()
       Checkpoints.releaseScoped()
       // pass boundary, off the clock: a driver GC lets the ContextCleaner
@@ -138,7 +149,11 @@ object Bench {
         // a pass), placed between queries so no timed region pays the
         // pause. A long-lived production session sets that conf instead.
         sinceGc += 1
-        if (sinceGc >= 24) { sinceGc = 0; System.gc() }
+        if (sinceGc >= 24) {
+          sinceGc = 0; System.gc()
+          if (passIdx >= 0 && passIdx < 3)
+            inPassAnchors(passIdx) += HostAnchor.parallel(cpus.toInt)
+        }
         val m0 = MetricsTap.snapshot() // flushes the bus — off the clock
         val b0 = graft.queries.TextOps.buildStageTotals
         val bm0 = graft.queries.TextOps.buildMetricTotals
@@ -226,6 +241,7 @@ object Bench {
     // a property of the record, not a reconstruction.
     val passValidSeq = BenchNorm.passValid(
       Seq(passAnchor(1), passAnchor(2), passAnchor(3)),
+      inPassAnchors.map(_.toSeq),
       HostAnchor.NominalParallelMs)
     val (results, degradedFallback) = BenchNorm.minPreferringValid(
       Seq(timed(p1), timed(p2), timed(p3)), passValidSeq)
@@ -301,8 +317,11 @@ object Bench {
     val passValidJson = passValidSeq.map(_.toString).mkString("[", ",", "]")
     val fallbackJson = degradedFallback.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val samplesJson = inPassAnchors
+      .map(ss => ss.map(fmt).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
     val anchorBlock =
-      s""","anchors":$anchorsJson,"anchor_nominal":{"single_ms":${fmt(HostAnchor.NominalSingleMs)},"par_ms":${fmt(HostAnchor.NominalParallelMs)}},"pass_slowdowns":$slowdownsJson,"pass_valid":$passValidJson,"degraded_fallback_rows":$fallbackJson,"queries_norm":${toJson(resultsNorm)},"total_norm":${fmt(totalNorm)}"""
+      s""","anchors":$anchorsJson,"anchor_nominal":{"single_ms":${fmt(HostAnchor.NominalSingleMs)},"par_ms":${fmt(HostAnchor.NominalParallelMs)}},"pass_slowdowns":$slowdownsJson,"pass_valid":$passValidJson,"anchor_samples_par_ms":$samplesJson,"degraded_fallback_rows":$fallbackJson,"queries_norm":${toJson(resultsNorm)},"total_norm":${fmt(totalNorm)}"""
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_passes":3,"queries":${toJson(results)},"queries_passes":$passesJson,"stages":$stages,"query_metrics":$metricsJson,"failed":$failedJson$failMark$anchorBlock,"storage":[${storageLog.mkString(",")}]$onlyMark,"sf":"${jstr(sfDir)}"}"""
     // subset runs go to their own file: the full-suite BENCH_DETAIL.json is
     // the graded record and a debugging subset must never clobber it

@@ -42,6 +42,23 @@ object BenchNorm {
   def passValid(anchorsPar: Seq[Double], nominalPar: Double): Seq[Boolean] =
     anchorsPar.map(_ / nominalPar <= DegradedAnchorRatio)
 
+  /** Validity from bracketing anchors AND in-pass samples: a pass is clean
+    * only if its boundary mean is under the gate and the MEDIAN of the
+    * samples taken while it ran is too. Median, not max — a single blip
+    * among ~8 samples is exactly the transient min-of-3 absorbs; a
+    * median over the gate means most of the pass ran in a slow window
+    * (the r15 probe shape: a sustained mid-pass window inflating 69 rows
+    * while both bracketing anchors read clean). */
+  def passValid(anchorsPar: Seq[Double], inPass: Seq[Seq[Double]],
+      nominalPar: Double): Seq[Boolean] = {
+    require(anchorsPar.length == inPass.length,
+      s"passValid: ${anchorsPar.length} anchors, ${inPass.length} sample sets")
+    anchorsPar.zip(inPass).map { case (a, ss) =>
+      a / nominalPar <= DegradedAnchorRatio &&
+        (ss.isEmpty || median(ss) / nominalPar <= DegradedAnchorRatio)
+    }
+  }
+
   /** min over passes PREFERRING anchor-clean ones. Returns the per-row
     * mins plus the rows that had to fall back to a degraded pass (absent
     * from every valid pass — e.g. a stage: row whose build only triggered

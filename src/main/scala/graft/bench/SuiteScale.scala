@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
   *     by customer.c_custkey / orders.o_custkey / events.user_id, orderkey
   *     by orders/lineitem, partkey/suppkey by part/supplier/lineitem), so
   *     FK join hit-rates match the original's;
-  *   - document text is Caesar-rotated WITHIN each character class
-  *     (a-z, A-Z, 0-9) per copy: shingle/token vocabularies are disjoint
-  *     across copies (no cross-copy near-dup pairs — each copy replicates
-  *     the original's dup structure exactly once) while the CHARSET is
+  *   - document text passes through a seeded per-copy character
+  *     permutation WITHIN each character class (a-z, A-Z, 0-9; see
+  *     [[permTables]]): shingle/token vocabularies are disjoint across
+  *     copies (no cross-copy near-dup pairs — each copy replicates the
+  *     original's dup structure exactly once) while the CHARSET is
   *     unchanged, so charset-bounded model aggregations (q113's |charset|²
   *     contract) stay bounded;
   *   - embeddings are circularly shifted by the copy index — an orthogonal
@@ -38,6 +39,8 @@ import org.apache.spark.sql.functions._
   * file-split parallelism.
   *
   * Usage: runMain graft.bench.SuiteScale [stage-only] [only=q35,q36]
+  *        [copies=N]   (N≠10 writes SUITE_SCALE_NX.json, never the graded
+  *                      10× record — the 30× pair-family probe uses this)
   * Writes SUITE_SCALE.json: per query, time + result rows at each scale,
   * bracketed by host anchors.
   */
@@ -46,8 +49,13 @@ object SuiteScale {
   private val BaseDir = "/root/testdata/sf0.1"
   private val SmallDir = "/root/testdata/sf0.01"
   private val WarmDir = "/root/testdata/sf0.001"
-  private val TenXDir = "/tmp/graft_sf1x"
-  private val Copies = 10
+
+  /** Replication factor: 10 is the graded whole-suite run; the pair-family
+    * 30× probe (judge r14 #4) passes copies=30. Mutable only via main's
+    * arg parsing, before any staging. */
+  private var Copies = 10
+  private def TenXDir =
+    if (Copies == 10) "/tmp/graft_sf1x" else s"/tmp/graft_scale_${Copies}x"
 
   private val custShift = 1000000L
   private val orderShift = 100000000L
@@ -57,18 +65,57 @@ object SuiteScale {
   private val vecShift = 1000000L
   private val eventShift = 1000000000L
 
-  /** Per-copy within-class Caesar rotation: copy k maps every letter/digit
-    * c to the character k positions later in c's own class. k=0 is the
-    * identity, so copy 0 IS the original corpus. */
-  private def rotated(text: org.apache.spark.sql.Column, k: Int) = {
-    val lower = ('a' to 'z').mkString
-    val upper = ('A' to 'Z').mkString
-    val digit = ('0' to '9').mkString
-    def rot(s: String, n: Int) = s.drop(n % s.length) + s.take(n % s.length)
-    if (k == 0) text
-    else translate(text, lower + upper + digit,
-      rot(lower, k) + rot(upper, k) + rot(digit, k))
+  /** Per-copy within-class character permutation: copy k maps every
+    * letter/digit through a SEEDED Fisher-Yates permutation of its own
+    * class (a-z, A-Z, 0-9). k=0 is the identity, so copy 0 IS the original
+    * corpus. Any bijection on characters is a bijection on tokens and
+    * shingles, so each copy's INTERNAL dup structure is exactly the
+    * original's while cross-copy vocabularies are disjoint — the isometric
+    * clone law. Seeded permutations rather than the v3 Caesar rotation
+    * because rotation wraps: at copies ≥ 26 copy 26's letters (and copy
+    * 10's digits) would be the IDENTITY again — an exact clone of copy 0,
+    * i.e. phantom cross-copy near-dup pairs — which the 30× pair-family
+    * probe would trip over. Distinctness is asserted, not assumed. */
+  private def permTables(copies: Int): IndexedSeq[(String, String)] = {
+    val classes = Seq(('a' to 'z').mkString, ('A' to 'Z').mkString,
+      ('0' to '9').mkString)
+    val from = classes.mkString
+    val tables = (0 until copies).map { k =>
+      if (k == 0) (from, from)
+      else {
+        // splitmix64-style seeded shuffle — deterministic per copy
+        var seed = 0x9E3779B97F4A7C15L * (k + 1)
+        def next(bound: Int): Int = {
+          seed += 0x9E3779B97F4A7C15L
+          var z = seed
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          (((z ^ (z >>> 31)) >>> 1) % bound).toInt
+        }
+        val to = classes.map { cls =>
+          val a = cls.toCharArray
+          var i = a.length - 1
+          while (i > 0) {
+            val j = next(i + 1)
+            val t = a(i); a(i) = a(j); a(j) = t
+            i -= 1
+          }
+          new String(a)
+        }.mkString
+        (from, to)
+      }
+    }
+    // the clone law needs pairwise-distinct copy transforms; 26!-sized
+    // spaces make collisions absurd, but assert rather than trust
+    require(tables.map(_._2).distinct.length == copies,
+      s"seeded per-copy permutations collided at copies=$copies")
+    tables
   }
+
+  private def rotated(text: org.apache.spark.sql.Column, k: Int,
+      tables: IndexedSeq[(String, String)]) =
+    if (k == 0) text
+    else translate(text, tables(k)._1, tables(k)._2)
 
   private def replicate(df: DataFrame)(copy: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until Copies).map(k => copy(df, k)).reduce(_ unionByName _)
@@ -94,7 +141,7 @@ object SuiteScale {
     }
   }
 
-  private val StageMarker = "_SUITE_SCALE_STAGED_v3" // v3: multi-file events/documents
+  private def StageMarker = s"_SUITE_SCALE_STAGED_v4_${Copies}x" // v4: seeded per-copy permutations
 
   /** Fingerprint of the SOURCE fixtures (per-table mtime+size): stored in
     * the staging marker so a driver fixture REGENERATION (it has happened —
@@ -180,9 +227,10 @@ object SuiteScale {
     // order is irrelevant there
     val docs = graft.Tables.documents(spark, BaseDir)
     require(maxOf(docs, "doc_id") < docShift, "docShift too small")
+    val perms = permTables(Copies)
     writeDir(replicate(docs)((df, k) => df
       .withColumn("doc_id", col("doc_id") + lit(k * docShift))
-      .withColumn("text", rotated(col("text"), k)))
+      .withColumn("text", rotated(col("text"), k, perms)))
       .repartition(Copies * 2), "documents")
     stampOrderedMtimes("documents")
 
@@ -259,6 +307,11 @@ object SuiteScale {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    args.find(_.startsWith("copies=")).foreach { a =>
+      Copies = a.stripPrefix("copies=").toInt
+      require(Copies >= 2 && Copies <= 100, s"copies=$Copies out of range")
+    }
+
     val t0 = System.nanoTime()
     stage(spark)
     println(f"staging: ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -303,8 +356,9 @@ object SuiteScale {
       s""""$n":{"t":[${fmt(s.sec)},${fmt(b.sec)},${fmt(g.sec)}],"rows":[${s.rows},${b.rows},${g.rows}]}"""
     }
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("SUITE_SCALE.json"),
-      s"""{"scales":["sf0.01","sf0.1","10x-sf0.1"],"queries":{${rowsOut.mkString(",")}}}\n""")
+      java.nio.file.Paths.get(
+        if (Copies == 10) "SUITE_SCALE.json" else s"SUITE_SCALE_${Copies}X.json"),
+      s"""{"scales":["sf0.01","sf0.1","${Copies}x-sf0.1"],"queries":{${rowsOut.mkString(",")}}}\n""")
 
     // totals EXCLUDE failed queries' fail-fast walls (Bench.timed()'s rule:
     // a broken suite must not read as fast); the failed list prints below

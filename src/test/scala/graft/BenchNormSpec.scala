@@ -113,6 +113,24 @@ class BenchNormSpec extends AnyFunSuite {
       .forall(identity))
   }
 
+  test("passValid with in-pass samples: a mid-pass slow window degrades " +
+    "the pass even when both bracketing anchors read clean") {
+    // the r15 probe shape: boundaries 572/634 ms (≤1.2x nominal) around a
+    // pass whose second half ran in a sustained contention window — the
+    // in-pass sample median carries the evidence the boundaries missed
+    val clean = Seq.fill(8)(Nominal)
+    val midWindow = Seq.fill(3)(Nominal) ++ Seq.fill(5)(Nominal * 1.5)
+    val valid = BenchNorm.passValid(
+      Seq(Nominal * 1.1, Nominal * 1.1, Nominal * 1.1),
+      Seq(clean, midWindow, Seq.empty), Nominal)
+    assert(valid === Seq(true, false, true)) // empty samples: boundary-only
+    // a single blip among 8 samples is the transient min-of-3 absorbs —
+    // it must NOT degrade the pass (median, not max)
+    val oneBlip = Seq.fill(7)(Nominal) :+ Nominal * 3.0
+    assert(BenchNorm.passValid(Seq(Nominal), Seq(oneBlip), Nominal)
+      === Seq(true))
+  }
+
   test("minPreferringValid: the graded min never silently comes from a " +
     "degraded pass") {
     // qA's all-pass min (1.0) sits in degraded pass 1; the record must
