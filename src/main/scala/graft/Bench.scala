@@ -239,10 +239,13 @@ object Bench {
     // rows that had to fall back to a degraded pass are named in the
     // record (degraded_fallback_rows), so "every min is anchor-clean" is
     // a property of the record, not a reconstruction.
-    val passValidSeq = BenchNorm.passValid(
-      Seq(passAnchor(1), passAnchor(2), passAnchor(3)),
-      inPassAnchors.map(_.toSeq),
-      HostAnchor.NominalParallelMs)
+    val passValidSeq = {
+      val par = anchors.values.map(_._2).toIndexedSeq // warmup, p1, p2, p3
+      BenchNorm.passValid(
+        Seq((par(0), par(1)), (par(1), par(2)), (par(2), par(3))),
+        inPassAnchors.map(_.toSeq),
+        HostAnchor.NominalParallelMs)
+    }
     val (results, degradedFallback) = BenchNorm.minPreferringValid(
       Seq(timed(p1), timed(p2), timed(p3)), passValidSeq)
     val (resultsNorm, passSlowdowns) = BenchNorm.normalize(

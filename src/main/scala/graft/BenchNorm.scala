@@ -42,20 +42,26 @@ object BenchNorm {
   def passValid(anchorsPar: Seq[Double], nominalPar: Double): Seq[Boolean] =
     anchorsPar.map(_ / nominalPar <= DegradedAnchorRatio)
 
-  /** Validity from bracketing anchors AND in-pass samples: a pass is clean
-    * only if its boundary mean is under the gate and the MEDIAN of the
-    * samples taken while it ran is too. Median, not max — a single blip
-    * among ~8 samples is exactly the transient min-of-3 absorbs; a
-    * median over the gate means most of the pass ran in a slow window
-    * (the r15 probe shape: a sustained mid-pass window inflating 69 rows
-    * while both bracketing anchors read clean). */
-  def passValid(anchorsPar: Seq[Double], inPass: Seq[Seq[Double]],
+  /** Validity from bracketing anchors AND in-pass samples, judged as ONE
+    * sample set per pass: degraded iff the MEDIAN of
+    * {leading boundary, trailing boundary, in-pass samples} exceeds the
+    * gate. Median, not max or &&-of-parts: a single blip among ~10 samples
+    * is the transient min-of-3 absorbs, and — the review-r15 case — a
+    * single SPIKED boundary (HostAnchor.parallel is one un-repeated run;
+    * r10 measured a real transient 3.3× boundary spike) is shared by BOTH
+    * adjacent passes' means, so a parts-based && would invalidate two
+    * passes whose ~16 in-pass samples all read clean, collapsing the
+    * graded min to min-of-1. Pooling lets eight clean in-pass samples
+    * outvote one spiked boundary, while a genuine pass-wide window (most
+    * samples high) still moves the median over the gate. When no in-pass
+    * samples exist the set is just the two boundaries — the pre-r15
+    * boundary-mean behavior. */
+  def passValid(boundaries: Seq[(Double, Double)], inPass: Seq[Seq[Double]],
       nominalPar: Double): Seq[Boolean] = {
-    require(anchorsPar.length == inPass.length,
-      s"passValid: ${anchorsPar.length} anchors, ${inPass.length} sample sets")
-    anchorsPar.zip(inPass).map { case (a, ss) =>
-      a / nominalPar <= DegradedAnchorRatio &&
-        (ss.isEmpty || median(ss) / nominalPar <= DegradedAnchorRatio)
+    require(boundaries.length == inPass.length,
+      s"passValid: ${boundaries.length} passes, ${inPass.length} sample sets")
+    boundaries.zip(inPass).map { case ((lead, trail), ss) =>
+      median(lead +: trail +: ss) / nominalPar <= DegradedAnchorRatio
     }
   }
 

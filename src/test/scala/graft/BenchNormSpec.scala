@@ -117,18 +117,38 @@ class BenchNormSpec extends AnyFunSuite {
     "the pass even when both bracketing anchors read clean") {
     // the r15 probe shape: boundaries 572/634 ms (≤1.2x nominal) around a
     // pass whose second half ran in a sustained contention window — the
-    // in-pass sample median carries the evidence the boundaries missed
+    // pooled median carries the evidence the boundaries missed
+    val b = (Nominal * 1.1, Nominal * 1.1)
     val clean = Seq.fill(8)(Nominal)
     val midWindow = Seq.fill(3)(Nominal) ++ Seq.fill(5)(Nominal * 1.5)
     val valid = BenchNorm.passValid(
-      Seq(Nominal * 1.1, Nominal * 1.1, Nominal * 1.1),
-      Seq(clean, midWindow, Seq.empty), Nominal)
+      Seq(b, b, b), Seq(clean, midWindow, Seq.empty), Nominal)
     assert(valid === Seq(true, false, true)) // empty samples: boundary-only
     // a single blip among 8 samples is the transient min-of-3 absorbs —
     // it must NOT degrade the pass (median, not max)
     val oneBlip = Seq.fill(7)(Nominal) :+ Nominal * 3.0
-    assert(BenchNorm.passValid(Seq(Nominal), Seq(oneBlip), Nominal)
+    assert(BenchNorm.passValid(Seq((Nominal, Nominal)), Seq(oneBlip), Nominal)
       === Seq(true))
+  }
+
+  test("passValid: one spiked boundary cannot invalidate two clean passes " +
+    "whose in-pass samples all read nominal (review r15)") {
+    // HostAnchor.parallel is a single un-repeated run; r10 measured a real
+    // transient 3.3x boundary spike. The spiked measurement sits in BOTH
+    // adjacent passes' boundary pairs — pooled with ~8 clean in-pass
+    // samples each, neither pass's median moves, so neither is degraded
+    // and min-of-3 keeps all three passes.
+    val clean = Seq.fill(8)(Nominal)
+    val valid = BenchNorm.passValid(
+      Seq((Nominal, Nominal * 3.3), (Nominal * 3.3, Nominal),
+        (Nominal, Nominal)),
+      Seq(clean, clean, clean), Nominal)
+    assert(valid === Seq(true, true, true))
+    // but without in-pass evidence the spiked boundary DOES degrade (the
+    // conservative fallback: two boundaries, median over the gate)
+    assert(BenchNorm.passValid(
+      Seq((Nominal, Nominal * 3.3)), Seq(Seq.empty), Nominal)
+      === Seq(false))
   }
 
   test("minPreferringValid: the graded min never silently comes from a " +

@@ -43,16 +43,22 @@ def spreads(rec, normalized):
     """name -> max-min over the record's per-pass times (normalized per
     pass when the record carries anchors and the caller compares normalized
     units). Records since round 15 carry pass_valid (anchor-gated at record
-    time); when ≥2 passes are valid, the spread is computed over VALID
-    passes only — a degraded pass's inflation is host noise and must not
-    widen the suppression window around the clean measurement the min now
-    comes from. {} for pre-round-14 records without queries_passes."""
+    time); for RAW comparisons with ≥2 valid passes, the spread is computed
+    over VALID passes only — the raw min (BenchNorm.minPreferringValid)
+    comes from valid passes, and a degraded pass's inflation is host noise
+    that must not widen the suppression window around it. NORMALIZED
+    comparisons keep ALL passes: queries_norm mins over every pass
+    post-normalization (a degraded pass, scaled by its granted slowdown,
+    can still source the min), so a valid-only spread would no longer
+    bracket the value being compared and a normalization residual could
+    read as attributable signal (review r15). {} for pre-round-14 records
+    without queries_passes."""
     qp = rec.get("queries_passes")
     if not qp:
         return {}
     slow = rec.get("pass_slowdowns")
     valid = rec.get("pass_valid")
-    use_valid = bool(valid) and sum(valid) >= 2
+    use_valid = bool(valid) and sum(valid) >= 2 and not normalized
     out = {}
     for name, per_pass in qp.items():
         vals = []

@@ -36,7 +36,12 @@ def flagged(path):
     qp = d.get("queries_passes")
     if not qp:
         sys.exit(f"{path}: no queries_passes (pre-round-14 record)")
-    names = sorted(qp)  # Bench runs queries in sorted-name order
+    # stage: rows execute INSIDE their triggering query (q35 etc.), not at
+    # their own alphabetical slot ('s' > 'q' would park them all at the end
+    # of the suite and skew the adjacency clustering) — exclude them from
+    # the position analysis; their growth is attributed via their consumer
+    # queries and bench_compare's stage rows.
+    names = sorted(n for n in qp if not n.startswith("stage:"))
     pos = {n: i for i, n in enumerate(names)}
     rows = []
     for n in names:

@@ -26,7 +26,12 @@ PREV_BENCH=${2:-}
 PREV_SUITE=${3:-}
 
 echo "== 1/5 full test suite =="
-sbt -batch test 2>&1 | grep -E '^\[info\] (Tests|All|\*\*\*)' | tail -3
+# sbt's exit code gates failure via the $()-free pipeline below; the greps
+# only pretty-print — `|| true` so an unmatched summary format can't abort
+# the checklist under pipefail (review r15)
+sbt -batch test > /tmp/round_close_test.log 2>&1 || {
+  tail -20 /tmp/round_close_test.log; echo "sbt test FAILED"; exit 1; }
+grep -E '^\[info\] (Tests|All|\*\*\*)' /tmp/round_close_test.log | tail -3 || true
 
 echo "== 2/5 sf0.01 dump + strict hash gate =="
 rm -rf /tmp/close_verify_001
