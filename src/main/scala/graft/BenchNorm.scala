@@ -55,15 +55,37 @@ object BenchNorm {
     * outvote one spiked boundary, while a genuine pass-wide window (most
     * samples high) still moves the median over the gate. When no in-pass
     * samples exist the set is just the two boundaries — the pre-r15
-    * boundary-mean behavior. */
+    * boundary-mean behavior.
+    *
+    * The gate is absolute AND relative: degraded iff the pooled median
+    * exceeds DegradedAnchorRatio × nominal AND exceeds
+    * [[RelativeDegradedRatio]] × the run's cleanest pass median. The
+    * relative term guards against ambient drift: the r15 closing run's
+    * host sat at ~1.17× nominal ALL session (medians 626/621/643 ms), and
+    * an absolute-only gate threw away pass 3 at 1.206× — a pass
+    * indistinguishable from its siblings. Validity marks WITHIN-RUN
+    * asymmetry (a pass worse than the run's own best); run-wide slowness
+    * is the normalizer's job ([[commonFloor]]), and min-of-3 cannot
+    * escape it by dropping passes anyway. */
   def passValid(boundaries: Seq[(Double, Double)], inPass: Seq[Seq[Double]],
       nominalPar: Double): Seq[Boolean] = {
     require(boundaries.length == inPass.length,
       s"passValid: ${boundaries.length} passes, ${inPass.length} sample sets")
-    boundaries.zip(inPass).map { case ((lead, trail), ss) =>
-      median(lead +: trail +: ss) / nominalPar <= DegradedAnchorRatio
+    val medians = boundaries.zip(inPass).map { case ((lead, trail), ss) =>
+      median(lead +: trail +: ss)
     }
+    val best = medians.min
+    medians.map(m => !(m / nominalPar > DegradedAnchorRatio &&
+      m / best > RelativeDegradedRatio))
   }
+
+  /** A pass must read this much slower than the run's cleanest pass (by
+    * pooled anchor median) before the absolute gate may degrade it. 1.1
+    * sits below the genuine-window ratios (r14's degraded passes read
+    * 1.37×/1.10× vs their run's clean pass 3 — the historical boundary
+    * case lands AT the threshold and still degrades) and above same-window
+    * sibling spread (~1.03× on the r15 closing run). */
+  val RelativeDegradedRatio: Double = 1.1
 
   /** min over passes PREFERRING anchor-clean ones. Returns the per-row
     * mins plus the rows that had to fall back to a degraded pass (absent

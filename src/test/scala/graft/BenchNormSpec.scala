@@ -144,11 +144,33 @@ class BenchNormSpec extends AnyFunSuite {
         (Nominal, Nominal)),
       Seq(clean, clean, clean), Nominal)
     assert(valid === Seq(true, true, true))
-    // but without in-pass evidence the spiked boundary DOES degrade (the
-    // conservative fallback: two boundaries, median over the gate)
+    // but without in-pass evidence a spiked boundary DOES degrade its
+    // pass relative to a clean sibling (the boundary-only fallback)
     assert(BenchNorm.passValid(
-      Seq((Nominal, Nominal * 3.3)), Seq(Seq.empty), Nominal)
-      === Seq(false))
+      Seq((Nominal, Nominal * 3.3), (Nominal, Nominal)),
+      Seq(Seq.empty, Seq.empty), Nominal)
+      === Seq(false, true))
+  }
+
+  test("passValid: ambient drift does not eat passes — a pass over the " +
+    "absolute gate but indistinguishable from its siblings stays valid") {
+    // the r15 closing-run shape: the host sat ~1.17x nominal ALL session
+    // (pooled medians 1.17/1.16/1.21x) — pass 3 tips the absolute gate by
+    // 0.6% while being within 4% of the run's best pass. Nothing
+    // distinguishes it; dropping it just degrades min-of-3 to min-of-2.
+    val drift = Seq.fill(8)(Nominal * 1.17)
+    val valid = BenchNorm.passValid(
+      Seq((Nominal * 1.14, Nominal * 1.08), (Nominal * 1.08, Nominal * 1.20),
+        (Nominal * 1.20, Nominal * 1.10)),
+      Seq(drift, drift, drift.map(_ * 1.04)), Nominal)
+    assert(valid === Seq(true, true, true))
+    // while the r14 graded shape (passes 1-2 in a REAL window, pass 3
+    // clean) still degrades exactly those two — the historical boundary
+    // case: pass 2 reads 1.10x vs the clean pass, AT the relative gate
+    val r14 = BenchNorm.passValid(
+      Seq((1245.0, 678.0), (678.0, 867.0), (867.0, 533.0)),
+      Seq(Seq.empty, Seq.empty, Seq.empty), 533.5)
+    assert(r14 === Seq(false, false, true))
   }
 
   test("minPreferringValid: the graded min never silently comes from a " +
