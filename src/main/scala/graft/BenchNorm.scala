@@ -38,10 +38,6 @@ object BenchNorm {
     * and below every documented slow window (≥ ~1.27). */
   val DegradedAnchorRatio: Double = 1.2
 
-  /** Per-pass validity from the bracketing parallel anchors. */
-  def passValid(anchorsPar: Seq[Double], nominalPar: Double): Seq[Boolean] =
-    anchorsPar.map(_ / nominalPar <= DegradedAnchorRatio)
-
   /** Validity from bracketing anchors AND in-pass samples, judged as ONE
     * sample set per pass: degraded iff the MEDIAN of
     * {leading boundary, trailing boundary, in-pass samples} exceeds the

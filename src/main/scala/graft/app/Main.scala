@@ -198,7 +198,14 @@ object Main {
       // same "sin registros" warning envelope as runSequential, not an error
       val worklist = {
         import spark.implicits._
-        (if (new java.io.File(staging).isDirectory) {
+        // listFiles() is the liveness check AND the layout guard in one
+        // read: null means the dir vanished after isDirectory (race) or an
+        // IO error — either way there is nothing to read, so degrade to
+        // the empty-worklist path (same "sin registros" envelope) instead
+        // of NPE'ing in the guard or path-not-found'ing in the read
+        // (advice + review r15)
+        val listing = Option(new java.io.File(staging).listFiles())
+        (if (listing.isDefined) {
           // Layout contract (ADVICE r13): staging holds ONLY batch=<id>
           // subdirs and is scoped to exactly one stream-checkpoint lifetime
           // — the deleteTree above clears it before every run, and the
@@ -207,11 +214,7 @@ object Main {
           // means some OTHER writer used this path (or the clear was
           // bypassed): partition discovery would silently misread a mixed
           // dir, so fail loudly instead.
-          // listFiles() returns null on a race (dir removed after the
-          // isDirectory check) or an IO error — degrade to the empty
-          // worklist path rather than NPE'ing inside the guard (advice r15)
-          val stray = Option(new java.io.File(staging).listFiles())
-            .getOrElse(Array.empty[java.io.File])
+          val stray = listing.get
             .filter(f => !f.getName.startsWith("batch=") &&
               !f.getName.startsWith(".") && !f.getName.startsWith("_"))
           require(stray.isEmpty,

@@ -101,18 +101,6 @@ class BenchNormSpec extends AnyFunSuite {
     assert(BenchNorm.median(Seq(1.0, 2.0, 3.0, 10.0)) === 2.5)
   }
 
-  test("passValid: anchors above the degraded ratio mark their pass") {
-    // the r14 record's shape: passes 1-2 bracketed by 678/867 ms anchors
-    // against a 533.5 nominal (1.27x/1.63x), pass 3 clean
-    val valid = BenchNorm.passValid(
-      Seq(Nominal * 1.27, Nominal * 1.63, Nominal * 1.05), Nominal)
-    assert(valid === Seq(false, false, true))
-    // the documented clean-window band (≤ ~1.1x) always reads valid
-    assert(BenchNorm.passValid(
-      Seq(Nominal, Nominal * 1.1, Nominal * 0.95), Nominal)
-      .forall(identity))
-  }
-
   test("passValid with in-pass samples: a mid-pass slow window degrades " +
     "the pass even when both bracketing anchors read clean") {
     // the r15 probe shape: boundaries 572/634 ms (≤1.2x nominal) around a

@@ -184,22 +184,8 @@ def markdown_block(old, new, top_n=10):
 
 
 def splice_stress(old, new, stress_path):
-    block = markdown_block(old, new)
-    with open(stress_path) as f:
-        text = f.read()
-    has_begin, has_end = MARK_BEGIN in text, MARK_END in text
-    if has_begin != has_end:
-        sys.exit(f"bench_compare: {stress_path} has one marker but not the "
-                 "other (partial edit?) — repair the markers by hand first, "
-                 "or re-splicing would duplicate blocks")
-    if has_begin:
-        pre = text[:text.index(MARK_BEGIN)]
-        post = text[text.index(MARK_END) + len(MARK_END):]
-        text = pre + block + post
-    else:
-        text = text.rstrip("\n") + "\n\n" + block + "\n"
-    with open(stress_path, "w") as f:
-        f.write(text)
+    from md_splice import splice_block
+    splice_block(stress_path, markdown_block(old, new), MARK_BEGIN, MARK_END)
     print(f"spliced bench-compare block into {stress_path}")
 
 

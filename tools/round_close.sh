@@ -50,7 +50,17 @@ if [[ -n "$PREV_BENCH" ]]; then
 fi
 
 echo "== 5/5 whole-registry 10x scaling run =="
-sbt -batch 'runMain graft.bench.SuiteScale' 2>&1 | tail -25
+# SuiteScale exits 0 even when queries fail (rows=-1 excluded from totals)
+# so the checklist must grep for failures itself — a query broken ONLY on
+# the 10x corpus (the round-9 fixture-regen shape) must fail the close
+# (review r15)
+sbt -batch 'runMain graft.bench.SuiteScale' > /tmp/round_close_suite.log 2>&1 || {
+  tail -20 /tmp/round_close_suite.log; echo "SuiteScale FAILED"; exit 1; }
+tail -25 /tmp/round_close_suite.log
+if grep -q "FAILED" /tmp/round_close_suite.log; then
+  grep "FAILED" /tmp/round_close_suite.log
+  echo "SuiteScale had failing queries — round must not close"; exit 1
+fi
 cp SUITE_SCALE.json "SUITE_SCALE_r${N}.json"
 if [[ -n "$PREV_SUITE" ]]; then
   python3 tools/suite_scale_compare.py "$PREV_SUITE" "SUITE_SCALE_r${N}.json" --stress STRESS.md
