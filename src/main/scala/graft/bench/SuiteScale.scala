@@ -76,7 +76,7 @@ object SuiteScale {
     * 10's digits) would be the IDENTITY again — an exact clone of copy 0,
     * i.e. phantom cross-copy near-dup pairs — which the 30× pair-family
     * probe would trip over. Distinctness is asserted, not assumed. */
-  private def permTables(copies: Int): IndexedSeq[(String, String)] = {
+  private[graft] def permTables(copies: Int): IndexedSeq[(String, String)] = {
     val classes = Seq(('a' to 'z').mkString, ('A' to 'Z').mkString,
       ('0' to '9').mkString)
     val from = classes.mkString
