@@ -355,9 +355,16 @@ object SuiteScale {
       val (s, b, g) = (small(n), base(n), big(n))
       s""""$n":{"t":[${fmt(s.sec)},${fmt(b.sec)},${fmt(g.sec)}],"rows":[${s.rows},${b.rows},${g.rows}]}"""
     }
+    // subset runs go to their own file (Bench's BENCH_DETAIL_SUBSET rule):
+    // an only= debugging run must never clobber the graded full-registry
+    // record — measured the hard way in r15, when a 2-query subset
+    // overwrote the 197-row SUITE_SCALE.json
+    val outName =
+      if (only.isDefined) "SUITE_SCALE_SUBSET.json"
+      else if (Copies == 10) "SUITE_SCALE.json"
+      else s"SUITE_SCALE_${Copies}X.json"
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        if (Copies == 10) "SUITE_SCALE.json" else s"SUITE_SCALE_${Copies}X.json"),
+      java.nio.file.Paths.get(outName),
       s"""{"scales":["sf0.01","sf0.1","${Copies}x-sf0.1"],"queries":{${rowsOut.mkString(",")}}}\n""")
 
     // totals EXCLUDE failed queries' fail-fast walls (Bench.timed()'s rule:

@@ -116,6 +116,40 @@ object Mining {
     * lines), sort, and explode the a<b pairs inside the array — per-order
     * fanout is C(basket, 2) ≤ 21 for TPC-H's ≤ 7-item baskets. Shared by
     * q173 (pair support) and q176 (triangle edges). */
+  // The support-thresholded co-purchase pair table is a SHARED
+  // intermediate: q173 serves its top-20 and q176 counts triangles over
+  // its edges — one basket enumeration + one map-side-combined agg, two
+  // consumers (the q35/q81 pairs-table pattern; in a real pipeline you
+  // materialize the supported-pair table once and derive both views).
+  // Single-slot (session, dir) cache, stage-timed as
+  // stage:basket_pairs_build so Bench attributes the build to its own row,
+  // and registered with TextOps's release lifecycle so the Bench/Verify
+  // sweeps free it with the other staged tables.
+  private var supportCache: Option[(SparkSession, String, DataFrame)] = None
+  graft.queries.TextOps.onRelease(() => releaseStagedPairs())
+  private[graft] def releaseStagedPairs(): Unit = synchronized {
+    supportCache.foreach(_._3.unpersist(blocking = false))
+    supportCache = None
+  }
+
+  private def supportedPairs(s: SparkSession, d: String): DataFrame =
+    synchronized {
+      supportCache match {
+        case Some((sess, dir, df)) if (sess eq s) && dir == d => df
+        case prev => graft.queries.TextOps.timedBuild("basket_pairs_build") {
+          prev.foreach(_._3.unpersist(blocking = false))
+          val sp = orderPairs(s, d)
+            .groupBy(col("p1"), col("p2"))
+            .agg(count(lit(1)).as("support"))
+            .filter(col("support") >= 2)
+            .persist()
+          sp.count() // eager: concurrent AQE stages would race a cold cache
+          supportCache = Some((s, d, sp))
+          sp
+        }
+      }
+    }
+
   private def orderPairs(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
@@ -411,10 +445,7 @@ object Mining {
     // q103/q105 salt treatment (and a basket-size guard) before the
     // explode.
     "q173_basket_pairs" -> Q(
-      run = (s, d) => orderPairs(s, d)
-        .groupBy(col("p1"), col("p2"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
+      run = (s, d) => supportedPairs(s, d)
         .orderBy(col("support").desc, col("p1"), col("p2"))
         .limit(20),
       oracle = Some("""
@@ -549,20 +580,20 @@ object Mining {
     // part-pair edges (support ≥ 2), reported per part. Triangle density
     // is the classic cohesion signal a recommender / community detector
     // reads off a co-occurrence graph.
-    // Scale shape: the edge table derives from the same one-shuffle
-    // orderPairs stream as q173 and is bounded by the basket law (pairs
-    // from ≤ 7-item baskets — |edges| ≪ |lineitem|; measured ~3.5k at both
-    // sf0.01 and sf0.1); it is scope-checkpointed once and the triangle
-    // enumeration is two EDGE-KEYED equi-joins (a<b<c canonical order, so
-    // each triangle counts exactly once) — never a corpus-sized shuffle.
+    // Scale shape: the edge table IS the staged supported-pair cache q173
+    // already built (one basket enumeration per (session, dir), two
+    // consumers) and is bounded by the basket law (pairs from ≤ 7-item
+    // baskets — |edges| ≪ |lineitem|; measured ~3.5k at both sf0.01 and
+    // sf0.1); the triangle enumeration is two EDGE-KEYED equi-joins
+    // (a<b<c canonical order, so each triangle counts exactly once) —
+    // never a corpus-sized shuffle.
     // The per-part count explodes 3 rows per triangle, map-side combined.
     "q176_triangle_count" -> Q(
       run = (s, d) => {
-        val edges = graft.Checkpoints.localCheckpoint(
-          orderPairs(s, d)
-            .groupBy(col("p1"), col("p2"))
-            .agg(count(lit(1)).as("supp")).filter(col("supp") >= 2)
-            .select(col("p1"), col("p2")))
+        // edges read straight off the staged supported-pair cache (persist
+        // serves the three self-join reads; the per-query localCheckpoint
+        // this replaces re-enumerated every basket per query)
+        val edges = supportedPairs(s, d).select(col("p1"), col("p2"))
         val ab = edges.select(col("p1").as("a"), col("p2").as("b"))
         val bc = edges.select(col("p1").as("b"), col("p2").as("c"))
         val ac = edges.select(col("p1").as("a2"), col("p2").as("c2"))

@@ -328,7 +328,21 @@ object TextOps {
     * The first three are CacheManager entries (unpersist frees them); the
     * label table is a localCheckpoint and must release at the BLOCK level
     * or its storage outlives the cache slot for the whole session. */
-  def releaseShingles(): Unit = synchronized {
+  // Release hooks for staged caches living OUTSIDE TextOps (Mining's
+  // basket-pair support table): run AFTER this object's own slots free,
+  // outside the TextOps lock — a hook takes its owner's lock, and keeping
+  // the lock order one-way (owner → TextOps on build via timedBuild,
+  // never TextOps → owner) rules out deadlock.
+  private val releaseHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[Runnable]()
+  private[graft] def onRelease(hook: Runnable): Unit = releaseHooks.add(hook)
+
+  def releaseShingles(): Unit = {
+    releaseOwned()
+    releaseHooks.forEach(_.run())
+  }
+
+  private def releaseOwned(): Unit = synchronized {
     arrayCache.foreach(_._3.unpersist(blocking = false))
     arrayCache = None
     shingleCache.foreach(_._3.unpersist(blocking = false))
