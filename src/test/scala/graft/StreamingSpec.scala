@@ -37,6 +37,26 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map("a" -> 2L, "b" -> 1L)) // ids 1,2 once each + id 3
   }
 
+  test("q91's noop pressure drain serves the IDENTICAL plan as its graded " +
+    "memory drain (StatePressure measures the real query, not a variant)") {
+    // StatePressure drains q91SessionStream to the noop sink (its output
+    // is corpus-proportional; a memory sink would own the constrained heap
+    // and mask the state-store term). That is only a valid measurement if
+    // the noop path is the SAME plan end-to-end: same builder, same drain
+    // env, same row count as the graded memory-sink result. Pinned here at
+    // fixture scale so a refactor can't silently fork the two paths.
+    val graded = SparkEntry.queries("q91_stateful_sessions")(spark, sf).count()
+    val noopRows = graft.streaming.StreamOps.drainToNoop(spark,
+      graft.streaming.StreamOps.q91SessionStream(spark, sf), "update")
+    assert(noopRows == graded,
+      s"noop drain served $noopRows rows vs the graded $graded")
+    // and the drain evidence still records (provider asserted from the
+    // run's own progress, the r13 A/B lesson)
+    val info = graft.streaming.StreamOps.lastDrainInfo
+      .getOrElse(fail("noop drain recorded no progress evidence"))
+    assert(info.maxStateRows > 0, "noop drain held no state")
+  }
+
   test("watermark drops late data beyond the delay (ST1 window agg)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Double)]
