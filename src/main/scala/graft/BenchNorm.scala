@@ -67,20 +67,27 @@ object BenchNorm {
       nominalPar: Double): Seq[Boolean] = {
     require(boundaries.length == inPass.length,
       s"passValid: ${boundaries.length} passes, ${inPass.length} sample sets")
+    if (boundaries.isEmpty) return Seq.empty
     val medians = boundaries.zip(inPass).map { case ((lead, trail), ss) =>
       median(lead +: trail +: ss)
     }
     val best = medians.min
+    // the relative term needs a sibling to compare against: with a single
+    // pass, m/best ≡ 1 would make the gate structurally unable to degrade
+    // anything — a one-pass caller falls back to the absolute gate alone
+    // (review r15; today only Bench's 3-pass call exists)
+    val relativeApplies = boundaries.length >= 2
     medians.map(m => !(m / nominalPar > DegradedAnchorRatio &&
-      m / best > RelativeDegradedRatio))
+      (!relativeApplies || m / best > RelativeDegradedRatio)))
   }
 
-  /** A pass must read this much slower than the run's cleanest pass (by
-    * pooled anchor median) before the absolute gate may degrade it. 1.1
-    * sits below the genuine-window ratios (r14's degraded passes read
-    * 1.37×/1.10× vs their run's clean pass 3 — the historical boundary
-    * case lands AT the threshold and still degrades) and above same-window
-    * sibling spread (~1.03× on the r15 closing run). */
+  /** A pass must read STRICTLY more than this much slower than the run's
+    * cleanest pass (by pooled anchor median) before the absolute gate may
+    * degrade it. 1.1 sits below the genuine-window ratios (r14's degraded
+    * passes read 1.37× and 1.1036× vs their run's clean pass 3 — the
+    * historical boundary case clears the strict gate by 0.4%; a pass at
+    * EXACTLY 1.1× would read valid) and above same-window sibling spread
+    * (~1.03× on the r15 closing run). */
   val RelativeDegradedRatio: Double = 1.1
 
   /** min over passes PREFERRING anchor-clean ones. Returns the per-row

@@ -198,12 +198,12 @@ object Main {
       // same "sin registros" warning envelope as runSequential, not an error
       val worklist = {
         import spark.implicits._
-        // listFiles() is the liveness check AND the layout guard in one
-        // read: null means the dir vanished after isDirectory (race) or an
-        // IO error — either way there is nothing to read, so degrade to
-        // the empty-worklist path (same "sin registros" envelope) instead
-        // of NPE'ing in the guard or path-not-found'ing in the read
-        // (advice + review r15)
+        // listFiles() is the liveness check AND the layout guard in ONE
+        // read (no isDirectory+list TOCTOU pair): null means the path is
+        // missing, a plain file, or unreadable — either way there is
+        // nothing to read, so degrade to the empty-worklist path (same
+        // "sin registros" envelope) instead of NPE'ing in the guard or
+        // path-not-found'ing in the read (advice + review r15)
         val listing = Option(new java.io.File(staging).listFiles())
         (if (listing.isDefined) {
           // Layout contract (ADVICE r13): staging holds ONLY batch=<id>

@@ -138,6 +138,10 @@ object Mining {
         case Some((sess, dir, df)) if (sess eq s) && dir == d => df
         case prev => graft.queries.TextOps.timedBuild("basket_pairs_build") {
           prev.foreach(_._3.unpersist(blocking = false))
+          // slot cleared BEFORE the build: a failed build must leave None
+          // (next consumer rebuilds), never a stale entry pointing at the
+          // just-unpersisted frame (review r15)
+          supportCache = None
           val sp = orderPairs(s, d)
             .groupBy(col("p1"), col("p2"))
             .agg(count(lit(1)).as("support"))

@@ -337,10 +337,13 @@ object TextOps {
     new java.util.concurrent.CopyOnWriteArrayList[Runnable]()
   private[graft] def onRelease(hook: Runnable): Unit = releaseHooks.add(hook)
 
-  def releaseShingles(): Unit = {
-    releaseOwned()
-    releaseHooks.forEach(_.run())
-  }
+  def releaseShingles(): Unit =
+    // finally: an exception in the owned sweep (a stopped SparkContext
+    // during teardown, a Checkpoints.release failure) must not skip the
+    // hooks — a skipped hook leaks its owner's persisted table for the
+    // session and starts the next bench pass cache-warm (review r15)
+    try releaseOwned()
+    finally releaseHooks.forEach(_.run())
 
   private def releaseOwned(): Unit = synchronized {
     arrayCache.foreach(_._3.unpersist(blocking = false))

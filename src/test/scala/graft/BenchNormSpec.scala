@@ -154,7 +154,8 @@ class BenchNormSpec extends AnyFunSuite {
     assert(valid === Seq(true, true, true))
     // while the r14 graded shape (passes 1-2 in a REAL window, pass 3
     // clean) still degrades exactly those two — the historical boundary
-    // case: pass 2 reads 1.10x vs the clean pass, AT the relative gate
+    // case: pass 2 reads 1.1036x vs the clean pass, clearing the STRICT
+    // >1.1 relative gate by 0.4%
     val r14 = BenchNorm.passValid(
       Seq((1245.0, 678.0), (678.0, 867.0), (867.0, 533.0)),
       Seq(Seq.empty, Seq.empty, Seq.empty), 533.5)
