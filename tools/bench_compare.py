@@ -61,12 +61,22 @@ def spreads(rec, normalized):
     use_valid = bool(valid) and sum(valid) >= 2 and not normalized
     out = {}
     for name, per_pass in qp.items():
-        vals = []
+        vals, vals_all = [], []
         for i, t in enumerate(per_pass):
-            if t is None or (use_valid and i < len(valid) and not valid[i]):
+            if t is None:
                 continue
             f = slow[i] if (normalized and slow and i < len(slow)) else 1.0
-            vals.append(t / f if f > 0 else t)
+            v = t / f if f > 0 else t
+            vals_all.append(v)
+            if not (use_valid and i < len(valid) and not valid[i]):
+                vals.append(v)
+        # a row measured in <2 valid passes (degraded_fallback_rows) must
+        # not lose its spread entirely — its only samples came from a
+        # degraded host window, so the ALL-pass spread is the honest
+        # suppression width; omitting it would make attributable() read
+        # every such delta as signal (advice r16)
+        if len(vals) < 2:
+            vals = vals_all
         if len(vals) >= 2:
             out[name] = max(vals) - min(vals)
     return out

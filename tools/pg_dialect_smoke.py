@@ -70,24 +70,30 @@ def run_case(con, case):
         # compliant run must not count as a "documented deviation").
         try:
             con.execute(sql, params([f"v0_{c}" for c in cols]))
-            assert duckdb.__version__ != DEVIATION_PINNED_VERSION, (
-                f"{name}: DuckDB {DEVIATION_PINNED_VERSION} executed the "
-                "verbatim CURRENT_TIMESTAMP touch form — the pinned binder "
-                "deviation no longer reproduces on its own version; "
-                "re-pin or retire the expectation")
+            # explicit raise, not assert: the stale-pin gate must survive
+            # `python3 -O` (asserts compile away), or a stale pin would
+            # silently pass as a resolved deviation (advice r16)
+            if duckdb.__version__ == DEVIATION_PINNED_VERSION:
+                raise SystemExit(
+                    f"{name}: DuckDB {DEVIATION_PINNED_VERSION} executed "
+                    "the verbatim CURRENT_TIMESTAMP touch form — the pinned "
+                    "binder deviation no longer reproduces on its own "
+                    "version; re-pin or retire the expectation")
             print(f"NOTE {name}: pinned DuckDB {DEVIATION_PINNED_VERSION} "
                   f"binder deviation RESOLVED as of {duckdb.__version__} — "
                   "verbatim touch form executed")
         except duckdb.BinderException as e:
-            assert "CURRENT_TIMESTAMP" in str(e), (
-                f"{name}: unexpected binder failure: {e}")
+            if "CURRENT_TIMESTAMP" not in str(e):
+                raise SystemExit(f"{name}: unexpected binder failure: {e}")
             deviation = (f"DuckDB {duckdb.__version__} binder rejects bare "
                          "CURRENT_TIMESTAMP inside DO UPDATE SET "
                          f"(pinned on {DEVIATION_PINNED_VERSION}); "
                          "re-ran with now()")
             exec_sql = sql.replace(f"{touch} = CURRENT_TIMESTAMP",
                                    f"{touch} = now()")
-            assert exec_sql != sql
+            if exec_sql == sql:
+                raise SystemExit(
+                    f"{name}: now() rewrite did not change the statement")
         # either way the probe may have inserted its v0_* row — reset so
         # the insert-path assertion below starts from an empty table (on a
         # more-compliant engine where the verbatim form binds, the probe

@@ -35,12 +35,17 @@ grep -E '^\[info\] (Tests|All|\*\*\*)' /tmp/round_close_test.log | tail -3 || tr
 
 echo "== 2/5 sf0.01 dump + strict hash gate =="
 rm -rf /tmp/close_verify_001
-sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/close_verify_001" > /dev/null 2>&1
+# log + failure handler, matching steps 1/5: under `set -euo pipefail` a
+# bare /dev/null redirect would abort the checklist with zero diagnostics
+# on a Verify failure (advice r16)
+sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/close_verify_001" > /tmp/round_close_verify001.log 2>&1 || {
+  tail -20 /tmp/round_close_verify001.log; echo "sf0.01 Verify FAILED"; exit 1; }
 python3 tools/hashcheck.py /root/testdata/sf0.01 /tmp/close_verify_001 | tail -2
 
 echo "== 3/5 sf0.1 dump + strict hash gate =="
 rm -rf /tmp/close_verify_01
-sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/close_verify_01" > /dev/null 2>&1
+sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/close_verify_01" > /tmp/round_close_verify01.log 2>&1 || {
+  tail -20 /tmp/round_close_verify01.log; echo "sf0.1 Verify FAILED"; exit 1; }
 python3 tools/hashcheck.py /root/testdata/sf0.1 /tmp/close_verify_01 | tee "HASHCHECK_SF01_r${N}.txt" | tail -2
 
 echo "== 4/5 closing bench at sf0.1 =="
