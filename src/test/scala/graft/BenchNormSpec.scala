@@ -188,4 +188,47 @@ class BenchNormSpec extends AnyFunSuite {
     assert(rows3.toMap === Map("qA" -> 1.0, "qB" -> 3.0))
     assert(fellBack3 === Set("qA", "qB"))
   }
+
+  test("windowSuspects: flags >1.25x monotone-tail rows with clean mins, " +
+    "skips degraded-min rows and stage rows, scores clustering") {
+    val allValid = Seq(true, true, true)
+    def passesOf(rows: (String, Seq[Double])*): Seq[Map[String, Double]] =
+      (0 to 2).map(i => rows.map { case (n, vs) => n -> vs(i) }.toMap)
+    // qA grows 5x pass1->pass3 (the r15 q20 signature), min in pass 1
+    // (valid) — flagged; qB flat — not flagged; qC grows only 1.2x — under
+    // the threshold; stage rows never flagged (they execute inside their
+    // trigger query, not at their own suite slot)
+    val p = passesOf(
+      "qA" -> Seq(0.63, 0.67, 3.23),
+      "qB" -> Seq(1.0, 1.0, 1.0),
+      "qC" -> Seq(1.0, 1.1, 1.2),
+      "stage:build" -> Seq(1.0, 1.5, 2.0))
+    val (flagged, _) = BenchNorm.windowSuspects(p, allValid)
+    assert(flagged === Seq("qA"))
+
+    // a row whose MIN fell in a degraded pass is degraded_fallback
+    // territory, not a window suspect — no double-reporting
+    val (flagged2, _) = BenchNorm.windowSuspects(
+      passesOf("qA" -> Seq(0.63, 0.67, 3.23)),
+      Seq(false, true, true))
+    assert(flagged2.isEmpty)
+
+    // clustering: adjacent flagged rows read stall-shaped (1.0); a lone
+    // flagged row has no score
+    val (f3, c3) = BenchNorm.windowSuspects(passesOf(
+      "q01" -> Seq(1.0, 2.0, 3.0),
+      "q02" -> Seq(1.0, 2.0, 3.0),
+      "q03" -> Seq(1.0, 1.0, 1.0)), allValid)
+    assert(f3 === Seq("q01", "q02") && c3 === Some(1.0))
+    val (f4, c4) = BenchNorm.windowSuspects(passesOf(
+      "q01" -> Seq(1.0, 2.0, 3.0),
+      "q02" -> Seq(1.0, 1.0, 1.0)), allValid)
+    assert(f4 === Seq("q01") && c4 === None)
+
+    // a row missing from a pass (e.g. a build that didn't re-trigger)
+    // cannot be classified — never flagged
+    val missing = Seq(Map("qA" -> 1.0), Map.empty[String, Double],
+      Map("qA" -> 3.0))
+    assert(BenchNorm.windowSuspects(missing, allValid)._1.isEmpty)
+  }
 }

@@ -103,14 +103,32 @@ def deltas(old, new):
     return rows, have_norm
 
 
-def attributable(rows):
-    """Split rows into (signal, noise): a row is signal when |new-old|
-    exceeds its own measured spread. Rows with no spread data (spread 0,
-    pre-r14 records on both sides) always count as signal — no evidence to
-    suppress on."""
-    signal = [r for r in rows if abs(r[3] - r[2]) > r[4]]
-    noise = [r for r in rows if abs(r[3] - r[2]) <= r[4]]
-    return signal, noise
+def window_flags(old, new):
+    """Union of both records' window_suspect_rows (round-16 records apply
+    pass_trend's classifier at record time — judge r15 #2): a row whose
+    per-pass trend was host-window-tainted in EITHER record has its
+    round-over-round delta suppressed with a NAMED reason, instead of
+    depending on the spread window happening to be wide enough. Empty for
+    pre-round-16 records (no key): behavior is then unchanged."""
+    return (set(old.get("window_suspect_rows", [])) |
+            set(new.get("window_suspect_rows", [])))
+
+
+def attributable(rows, flags=frozenset()):
+    """Split rows into (signal, noise, window_flagged): a row is signal
+    when |new-old| exceeds its own measured spread AND neither record
+    flagged it as host-window-tainted. Rows with no spread data (spread 0,
+    pre-r14 records on both sides) count as signal unless flagged — no
+    evidence to suppress on."""
+    signal, noise, flagged = [], [], []
+    for r in rows:
+        if r[1] in flags:
+            flagged.append(r)
+        elif abs(r[3] - r[2]) > r[4]:
+            signal.append(r)
+        else:
+            noise.append(r)
+    return signal, noise, flagged
 
 
 def filtered_totals(old, new, rows):
@@ -121,7 +139,7 @@ def filtered_totals(old, new, rows):
     have_norm = "queries_norm" in old and "queries_norm" in new
     o_tot = old.get("total_norm" if have_norm else "value", old["value"])
     n_tot = new.get("total_norm" if have_norm else "value", new["value"])
-    signal, _ = attributable(rows)
+    signal, _, _ = attributable(rows, window_flags(old, new))
     filt = o_tot + sum(n - o for _, _, o, n, _ in signal)
     return o_tot, n_tot, filt
 
@@ -151,8 +169,11 @@ def markdown_block(old, new, top_n=10):
                  "BENCH_DETAIL.json, not a subset/stress record)?")
     units = "anchor-normalized" if have_norm else "RAW (a record lacks anchors)"
     med = statistics.median(r for r, *_ in rows)
-    signal, noise = attributable(rows)
+    signal, noise, wflagged = attributable(rows, window_flags(old, new))
     o_tot, n_tot, filt = filtered_totals(old, new, rows)
+    wnote = (f", {len(wflagged)} suppressed as host-window-flagged "
+             "(window_suspect_rows: trend tainted by a mid-pass host "
+             "window in at least one record)" if wflagged else "")
     out = [MARK_BEGIN,
            "### Round-over-round bench comparison (generated by "
            "tools/bench_compare.py)",
@@ -162,7 +183,7 @@ def markdown_block(old, new, top_n=10):
            f"{new.get('total_norm', 'n/a')}s normalized; "
            f"spread-filtered {o_tot:.1f}s -> {filt:.1f}s "
            f"({filt / o_tot:.3f}x, {len(signal)} attributable rows, "
-           f"{len(noise)} suppressed as within-spread noise). "
+           f"{len(noise)} suppressed as within-spread noise{wnote}). "
            f"Median per-row ratio {med:.3f} "
            "(uniform shift = host-like; concentrated = code-like). "
            f"Deltas below are {units}; a row's spread is max-min over its "
@@ -186,6 +207,10 @@ def markdown_block(old, new, top_n=10):
             "|---|---|---|---|---|"]
     for r, q, o, n, sp in imps:
         out.append(f"| {q} | {o:.3f} | {n:.3f} | {r:.2f}x | {sp:.3f} |")
+    if wflagged:
+        out += ["", "Host-window-flagged rows (deltas suppressed by name, "
+                "not by spread): " + ", ".join(sorted(q for _, q, *_ in
+                                                      wflagged))]
     only_new = sorted(set(new.get("queries", {})) - set(old.get("queries", {})))
     if only_new:
         out += ["", "New rows this round: " + ", ".join(only_new)]
@@ -226,12 +251,17 @@ def main():
     if note:
         print(note)
     rows, have_norm = deltas(old, new)
-    signal, noise = attributable(rows)
+    signal, noise, wflagged = attributable(rows, window_flags(old, new))
     o_tot, n_tot, filt = filtered_totals(old, new, rows)
+    wnote = (f", {len(wflagged)} suppressed as host-window-flagged"
+             if wflagged else "")
     print(f"\nspread filter: {len(signal)} attributable rows, "
           f"{len(noise)} suppressed (delta inside the row's own per-pass "
-          f"spread); filtered total {o_tot:.1f}s -> {filt:.1f}s "
+          f"spread){wnote}; filtered total {o_tot:.1f}s -> {filt:.1f}s "
           f"({filt / o_tot:.3f}x) vs plain {n_tot if isinstance(n_tot, str) else round(n_tot, 1)}s")
+    if wflagged:
+        print("window-flagged rows: " +
+              ", ".join(sorted(q for _, q, *_ in wflagged)))
     print(f'\nper-query deltas ({ "normalized" if have_norm else "RAW — at least one record lacks anchors" }),'
           f' worst {top_n} attributable regressions first (spread in [..]):')
     for r, q, o, n, sp in signal[:top_n]:

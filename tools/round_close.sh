@@ -71,4 +71,16 @@ if [[ -n "$PREV_SUITE" ]]; then
   python3 tools/suite_scale_compare.py "$PREV_SUITE" "SUITE_SCALE_r${N}.json" --stress STRESS.md
 fi
 
+# Retention (judge r15 #7): append-only artifacts nothing reads are noise.
+# Keep the current and previous round's HASHCHECK / SUITE_SCALE_r records
+# (the compare inputs); git history holds everything older. The
+# BENCH_DETAIL_SUBSET.json debugging record is transient — never part of a
+# round's graded artifacts.
+for f in HASHCHECK_SF01_r*.txt SUITE_SCALE_r*.json; do
+  [[ -e "$f" ]] || continue
+  r=$(echo "$f" | grep -oE 'r[0-9]+' | tr -d r | sed 's/^0*//')
+  if (( r < N - 1 )); then git rm -q --ignore-unmatch "$f" || rm -f "$f"; fi
+done
+rm -f BENCH_DETAIL_SUBSET.json
+
 echo "round ${N} closing artifacts ready: BENCH_DETAIL.json, HASHCHECK_SF01_r${N}.txt, SUITE_SCALE_r${N}.json (+ STRESS.md splices)"
