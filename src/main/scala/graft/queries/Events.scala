@@ -408,10 +408,11 @@ object Events {
     // derived salt width, same REPARTITION_BY_NUM-guarded equi-join
     // ([[saltedCooccurMatches]], one code path, asserted plan-identical up
     // to the tail by PlanSpec) — terminated in topKPerGroup instead of the
-    // quadratic pair list. Each matched bucket row is emitted in BOTH
-    // directions BEFORE the count agg (inline over one stream — a single
-    // enumeration, map-side combined; a union of two projections over the
-    // pair table would execute the join twice), then the 3 strongest
+    // quadratic pair list. The match stream reduces through q96's exact
+    // count agg first; each AGGREGATED pair row is then emitted in both
+    // directions by one inline() generate (a single enumeration — a union
+    // of two projections would execute the join twice, and inlining before
+    // the agg would double the corpus-scale stream), and the 3 strongest
     // partners per user survive. Output is ≤ 3·|users| rows BY
     // CONSTRUCTION — linear in users where q96's pair list measured 973×
     // at 30× data. The enumeration WORK still follows q96's law (exact
@@ -421,12 +422,22 @@ object Events {
     // 100 TB; q96's pair list is the opt-in diagnostic.
     "q199_cooccur_topk" -> Q(
       run = (s, d) => {
-        val perUser = saltedCooccurMatches(s, d)
-          .select(inline(array(
-            struct(col("u1").as("user_id"), col("u2").as("partner")),
-            struct(col("u2").as("user_id"), col("u1").as("partner")))))
-          .groupBy(col("user_id"), col("partner"))
+        // aggregate FIRST on the unordered (u1 < u2) pair — q96's exact agg
+        // shape, so the hash-agg input is the match stream, once — then
+        // symmetrize the AGGREGATED table with inline() (one generate over
+        // pair-count rows; ~Σcounts times smaller than the match stream).
+        // The first registered form inlined before the agg: at 30× data
+        // that doubled a ~10⁸-row stream into the hash agg and OOMed the
+        // executor where q96 itself completes — symmetry is free on the
+        // counts, so take it after the reduction, never before.
+        val pairCounts = saltedCooccurMatches(s, d)
+          .groupBy(col("u1"), col("u2"))
           .agg(count(lit(1)).as("shared_buckets"))
+        val perUser = pairCounts.select(inline(array(
+          struct(col("u1").as("user_id"), col("u2").as("partner"),
+            col("shared_buckets")),
+          struct(col("u2").as("user_id"), col("u1").as("partner"),
+            col("shared_buckets")))))
         graft.operators.Operators.topKPerGroup(perUser, Seq("user_id"),
           Seq(col("shared_buckets").desc, col("partner")), 3)
           .select(col("user_id"), col("partner"), col("shared_buckets"),
