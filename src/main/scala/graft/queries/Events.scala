@@ -407,19 +407,24 @@ object Events {
     // IDENTICAL salted kernel — same bucketed scoped-checkpoint, same
     // derived salt width, same REPARTITION_BY_NUM-guarded equi-join
     // ([[saltedCooccurMatches]], one code path, asserted plan-identical up
-    // to the tail by PlanSpec) — terminated in topKPerGroup instead of the
-    // quadratic pair list. The match stream reduces through q96's exact
-    // count agg first; each AGGREGATED pair row is then emitted in both
-    // directions by one inline() generate (a single enumeration — a union
-    // of two projections would execute the join twice, and inlining before
-    // the agg would double the corpus-scale stream), and the 3 strongest
-    // partners per user survive. Output is ≤ 3·|users| rows BY
-    // CONSTRUCTION — linear in users where q96's pair list measured 973×
-    // at 30× data. The enumeration WORK still follows q96's law (exact
-    // counts must read every co-occurrence; the salt spreads it), but what
-    // leaves the kernel — the merge shuffle, the egress, the result — is
-    // k rows per user at any corpus size. This is the form that SERVES at
-    // 100 TB; q96's pair list is the opt-in diagnostic.
+    // to the tail by PlanSpec) — terminated in a bounded top-k instead of
+    // the quadratic pair list. The match stream reduces through q96's
+    // exact count agg first; each AGGREGATED pair row is then emitted in
+    // both directions by one inline() generate (a single enumeration — a
+    // union of two projections would execute the join twice, and inlining
+    // before the agg would double the corpus-scale stream), and the 3
+    // strongest partners per user survive via Operators.topKByScore — a
+    // k-entry ObjectHashAggregate, NOT a per-user window: the window form
+    // sorts every user's full partner spectrum (unthresholded pairs ≫ the
+    // ≥5-filtered list), measured 522 s at 30× and an executor OOM at the
+    // default probe heap, where the heap-agg's state is 3 entries/user by
+    // construction. Output is ≤ 3·|users| rows — linear in users where
+    // q96's pair list measured 973× at 30× data. The enumeration WORK
+    // still follows q96's law (exact counts must read every co-occurrence;
+    // the salt spreads it), but what leaves the kernel — the merge
+    // shuffle, the egress, the result — is k rows per user at any corpus
+    // size. This is the form that SERVES at 100 TB; q96's pair list is the
+    // opt-in diagnostic.
     "q199_cooccur_topk" -> Q(
       run = (s, d) => {
         // aggregate FIRST on the unordered (u1 < u2) pair — q96's exact agg
@@ -438,10 +443,10 @@ object Events {
             col("shared_buckets")),
           struct(col("u2").as("user_id"), col("u1").as("partner"),
             col("shared_buckets")))))
-        graft.operators.Operators.topKPerGroup(perUser, Seq("user_id"),
-          Seq(col("shared_buckets").desc, col("partner")), 3)
-          .select(col("user_id"), col("partner"), col("shared_buckets"),
-            col("rank").cast("long").as("rnk"))
+        import s.implicits._
+        graft.operators.Operators.topKByScore(
+          perUser.as[(Long, Long, Long)], 3)
+          .toDF("user_id", "partner", "shared_buckets", "rnk")
           .orderBy("user_id", "rnk")
       },
       oracle = Some("""

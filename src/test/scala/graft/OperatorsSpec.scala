@@ -401,4 +401,34 @@ class OperatorsSpec extends SparkSpec {
       .expressions.exists(_.find(_.prettyName == "map").isDefined),
       "offset lookup still uses a map literal")
   }
+
+  test("topKByScore equals the window topKPerGroup on randomized data " +
+    "(bounded k-heap twin law)") {
+    import spark.implicits._
+    // seeded generator: ~40 groups, skewed item counts, colliding scores
+    // so the (score desc, item asc) tie-break is actually exercised
+    val rnd = new scala.util.Random(20160816L)
+    val rows = (1 to 5000).map { _ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(2000).toLong,
+        rnd.nextInt(12).toLong)
+    }.distinctBy(r => (r._1, r._2)) // the contract: distinct (group, item)
+    for (k <- Seq(1, 3, 7)) {
+      val ds = rows.toDF("g", "i", "s").as[(Long, Long, Long)]
+      val heap = graft.operators.Operators.topKByScore(ds, k)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val win = graft.operators.Operators.topKPerGroup(
+        rows.toDF("group", "item", "score"), Seq("group"),
+        Seq(col("score").desc, col("item")), k)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3).toLong)).toSet
+      assert(heap == win, s"k=$k: heap and window top-k diverge")
+    }
+    // the plan really is the bounded aggregate, not a window in disguise
+    val p = graft.operators.Operators.topKByScore(
+      rows.toDF("g", "i", "s").as[(Long, Long, Long)], 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), s"no bounded agg in:\n$p")
+    assert(!p.contains("Window"), s"window snuck back in:\n$p")
+  }
 }

@@ -658,10 +658,13 @@ class PlanSpec extends SparkSpec {
     assert(reps == 2, s"expected exactly 2 salted exchanges, got $reps:\n$p")
     assert(!p.contains("ReusedExchange"),
       s"a reused exchange means the kernel subtree was duplicated:\n$p")
-    // one window: the per-user top-k rank — never a global sort of the
-    // pair stream
-    val wins = "\\bWindow\\b".r.findAllIn(p).length
-    assert(wins == 1, s"expected exactly 1 window (top-k rank), got $wins:\n$p")
+    // the top-k tail is the BOUNDED k-heap aggregate, never a per-user
+    // window — a window sorts every user's full partner spectrum (522 s /
+    // OOM at 30×, measured); the heap's state is k entries per group
+    assert(p.contains("ObjectHashAggregate"),
+      s"top-k tail should be the bounded k-heap aggregate:\n$p")
+    assert(!"\\bWindow\\b".r.findFirstIn(p).isDefined,
+      s"top-k must not sort the full partner spectrum per user:\n$p")
   }
 
   test("q200: serving plan reads the staged dup-class table — no shingle " +
