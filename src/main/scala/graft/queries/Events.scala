@@ -414,11 +414,15 @@ object Events {
     // union of two projections would execute the join twice, and inlining
     // before the agg would double the corpus-scale stream), and the 3
     // strongest partners per user survive via Operators.topKByScore — a
-    // k-entry ObjectHashAggregate, NOT a per-user window: the window form
+    // partition-local k-heap pre-reduce feeding a k-entry
+    // ObjectHashAggregate merge, NOT a per-user window: the window form
     // sorts every user's full partner spectrum (unthresholded pairs ≫ the
     // ≥5-filtered list), measured 522 s at 30× and an executor OOM at the
-    // default probe heap, where the heap-agg's state is 3 entries/user by
-    // construction. Output is ≤ 3·|users| rows — linear in users where
+    // default probe heap. The pre-reduce is what makes the "3 entries/user
+    // by construction" claim hold in practice: without it, the object
+    // agg's 128-key sort-based fallback sorted the full symmetrized
+    // spectrum co-resident with the pair-count map and OOMed at 30×/8 g
+    // where q96 itself completes (see topKByScore's scaladoc). Output is ≤ 3·|users| rows — linear in users where
     // q96's pair list measured 973× at 30× data. The enumeration WORK
     // still follows q96's law (exact counts must read every co-occurrence;
     // the salt spreads it), but what leaves the kernel — the merge
