@@ -144,6 +144,28 @@ def filtered_totals(old, new, rows):
     return o_tot, n_tot, filt
 
 
+def validity_note(old, new):
+    """Watch item r15 #2: total_norm is only comparable across rounds when
+    both records' pass-validity profiles match. The normalizer deflates
+    degraded passes by their granted slowdown, so an all-valid record's
+    total_norm reads WORSE against a record whose normalizer absorbed two
+    degraded passes (r14 90.4s vs r15 113.3s on flat code). When the
+    profiles differ, say so and point at the honest signals."""
+    vo, vn = old.get("pass_valid"), new.get("pass_valid")
+    if vo is None and vn is None:
+        return None
+    def shape(v):
+        return "pre-r15 (no pass_valid)" if v is None else \
+            "[" + ",".join("T" if x else "F" for x in v) + "]"
+    if vo != vn and (vo is None or vn is None or
+                     vo.count(False) != vn.count(False)):
+        return (f"NOTE: pass-validity profiles differ ({shape(vo)} vs "
+                f"{shape(vn)}) — total_norm is NOT comparable across "
+                "differing validity (the normalizer deflates degraded "
+                "passes); read the raw and spread-filtered totals instead.")
+    return None
+
+
 def pass_count_note(old, new):
     po, pn = old.get("n_passes"), new.get("n_passes")
     if po is not None and pn is not None and po != pn:
@@ -192,9 +214,9 @@ def markdown_block(old, new, top_n=10):
            "shared builds, so a build regression is attributed to its "
            "stage row rather than smeared over consumer queries.",
            ""]
-    note = pass_count_note(old, new)
-    if note:
-        out += [note, ""]
+    for note in (pass_count_note(old, new), validity_note(old, new)):
+        if note:
+            out += [note, ""]
     regs = [r for r in signal if r[0] > 1][:top_n]
     out += [f"Worst {len(regs)} attributable regressions:", "",
             "| row | old s | new s | ratio | spread s |",
@@ -247,9 +269,9 @@ def main():
               f' n={len(d.get("queries", {}))}'
               f' passes={d.get("n_passes", "?")}{anc_s}')
 
-    note = pass_count_note(old, new)
-    if note:
-        print(note)
+    for note in (pass_count_note(old, new), validity_note(old, new)):
+        if note:
+            print(note)
     rows, have_norm = deltas(old, new)
     signal, noise, wflagged = attributable(rows, window_flags(old, new))
     o_tot, n_tot, filt = filtered_totals(old, new, rows)
