@@ -126,15 +126,42 @@ object JdbcUpsert {
     case _ => java.sql.Types.OTHER
   }
 
+  /** A batch failure worth retrying on a fresh connection: lock-conflict
+    * SQLStates (40xxx — deadlock/serialization, the classic concurrent-
+    * upsert casualty) and engine-internal "Java exception" wrappers (Derby
+    * XJ001 — embedded Derby occasionally NPEs internally under concurrent
+    * batch MERGE into one table). Walks the cause/next chain: Derby
+    * surfaces the real state on a nested SQLException. Constraint/syntax
+    * states stay non-transient and propagate on first failure. */
+  private[graft] def isTransient(e: Throwable, depth: Int = 0): Boolean = e match {
+    case _ if depth > 8 => false
+    case se: java.sql.SQLException =>
+      val st = Option(se.getSQLState).getOrElse("")
+      st.startsWith("40") || st == "XJ001" ||
+        Option(se.getNextException).exists(isTransient(_, depth + 1)) ||
+        Option(se.getCause).exists(isTransient(_, depth + 1))
+    case _ => Option(e.getCause).exists(isTransient(_, depth + 1))
+  }
+
   /** Upserts `df` into `table` keyed on `keys`. `driver` forces
     * `Class.forName` registration on the executor when the JDBC jar doesn't
     * self-register via ServiceLoader. `connProps` carries credentials
     * (user/password — [[GraftConfig.connProps]]); they ship inside the task
-    * closure, never in the url. */
+    * closure, never in the url.
+    *
+    * Failure posture (E2's in-task retry, applied to the sink): each batch
+    * is retried up to `retries` times on [[isTransient]] failures, each
+    * attempt on a FRESH connection — an engine-internal error can poison
+    * the session it happened on, so reusing it converts one transient blip
+    * into a dead partition. The retry is safe because the statement is a
+    * key-addressed MERGE: re-applying a batch that partially landed
+    * converges to the same rows (per-row idempotence), and the failed
+    * attempt's transaction is rolled back with the connection teardown. */
   def upsert(df: DataFrame, url: String, table: String, keys: Seq[String],
       dialect: UpsertDialect, batchSize: Int = 500,
       driver: Option[String] = None,
-      connProps: java.util.Properties = new java.util.Properties()): Unit = {
+      connProps: java.util.Properties = new java.util.Properties(),
+      retries: Int = 2): Unit = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     val schema = df.schema
     val sql = dialect.upsertSql(table, schema, keys)
@@ -143,31 +170,74 @@ object JdbcUpsert {
     df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.nonEmpty) {
         driver.foreach(Class.forName)
-        val conn: Connection = DriverManager.getConnection(url, connProps)
-        try {
-          conn.setAutoCommit(false)
-          val ps: PreparedStatement = conn.prepareStatement(sql)
-          try {
-            var pending = 0
-            rows.foreach { row =>
-              var pi = 1
-              binds.foreach { ci =>
-                if (ci == -1) ps.setTimestamp(pi,
-                  new java.sql.Timestamp(System.currentTimeMillis()))
-                else if (row.isNullAt(ci)) ps.setNull(pi, types(ci))
-                else ps.setObject(pi, row.get(ci))
-                pi += 1
-              }
-              ps.addBatch()
-              pending += 1
-              if (pending >= batchSize) {
-                ps.executeBatch(); conn.commit(); pending = 0
-              }
-            }
-            if (pending > 0) { ps.executeBatch(); conn.commit() }
-          } finally ps.close()
-        } finally conn.close()
+        writePartition(rows, () => DriverManager.getConnection(url, connProps),
+          sql, binds, types, batchSize, retries)
       }
     }
+  }
+
+  /** One partition's batched write loop — factored out so the retry
+    * machinery is unit-testable with an injected (flaky) connection
+    * factory, without a registered JDBC driver crossing sbt's main/test
+    * classloader boundary. */
+  private[graft] def writePartition(rows: Iterator[org.apache.spark.sql.Row],
+      connect: () => Connection, sql: String, binds: Seq[Int],
+      types: Array[Int], batchSize: Int, retries: Int): Unit = {
+    var conn: Connection = null
+    var ps: PreparedStatement = null
+    def open(): Unit = {
+      conn = connect()
+      conn.setAutoCommit(false)
+      ps = conn.prepareStatement(sql)
+    }
+    def close(): Unit = {
+      if (ps != null) { try ps.close() catch { case _: Exception => () }; ps = null }
+      if (conn != null) {
+        // rolls back whatever an aborted attempt left uncommitted; a no-op
+        // after a clean commit
+        try conn.rollback() catch { case _: Exception => () }
+        try conn.close() catch { case _: Exception => () }
+        conn = null
+      }
+    }
+    // bounded re-bind buffer (≤ batchSize rows): a failed executeBatch
+    // leaves the JDBC batch in an unspecified state, so retry re-binds
+    // from these rows on the fresh statement
+    val buf = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](batchSize)
+    def flush(): Unit = if (buf.nonEmpty) {
+      var attempt = 0
+      var done = false
+      while (!done) {
+        try {
+          buf.foreach { row =>
+            var pi = 1
+            binds.foreach { ci =>
+              if (ci == -1) ps.setTimestamp(pi,
+                new java.sql.Timestamp(System.currentTimeMillis()))
+              else if (row.isNullAt(ci)) ps.setNull(pi, types(ci))
+              else ps.setObject(pi, row.get(ci))
+              pi += 1
+            }
+            ps.addBatch()
+          }
+          ps.executeBatch(); conn.commit(); done = true
+        } catch {
+          case e: Throwable if attempt < retries && isTransient(e) =>
+            attempt += 1
+            close()
+            Thread.sleep(50L * attempt)
+            open()
+        }
+      }
+      buf.clear()
+    }
+    open()
+    try {
+      rows.foreach { row =>
+        buf += row
+        if (buf.size >= batchSize) flush()
+      }
+      flush()
+    } finally close()
   }
 }

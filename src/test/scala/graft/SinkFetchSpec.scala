@@ -288,6 +288,139 @@ class SinkFetchSpec extends SparkSpec {
       ("u4", "Delta", 4.0, t1))) // inserted
   }
 
+  /** Reflective JDBC proxy: delegates every call to `target`, except where
+    * `intercept` returns Some (or throws). Evaluated exactly ONCE per call —
+    * a PartialFunction's isDefinedAt would double-fire side effects. */
+  private def jdbcProxy[T](iface: Class[T], target: AnyRef)(
+      intercept: (java.lang.reflect.Method, Array[AnyRef]) => Option[AnyRef]): T =
+    java.lang.reflect.Proxy.newProxyInstance(iface.getClassLoader, Array(iface),
+      (_, m, rawArgs) => {
+        val args = if (rawArgs == null) Array.empty[AnyRef] else rawArgs
+        intercept(m, args).getOrElse {
+          try m.invoke(target, args: _*)
+          catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+        }
+      }).asInstanceOf[T]
+
+  test("K4+E2: a transient batch failure retries on a FRESH connection and " +
+    "converges even when the failed batch partially landed (idempotent MERGE)") {
+    val c0 = derbyConn()
+    c0.createStatement().execute(
+      """CREATE TABLE leads_retry (url VARCHAR(200) PRIMARY KEY,
+        |  nombre VARCHAR(200), score DOUBLE)""".stripMargin)
+    c0.close()
+
+    // first TWO executeBatch calls across the run: apply the batch FOR REAL,
+    // commit it durably, then report a deadlock — the worst transient case
+    // (the data landed but the driver said no). The key-addressed MERGE must
+    // converge to exactly-once rows anyway.
+    val failures = new AtomicInteger(2)
+    val opened = new AtomicInteger(0)
+    def flakyConnect(): java.sql.Connection = {
+      opened.incrementAndGet()
+      val real = derbyConn()
+      real.setAutoCommit(false)
+      jdbcProxy(classOf[java.sql.Connection], real) { (m, args) =>
+        if (m.getName == "prepareStatement") {
+          val realPs = (try m.invoke(real, args: _*)
+            catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause })
+            .asInstanceOf[java.sql.PreparedStatement]
+          Some(jdbcProxy(classOf[java.sql.PreparedStatement], realPs) { (mm, _) =>
+            if (mm.getName == "executeBatch" &&
+                failures.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+              realPs.executeBatch()
+              real.commit() // the partial apply is DURABLE
+              throw new java.sql.SQLException("synthetic post-apply deadlock", "40001")
+            } else None
+          })
+        } else None
+      }
+    }
+
+    val schema = StructType(Seq(StructField("url", StringType),
+      StructField("nombre", StringType), StructField("score", DoubleType)))
+    val dialect = DerbyUpsertDialect()
+    val sql = dialect.upsertSql("leads_retry", schema, Seq("url"))
+    val binds = dialect.bindOrder(schema.fieldNames.toSeq, Seq("url"))
+    val types = Array(java.sql.Types.VARCHAR, java.sql.Types.VARCHAR,
+      java.sql.Types.DOUBLE)
+    val rows = (1 to 6).map(i => Row(s"u$i", s"N$i", i.toDouble))
+
+    // batchSize=2 → 3 flushes; flush 1 burns both injected failures
+    // (attempt 1 and the retry's attempt 2), lands on attempt 3
+    JdbcUpsert.writePartition(rows.iterator, () => flakyConnect(),
+      sql, binds, types, batchSize = 2, retries = 2)
+
+    assert(failures.get() == 0, "both injected failures must be consumed")
+    assert(opened.get() == 3, // 1 initial + 2 fresh-connection retries
+      s"retries must reopen, not reuse, the connection (opened ${opened.get()})")
+    val c2 = derbyConn()
+    val rs = c2.createStatement()
+      .executeQuery("SELECT url, nombre, score FROM leads_retry ORDER BY url")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
+    while (rs.next()) got += ((rs.getString(1), rs.getString(2), rs.getDouble(3)))
+    c2.close()
+    assert(got.toSeq == (1 to 6).map(i => (s"u$i", s"N$i", i.toDouble)),
+      "rows must land exactly once despite the durable partial apply")
+  }
+
+  test("K4+E1: a non-transient batch failure propagates on the first " +
+    "attempt — no blind retry of constraint/syntax errors") {
+    val opened = new AtomicInteger(0)
+    def connect(): java.sql.Connection = {
+      opened.incrementAndGet()
+      val real = derbyConn()
+      real.setAutoCommit(false)
+      jdbcProxy(classOf[java.sql.Connection], real) { (m, args) =>
+        if (m.getName == "prepareStatement") {
+          val realPs = (try m.invoke(real, args: _*)
+            catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause })
+            .asInstanceOf[java.sql.PreparedStatement]
+          Some(jdbcProxy(classOf[java.sql.PreparedStatement], realPs) { (mm, _) =>
+            if (mm.getName == "executeBatch")
+              throw new java.sql.SQLException("constraint violation", "23505")
+            else None
+          })
+        } else None
+      }
+    }
+    val schema = StructType(Seq(StructField("url", StringType)))
+    val dialect = DerbyUpsertDialect()
+    val e = intercept[java.sql.SQLException] {
+      JdbcUpsert.writePartition(Iterator(Row("u1")), () => connect(),
+        dialect.upsertSql("leads_retry", schema, Seq("url")),
+        dialect.bindOrder(Seq("url"), Seq("url")),
+        Array(java.sql.Types.VARCHAR), batchSize = 10, retries = 2)
+    }
+    assert(e.getSQLState == "23505")
+    assert(opened.get() == 1, "non-transient failures must not retry")
+  }
+
+  test("K4: transient-failure classifier walks cause and next-exception " +
+    "chains (deadlock 40xxx, Derby XJ001 internal wrapper)") {
+    import java.sql.SQLException
+    assert(JdbcUpsert.isTransient(new SQLException("dl", "40001")))
+    assert(JdbcUpsert.isTransient(new SQLException("derby lock", "40XL1")))
+    // Derby's embedded NPE surfaces as a BatchUpdateException whose chained
+    // next exception carries XJ001 ("Java exception") — the flake this
+    // classifier exists for
+    val wrapped = new java.sql.BatchUpdateException(
+      "batch failed", Array.empty[Int])
+    wrapped.setNextException(new SQLException(
+      "Java exception: NPE", "XJ001", new NullPointerException("baseCC")))
+    assert(JdbcUpsert.isTransient(wrapped))
+    // cause-chain (not next-chain) nesting resolves too
+    assert(JdbcUpsert.isTransient(new RuntimeException(
+      new SQLException("inner deadlock", "40P01"))))
+    // constraint and syntax states are NOT transient
+    assert(!JdbcUpsert.isTransient(new SQLException("dup key", "23505")))
+    assert(!JdbcUpsert.isTransient(new SQLException("no table", "42X05")))
+    // unbounded chains terminate (self-referential cause)
+    val loop = new SQLException("a", "00000")
+    loop.setNextException(loop)
+    assert(!JdbcUpsert.isTransient(loop))
+  }
+
   test("S9-at-scale: partitioned JDBC source range-splits the key space") {
     val conn = derbyConn()
     conn.createStatement().execute(
