@@ -149,6 +149,15 @@ object Operators {
     * must ride along or ordering is ad-hoc; use this on
     * (long, long, long)-shaped streams at scale.
     *
+    * Cost profile (round-16 measurement on q199's 10× spectrum): the
+    * Dataset boundary deserializes a tuple per input row and the map
+    * boxes keys — 2,038 CPU-s with 339 s GC over 158M rows, and
+    * GC-pressure wall variance of 68-148 s run-to-run. When the input
+    * can be read TWICE (it is staged, or exchange reuse covers it),
+    * the two-pass codegen histogram-threshold form is strictly better
+    * (q199 uses it since round 16); this single-pass form is for inputs
+    * too expensive to materialize or re-derive.
+    *
     * Input rows must be distinct per (group, item) — aggregate first (a
     * duplicate would occupy two of the k slots, and would also break the
     * disjoint-slices premise of the pre-reduce). Returns (group, item,

@@ -645,26 +645,77 @@ class PlanSpec extends SparkSpec {
   // ---- 100 TB output-contract queries (judge r15 #1): each serving form
   // must share its parent's kernel — no second enumeration ----------------
 
-  test("q199: single salted enumeration — symmetrization rides inline over " +
-    "ONE matched stream, both salted exchanges appear exactly once") {
+  test("q199 + q96: ONE staged enumeration serves the whole co-occurrence " +
+    "family — both tails read the same cached pair-count table") {
+    graft.queries.Events.releaseStagedCooccur() // cold slot: q199 builds it
     val p = plan("q199_cooccur_topk")
     assert(!p.contains("CartesianProduct"), s"salted join degenerated:\n$p")
-    // q96's kernel contributes exactly TWO REPARTITION_BY_NUM exchanges
-    // (left and right of the salted join). A union-of-two-projections
-    // symmetrization would re-execute the join — 4 exchanges (or a
-    // ReusedExchange pair) — so exactly 2 is the no-second-enumeration
-    // proof in the plan itself.
-    val reps = "REPARTITION_BY_NUM".r.findAllIn(p).length
-    assert(reps == 2, s"expected exactly 2 salted exchanges, got $reps:\n$p")
-    assert(!p.contains("ReusedExchange"),
-      s"a reused exchange means the kernel subtree was duplicated:\n$p")
-    // the top-k tail is the BOUNDED k-heap aggregate, never a per-user
-    // window — a window sorts every user's full partner spectrum (522 s /
-    // OOM at 30×, measured); the heap's state is k entries per group
-    assert(p.contains("ObjectHashAggregate"),
-      s"top-k tail should be the bounded k-heap aggregate:\n$p")
-    assert(!"\\bWindow\\b".r.findFirstIn(p).isDefined,
-      s"top-k must not sort the full partner spectrum per user:\n$p")
+    // the staged slot splits the plan: everything ABOVE the InMemoryRelation
+    // is the serving tail, the relation's printed lineage is the one cached
+    // enumeration. The salted REPARTITION_BY_NUM exchanges must live ONLY
+    // in the lineage — one in the serving section would mean q199 re-ran
+    // the kernel instead of reading the slot.
+    assert(p.contains("InMemoryRelation"),
+      s"q199 not reading the staged pair-count slot:\n$p")
+    val Array(serving, lineage) = p.split("InMemoryRelation", 2)
+    assert(!serving.contains("REPARTITION_BY_NUM"),
+      s"q199's tail re-ran the salted enumeration:\n$p")
+    assert("REPARTITION_BY_NUM".r.findAllIn(lineage).length >= 2,
+      s"staged build lost the salted exchanges:\n$p")
+    // the top-k tail is the two-pass codegen threshold form: a per-user
+    // count histogram, a threshold table, and a rank window over the
+    // THRESHOLD-FILTERED survivors only. The full-spectrum per-user window
+    // (522 s / OOM at 30×, measured r15) and the object-aggregate k-heap
+    // (2,038 CPU-s with 339 s GC at 10×, measured r16) both stay dead:
+    // no object aggregate, and every Window must sit above the survivor
+    // filter (shared_buckets >= thr), never directly on the spectrum.
+    assert(!serving.contains("ObjectHashAggregate"),
+      s"top-k tail regressed to the object-aggregate path:\n$p")
+    assert(serving.contains("row_number"),
+      s"exact rank window missing from the survivor tail:\n$p")
+    assert(serving.contains(">= thr"),
+      s"rank window input is not threshold-filtered — it would sort the " +
+        s"full partner spectrum per user:\n$p")
+    // RUNTIME sharing, not just shared code: with the slot warm, q96 is a
+    // scan→filter→sort over the SAME cached table — no second enumeration
+    // anywhere in its serving plan
+    val p96 = plan("q96_salted_cooccur")
+    assert(p96.contains("InMemoryTableScan"),
+      s"q96 did not read the staged pair-count slot:\n$p96")
+    val serving96 = p96.split("InMemoryRelation", 2)(0)
+    assert(!serving96.contains("REPARTITION_BY_NUM") &&
+      !serving96.contains("HashAggregate") && !serving96.contains("Join"),
+      s"q96 re-ran the enumeration instead of serving the slot:\n$p96")
+    graft.queries.Events.releaseStagedCooccur()
+  }
+
+  test("q96/q199 staged pair slot is SIZE-GATED: a spectrum above the bound " +
+    "streams (nothing quadratic persisted), below it stages") {
+    // the gate input is Σ C(n_b, 2) over (event_type, hour) buckets —
+    // exact, computed from the checkpointed bucket table. Force the
+    // streamed arm by dropping the bound to 0: the returned plan must run
+    // the enumeration directly (salted exchanges in the SERVING plan, no
+    // cache scan) and must leave NOTHING persisted behind.
+    graft.queries.Events.releaseStagedCooccur()
+    val streamed = graft.queries.Events.cooccurPairCounts(spark, sf, bound = 0L)
+    val ps = streamed.queryExecution.executedPlan.toString
+    assert(!ps.contains("InMemoryTableScan"),
+      s"gated-off slot still produced a cache scan:\n$ps")
+    assert(ps.contains("REPARTITION_BY_NUM"),
+      s"streamed arm lost the salted enumeration:\n$ps")
+    // nothing staged: the next default-bound call must BUILD (observable as
+    // a fresh cache scan), not hit a stale slot entry
+    val staged = graft.queries.Events.cooccurPairCounts(spark, sf)
+    assert(staged.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "default-bound call after a streamed call should stage fresh")
+    // both arms are the same table
+    assert(streamed.count() == staged.count())
+    graft.queries.Events.releaseStagedCooccur()
+    // the production bound sits between the measured 10×/30× spectra
+    // (~120M/~1.1B matches: stage) and the 100× clone-law point (~12B:
+    // stream — persisting that spectrum is exactly the materialization the
+    // output contract forbids)
+    assert(graft.queries.Events.StagedPairSpectrumBound == 1500000000L)
   }
 
   test("q200: serving plan reads the staged dup-class table — no shingle " +
