@@ -460,10 +460,15 @@ object Events {
         //   2. per-user threshold = the count of the 3rd-best partner
         //      (running partner tally over the tiny histogram, ties kept);
         //   3. survivors = symmetrized rows with count ≥ the user's
-        //      threshold — AQE flips this join to broadcast when the
-        //      threshold table measures small at runtime (no hint: at
-        //      larger |users| it stays a keyed shuffle join, still
-        //      spectrum-linear);
+        //      threshold — broadcast under a PROVEN bound: the threshold
+        //      table is ≤ one row per active user by construction, and the
+        //      build memoizes that count, so the hint engages iff it fits
+        //      (≤ 4M users ≈ 64 MB). Waiting for AQE to flip it was
+        //      measured wrong at 30×: the spectrum-side exchange launches
+        //      concurrently with the threshold stage, so the replan came
+        //      too late and sym took a 12.2 GB SortMergeJoin shuffle.
+        //      Past the bound it stays a keyed shuffle join —
+        //      spectrum-linear, the honest fallback;
         //   4. exact rank on the BOUNDED survivor set (≤ k + ties per
         //      user) — the Window sorts survivors, never the spectrum
         //      (the 522 s / OOM-at-30× full-spectrum window, measured
@@ -486,7 +491,10 @@ object Events {
           .agg(min(col("shared_buckets")).as("thr"))
         val rankW = Window.partitionBy(col("user_id"))
           .orderBy(col("shared_buckets").desc, col("partner").asc)
-        sym.join(thresholds, Seq("user_id"))
+        val thrSide =
+          if (cooccurUserCount(s, d) <= 4L * 1000 * 1000) broadcast(thresholds)
+          else thresholds
+        sym.join(thrSide, Seq("user_id"))
           .filter(col("shared_buckets") >= col("thr"))
           .withColumn("rnk", row_number().over(rankW))
           .filter(col("rnk") <= 3)
@@ -942,10 +950,29 @@ object Events {
   private[graft] val StagedPairSpectrumBound = 1500L * 1000 * 1000 // 1.5B matches
   private var pairCache: Option[(org.apache.spark.sql.SparkSession, String,
     org.apache.spark.sql.DataFrame)] = None
+  // (session, dir) -> distinct active users, memoized by the same build:
+  // q199's threshold table is ≤ one row per user BY CONSTRUCTION, so this
+  // scalar is the provable size bound its broadcast decision needs
+  private var userCountCache: Option[(org.apache.spark.sql.SparkSession,
+    String, Long)] = None
   graft.queries.TextOps.onRelease(() => releaseStagedCooccur())
   private[graft] def releaseStagedCooccur(): Unit = synchronized {
     pairCache.foreach(_._3.unpersist(blocking = false))
     pairCache = None
+    userCountCache = None
+  }
+
+  /** Distinct users active in any (event_type, hour) bucket — computed on
+    * the bucket table the pair build already checkpoints (one narrow agg),
+    * memoized per (session, dir). */
+  private[graft] def cooccurUserCount(s: org.apache.spark.sql.SparkSession,
+      d: String): Long = synchronized {
+    userCountCache match {
+      case Some((sess, dir, n)) if (sess eq s) && dir == d => n
+      case _ =>
+        sys.error("cooccurUserCount before cooccurPairCounts: the count is " +
+          "a by-product of the pair build; call cooccurPairCounts first")
+    }
   }
 
   private[graft] def cooccurPairCounts(s: org.apache.spark.sql.SparkSession,
@@ -968,6 +995,8 @@ object Events {
             .agg(count(lit(1)).as("c"))
             .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)))
             .head().getLong(0)
+          userCountCache = Some((s, d, bucketed
+            .agg(count_distinct(col("user_id"))).head().getLong(0)))
           if (spectrum > bound) pc // stream, don't stage
           else graft.queries.TextOps.timedBuild("cooccur_pairs_build") {
             val cached = pc.persist()

@@ -676,6 +676,14 @@ class PlanSpec extends SparkSpec {
     assert(serving.contains(">= thr"),
       s"rank window input is not threshold-filtered — it would sort the " +
         s"full partner spectrum per user:\n$p")
+    // the survivor join must ride the PROVEN-bound broadcast (threshold
+    // table ≤ one row per user, count memoized by the slot build) — AQE's
+    // late replan was measured leaving a 12.2 GB SortMergeJoin shuffle of
+    // the spectrum at 30×
+    assert(serving.contains("BroadcastHashJoin"),
+      s"survivor join lost the bounded threshold broadcast:\n$p")
+    assert(!serving.contains("SortMergeJoin"),
+      s"the spectrum was shuffled for the survivor join:\n$p")
     // RUNTIME sharing, not just shared code: with the slot warm, q96 is a
     // scan→filter→sort over the SAME cached table — no second enumeration
     // anywhere in its serving plan
