@@ -137,7 +137,12 @@ object JdbcUpsert {
     case _ if depth > 8 => false
     case se: java.sql.SQLException =>
       val st = Option(se.getSQLState).getOrElse("")
-      st.startsWith("40") || st == "XJ001" ||
+      // 40xxx: transaction rollback (deadlock/serialization) — retry wins.
+      // 08xxx: connection exception (DB briefly unreachable) — the most
+      // common real transient; always retried on a FRESH connection, and
+      // safe for the same reason as 40xxx (key-addressed MERGE idempotence).
+      // XJ001: Derby's internal wrapper around both.
+      st.startsWith("40") || st.startsWith("08") || st == "XJ001" ||
         Option(se.getNextException).exists(isTransient(_, depth + 1)) ||
         Option(se.getCause).exists(isTransient(_, depth + 1))
     case _ => Option(e.getCause).exists(isTransient(_, depth + 1))
@@ -209,6 +214,12 @@ object JdbcUpsert {
       var done = false
       while (!done) {
         try {
+          // (re)open lazily INSIDE the guarded try: a transiently-failing
+          // connect/prepareStatement (DB briefly unreachable — the most
+          // common real transient) is classified by isTransient and
+          // consumes retry budget like a failed executeBatch, instead of
+          // escaping the loop unretried (advice r17)
+          if (conn == null) open()
           buf.foreach { row =>
             var pi = 1
             binds.foreach { ci =>
@@ -226,12 +237,10 @@ object JdbcUpsert {
             attempt += 1
             close()
             Thread.sleep(50L * attempt)
-            open()
         }
       }
       buf.clear()
     }
-    open()
     try {
       rows.foreach { row =>
         buf += row

@@ -82,4 +82,13 @@ object GraftRddBridge {
       case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
       case _ => None
     }
+
+  /** Every checkpoint-backed leaf a plan scans, by RDD id — read-only
+    * introspection (no release), so DERIVED plans are fine here. PlanSpec
+    * uses it to prove runtime slot sharing: two queries whose plans both
+    * scan the staged table's RDD id consumed ONE materialization. */
+  def scannedRddIds(df: Dataset[_]): Seq[Int] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
 }

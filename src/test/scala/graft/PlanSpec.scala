@@ -224,8 +224,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q96: on a hot bucket, the pair-join keys carry the salt block") {
-    val df = SparkEntry.registry("q96_salted_cooccur").run(spark, skewedEventsDir)
+    // the staged slot truncates lineage (plain eager localCheckpoint), so
+    // q96's own plan no longer prints the kernel — inspect the SAME kernel
+    // through the gate's streamed arm, whose plan IS the enumeration
+    graft.queries.Events.releaseStagedCooccur()
+    val df = graft.queries.Events
+      .cooccurPairCounts(spark, skewedEventsDir, bound = 0L)
     df.collect()
+    graft.queries.Events.releaseStagedCooccur()
     val p = df.queryExecution.executedPlan.toString
     // the pair join must be an equi-join whose keys carry blk — that's what
     // splits a hot (event_type, hour) bucket across B tasks
@@ -646,22 +652,20 @@ class PlanSpec extends SparkSpec {
   // must share its parent's kernel — no second enumeration ----------------
 
   test("q199 + q96: ONE staged enumeration serves the whole co-occurrence " +
-    "family — both tails read the same cached pair-count table") {
+    "family — both tails scan the same lineage-truncated slot") {
     graft.queries.Events.releaseStagedCooccur() // cold slot: q199 builds it
-    val p = plan("q199_cooccur_topk")
+    val df199 = SparkEntry.registry("q199_cooccur_topk").run(spark, sf)
+    val p = df199.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), s"salted join degenerated:\n$p")
-    // the staged slot splits the plan: everything ABOVE the InMemoryRelation
-    // is the serving tail, the relation's printed lineage is the one cached
-    // enumeration. The salted REPARTITION_BY_NUM exchanges must live ONLY
-    // in the lineage — one in the serving section would mean q199 re-ran
-    // the kernel instead of reading the slot.
-    assert(p.contains("InMemoryRelation"),
-      s"q199 not reading the staged pair-count slot:\n$p")
-    val Array(serving, lineage) = p.split("InMemoryRelation", 2)
-    assert(!serving.contains("REPARTITION_BY_NUM"),
+    // The staged slot is a plain EAGER localCheckpoint — lineage truncated
+    // at materialization (advice r17: a persist()ed slot recomputed through
+    // the scoped bucket checkpoint that releaseScoped frees between
+    // queries). So the WHOLE printed plan is the serving tail and every
+    // negative assertion below covers every subtree, including the
+    // threshold/broadcast build side that the old first-InMemoryRelation
+    // split silently excluded (advice r17 #4).
+    assert(!p.contains("REPARTITION_BY_NUM"),
       s"q199's tail re-ran the salted enumeration:\n$p")
-    assert("REPARTITION_BY_NUM".r.findAllIn(lineage).length >= 2,
-      s"staged build lost the salted exchanges:\n$p")
     // the top-k tail is the two-pass codegen threshold form: a per-user
     // count histogram, a threshold table, and a rank window over the
     // THRESHOLD-FILTERED survivors only. The full-spectrum per-user window
@@ -669,32 +673,79 @@ class PlanSpec extends SparkSpec {
     // (2,038 CPU-s with 339 s GC at 10×, measured r16) both stay dead:
     // no object aggregate, and every Window must sit above the survivor
     // filter (shared_buckets >= thr), never directly on the spectrum.
-    assert(!serving.contains("ObjectHashAggregate"),
+    assert(!p.contains("ObjectHashAggregate"),
       s"top-k tail regressed to the object-aggregate path:\n$p")
-    assert(serving.contains("row_number"),
+    assert(p.contains("row_number"),
       s"exact rank window missing from the survivor tail:\n$p")
-    assert(serving.contains(">= thr"),
+    assert(p.contains(">= thr"),
       s"rank window input is not threshold-filtered — it would sort the " +
         s"full partner spectrum per user:\n$p")
     // the survivor join must ride the PROVEN-bound broadcast (threshold
     // table ≤ one row per user, count memoized by the slot build) — AQE's
     // late replan was measured leaving a 12.2 GB SortMergeJoin shuffle of
     // the spectrum at 30×
-    assert(serving.contains("BroadcastHashJoin"),
+    assert(p.contains("BroadcastHashJoin"),
       s"survivor join lost the bounded threshold broadcast:\n$p")
-    assert(!serving.contains("SortMergeJoin"),
+    assert(!p.contains("SortMergeJoin"),
       s"the spectrum was shuffled for the survivor join:\n$p")
-    // RUNTIME sharing, not just shared code: with the slot warm, q96 is a
-    // scan→filter→sort over the SAME cached table — no second enumeration
-    // anywhere in its serving plan
-    val p96 = plan("q96_salted_cooccur")
-    assert(p96.contains("InMemoryTableScan"),
-      s"q96 did not read the staged pair-count slot:\n$p96")
-    val serving96 = p96.split("InMemoryRelation", 2)(0)
-    assert(!serving96.contains("REPARTITION_BY_NUM") &&
-      !serving96.contains("HashAggregate") && !serving96.contains("Join"),
+    // RUNTIME sharing, not just shared code: the slot q199's run staged is
+    // the checkpoint RDD, and both of q199's passes (symmetrize + histogram)
+    // scan exactly that RDD id — no other checkpoint leaf, no re-derivation
+    val slot = graft.queries.Events.cooccurPairCounts(spark, sf)
+    val slotId = org.apache.spark.sql.GraftRddBridge.checkpointedRdd(slot)
+      .map(_.id).getOrElse(fail("staged slot is not a checkpoint root"))
+    val ids199 = org.apache.spark.sql.GraftRddBridge.scannedRddIds(df199)
+    assert(ids199.size >= 2 && ids199.forall(_ == slotId),
+      s"q199's passes do not all scan the staged slot (rdd $slotId): $ids199")
+    // with the slot warm, q96 is scan→filter→sort over the SAME RDD — no
+    // join, no aggregation, no second enumeration anywhere in its plan
+    val df96 = SparkEntry.registry("q96_salted_cooccur").run(spark, sf)
+    assert(org.apache.spark.sql.GraftRddBridge.scannedRddIds(df96)
+        == Seq(slotId),
+      s"q96 did not read the staged pair-count slot (rdd $slotId)")
+    val p96 = df96.queryExecution.executedPlan.toString
+    assert(!p96.contains("REPARTITION_BY_NUM") &&
+      !p96.contains("HashAggregate") && !p96.contains("Join"),
       s"q96 re-ran the enumeration instead of serving the slot:\n$p96")
     graft.queries.Events.releaseStagedCooccur()
+  }
+
+  test("q199 broadcast bound is a config seam (spark.graft." +
+    "cooccurBroadcastUsers): over the bound the survivor join drops the " +
+    "hint and falls back to a keyed join") {
+    def survivorJoinHints(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.hint.leftHint.exists(_.strategy.contains(
+                 org.apache.spark.sql.catalyst.plans.logical.BROADCAST)) ||
+               j.hint.rightHint.exists(_.strategy.contains(
+                 org.apache.spark.sql.catalyst.plans.logical.BROADCAST)) => j
+      }.size
+    // under-bound arm (default 4M ≫ fixture users): hint present — the
+    // main q199 test already pins the physical BroadcastHashJoin
+    graft.queries.Events.releaseStagedCooccur()
+    val hinted = SparkEntry.registry("q199_cooccur_topk").run(spark, sf)
+    assert(survivorJoinHints(hinted) == 1,
+      "under the bound, the survivor join must carry the broadcast hint")
+    val expect = hinted.collect().toSeq
+    // over-bound arm (bound 0): NO broadcast hint — the plan is the honest
+    // spectrum-linear keyed join. (At this toy scale Catalyst's size stats
+    // may still pick a broadcast strategy on their own; the seam governs
+    // the HINT, which exists because waiting for stats/AQE was measured
+    // too late at 30× — 12.2 GB SortMergeJoin already launched.)
+    spark.conf.set("spark.graft.cooccurBroadcastUsers", "0")
+    try {
+      graft.queries.Events.releaseStagedCooccur()
+      val keyed = SparkEntry.registry("q199_cooccur_topk").run(spark, sf)
+      assert(survivorJoinHints(keyed) == 0,
+        "over the bound, the survivor join must not be broadcast-hinted")
+      // the bound moves the plan, never the rows
+      assert(keyed.collect().toSeq == expect,
+        "broadcast-bound arms disagree on q199's rows")
+    } finally {
+      spark.conf.unset("spark.graft.cooccurBroadcastUsers")
+      graft.queries.Events.releaseStagedCooccur()
+    }
   }
 
   test("q96/q199 staged pair slot is SIZE-GATED: a spectrum above the bound " +
@@ -707,17 +758,33 @@ class PlanSpec extends SparkSpec {
     graft.queries.Events.releaseStagedCooccur()
     val streamed = graft.queries.Events.cooccurPairCounts(spark, sf, bound = 0L)
     val ps = streamed.queryExecution.executedPlan.toString
-    assert(!ps.contains("InMemoryTableScan"),
-      s"gated-off slot still produced a cache scan:\n$ps")
+    assert(org.apache.spark.sql.GraftRddBridge.checkpointedRdd(streamed).isEmpty,
+      s"gated-off slot still returned a materialized table:\n$ps")
     assert(ps.contains("REPARTITION_BY_NUM"),
       s"streamed arm lost the salted enumeration:\n$ps")
     // nothing staged: the next default-bound call must BUILD (observable as
-    // a fresh cache scan), not hit a stale slot entry
+    // a fresh checkpoint root with no enumeration left in the plan), not
+    // hit a stale slot entry
     val staged = graft.queries.Events.cooccurPairCounts(spark, sf)
-    assert(staged.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+    assert(org.apache.spark.sql.GraftRddBridge.checkpointedRdd(staged).isDefined,
       "default-bound call after a streamed call should stage fresh")
+    assert(!staged.queryExecution.executedPlan.toString
+        .contains("REPARTITION_BY_NUM"),
+      "staged arm should be a pure scan of the materialized slot")
     // both arms are the same table
     assert(streamed.count() == staged.count())
+    // the gate applies PER CALL, not only on a cold slot (advice r17): with
+    // the slot WARM, a caller whose bound excludes the staged spectrum gets
+    // a fresh streamed enumeration — and the slot stays warm for the
+    // callers whose bound admits it
+    val warmStreamed =
+      graft.queries.Events.cooccurPairCounts(spark, sf, bound = 0L)
+    assert(org.apache.spark.sql.GraftRddBridge.checkpointedRdd(warmStreamed).isEmpty
+        && warmStreamed.queryExecution.executedPlan.toString
+             .contains("REPARTITION_BY_NUM"),
+      "a warm slot must not be served to a caller whose bound excludes it")
+    assert(graft.queries.Events.cooccurPairCounts(spark, sf) eq staged,
+      "the bound-excluded call must leave the warm slot untouched")
     graft.queries.Events.releaseStagedCooccur()
     // the production bound sits between the measured 10×/30× spectra
     // (~120M/~1.1B matches: stage) and the 100× clone-law point (~12B:

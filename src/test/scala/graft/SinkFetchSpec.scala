@@ -364,6 +364,44 @@ class SinkFetchSpec extends SparkSpec {
       "rows must land exactly once despite the durable partial apply")
   }
 
+  test("K4+E2: a transient CONNECT failure consumes retry budget like a " +
+    "failed batch — the fresh-connection open runs inside the guarded try") {
+    val c0 = derbyConn()
+    c0.createStatement().execute(
+      """CREATE TABLE leads_connretry (url VARCHAR(200) PRIMARY KEY,
+        |  nombre VARCHAR(200))""".stripMargin)
+    c0.close()
+    // first connect attempt: DB "briefly unreachable" (SQLState 08001) —
+    // before the r17 fix this escaped the retry loop unretried because
+    // open() ran outside the attempt's try
+    val refusals = new AtomicInteger(1)
+    val opened = new AtomicInteger(0)
+    def flakyConnect(): java.sql.Connection = {
+      opened.incrementAndGet()
+      if (refusals.getAndUpdate(n => math.max(0, n - 1)) > 0)
+        throw new java.sql.SQLException("connection refused", "08001")
+      derbyConn()
+    }
+    val schema = StructType(Seq(StructField("url", StringType),
+      StructField("nombre", StringType)))
+    val dialect = DerbyUpsertDialect()
+    JdbcUpsert.writePartition(
+      Iterator(Row("c1", "N1"), Row("c2", "N2")), () => flakyConnect(),
+      dialect.upsertSql("leads_connretry", schema, Seq("url")),
+      dialect.bindOrder(Seq("url", "nombre"), Seq("url")),
+      Array(java.sql.Types.VARCHAR, java.sql.Types.VARCHAR),
+      batchSize = 10, retries = 2)
+    assert(opened.get() == 2, // the refused attempt + the successful retry
+      s"connect failure must be retried (opened ${opened.get()})")
+    val c2 = derbyConn()
+    val rs = c2.createStatement()
+      .executeQuery("SELECT url FROM leads_connretry ORDER BY url")
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (rs.next()) got += rs.getString(1)
+    c2.close()
+    assert(got.toSeq == Seq("c1", "c2"))
+  }
+
   test("K4+E1: a non-transient batch failure propagates on the first " +
     "attempt — no blind retry of constraint/syntax errors") {
     val opened = new AtomicInteger(0)
