@@ -57,6 +57,19 @@ object Checkpoints {
     out
   }
 
+  /** Adopt an ALREADY-MATERIALIZED plain checkpoint into the query-scoped
+    * registry. For builds that only learn a checkpoint's lifecycle after
+    * materializing it (the cooccur pair build: its bucket table is
+    * slot-OWNED when the size gate stages the pair table over it, but
+    * query-scoped when the gate streams) — the checkpoint is created
+    * plain, and handed to the between-queries sweep only on the streamed
+    * arm. No-op for non-checkpoint-rooted frames. */
+  def registerScoped(df: DataFrame): Unit = synchronized {
+    scoped.filterInPlace(_.get != null)
+    GraftRddBridge.checkpointedRdd(df)
+      .foreach(r => scoped += new java.lang.ref.WeakReference[RDD[_]](r))
+  }
+
   /** Free one checkpoint's blocks now (a superseded loop round, or a staged
     * table at the end of its cross-query scope). The DataFrame is unusable
     * afterwards — lineage was truncated, lost blocks cannot recompute. */

@@ -473,10 +473,9 @@ object Events {
         //      user) — the Window sorts survivors, never the spectrum
         //      (the 522 s / OOM-at-30× full-spectrum window, measured
         //      r15, stays dead).
-        // When the slot is staged both passes scan the materialized
-        // (lineage-truncated) table; when the size gate streams it,
-        // Spark's exchange reuse runs the salted enumeration ONCE and
-        // both passes read the same shuffle output.
+        // When the slot is staged both passes are cache scans; when the
+        // size gate streams it, Spark's exchange reuse runs the salted
+        // enumeration ONCE and both passes read the same shuffle output.
         val hist = sym
           .groupBy(col("user_id"), col("shared_buckets"))
           .agg(count(lit(1)).as("n_partners"))
@@ -929,12 +928,17 @@ object Events {
     * table the co-occurrence family enumerates over. Scoped checkpoint:
     * consumed by the heat probe, both join sides, and the pair-spectrum
     * size gate. */
+  /** PLAIN (unregistered) checkpoint: the caller decides its lifecycle
+    * after the size gate — slot-owned while the staged pair table's
+    * recompute lineage needs it, or handed to the query-scoped sweep via
+    * [[graft.Checkpoints.registerScoped]] on the streamed arm. */
   private def cooccurBuckets(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    graft.Checkpoints.localCheckpoint(Tables.events(s, d)
+    Tables.events(s, d)
       .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
         col("user_id"))
-      .distinct())
+      .distinct()
+      .localCheckpoint()
 
   /** The shared (u1, u2) → shared_buckets pair-count table, staged ONCE per
     * (session, fixture) for both consumers — q96 (filter ≥ 5 → pair-list
@@ -955,10 +959,15 @@ object Events {
     * enumeration and nothing quadratic is ever materialized — the 100 TB
     * posture, where the serving deployment runs ONE consumer anyway. */
   private[graft] val StagedPairSpectrumBound = 1500L * 1000 * 1000 // 1.5B matches
-  // (session, dir, spectrum-at-build, table): the spectrum rides along so a
-  // warm hit can re-apply the caller's bound (see cooccurPairCounts)
+  // (session, dir, spectrum-at-build, pair table, OWNED bucket checkpoint):
+  // the spectrum rides along so a warm hit can re-apply the caller's bound,
+  // and the bucket checkpoint rides along because the persisted pair
+  // table's recompute lineage runs through it — it must stay alive (and
+  // OUT of the query-scoped registry that Bench/Verify sweep between
+  // queries) for as long as the slot is warm (advice r17, medium)
   private var pairCache: Option[(org.apache.spark.sql.SparkSession, String,
-    Long, org.apache.spark.sql.DataFrame)] = None
+    Long, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] =
+    None
   // (session, dir) -> distinct active users, memoized by the same build:
   // q199's threshold table is ≤ one row per user BY CONSTRUCTION, so this
   // scalar is the provable size bound its broadcast decision needs
@@ -966,9 +975,13 @@ object Events {
     String, Long)] = None
   graft.queries.TextOps.onRelease(() => releaseStagedCooccur())
   private[graft] def releaseStagedCooccur(): Unit = synchronized {
-    // block-level release: the slot is a localCheckpoint, not a CacheManager
-    // entry — Dataset.unpersist would free nothing (Checkpoints scaladoc)
-    pairCache.foreach(p => graft.Checkpoints.release(p._4))
+    pairCache.foreach { p =>
+      // order matters: the cached pair table dies FIRST (after this no
+      // plan can demand a recompute through the bucket lineage), then the
+      // owned bucket checkpoint's blocks release at block level
+      p._4.unpersist(blocking = false)
+      graft.Checkpoints.release(p._5)
+    }
     pairCache = None
     userCountCache = None
   }
@@ -990,19 +1003,29 @@ object Events {
       d: String,
       bound: Long = StagedPairSpectrumBound): org.apache.spark.sql.DataFrame =
     synchronized {
+      def streamedEnum(): org.apache.spark.sql.DataFrame = {
+        // query-scoped lifecycle: the bucket checkpoint is consumed within
+        // the calling query and swept by releaseScoped between queries
+        val bucketed = cooccurBuckets(s, d)
+        graft.Checkpoints.registerScoped(bucketed)
+        saltedMatchesOver(s, bucketed)
+          .groupBy(col("u1"), col("u2"))
+          .agg(count(lit(1)).as("shared_buckets"))
+      }
       pairCache match {
-        case Some((sess, dir, spectrum, df))
+        case Some((sess, dir, spectrum, df, _))
             if (sess eq s) && dir == d && spectrum <= bound => df
-        case Some((sess, dir, _, _)) if (sess eq s) && dir == d =>
+        case Some((sess, dir, _, _, _)) if (sess eq s) && dir == d =>
           // warm slot, but the SPECTRUM EXCEEDS THIS CALLER'S BOUND: the
           // gate applies per call, not only on a cold slot (advice r17) —
           // serve a fresh streamed enumeration and leave the slot (staged
           // under its own bound decision) warm for the callers it admits
-          saltedMatchesOver(s, cooccurBuckets(s, d))
-            .groupBy(col("u1"), col("u2"))
-            .agg(count(lit(1)).as("shared_buckets"))
+          streamedEnum()
         case prev =>
-          prev.foreach(p => graft.Checkpoints.release(p._4))
+          prev.foreach { p =>
+            p._4.unpersist(blocking = false)
+            graft.Checkpoints.release(p._5)
+          }
           // slot cleared BEFORE the build: a failed build must leave None
           // (next consumer rebuilds), never a stale entry (review r15)
           pairCache = None
@@ -1017,21 +1040,25 @@ object Events {
             .head().getLong(0)
           userCountCache = Some((s, d, bucketed
             .agg(count_distinct(col("user_id"))).head().getLong(0)))
-          if (spectrum > bound) pc // stream, don't stage
-          else graft.queries.TextOps.timedBuild("cooccur_pairs_build") {
-            // CROSS-QUERY staged slot ⇒ plain eager localCheckpoint, NOT
-            // persist(): pc's lineage runs through cooccurBuckets' SCOPED
-            // checkpoint, which Bench/Verify free between queries via
-            // releaseScoped while this slot stays warm — a persisted
-            // table recomputes through that freed, non-recomputable
-            // lineage on any cached-partition loss (executor failure,
-            // storage eviction) and fails q96/q199 unrecoverably.
-            // localCheckpoint truncates the lineage at materialization,
-            // severing the dependency; released at block level in
-            // releaseStagedCooccur (the Checkpoints.scala contract for
-            // cross-query staged tables; advice r17)
-            val cached = pc.localCheckpoint() // eager: materializes here
-            pairCache = Some((s, d, spectrum, cached))
+          if (spectrum > bound) {
+            // stream, don't stage — and hand the bucket checkpoint to the
+            // between-queries sweep, since no slot will own it
+            graft.Checkpoints.registerScoped(bucketed)
+            pc
+          } else graft.queries.TextOps.timedBuild("cooccur_pairs_build") {
+            // CROSS-QUERY staged slot: persist() keeps the measured 30×
+            // memory profile (compressed columnar; a localCheckpoint of
+            // the same 700M-row table stores raw row blocks and OOMed the
+            // 8g probe heap where persist completes). The lineage hazard
+            // (advice r17, medium) is severed on the OTHER side: the
+            // bucket checkpoint stays PLAIN — never in the query-scoped
+            // registry Bench/Verify sweep between queries — and is owned
+            // by this slot (released in releaseStagedCooccur, after the
+            // cache), so a cached-partition loss recomputes through LIVE
+            // checkpoint blocks instead of failing unrecoverably.
+            val cached = pc.persist()
+            cached.count() // eager: concurrent AQE stages would race a cold cache
+            pairCache = Some((s, d, spectrum, cached, bucketed))
             cached
           }
       }

@@ -92,3 +92,44 @@ object GraftRddBridge {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
     }
 }
+
+/** Plan-shape introspection that treats CACHE SCANS AS LEAVES.
+  *
+  * Why: a physical plan's printed string inlines every InMemoryRelation's
+  * cached BUILD plan, so shape assertions that slice the text around
+  * "InMemoryRelation" markers mis-assign whole subtrees — the r16 q199
+  * test's first-marker split put the threshold/broadcast build side into
+  * the "lineage" segment, silently exempting it from the negative
+  * assertions (advice r17). Walking the node TREE instead is exact:
+  * `InMemoryTableScanExec` is a leaf of the executed tree (the cached
+  * plan hangs off the relation, not the node's children), so the walk
+  * yields the serving operators only — all of them, in any subtree. */
+object GraftPlanBridge {
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+  /** One line (the node's own simpleString header) per SERVING-tree node:
+    * descends through AdaptiveSparkPlanExec wrappers, children, and
+    * subqueries, never into cached-relation build plans. */
+  def servingNodeLines(df: Dataset[_]): Seq[String] = {
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val self = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      self +: (self.children ++ self.subqueries).flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+      .map(_.toString.linesIterator.next())
+  }
+
+  /** Identity of each cached relation a plan scans (the shared
+    * CachedRDDBuilder's identity): two plans reporting the same id
+    * consumed ONE staged materialization — runtime sharing, not just
+    * shared code. */
+  def scannedCacheIds(df: Dataset[_]): Seq[Int] =
+    df.queryExecution.withCachedData.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        System.identityHashCode(r.cacheBuilder)
+    }
+}

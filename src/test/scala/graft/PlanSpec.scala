@@ -652,20 +652,24 @@ class PlanSpec extends SparkSpec {
   // must share its parent's kernel — no second enumeration ----------------
 
   test("q199 + q96: ONE staged enumeration serves the whole co-occurrence " +
-    "family — both tails scan the same lineage-truncated slot") {
+    "family — both tails scan the same cached pair-count table") {
     graft.queries.Events.releaseStagedCooccur() // cold slot: q199 builds it
     val df199 = SparkEntry.registry("q199_cooccur_topk").run(spark, sf)
-    val p = df199.queryExecution.executedPlan.toString
-    assert(!p.contains("CartesianProduct"), s"salted join degenerated:\n$p")
-    // The staged slot is a plain EAGER localCheckpoint — lineage truncated
-    // at materialization (advice r17: a persist()ed slot recomputed through
-    // the scoped bucket checkpoint that releaseScoped frees between
-    // queries). So the WHOLE printed plan is the serving tail and every
-    // negative assertion below covers every subtree, including the
-    // threshold/broadcast build side that the old first-InMemoryRelation
-    // split silently excluded (advice r17 #4).
-    assert(!p.contains("REPARTITION_BY_NUM"),
-      s"q199's tail re-ran the salted enumeration:\n$p")
+    // The serving tree is walked NODE BY NODE with cache scans as leaves
+    // (GraftPlanBridge) — the old text split on the FIRST "InMemoryRelation"
+    // marker mis-assigned the threshold/broadcast build side to the
+    // "lineage" segment, silently exempting it from every negative
+    // assertion below (advice r17 #4). Now they cover every serving
+    // subtree and none of the staged lineage.
+    val serving = org.apache.spark.sql.GraftPlanBridge
+      .servingNodeLines(df199).mkString("\n")
+    assert(!serving.contains("CartesianProduct"),
+      s"salted join degenerated:\n$serving")
+    // the staged slot absorbs the enumeration: its salted
+    // REPARTITION_BY_NUM exchanges live in the cached lineage only (the
+    // gate test asserts the streamed arm still carries them)
+    assert(!serving.contains("REPARTITION_BY_NUM"),
+      s"q199's tail re-ran the salted enumeration:\n$serving")
     // the top-k tail is the two-pass codegen threshold form: a per-user
     // count histogram, a threshold table, and a rank window over the
     // THRESHOLD-FILTERED survivors only. The full-spectrum per-user window
@@ -673,40 +677,40 @@ class PlanSpec extends SparkSpec {
     // (2,038 CPU-s with 339 s GC at 10×, measured r16) both stay dead:
     // no object aggregate, and every Window must sit above the survivor
     // filter (shared_buckets >= thr), never directly on the spectrum.
-    assert(!p.contains("ObjectHashAggregate"),
-      s"top-k tail regressed to the object-aggregate path:\n$p")
-    assert(p.contains("row_number"),
-      s"exact rank window missing from the survivor tail:\n$p")
-    assert(p.contains(">= thr"),
+    assert(!serving.contains("ObjectHashAggregate"),
+      s"top-k tail regressed to the object-aggregate path:\n$serving")
+    assert(serving.contains("row_number"),
+      s"exact rank window missing from the survivor tail:\n$serving")
+    assert(serving.contains(">= thr"),
       s"rank window input is not threshold-filtered — it would sort the " +
-        s"full partner spectrum per user:\n$p")
+        s"full partner spectrum per user:\n$serving")
     // the survivor join must ride the PROVEN-bound broadcast (threshold
     // table ≤ one row per user, count memoized by the slot build) — AQE's
     // late replan was measured leaving a 12.2 GB SortMergeJoin shuffle of
     // the spectrum at 30×
-    assert(p.contains("BroadcastHashJoin"),
-      s"survivor join lost the bounded threshold broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"the spectrum was shuffled for the survivor join:\n$p")
-    // RUNTIME sharing, not just shared code: the slot q199's run staged is
-    // the checkpoint RDD, and both of q199's passes (symmetrize + histogram)
-    // scan exactly that RDD id — no other checkpoint leaf, no re-derivation
-    val slot = graft.queries.Events.cooccurPairCounts(spark, sf)
-    val slotId = org.apache.spark.sql.GraftRddBridge.checkpointedRdd(slot)
-      .map(_.id).getOrElse(fail("staged slot is not a checkpoint root"))
-    val ids199 = org.apache.spark.sql.GraftRddBridge.scannedRddIds(df199)
-    assert(ids199.size >= 2 && ids199.forall(_ == slotId),
-      s"q199's passes do not all scan the staged slot (rdd $slotId): $ids199")
-    // with the slot warm, q96 is scan→filter→sort over the SAME RDD — no
-    // join, no aggregation, no second enumeration anywhere in its plan
+    assert(serving.contains("BroadcastHashJoin"),
+      s"survivor join lost the bounded threshold broadcast:\n$serving")
+    assert(!serving.contains("SortMergeJoin"),
+      s"the spectrum was shuffled for the survivor join:\n$serving")
+    // RUNTIME sharing, not just shared code: both of q199's passes
+    // (symmetrize + histogram) scan the SAME cached relation the warm slot
+    // holds, and q96 serves from it too — scan→filter→sort, no join, no
+    // aggregation, no second enumeration
+    val slotIds = org.apache.spark.sql.GraftPlanBridge
+      .scannedCacheIds(graft.queries.Events.cooccurPairCounts(spark, sf))
+    assert(slotIds.size == 1, "warm slot should be exactly one cached table")
+    val ids199 = org.apache.spark.sql.GraftPlanBridge.scannedCacheIds(df199)
+    assert(ids199.size >= 2 && ids199.forall(_ == slotIds.head),
+      s"q199's passes do not all scan the staged slot: $ids199 vs $slotIds")
     val df96 = SparkEntry.registry("q96_salted_cooccur").run(spark, sf)
-    assert(org.apache.spark.sql.GraftRddBridge.scannedRddIds(df96)
-        == Seq(slotId),
-      s"q96 did not read the staged pair-count slot (rdd $slotId)")
-    val p96 = df96.queryExecution.executedPlan.toString
-    assert(!p96.contains("REPARTITION_BY_NUM") &&
-      !p96.contains("HashAggregate") && !p96.contains("Join"),
-      s"q96 re-ran the enumeration instead of serving the slot:\n$p96")
+    assert(org.apache.spark.sql.GraftPlanBridge.scannedCacheIds(df96)
+        == slotIds,
+      "q96 did not read the staged pair-count slot")
+    val s96 = org.apache.spark.sql.GraftPlanBridge
+      .servingNodeLines(df96).mkString("\n")
+    assert(!s96.contains("REPARTITION_BY_NUM") &&
+      !s96.contains("HashAggregate") && !s96.contains("Join"),
+      s"q96 re-ran the enumeration instead of serving the slot:\n$s96")
     graft.queries.Events.releaseStagedCooccur()
   }
 
@@ -758,19 +762,19 @@ class PlanSpec extends SparkSpec {
     graft.queries.Events.releaseStagedCooccur()
     val streamed = graft.queries.Events.cooccurPairCounts(spark, sf, bound = 0L)
     val ps = streamed.queryExecution.executedPlan.toString
-    assert(org.apache.spark.sql.GraftRddBridge.checkpointedRdd(streamed).isEmpty,
-      s"gated-off slot still returned a materialized table:\n$ps")
+    assert(org.apache.spark.sql.GraftPlanBridge.scannedCacheIds(streamed).isEmpty,
+      s"gated-off slot still produced a cache scan:\n$ps")
     assert(ps.contains("REPARTITION_BY_NUM"),
       s"streamed arm lost the salted enumeration:\n$ps")
     // nothing staged: the next default-bound call must BUILD (observable as
-    // a fresh checkpoint root with no enumeration left in the plan), not
+    // a fresh cache scan with no enumeration left in the serving tree), not
     // hit a stale slot entry
     val staged = graft.queries.Events.cooccurPairCounts(spark, sf)
-    assert(org.apache.spark.sql.GraftRddBridge.checkpointedRdd(staged).isDefined,
+    assert(org.apache.spark.sql.GraftPlanBridge.scannedCacheIds(staged).nonEmpty,
       "default-bound call after a streamed call should stage fresh")
-    assert(!staged.queryExecution.executedPlan.toString
-        .contains("REPARTITION_BY_NUM"),
-      "staged arm should be a pure scan of the materialized slot")
+    assert(!org.apache.spark.sql.GraftPlanBridge.servingNodeLines(staged)
+        .mkString("\n").contains("REPARTITION_BY_NUM"),
+      "staged arm should be a pure scan of the cached slot")
     // both arms are the same table
     assert(streamed.count() == staged.count())
     // the gate applies PER CALL, not only on a cold slot (advice r17): with
@@ -779,7 +783,7 @@ class PlanSpec extends SparkSpec {
     // callers whose bound admits it
     val warmStreamed =
       graft.queries.Events.cooccurPairCounts(spark, sf, bound = 0L)
-    assert(org.apache.spark.sql.GraftRddBridge.checkpointedRdd(warmStreamed).isEmpty
+    assert(org.apache.spark.sql.GraftPlanBridge.scannedCacheIds(warmStreamed).isEmpty
         && warmStreamed.queryExecution.executedPlan.toString
              .contains("REPARTITION_BY_NUM"),
       "a warm slot must not be served to a caller whose bound excludes it")
@@ -812,18 +816,27 @@ class PlanSpec extends SparkSpec {
 
   test("q201/q122 share ONE staged decode: with the class table staged, " +
     "neither plan touches parquet or re-aggregates the corpus") {
-    val p201 = plan("q201_image_classes")
+    val df201 = SparkEntry.registry("q201_image_classes").run(spark, sf)
+    val p201 = df201.queryExecution.executedPlan.toString
     assert(p201.contains("Scan ExistingRDD"),
       s"q201 not reading the staged (checkpointed) class table:\n$p201")
     assert(!p201.contains("FileScan"), s"q201 re-scans the corpus:\n$p201")
     assert(!p201.contains("HashAggregate"),
       s"q201 should not re-aggregate — classes are staged:\n$p201")
     assert(!p201.contains("Join"), s"q201 serving should be joinless:\n$p201")
-    // the parent consumes the SAME staged table: its plan starts at the
-    // checkpoint scan — a FileScan here would mean a second decode pass
-    val p122 = plan("q122_image_ahash_neardup")
+    // the parent consumes the SAME staged table — by RDD id, not just by
+    // plan shape: its every checkpoint leaf is the slot q201 scans; a
+    // FileScan would mean a second decode pass
+    val df122 = SparkEntry.registry("q122_image_ahash_neardup").run(spark, sf)
+    val p122 = df122.queryExecution.executedPlan.toString
     assert(!p122.contains("FileScan"),
       s"q122 re-decoded the corpus instead of reading the staged table:\n$p122")
+    val ids201 = org.apache.spark.sql.GraftRddBridge.scannedRddIds(df201)
+    val ids122 = org.apache.spark.sql.GraftRddBridge.scannedRddIds(df122)
+    assert(ids201.distinct.size == 1,
+      s"q201 should scan exactly the staged class table: $ids201")
+    assert(ids122.nonEmpty && ids122.forall(_ == ids201.head),
+      s"q122 reads a different table than the staged slot: $ids122 vs $ids201")
     graft.queries.TextOps.releaseShingles()
   }
 }
