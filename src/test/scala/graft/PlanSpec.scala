@@ -797,6 +797,52 @@ class PlanSpec extends SparkSpec {
     assert(graft.queries.Events.StagedPairSpectrumBound == 1500000000L)
   }
 
+  test("cooccur pair aggregation width scales with the spectrum (seam " +
+    "spark.graft.cooccurAggMatchesPerPartition): over P*perPartition the " +
+    "match stream is re-keyed to (u1,u2) at the derived width; at graded " +
+    "scales the plan is untouched") {
+    // the 40× gate-off probe OOMed the 8g heap at the fixed session width
+    // (spectrum/P ≈ 65M matches per reduce partition); the width law keeps
+    // reduce partitions ≤ perPartition matches, decided from the same
+    // exact spectrum scalar the size gate computes. Both arms must agree
+    // row-for-row.
+    import org.apache.spark.sql.functions._
+    graft.queries.Events.releaseStagedCooccur()
+    graft.Checkpoints.releaseScoped()
+    val defaultArm = graft.queries.Events.cooccurPairCounts(spark, sf, bound = 0L)
+    val defaultPlan = defaultArm.queryExecution.executedPlan.toString
+    assert(!defaultPlan.linesIterator.exists(l =>
+        l.contains("REPARTITION_BY_NUM") && l.contains("u1#")),
+      s"fixture-scale spectrum must not trigger the width law:\n$defaultPlan")
+    val expected = defaultArm.orderBy("u1", "u2").collect()
+    graft.Checkpoints.releaseScoped()
+    // derive a perPartition that forces width > P for THIS fixture
+    val spectrum = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        col("user_id")).distinct()
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L))).head().getLong(0)
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(spectrum / (2L * p) > 0, s"fixture spectrum $spectrum too small")
+    spark.conf.set("spark.graft.cooccurAggMatchesPerPartition",
+      math.max(1L, spectrum / (2L * p)).toString)
+    try {
+      val wide = graft.queries.Events.cooccurPairCounts(spark, sf, bound = 0L)
+      val widePlan = wide.queryExecution.executedPlan.toString
+      assert(widePlan.linesIterator.exists(l =>
+          l.contains("REPARTITION_BY_NUM") && l.contains("u1#")),
+        s"spectrum over P*perPartition must widen the aggregation:\n$widePlan")
+      assert(java.util.Arrays.deepEquals(
+          wide.orderBy("u1", "u2").collect().asInstanceOf[Array[AnyRef]],
+          expected.asInstanceOf[Array[AnyRef]]),
+        "width-scaled arm must agree row-for-row with the default arm")
+    } finally {
+      spark.conf.unset("spark.graft.cooccurAggMatchesPerPartition")
+      graft.Checkpoints.releaseScoped()
+      graft.queries.Events.releaseStagedCooccur()
+    }
+  }
+
   test("q200: serving plan reads the staged dup-class table — no shingle " +
     "re-aggregation, no corpus scan, no join") {
     val full = plan("q200_dup_classes")
