@@ -43,6 +43,9 @@ object PlanDump {
     "q177_hybrid_rrf" -> "two independent TakeOrdered rankers (lexical + dense under a broadcast query vector); fusion full-outer-joins 20-row sides; corpus never shuffles",
     "q181_release_pipeline" -> "composed release: hash-keyed survivor agg, two frozen-pid grouped ranks, bounded broadcasts, one rollup — corpus text read once, never shuffled",
     "q183_histogram_quantiles" -> "range table broadcast; (type, bin) counts map-side combined; quantile windows run over the types x 128 metadata table",
+    "q199_cooccur_topk" -> "serving contract over the staged pair-count slot (shared with q96 by RDD id — PlanSpec): two codegen passes (per-user count histogram -> 3rd-best threshold, broadcast under the proven <=1-row-per-user bound, conf spark.graft.cooccurBroadcastUsers -> survivor filter -> rank over survivors only); no object aggregate, no pair re-enumeration; output bounded by 3x|users|",
+    "q200_dup_classes" -> "serving contract over the staged shingle dup-class slot (shared with q35): scan(staged) -> explode -> sort; no shingle re-aggregation, no parquet scan, output linear in docs where q35's pair list is quadratic in a degenerate class",
+    "q201_image_classes" -> "serving contract over the staged image aHash-class slot (shared with q122, ONE whole-corpus decode): scan(staged) -> explode -> sort; joinless, no re-decode, output linear in images where q122's within-class expansion measured 1,034x rows at 30x",
     "q195_partition_evolution" -> "layout-evolution read: gen A (year dirs) and gen B (year/month dirs) each prune at the directory level (PartitionFilters), union is a plan concat (zero shuffle), one map-side-combined agg; writes cluster by the partition keys (one compacted file per directory)")
 
   def main(args: Array[String]): Unit = {
