@@ -72,14 +72,21 @@ if [[ -n "$PREV_SUITE" ]]; then
 fi
 
 # Retention (judge r15 #7): append-only artifacts nothing reads are noise.
-# Keep the current and previous round's HASHCHECK / SUITE_SCALE_r records
-# (the compare inputs); git history holds everything older. The
-# BENCH_DETAIL_SUBSET.json debugging record is transient — never part of a
-# round's graded artifacts.
+# Keep the current round's records and the previous round THAT HAS records
+# (the compare inputs — NOT literal N-1: when a round skipped its close,
+# N-1 has no records and the literal rule would delete the actual compare
+# inputs, as r17 nearly did to r15's); git history holds everything older.
+# The BENCH_DETAIL_SUBSET.json debugging record is transient — never part
+# of a round's graded artifacts.
+prev=$(ls HASHCHECK_SF01_r*.txt SUITE_SCALE_r*.json 2>/dev/null \
+  | grep -oE 'r[0-9]+' | tr -d r | sed 's/^0*//' | sort -n | uniq \
+  | awk -v n="$N" '$1 < n' | tail -1)
 for f in HASHCHECK_SF01_r*.txt SUITE_SCALE_r*.json; do
   [[ -e "$f" ]] || continue
   r=$(echo "$f" | grep -oE 'r[0-9]+' | tr -d r | sed 's/^0*//')
-  if (( r < N - 1 )); then git rm -q --ignore-unmatch "$f" || rm -f "$f"; fi
+  if (( r != N && r != ${prev:-N} )); then
+    git rm -q --ignore-unmatch "$f" || rm -f "$f"
+  fi
 done
 rm -f BENCH_DETAIL_SUBSET.json
 
