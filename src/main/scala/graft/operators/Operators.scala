@@ -490,17 +490,27 @@ object Operators {
     *   2. freeze the partition id (scoped localCheckpoint: boundaries are
     *      sampled per execution, so the id must be data before two jobs
     *      consume it);
-    *   3. one tiny job collects per-(partition, group) sums — bounded by
-    *      P + |groups| − 1 rows of driver metadata (contiguity: each extra
-    *      group adds at most one straddled boundary); a loud contract
-    *      failure past 100k rows rather than a silent driver OOM;
+    *   3. per-(partition, group) sums — bounded by P + |groups| − 1 rows
+    *      (contiguity: each extra group adds at most one straddled
+    *      boundary) — stay IN-PLAN as a tiny aggregate subtree; the
+    *      group's prefix offset from earlier partitions is an exclusive
+    *      running sum over that metadata table (window by group in pid
+    *      order). r17 optimization (guide §1.2/§5 "the driver should do
+    *      almost no data work"): the r16 form collect()ed the slices to
+    *      the driver and rebuilt them as a literal frame — one extra job,
+    *      one extra analysis/optimization round-trip and a driver
+    *      materialization per call, across ~20 registry call sites. The
+    *      contract gates stay LOUD but move in-plan: a NULL group or an
+    *      all-NULL value slice hits raise_error inside the offsets
+    *      projection (the expression is part of the join key's input, so
+    *      it cannot be pruned), and the 100k bounded-metadata bar is a
+    *      windowed count over the slice table feeding the same guard;
     *   4. cum = per-(pid, group) running window + the group's prefix
-    *      offset from earlier partitions, joined in via a BROADCAST of the
-    *      small offsets frame keyed on (pid, group). A map() literal with
-    *      element_at would be O(|slices|) per row (Catalyst's GetMapValue
-    *      on a literal map is a linear scan — with the contract's 100k
-    *      slices that's O(rows × slices) total); the broadcast hash join
-    *      is O(1) per row. No single-partition stage anywhere.
+    *      offset, joined in via a BROADCAST of the small offsets frame
+    *      keyed on (pid, group). A map() literal with element_at would be
+    *      O(|slices|) per row (Catalyst's GetMapValue on a literal map is
+    *      a linear scan); the broadcast hash join is O(1) per row. No
+    *      single-partition stage anywhere.
     *
     * Rows sharing the complete (group, orderCols…) key sum in arbitrary
     * order among themselves — pass a tie-breaking column for determinism. */
@@ -512,44 +522,51 @@ object Operators {
     val ranged = graft.Checkpoints.localCheckpoint(
       df.repartitionByRange(p, sortCols: _*)
         .withColumn("__pid", spark_partition_id()))
+    // bounded-metadata slice table, kept in-plan (rides a BroadcastExchange
+    // inside the one consuming job instead of a driver collect)
     val slices = ranged.groupBy(col("__pid"), col(groupCol))
-      .agg(sum(col(valueCol)).as("s")).collect()
-      .map { r =>
-        // a null group would corrupt the offset keying silently (every
-        // other contract failure here is loud) — reject it at the gate
-        require(!r.isNullAt(1),
-          s"groupedPrefixSum contract: null value in group column " +
-            s"'$groupCol' — groups must be non-null")
-        // an all-NULL value slice sums to NULL — fail as loudly as the
-        // null-group gate above, not with a bare NPE from getLong
-        require(!r.isNullAt(2),
+      .agg(sum(col(valueCol)).as("__s"))
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // Loud contract gates, in-plan — folded into the JOIN KEYS, not into a
+    // value column: join keys are evaluated under EVERY action (a count()
+    // prunes unused value columns — a guard living only in __off/cum would
+    // silently vanish exactly when nobody reads the sums), and the
+    // optimizer cannot elide them. Probe-side key: raises on a null group
+    // (left-join semantics keep the row alive to evaluation; an inner join
+    // would let IsNotNull inference drop it first). Build-side key: raises
+    // on an all-NULL value slice and past the bounded-metadata bar, both
+    // materialized by the broadcast build for every kept slice.
+    val nSlices = count(lit(1)).over(Window.partitionBy())
+    val offDf = slices
+      .withColumn("__off", coalesce(sum(col("__s")).over(wOff), lit(0L)))
+      .select(col("__pid").as("__opid"),
+        when(col("__s").isNull, raise_error(concat(lit(
           s"groupedPrefixSum contract: '$valueCol' is NULL for every row " +
-            s"of a ($groupCol=${r.getString(1)}) slice — values must be " +
-            "non-null (running sums over NULLs have no defined cum)")
-        (r.getInt(0), r.getString(1), r.getLong(2))
-      }
-    if (slices.isEmpty) return ranged.drop("__pid").withColumn(cumCol, lit(0L))
-    require(slices.length <= 100000,
-      s"groupedPrefixSum contract: ${slices.length} (partition, group) " +
-        "slices exceed the bounded-metadata bar — groups are not metadata")
-    val offsets = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
-    var curG: String = null
-    var acc = 0L
-    slices.sortBy(t => (t._2, t._1)).foreach { case (pid, g, sv) =>
-      if (g != curG) { curG = g; acc = 0L }
-      offsets += ((pid, g, acc))
-      acc += sv
-    }
-    import spark.implicits._
-    val offDf = offsets.toSeq.toDF("__opid", "__ogrp", "__off")
+            s"of a ($groupCol="), col(groupCol), lit(
+          ") slice — values must be non-null (running sums over NULLs " +
+            "have no defined cum)"))).cast("string"))
+        .when(nSlices > 100000L, raise_error(lit(
+          "groupedPrefixSum contract: (partition, group) slices exceed " +
+            "the bounded-metadata bar — groups are not metadata")).cast("string"))
+        .otherwise(col(groupCol)).as("__ogrp"),
+        col("__off"))
+    val probeKey = when(col(groupCol).isNull, raise_error(lit(
+        s"groupedPrefixSum contract: null value in group column " +
+          s"'$groupCol' — groups must be non-null")).cast("string"))
+      .otherwise(col(groupCol))
     val w = Window.partitionBy(col("__pid"), col(groupCol))
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // inner equi-join: every (pid, group) in `ranged` has exactly one
-    // offsets row by construction, so no rows are gained or lost
+    // LEFT join, deliberately: every non-null (pid, group) in `ranged` has
+    // exactly one offsets row by construction, so the result is identical
+    // to the inner form — the left join only exists so the probe-side
+    // guard row survives to key evaluation instead of being dropped by
+    // inferred IsNotNull filters.
     ranged
       .join(broadcast(offDf),
-        col("__pid") === col("__opid") && col(groupCol) === col("__ogrp"))
+        col("__pid") === col("__opid") && probeKey === col("__ogrp"),
+        "left")
       .withColumn(cumCol, sum(col(valueCol)).over(w) + col("__off"))
       .drop("__pid", "__opid", "__ogrp", "__off")
   }

@@ -329,15 +329,25 @@ class OperatorsSpec extends SparkSpec {
     }.toSet
     assert(got == expect,
       s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
-    // the window must partition by the frozen pid, never by the group alone
-    // (a group-only partition serializes the mega-group onto one task)
+    // the DATA-sized window must partition by the frozen pid, never by the
+    // group alone (a group-only partition serializes the mega-group onto
+    // one task). Windows in the offsets subtree run over the bounded-
+    // metadata slice table (P + |groups| - 1 rows by contract, above the
+    // slice Aggregate, below the offsets Join) — the r17 in-plan offsets
+    // computation — and are exempt: their input can never be data-sized.
+    // Discriminator: the data window sits ABOVE the offsets join, so a
+    // Join appears in its subtree; metadata windows have no Join below.
     val winParts = Operators.groupedPrefixSum(
         rows.toDF("g", "v", "ord"), "g", "v", Seq(col("ord")), "cum")
       .queryExecution.analyzed.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.child.collectFirst {
+              case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+            }.nonEmpty =>
           w.partitionSpec.length
       }
-    assert(winParts.forall(_ == 2), s"window partition widths: $winParts")
+    assert(winParts.nonEmpty && winParts.forall(_ == 2),
+      s"data-sized window partition widths: $winParts")
   }
 
   test("groupedPrefixSum: empty input keeps the schema") {
@@ -352,18 +362,23 @@ class OperatorsSpec extends SparkSpec {
   test("groupedPrefixSum rejects null group values loudly") {
     import spark.implicits._
     // a null group used to corrupt the offset lookup SILENTLY (cum became
-    // null); the contract now fails at the gate like the 100k-slice bar
+    // null); the contract now fails at the gate like the 100k-slice bar.
+    // Since the r17 in-plan offsets move, the gate is a raise_error inside
+    // the plan (SparkRuntimeException at execution, message preserved) —
+    // the count() forces it; a driver-side exception class is no longer
+    // part of the contract, the loud named message is.
     val rows = Seq(("a", 1L, 1L), (null.asInstanceOf[String], 2L, 2L))
-    val ex = intercept[IllegalArgumentException] {
+    val ex = intercept[Exception] {
       Operators.groupedPrefixSum(
         rows.toDF("g", "v", "ord"), "g", "v", Seq(col("ord")), "cum").count()
     }
     assert(ex.getMessage.contains("null"))
+    assert(ex.getMessage.contains("groupedPrefixSum contract"))
 
     // an all-NULL value slice sums to NULL: same loud contract failure,
-    // not a bare NullPointerException from the driver-side getLong
+    // not a silent NULL cum for the slice
     val nullVals = Seq(("a", Some(1L), 1L), ("b", None, 2L), ("b", None, 3L))
-    val ex2 = intercept[IllegalArgumentException] {
+    val ex2 = intercept[Exception] {
       Operators.groupedPrefixSum(
         nullVals.toDF("g", "v", "ord"), "g", "v", Seq(col("ord")), "cum").count()
     }

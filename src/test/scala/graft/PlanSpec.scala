@@ -402,13 +402,21 @@ class PlanSpec extends SparkSpec {
     // customer volume. It now rides groupedPrefixSum: every window in the
     // plan must partition by at least (frozen pid, group)
     val df = SparkEntry.registry("q168_premium_analysis").run(spark, sf)
+    // groupedPrefixSum's r17 in-plan offsets add windows over the bounded-
+    // metadata slice table (P + |groups| - 1 rows by contract); those sit
+    // below the offsets join (no Join in their subtree) and are exempt —
+    // their input can never be data-sized. The DATA windows sit above a
+    // join (the offsets join / the dims chain) and must carry the pid.
     val wins = df.queryExecution.optimizedPlan.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.child.collectFirst {
+            case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+          }.nonEmpty => w
     }
     assert(wins.nonEmpty, "expected the grouped-rank window in the q168 plan")
-    // every window must partition by the frozen range-partition id (the
-    // totalRank/groupedPrefixSum recipe) — never by the 25-value nation
-    // key alone
+    // every data-sized window must partition by the frozen range-partition
+    // id (the totalRank/groupedPrefixSum recipe) — never by the 25-value
+    // nation key alone
     assert(wins.forall(_.partitionSpec.exists(
         _.references.exists(_.name == "__pid"))),
       s"window not keyed by the frozen pid (cardinality-capped partition):\n${df.queryExecution.optimizedPlan}")
@@ -606,9 +614,15 @@ class PlanSpec extends SparkSpec {
       val wins = df.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
             // q175's final global_pos numbers an already-LIMITed 100-row
-            // frame — windows under a Limit are exempt from the pid rule
+            // frame — windows under a Limit are exempt from the pid rule;
+            // so are groupedPrefixSum's r17 in-plan offsets windows, which
+            // run over the bounded-metadata slice table (above the slice
+            // Aggregate, no Join in their subtree — the data window always
+            // has the offsets join below it)
             if !w.collect {
               case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => ()
+            }.nonEmpty && w.child.collectFirst {
+              case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
             }.nonEmpty => w
       }
       assert(wins.nonEmpty, s"$name: expected the grouped-rank window")
