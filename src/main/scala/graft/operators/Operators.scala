@@ -354,6 +354,54 @@ object Operators {
       .drop("__pid", "__opid", "__off"), n)
   }
 
+  /** Exact global-rank PICKS by total order — [[totalRank]] specialised to
+    * a handful of requested ranks (percentile picks: p50/p95/p99). Same
+    * recipe through the per-partition counts job; then, instead of ranking
+    * EVERY partition and broadcasting the offsets back (work proportional
+    * to the whole table for a 1-row answer), only the partitions that HOLD
+    * a requested rank are ranked — ≤ |ks| of them, filtered at the
+    * checkpoint scan — and each target partition's global offset rides a
+    * literal when-chain (≤ |ks| branches, O(1) per row). r17 optimization,
+    * guide §1.2 ("don't compute things you throw away"): q168's p95 pick
+    * ranked all 32 partitions of the full lineitem projection to keep one
+    * row.
+    *
+    * `ksOf` receives the total count N and returns the requested 1-based
+    * ranks; out-of-range ranks select no row (as with totalRank + an
+    * unmatched filter). Returns (rows at the requested ranks with
+    * `rankCol`, N). Empty input → (empty frame with the rank column, 0). */
+  def ranksByTotalOrder(df: DataFrame, valueCol: String, tieCols: Seq[Column],
+      ksOf: Long => Seq[Long], rankCol: String = "rnk"): (DataFrame, Long) = {
+    val p =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sortCols = col(valueCol) +: tieCols
+    val ranged = graft.Checkpoints.localCheckpoint(
+      df.repartitionByRange(p, sortCols: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    def empty(nOut: Long) =
+      (ranged.drop("__pid").withColumn(rankCol, lit(0L)).limit(0), nOut)
+    if (n == 0) return empty(0L)
+    val ks = ksOf(n).distinct.filter(k => k >= 1 && k <= n)
+    if (ks.isEmpty) return empty(n)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val o = acc; acc += c; (pid, o, c) }
+    val targets = offsets.collect {
+      case (pid, o, c) if ks.exists(k => k > o && k <= o + c) => (pid, o)
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+    val offExpr = targets.tail.foldLeft(
+      when(col("__pid") === lit(targets.head._1), lit(targets.head._2))) {
+      case (e, (pid, o)) => e.when(col("__pid") === lit(pid), lit(o))
+    }
+    (ranged.filter(col("__pid").isin(targets.map(_._1).toIndexedSeq: _*))
+      .withColumn(rankCol, row_number().over(w).cast("long") + offExpr)
+      .filter(col(rankCol).isin(ks: _*))
+      .drop("__pid"), n)
+  }
+
   /** Profile-driven salt width — the q103 skew probe wired into the plan.
     * Counts rows per key bucket (keys-space-sized, map-side combined — one
     * cheap pass even at 100 TB) and sizes the salt from the DOMINANCE ratio:

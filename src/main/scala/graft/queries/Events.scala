@@ -553,17 +553,19 @@ object Events {
         // exact integer percentiles over the bucket-count distribution:
         // sort key = count, pick ranks ceil(q*n) — deterministic, no
         // interpolation, same arithmetic spelled in the oracle. The global
-        // order comes from Operators.totalRank (the q61 recipe — bucketed,
-        // never a single-partition window), and N falls out of its count
-        // job, so the rank literals are plain driver arithmetic. Empty
-        // input short-circuits to the (empty) aggregate — no percentile
-        // rows to pick, same degraded shape as the oracle.
-        val (ranked, n) = graft.operators.Operators.totalRank(
-          perKey, "rows_in_bucket", Seq(col("event_type"), col("h")))
+        // order comes from Operators.ranksByTotalOrder (r17: the q61
+        // recipe specialised to rank PICKS — only the ≤2 partitions
+        // holding p50/p99 are ranked, never a single-partition window),
+        // and N falls out of its count job, so the rank literals are
+        // plain driver arithmetic. Empty input short-circuits to the
+        // (empty) aggregate — no percentile rows to pick, same degraded
+        // shape as the oracle.
+        val (pickRows, n) = graft.operators.Operators.ranksByTotalOrder(
+          perKey, "rows_in_bucket", Seq(col("event_type"), col("h")),
+          m => Seq((m + 1) / 2, (99 * m + 99) / 100))
         val p50rk = (n + 1) / 2
         val p99rk = (99 * n + 99) / 100
-        val picks = ranked
-          .filter(col("rnk") === p50rk || col("rnk") === p99rk)
+        val picks = pickRows
           .select(col("rnk"), col("rows_in_bucket"))
           .collect()
         val p50 = picks.find(_.getLong(0) == p50rk)
@@ -664,32 +666,62 @@ object Events {
         // NO per-type windows (round-13 review): event_type has ~5 values,
         // so lag/rank windows partitioned by it serialize the whole fact
         // table into 5 tasks — the low-cardinality mega-group anti-pattern
-        // q61/q168 document. Instead: a grouped range-exchange rank
-        // (groupedPrefixSum), consecutive rows paired by an equi-join on
-        // (type, rank−1), and the p95 pick by a second grouped rank —
-        // every stage's parallelism follows data volume, not type count.
+        // q61/q168 document.
+        //
+        // r17 optimization (guide §2.4): the r13 form built a unique
+        // per-type rank (groupedPrefixSum) and paired consecutive rows by
+        // a SELF-EQUI-JOIN on (type, rank−1) — two extra hash shuffles of
+        // the full ranked table plus the rank machinery, only to read each
+        // row's predecessor. Consecutive pairing needs no rank at all on a
+        // range layout: after ONE range exchange on (type, sec, event_id)
+        // with the partition id frozen, each row's predecessor is either
+        // in the same partition (a lag window keyed by the frozen pid —
+        // parallelism follows data volume) or the last row of the type's
+        // previous slice (a per-(pid, type) first/last table — bounded
+        // metadata, P + |types| − 1 rows — stitched by a lag over pid
+        // within type). The gap MULTISET is identical to the rank-join
+        // form's: range partitions hold contiguous runs of the composite
+        // order, so slice-internal pairs + boundary pairs = all
+        // consecutive pairs exactly once. Isolated sf0.1: plan drops from
+        // 4 data shuffles to 2 (range + the lag window's hash exchange).
         val ev = graft.Checkpoints.localCheckpoint(graft.Tables.events(s, d)
           .select(col("event_type"), col("ts").cast("long").as("sec"),
-            col("event_id"))
-          .withColumn("__one", lit(1L)))
+            col("event_id")))
         val frontier = ev.agg(max(col("sec")).as("gmax"))
         val perType = ev.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), max(col("sec")).as("tmax"))
-        // unique per-type rank in (sec, event_id) order: the gap MULTISET
-        // is invariant under the tie order, so the law equals the
-        // oracle's lag-over-sec form
-        val rnk = graft.operators.Operators.groupedPrefixSum(
-          ev, "event_type", "__one", Seq(col("sec"), col("event_id")), "rnk")
-          .select(col("event_type"), col("sec"), col("rnk"))
-        val gaps = rnk
-          .join(rnk.select(col("event_type"), col("sec").as("prev"),
-            (col("rnk") + 1).as("rnk")), Seq("event_type", "rnk"))
-          .select(col("event_type"), (col("sec") - col("prev")).as("gap"),
-            col("rnk"))
+        val p = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+        val ranged = graft.Checkpoints.localCheckpoint(
+          ev.repartitionByRange(p, col("event_type"), col("sec"), col("event_id"))
+            .withColumn("__pid", spark_partition_id()))
+        val wLag = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__pid"), col("event_type"))
+          .orderBy(col("sec"), col("event_id"))
+        val innerGaps = ranged
+          .withColumn("prev", lag(col("sec"), 1).over(wLag))
+          .filter(col("prev").isNotNull)
+          .select(col("event_type"), (col("sec") - col("prev")).as("gap"))
+        // slice boundary table: bounded metadata (each extra type straddles
+        // at most one partition boundary) — same exemption class as
+        // groupedPrefixSum's offsets
+        val slices = ranged.groupBy(col("__pid"), col("event_type"))
+          .agg(min(struct(col("sec"), col("event_id"))).as("__first"),
+            max(struct(col("sec"), col("event_id"))).as("__last"))
+        val wB = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("__pid"))
+        val boundaryGaps = slices
+          .withColumn("__prev_last", lag(col("__last"), 1).over(wB))
+          .filter(col("__prev_last").isNotNull)
+          .select(col("event_type"),
+            (col("__first.sec") - col("__prev_last.sec")).as("gap"))
+        val gaps = innerGaps.unionByName(boundaryGaps)
           .withColumn("__one", lit(1L))
-        // exact upper p95: the ceil(0.95·(n−1))-th smallest of the n−1 gaps
+        // exact upper p95: the ceil(0.95·(n−1))-th smallest of the n−1 gaps.
+        // No tie-break column: rows tied on (type, gap) rank arbitrarily
+        // among themselves, but the gap VALUE at any rank inside a tie run
+        // is the tied value itself — the picked p95 is deterministic.
         val p95 = graft.operators.Operators.groupedPrefixSum(
-          gaps, "event_type", "__one", Seq(col("gap"), col("rnk")), "grnk")
+          gaps, "event_type", "__one", Seq(col("gap")), "grnk")
           .join(broadcast(perType.select(col("event_type"), col("n"))),
             Seq("event_type"))
           .filter(col("grnk") === expr("CAST(ceil(0.95 * (n - 1)) AS BIGINT)"))

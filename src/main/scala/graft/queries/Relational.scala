@@ -766,6 +766,43 @@ object Relational {
           Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
           Tables.nation(s, d), Tables.region(s, d), Tables.supplier(s, d),
           Tables.part(s, d), Tables.documents(s, d), Tables.embeddings(s, d))
+        // r17 optimization (guide §2.4/§6): the three lineitem FK checks
+        // used to be three independent anti-joins — three full scans of the
+        // dominant fact table (the expensive pass at 100 TB). One scan now
+        // carries all three: chained LEFT joins against each parent's
+        // DISTINCT key set (distinct preserves anti-join semantics exactly
+        // even under a hypothetical duplicate parent key — a left join on a
+        // raw parent would multiply child rows), then one conditional agg
+        // counting each FK's unmatched rows. part/supplier key sets are
+        // dimension-sized broadcasts; the orders join is the same keyed
+        // shuffle the anti-join form paid. Scans of lineitem: 4 → 2
+        // (dup-key check + this pass).
+        val liOrphans = {
+          val joined = li
+            .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+            .join(or_.select(col("o_orderkey")).distinct(),
+              col("l_orderkey") === col("o_orderkey"), "left")
+            .join(broadcast(pa.select(col("p_partkey")).distinct()),
+              col("l_partkey") === col("p_partkey"), "left")
+            .join(broadcast(su.select(col("s_suppkey")).distinct()),
+              col("l_suppkey") === col("s_suppkey"), "left")
+          def orphans(ck: String, pk: String) = coalesce(
+            sum(when(col(ck).isNotNull && col(pk).isNull, 1L).otherwise(0L)),
+            lit(0L))
+          joined.agg(
+            orphans("l_orderkey", "o_orderkey").as("c_ord"),
+            orphans("l_partkey", "p_partkey").as("c_part"),
+            orphans("l_suppkey", "s_suppkey").as("c_supp"))
+            .select(explode(array(
+              struct(lit("orphan_fk:lineitem->orders").as("check"),
+                col("c_ord").as("n_violations")),
+              struct(lit("orphan_fk:lineitem->part").as("check"),
+                col("c_part").as("n_violations")),
+              struct(lit("orphan_fk:lineitem->supplier").as("check"),
+                col("c_supp").as("n_violations")))).as("kv"))
+            .select(col("kv.check").as("check"),
+              col("kv.n_violations").as("n_violations"))
+        }
         Seq(
           chk("dup_key:customer", dup(cu, "c_custkey")),
           chk("dup_key:orders", dup(or_, "o_orderkey")),
@@ -777,9 +814,7 @@ object Relational {
           chk("dup_key:documents", dup(dc, "doc_id")),
           chk("dup_key:embeddings", dup(em, "vec_id")),
           chk("orphan_fk:orders->customer", orphan(or_, "o_custkey", cu, "c_custkey")),
-          chk("orphan_fk:lineitem->orders", orphan(li, "l_orderkey", or_, "o_orderkey")),
-          chk("orphan_fk:lineitem->part", orphan(li, "l_partkey", pa, "p_partkey")),
-          chk("orphan_fk:lineitem->supplier", orphan(li, "l_suppkey", su, "s_suppkey")),
+          liOrphans,
           chk("orphan_fk:customer->nation", orphan(cu, "c_nationkey", na, "n_nationkey")),
           chk("orphan_fk:supplier->nation", orphan(su, "s_nationkey", na, "n_nationkey")),
           chk("orphan_fk:nation->region", orphan(na, "n_regionkey", re, "r_regionkey")),
@@ -1058,11 +1093,13 @@ object Relational {
         val priced = graft.Checkpoints.localCheckpoint(
           Tables.lineitem(s, d).select(col("l_extendedprice").as("price"),
             col("l_orderkey"), col("l_linenumber")))
-        val (ranked, n) = graft.operators.Operators.totalRank(
-          priced, "price", Seq(col("l_orderkey"), col("l_linenumber")), "rnk")
-        val k = math.ceil(0.95 * n).toLong
-        val p95df = ranked.filter(col("rnk") === lit(k))
-          .select(col("price").cast("double").as("__p95"))
+        // r17: ranksByTotalOrder instead of totalRank + filter — only the
+        // ONE partition holding rank ceil(0.95·n) is ranked, not all P
+        // (guide §1.2: don't rank the whole table to keep one row)
+        val (picked, _) = graft.operators.Operators.ranksByTotalOrder(
+          priced, "price", Seq(col("l_orderkey"), col("l_linenumber")),
+          n => Seq(math.ceil(0.95 * n).toLong), "rnk")
+        val p95df = picked.select(col("price").cast("double").as("__p95"))
         // (2) per-nation top-decile customers by account balance — the
         // grouped-rank machinery (groupedPrefixSum of 1 = in-group rank),
         // NOT a row_number window partitioned by c_nationkey alone: nation

@@ -417,6 +417,40 @@ class OperatorsSpec extends SparkSpec {
       "offset lookup still uses a map literal")
   }
 
+  test("ranksByTotalOrder == totalRank + filter on the requested ranks; " +
+    "only target partitions are ranked") {
+    import spark.implicits._
+    // colliding values so the tie column is exercised; ranks spanning the
+    // first, a middle and the last partition of the range layout
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 3000).map(i => (rnd.nextInt(300).toLong, i.toLong))
+      .toDF("v", "tie")
+    val ks: Long => Seq[Long] = n => Seq(1L, (n + 1) / 2, n)
+    val (picked, n) = Operators.ranksByTotalOrder(
+      rows, "v", Seq(col("tie")), ks)
+    assert(n == 3000L)
+    val got = picked.select("rnk", "v", "tie").as[(Long, Long, Long)]
+      .collect().toSet
+    val (ranked, n2) = Operators.totalRank(rows, "v", Seq(col("tie")))
+    val want = ranked.filter(col("rnk").isin(ks(n2): _*))
+      .select("rnk", "v", "tie").as[(Long, Long, Long)].collect().toSet
+    assert(got == want, s"got=$got want=$want")
+    // the pick must not rank every partition: the window input is filtered
+    // to the <= |ks| partitions that hold a requested rank
+    val plan = picked.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__pid IN") || plan.contains("__pid#"),
+      s"expected the target-partition filter in:\n$plan")
+    // out-of-range ranks select nothing; empty input keeps the schema
+    val (none, n3) = Operators.ranksByTotalOrder(
+      rows, "v", Seq(col("tie")), m => Seq(0L, m + 1))
+    assert(n3 == 3000L && none.count() == 0)
+    val (empty, n4) = Operators.ranksByTotalOrder(
+      Seq.empty[(Long, Long)].toDF("v", "tie"), "v", Seq(col("tie")),
+      _ => Seq(1L))
+    assert(n4 == 0L && empty.columns.toSeq == Seq("v", "tie", "rnk")
+      && empty.count() == 0)
+  }
+
   test("topKByScore equals the window topKPerGroup on randomized data " +
     "(bounded k-heap twin law)") {
     import spark.implicits._
