@@ -3250,23 +3250,26 @@ object TextOps {
     "q107_source_overlap" -> Q(
       run = (s, d) => {
         val w = docWindowArrays(s, d)
-          .select(col("doc_id"), col("source"), explode(col("dwins")).as("w"))
-        // (source, window) distinct table: both sides of the self-join read
-        // it — materialize once, query-scoped
-        val srcwin = graft.Checkpoints.localCheckpoint(
-          w.select(col("source"), col("w")).distinct())
+          .select(col("source"), explode(col("dwins")).as("w"))
+        // ONE corpus-scale shuffle serves both branches (r17, guide §2.4):
+        // the (source, window) doc-count table's KEYS are exactly the old
+        // `distinct` table (rows are distinct per (doc, w) by construction
+        // — array_distinct in the shared cache — so count(1) ==
+        // count(DISTINCT doc_id)), and its counts are the old `within`
+        // aggregation. The r16 form paid the exploded-corpus shuffle twice
+        // (distinct + the within groupBy); now the counted table is
+        // materialized once, query-scoped, and both the self-join sides
+        // and the diagonal read it.
+        val sw = graft.Checkpoints.localCheckpoint(
+          w.groupBy(col("source"), col("w")).agg(count(lit(1)).as("nd")))
+        val srcwin = sw.select(col("source"), col("w"))
         val cross = srcwin.as("a")
           .join(srcwin.as("b"),
             col("a.w") === col("b.w") && col("a.source") < col("b.source"))
           .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
           .groupBy(col("source_a"), col("source_b"))
           .agg(count(lit(1)).as("shared_windows"))
-        // rows are distinct per (doc, w) by construction (array_distinct in
-        // the shared table), so plain count == count(DISTINCT doc_id) —
-        // without the expand + second shuffle phase countDistinct plans
-        val within = w.groupBy(col("source"), col("w"))
-          .agg(count(lit(1)).as("nd"))
-          .filter(col("nd") >= 2)
+        val within = sw.filter(col("nd") >= 2)
           .groupBy(col("source"))
           .agg(count(lit(1)).as("shared_windows"))
           .select(col("source").as("source_a"), col("source").as("source_b"),
