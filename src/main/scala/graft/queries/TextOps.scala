@@ -992,9 +992,15 @@ object TextOps {
     * on that bounded metadata. */
   private def tokenAlloc(s: SparkSession, d: String,
       budget: Long = 100000L): DataFrame = {
+    // r17 (guide §4/expressions): count tokens as sum(size(toks)) instead
+    // of explode-then-count — same number (explode emits one row per
+    // element), but the narrow stage never generates a row per token just
+    // to collapse it again in the partial aggregate
     val counts = docTokens(s, d)
-      .select(col("source"), explode(col("toks")).as("tok"))
-      .groupBy(col("source")).agg(count(lit(1)).as("n_tok"))
+      .select(col("source"),
+        when(col("toks").isNotNull, size(col("toks")))
+          .otherwise(lit(0)).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tok"))
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1))
     val wRank = wAll.orderBy(col("rem").desc, col("source"))

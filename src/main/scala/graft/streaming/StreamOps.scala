@@ -493,6 +493,48 @@ object StreamOps {
     out
   }
 
+  /** Shared drained tumbling-window aggregation (r17, guide §2.4 applied
+    * to the stream): q42 and q149 serve two views of the SAME stateful
+    * streaming computation — q42 the windowed counts + money sums, q149
+    * the top-3 ranking over the counts — so the drain runs ONCE per
+    * (session, dir) and both read the materialized sink table, exactly
+    * like the jaccard/cooccur staged slots (StreamingSpec's "q149 top-3
+    * is exactly the re-ranked q42" test is the law that makes this
+    * sharing sound). Build time lands on a stage: row via timedBuild;
+    * the slot frees with the other staged tables (TextOps release hook),
+    * so every bench pass re-drains cold. Spec paths that assert drain
+    * EVIDENCE (append mode, eviction) call [[releaseDrained]] first so
+    * their evidence still comes from their own run's progress. */
+  private var tumblingDrainCache: Option[(SparkSession, String, DataFrame)] = None
+  graft.queries.TextOps.onRelease(() => releaseDrained())
+
+  private[graft] def releaseDrained(): Unit = synchronized {
+    tumblingDrainCache = None // memory-sink rows; freed by driver GC
+  }
+
+  private def tumblingDrained(s: SparkSession, d: String): DataFrame =
+    synchronized {
+      tumblingDrainCache match {
+        case Some((sess, dir, df)) if (sess eq s) && dir == d => df
+        case _ => graft.queries.TextOps.timedBuild("tumbling_drain_build") {
+          tumblingDrainCache = None
+          val srcDir = withHorizonSentinel(s, d)
+          val agg = eventsStreamFrom(s, d, srcDir.toString, "*.parquet")
+            .withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+            .agg(
+              count(lit(1)).as("n"),
+              graft.MoneyOut.col(sum(col("value").cast("decimal(18,6)")))
+                .as("value_sum"))
+            .select(col("window.start").as("bucket_start"),
+              col("event_type"), col("n"), col("value_sum"))
+          val served = drain(s, agg, "append")
+          tumblingDrainCache = Some((s, d, served))
+          served
+        }
+      }
+    }
+
   val qs: Map[String, Q] = Map(
 
     // Watermarked tumbling-window aggregation as a real streaming query.
@@ -506,22 +548,12 @@ object StreamOps {
     // timescale); the sentinel closes the fixture's trailing windows the
     // way the next arrivals would on a production stream.
     "q42_stream_tumbling" -> Q(
-      run = (s, d) => {
-        // staging is owned by the sentinel cache (shared with q149 and all
-        // passes), not deleted per drain
-        val srcDir = withHorizonSentinel(s, d)
-        val agg = eventsStreamFrom(s, d, srcDir.toString, "*.parquet")
-          .withWatermark("ts", "1 hour")
-          .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
-          .agg(
-            count(lit(1)).as("n"),
-            graft.MoneyOut.col(sum(col("value").cast("decimal(18,6)"))).as("value_sum"))
-          .select(col("window.start").as("bucket_start"),
-            col("event_type"), col("n"), col("value_sum"))
-        drain(s, agg, "append")
+      run = (s, d) =>
+        // the drain is the shared staged slot (see tumblingDrained): q42
+        // serves the full (counts + money sums) view of it
+        tumblingDrained(s, d)
           .filter(col("event_type") =!= horizonType)
-          .orderBy("bucket_start", "event_type")
-      },
+          .orderBy("bucket_start", "event_type"),
       oracle = Some("""
         SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
                event_type, count(*) AS n,
@@ -549,14 +581,11 @@ object StreamOps {
     // evicted > 0, no complete-mode drain anywhere in serving.
     "q149_stream_topk" -> Q(
       run = (s, d) => {
-        val srcDir = withHorizonSentinel(s, d)
-        val agg = eventsStreamFrom(s, d, srcDir.toString, "*.parquet")
-          .withWatermark("ts", "1 hour")
-          .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
-          .agg(count(lit(1)).as("n"))
-          .select(col("window.start").as("bucket_start"),
-            col("event_type"), col("n"))
-        val served = drain(s, agg, "append")
+        // same staged drain as q42 (one stateful law, two serving views —
+        // the StreamingSpec re-rank test is the equivalence proof); q149
+        // reads the counts column only
+        val served = tumblingDrained(s, d)
+          .select(col("bucket_start"), col("event_type"), col("n"))
           .filter(col("event_type") =!= horizonType)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("bucket_start"))
