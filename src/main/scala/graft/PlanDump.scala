@@ -36,7 +36,7 @@ object PlanDump {
     "q138_winnowing" -> "zero-shuffle winnowing kernel in the narrow stage; candidates equi-join on the fingerprint hash",
     "q144_curriculum" -> "global order via totalRank: range exchange + frozen-pid windows; no single-partition rank stage",
     "q151_bucketed_join" -> "bucketed scans (Bucketed: true, SelectedBucketsCount 8/8); at fixture scale AQE broadcasts the small side anyway — under forced SMJ the join subtree has ZERO exchanges (PlanSpec pins it), which is the layout payoff once both sides are fact-sized",
-    "q152_pagerank" -> "five materialized rounds: edge-keyed shuffles sized by the dup graph, TakeOrderedAndProject egress",
+    "q152_pagerank" -> "five LAZILY-CHAINED rounds in one job (r17: loop-invariant edge-degree table checkpointed once, rounds pipeline as sequential shuffle stages — no per-round materialization); edge-keyed shuffles sized by the dup graph, TakeOrderedAndProject egress",
     "q169_bm25_topk" -> "query-vocab filter INSIDE the array before the explode (tf table is docs-sized, never tokens-sized); df + corpus scalars broadcast; TakeOrderedAndProject egress",
     "q170_rendezvous_shard" -> "17-row shard table broadcast into the key cross join; partial_max_by below the exchange (map-side argmax)",
     "q173_basket_pairs" -> "ONE basket-keyed shuffle (map-side collect_set merge dedupes); a<b pairs explode inside the sorted array — the distinct+self-join twin shuffled lineitem twice",
