@@ -687,7 +687,9 @@ object Events {
         val ev = graft.Checkpoints.localCheckpoint(graft.Tables.events(s, d)
           .select(col("event_type"), col("ts").cast("long").as("sec"),
             col("event_id")))
-        val frontier = ev.agg(max(col("sec")).as("gmax"))
+        // r17: the global frontier is max over the per-type frontiers — a
+        // window over the |types|-row metadata table replaces a second
+        // full-table max aggregation + crossJoin subtree
         val perType = ev.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), max(col("sec")).as("tmax"))
         val p = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -714,8 +716,12 @@ object Events {
           .filter(col("__prev_last").isNotNull)
           .select(col("event_type"),
             (col("__first.sec") - col("__prev_last.sec")).as("gap"))
-        val gaps = innerGaps.unionByName(boundaryGaps)
-          .withColumn("__one", lit(1L))
+        // materialized once (r17): groupedPrefixSum's range sampler would
+        // otherwise re-execute the whole two-window gaps subtree a second
+        // time before the shuffle executes it for real
+        val gaps = graft.Checkpoints.localCheckpoint(
+          innerGaps.unionByName(boundaryGaps)
+            .withColumn("__one", lit(1L)))
         // exact upper p95: the ceil(0.95·(n−1))-th smallest of the n−1 gaps.
         // No tie-break column: rows tied on (type, gap) rank arbitrarily
         // among themselves, but the gap VALUE at any rank inside a tie run
@@ -726,7 +732,9 @@ object Events {
             Seq("event_type"))
           .filter(col("grnk") === expr("CAST(ceil(0.95 * (n - 1)) AS BIGINT)"))
           .select(col("event_type"), col("gap").as("p95_gap_s"))
-        perType.crossJoin(broadcast(frontier))
+        perType
+          .withColumn("gmax", max(col("tmax")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
           .withColumn("frontier_lag_s", col("gmax") - col("tmax"))
           // LEFT join (round-13 review): a type with < 2 events has no
           // gaps but must still report its frontier lag — the sparse
